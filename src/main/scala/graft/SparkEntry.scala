@@ -1,13 +1,705 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator family from SURVEY §2 (or a
+  * training-data-pipeline operator), expressed Spark-first; `oracleSql` holds
+  * the semantically-identical DuckDB SQL the driver replays over the same
+  * parquet tables.
+  *
+  * Cross-engine determinism rules used throughout (see SURVEY §"What's hard",
+  * exact money math):
+  * - money/double aggregation goes through DECIMAL casts → order-independent,
+  *   bit-exact sums; final aggregates are cast to DECIMAL(38,s) on both sides.
+  * - derived doubles are computed with the *same* operation order in both
+  *   engines and rounded (4 decimals) before output.
+  * - integer outputs are BIGINT on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q12_star_join")(spark, "/root/testdata/sf0.001")
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A1: hash group-by with SUM/COUNT (155 GROUP BYs in reference) ----
+    "q01_agg_sum" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- A2: conditional (pivot-style) aggregation ----
+    "q02_agg_conditional" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_linestatus") === "O", dec2(col("l_quantity"))))
+            .cast("decimal(38,2)").as("qty_open"),
+          sum(when(col("l_linestatus") === "F", dec2(col("l_quantity"))))
+            .cast("decimal(38,2)").as("qty_filled"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- A3: ANY_VALUE for functionally-dependent columns ----
+    "q03_agg_anyvalue" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(any_value(col("c_name")).as("c_name"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- A5: DISTINCT dedup-aggregation ----
+    "q04_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // ---- A7: scalar subquery threshold (no driver collect: broadcast join) ----
+    "q05_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val thresh = o.agg((max(col("o_totalprice")) * 0.5).as("__t"))
+      o.join(broadcast(thresh), col("o_totalprice") >= col("__t")).drop("__t")
+    }),
+
+    // ---- A8: weighted allocation with exact remainder repair ----
+    "q06_alloc_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in the data — tie-break on
+      // l_extendedprice so the remainder row is deterministic cross-engine.
+      Allocation.weightedAllocate(li,
+          Seq(col("l_orderkey")), Seq(col("l_linenumber"), col("l_extendedprice")),
+          col("o_totalprice"), col("l_extendedprice"), "alloc", 2)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("alloc"))
+    }),
+
+    // ---- A9: integer div/mod equal split across exploded slots ----
+    "q07_alloc_divmod" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (pmod(col("o_orderkey"), lit(3)) + 1).cast("int").as("n"))
+      o.select(col("o_orderkey"), col("cents"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1)).as(Seq("pos", "__v")))
+        .select(col("o_orderkey"), col("pos").cast("long").as("pos"),
+          Allocation.divModAllocate(col("cents"), col("n"), col("pos")).as("alloc"))
+    }),
+
+    // ---- A10/W5: grouped exact percentile (PERCENTILE_CONT) ----
+    "q08_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 4)
+          .as("median_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- W1: QUALIFY-style top-1 per key dedup ----
+    "q09_qualify_top1" -> ((s, d) => {
+      F.qualifyTopN(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate"),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+    }),
+
+    // ---- W3: LEAD — gap to next order per customer ----
+    "q10_lead_gap" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("ymd"),
+          lead(to_date(col("o_orderdate")), 1).over(w).as("next_ymd"))
+        .withColumn("gap_days",
+          datediff(col("next_ymd"), col("ymd")).cast("long"))
+    }),
+
+    // ---- W4: aggregate-over-window ratio (exact decimal denominator) ----
+    "q11_window_ratio" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"),
+          sum(dec2(col("l_extendedprice"))).over(w).as("order_total"))
+        .withColumn("price_ratio",
+          round(col("l_extendedprice") / col("order_total").cast("double"), 4))
+        .withColumn("order_total", col("order_total").cast("decimal(38,2)"))
+    }),
+
+    // ---- J1/J2: star-schema broadcast join + re-aggregation (flagship) ----
+    "q12_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- J4: 30-day rolling sum — window rangeBetween rewrite ----
+    "q13_rolling_30d" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("ymd"))
+        .agg(sum(dec2(col("o_totalprice"))).cast("decimal(38,2)").as("day_total"))
+      Joins.rollingSumByDays(daily, Seq(col("o_custkey")), col("ymd"),
+          col("day_total"), 30, "rolling_30d")
+        .withColumn("rolling_30d", col("rolling_30d").cast("decimal(38,2)"))
+    }),
+
+    // ---- J5: band join with LEAD-built bands ----
+    "q14_band_join" -> ((s, d) => {
+      val bands0 = F.inlineDim(s, Seq("band_name", "lo"),
+        Seq(Seq("S", 1L), Seq("M", 11L), Seq("L", 26L), Seq("XL", 41L)))
+      val bands = Joins.leadBands(bands0, Nil, col("lo"), "hi")
+      Joins.bandJoin(Tables.lineitem(s, d), bands, col("l_quantity"),
+          col("lo"), col("hi"))
+        .groupBy(col("band_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+    }),
+
+    // ---- J7: anti join — customers with no orders ----
+    "q15_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- J8: semi over array — membership in split() array, no join ----
+    "q16_array_semi" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(array_contains(split(col("p_name"), " "), "widget"))
+        .select("p_partkey", "p_name")
+    }),
+
+    // ---- J9: CROSS JOIN UNNEST(SPLIT()) — explode + re-aggregate ----
+    "q17_explode_words" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.7: UNION ALL of aligned branches + re-aggregation ----
+    "q18_union_reagg" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(
+        to_date(col("o_orderdate")).as("ymd"),
+        dec2(col("o_totalprice")).as("amt"), lit("orders").as("src"))
+      val b = Tables.lineitem(s, d).select(
+        to_date(col("l_shipdate")).as("ymd"),
+        dec2(col("l_extendedprice")).as("amt"), lit("lineitem").as("src"))
+      a.unionByName(b)
+        .groupBy(date_trunc("month", col("ymd")).cast("date").as("month"), col("src"))
+        .agg(sum(col("amt")).cast("decimal(38,2)").as("total"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- P2: enum-recode CASE ladder ----
+    "q19_enum_recode" -> ((s, d) => {
+      val pri = F.recode(col("o_orderpriority"), Seq(
+        "1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3,
+        "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5), -1)
+      val status = F.recode(col("o_orderstatus"), Seq(
+        "O" -> "open", "F" -> "filled", "P" -> "pending"), "unknown")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), pri.cast("long").as("priority_rank"),
+          status.as("status_label"))
+    }),
+
+    // ---- P7 + string functions: regex filter / extract / replace ----
+    "q20_regex" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_name").rlike("^Customer#0*[0-9]*[02468]$"))
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+          regexp_replace(col("c_name"), "[0-9]", "").as("name_stripped"),
+          concat_ws("-", col("c_mktsegment"),
+            substring(col("c_name"), -3, 3)).as("seg_key"))
+    }),
+
+    // ---- §2.8 date/time functions ----
+    "q21_date_funcs" -> ((s, d) => {
+      val ymd = to_date(col("o_orderdate"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        ymd.as("ymd"),
+        date_trunc("month", ymd).cast("date").as("month_start"),
+        date_format(ymd, "yyyy-MM").as("ym"),
+        (dayofweek(ymd) - 1).cast("long").as("dow"),
+        date_add(ymd, 7).as("plus7"),
+        add_months(ymd, 1).as("plus1m"),
+        last_day(ymd).as("month_end"),
+        year(ymd).cast("long").as("yr"))
+    }),
+
+    // ---- date scaffold: GENERATE_SERIES + explode + zero-filled left join ----
+    "q22_date_scaffold" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("ymd"))
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("ymd"))
+        .agg(count(lit(1)).as("n"))
+      days.join(daily, Seq("ymd"), "left")
+        .select(col("ymd"), coalesce(col("n"), lit(0L)).as("n_orders"))
+    }),
+
+    // ---- JSON extraction from an opaque payload column ----
+    "q23_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    }),
+
+    // ---- UNPIVOT / melt with metric ordering ----
+    "q24_unpivot" -> ((s, d) => {
+      val m = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(dec2(col("c_acctbal"))).cast("double").as("sum_bal"),
+          count(lit(1)).cast("double").as("n"))
+      m.unpivot(Array(col("c_mktsegment")),
+        Array(col("sum_bal"), col("n")), "metric", "value")
+    }),
+
+    // ---- D2-D4: MERGE upsert with per-column strategy DSL ----
+    "q25_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("total"),
+        to_date(col("o_orderdate")).as("ymd"))
+      val target = base.filter(col("o_orderkey") % 2 === 0)
+      val source = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("total", (col("total") * 2).cast("decimal(18,2)"))
+      MergeOps.upsert(target, source, Seq("o_orderkey"),
+        Map("o_orderstatus" -> MergeOps.Replace,
+            "total" -> MergeOps.Greatest,
+            "ymd" -> MergeOps.Least))
+    }),
+
+    // ---- dedup: exact (hash group-by) ----
+    "q26_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+    }),
+
+    // ---- dedup: n-gram Jaccard similarity pairs (exact, verification op) ----
+    "q27_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8)
+    }),
+
+    // ---- dedup: MinHash+LSH candidate pairs + exact verify (scale path) ----
+    "q28_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3, k = 32, bands = 8,
+        verifyThreshold = 0.7)
+    }),
+
+    // ---- dedup: 64-bit SimHash signatures ----
+    "q29_simhash" -> ((s, d) => {
+      Dedup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
+    }),
+
+    // ---- text: language-ID heuristic, confusion matrix vs labels ----
+    "q30_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langIdPredict(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- text: quality scoring ----
+    "q31_text_quality" -> ((s, d) => {
+      val q = TextAnalysis.qualityColumns(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id") +:
+        q.head.cast("long").as("n_chars_norm") +:
+        q(1).cast("long").as("n_tokens") +:
+        q.drop(2): _*)
+    }),
+
+    // ---- text: token counting (whitespace + BPE-ish) ----
+    "q32_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))
+    }),
+
+    // ---- text: document fingerprint ----
+    "q33_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- similarity: exact brute-force cosine top-k ----
+    "q34_ann_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- similarity: LSH-bucketed ANN (scale path) ----
+    "q35_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Similarity.lshTopK(e, col("vec_id"), col("vec"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- multimodal: binary columns + batched feature-extraction plumbing ----
+    "q36_multimodal" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(s, media)
+        .select(col("media_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(aggregate(col("feature"), lit(0.0d), (a, v) => a + v), 2)
+            .as("feat_sum"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_agg_conditional" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_open,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_filled,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q03_agg_anyvalue" ->
+      """SELECT c_custkey, ANY_VALUE(c_name) AS c_name, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q04_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q05_scalar_subquery" ->
+      """SELECT * FROM orders
+        |WHERE o_totalprice >= (SELECT MAX(o_totalprice) * 0.5 FROM orders)""".stripMargin,
+
+    "q06_alloc_weighted" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
+        |         SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) AS wsum
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(ROUND(CAST(o_totalprice * l_extendedprice / wsum AS DECIMAL(38,10)), 2) AS DECIMAL(38,2)) AS raw,
+        |    CAST(o_totalprice AS DECIMAL(38,2)) AS total,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) AS rn
+        |  FROM li)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(CASE WHEN rn = 1
+        |    THEN total - SUM(raw) OVER (PARTITION BY l_orderkey) + raw
+        |    ELSE raw END AS DECIMAL(38,2)) AS alloc
+        |FROM r""".stripMargin,
+
+    "q07_alloc_divmod" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 3 + 1 AS INTEGER) AS n
+        |  FROM orders),
+        |e AS (SELECT o_orderkey, cents, n, UNNEST(generate_series(0, n - 1)) AS pos FROM o)
+        |SELECT o_orderkey, CAST(pos AS BIGINT) AS pos,
+        |  cents // n + CASE WHEN pos = 0 THEN cents % n ELSE 0 END AS alloc
+        |FROM e""".stripMargin,
+
+    "q08_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q09_qualify_top1" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+
+    "q10_lead_gap" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS ymd,
+        |  LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_ymd,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS gap_days
+        |FROM orders""".stripMargin,
+
+    "q11_window_ratio" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_orderkey) AS DECIMAL(38,2)) AS order_total,
+        |  ROUND(l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_orderkey) AS DOUBLE), 4) AS price_ratio
+        |FROM lineitem""".stripMargin,
+
+    "q12_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q13_rolling_30d" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS ymd,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.o_custkey, a.ymd, a.day_total,
+        |  CAST((SELECT SUM(b.day_total) FROM daily b
+        |        WHERE b.o_custkey = a.o_custkey
+        |          AND b.ymd BETWEEN a.ymd - 30 AND a.ymd - 1) AS DECIMAL(38,2)) AS rolling_30d
+        |FROM daily a""".stripMargin,
+
+    "q14_band_join" ->
+      """WITH bands0 AS (
+        |  SELECT * FROM (VALUES ('S', 1), ('M', 11), ('L', 26), ('XL', 41)) AS t(band_name, lo)),
+        |bands AS (
+        |  SELECT band_name, lo,
+        |    COALESCE(LEAD(lo) OVER (ORDER BY lo) - 1, 9223372036854775807) AS hi
+        |  FROM bands0)
+        |SELECT band_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem LEFT JOIN bands ON l_quantity BETWEEN lo AND hi
+        |GROUP BY band_name""".stripMargin,
+
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q16_array_semi" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE list_contains(string_split(p_name, ' '), 'widget')""".stripMargin,
+
+    "q17_explode_words" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part) t
+        |GROUP BY word""".stripMargin,
+
+    "q18_union_reagg" ->
+      """WITH u AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS ymd,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt, 'orders' AS src FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE) AS ymd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS amt, 'lineitem' AS src FROM lineitem)
+        |SELECT CAST(date_trunc('month', ymd) AS DATE) AS month, src,
+        |  CAST(SUM(amt) AS DECIMAL(38,2)) AS total, COUNT(*) AS n
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q19_enum_recode" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        |    WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE -1 END AS BIGINT) AS priority_rank,
+        |  CASE o_orderstatus
+        |    WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled' WHEN 'P' THEN 'pending'
+        |    ELSE 'unknown' END AS status_label
+        |FROM orders""".stripMargin,
+
+    "q20_regex" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+        |  regexp_replace(c_name, '[0-9]', '', 'g') AS name_stripped,
+        |  concat_ws('-', c_mktsegment, c_name[-3:]) AS seg_key
+        |FROM customer
+        |WHERE regexp_matches(c_name, '^Customer#0*[0-9]*[02468]$')""".stripMargin,
+
+    "q21_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS ymd,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |  CAST(EXTRACT(dow FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+        |  CAST(o_orderdate AS DATE) + 7 AS plus7,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus1m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+        |FROM orders""".stripMargin,
+
+    "q22_date_scaffold" ->
+      """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+        |                  CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+        |days AS (SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |  CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS ymd FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS ymd, COUNT(*) AS n
+        |          FROM orders GROUP BY 1)
+        |SELECT d.ymd, COALESCE(n, 0) AS n_orders
+        |FROM days d LEFT JOIN daily USING (ymd)""".stripMargin,
+
+    "q23_json_extract" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q24_unpivot" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment,
+        |    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, 'sum_bal' AS metric, sum_bal AS value FROM m
+        |UNION ALL
+        |SELECT c_mktsegment, 'n' AS metric, n AS value FROM m""".stripMargin,
+
+    "q25_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |    CAST(o_orderdate AS DATE) AS ymd
+        |  FROM orders),
+        |t AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+        |s AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+        |        CAST(total * 2 AS DECIMAL(18,2)) AS total, ymd
+        |      FROM base WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |       WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+        |       ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN GREATEST(s.total, t.total)
+        |       WHEN t.o_orderkey IS NULL THEN s.total
+        |       ELSE t.total END AS total,
+        |  CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN LEAST(s.ymd, t.ymd)
+        |       WHEN t.o_orderkey IS NULL THEN s.ymd
+        |       ELSE t.ymd END AS ymd
+        |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin,
+
+    "q26_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8""".stripMargin,
+
+    "q30_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> list_contains(['the','and','is','of','to'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['der','und','ist','von','zu'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['el','y','es','de','que'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','et','est','de','que'], x))) AS s_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) AND GREATEST(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+        |         WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) AND GREATEST(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+        |         WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) AND GREATEST(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+        |         WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) AND GREATEST(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM sc)
+        |SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang""".stripMargin,
+
+    "q31_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, txt, length(txt) AS n_chars_norm,
+        |    string_split(txt, ' ') AS toks,
+        |    length(txt) - length(regexp_replace(txt, '[^a-z0-9 ]', '', 'g')) AS punct
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n_chars_norm AS BIGINT) AS n_chars_norm,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(punct AS DOUBLE) / GREATEST(n_chars_norm, 1), 4) AS punct_ratio,
+        |  ROUND(CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], x)))
+        |    AS DOUBLE) / GREATEST(len(toks), 1), 4) AS stopword_ratio,
+        |  ROUND(CAST(n_chars_norm AS DOUBLE) / GREATEST(len(toks), 1), 4) AS mean_token_len
+        |FROM x""".stripMargin,
+
+    "q32_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '[^A-Za-z0-9]+'))
+        |      + length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+        |      + length(text) // 16 END AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q34_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid AS query_id, e.vec_id AS corpus_id,
+        |    list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 10""".stripMargin
+  )
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.time.LocalDate
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Expression helper library — the Spark equivalents of the reference's SQL
+  * builder utilities and pervasive idioms.
+  *
+  * - qualify / top-N dedup: reference `ROW_NUMBER() … QUALIFY rn = 1`
+  *   (reference: core/smartstore/api/order/models.sql:188,
+  *   dbt_bigquery/models/intermediate/sales/core__sales_daily.sql:183-186).
+  * - enum recode ladders (reference: core/smartstore/api/order/models.sql:91-117).
+  * - minimal-partition date predicates (reference: common/load.py:232-303
+  *   `expr_date_range` — date arrays coalesced into BETWEEN/IN/= clauses).
+  *
+  * All helpers return `Column`s / DataFrames built from
+  * `org.apache.spark.sql.functions` so Catalyst codegen + pushdown apply.
+  */
+object F {
+
+  /** QUALIFY-style top-N per key: keep the first `n` rows of each partition
+    * under `order`. Spark has no QUALIFY; this is the canonical
+    * window + filter rewrite. Order columns should include a deterministic
+    * tie-breaker (the reference relies on PK ordering for stability).
+    */
+  def qualifyTopN(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                  n: Int = 1): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Enum-recode: CASE-ladder from a code→value map, the Spark shape of the
+    * reference's 5–19-arm `CASE WHEN code='X' THEN n` ladders. For wide maps
+    * this stays a codegen'd `when` chain (no UDF, no join).
+    */
+  def recode[V](c: Column, mapping: Seq[(String, V)],
+                default: Any = null): Column = {
+    val base = mapping.tail.foldLeft(when(c === lit(mapping.head._1), lit(mapping.head._2))) {
+      case (acc, (k, v)) => acc.when(c === lit(k), lit(v))
+    }
+    base.otherwise(lit(default))
+  }
+
+  /** Inline dimension table from literal tuples — the Spark shape of the
+    * reference's `SELECT * FROM UNNEST([STRUCT(…), …])` literal dims
+    * (reference: core/smartstore/api/order/models.sql:210-215). Emitted as
+    * `inline(array(struct(...)))` so it stays a LocalRelation the optimizer
+    * folds / broadcasts for free.
+    */
+  def inlineDim(spark: org.apache.spark.sql.SparkSession,
+                cols: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def typ(v: Any): DataType = v match {
+      case _: Int => IntegerType
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _ => StringType
+    }
+    val schema = StructType(cols.zip(rows.head).map { case (n, v) =>
+      StructField(n, typ(v), nullable = true) })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_: _*)), 1), schema)
+  }
+
+  /** Minimal-partition predicate: coalesce a set of dates into the smallest
+    * `BETWEEN` / `IN` / `=` predicate so partition pruning sees literal
+    * bounds (reference: common/load.py:232-267 `expr_date_range`).
+    */
+  def datePredicate(c: Column, dates: Seq[LocalDate]): Column = {
+    if (dates.isEmpty) return lit(false)
+    val sorted = dates.distinct.sorted
+    // split into runs of consecutive days
+    val runs = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, d) =>
+      if (acc.head.head.plusDays(1) == d) (d :: acc.head) :: acc.tail
+      else List(d) :: acc
+    }.map(_.reverse).reverse
+    val (singles, ranges) = runs.partition(_.size == 1)
+    val rangePreds = ranges.map(r =>
+      c.between(lit(java.sql.Date.valueOf(r.head)), lit(java.sql.Date.valueOf(r.last))))
+    val singlePred =
+      if (singles.isEmpty) Nil
+      else if (singles.size == 1) Seq(c === lit(java.sql.Date.valueOf(singles.head.head)))
+      else Seq(c.isin(singles.map(s => java.sql.Date.valueOf(s.head)): _*))
+    (rangePreds ++ singlePred).reduce(_ || _)
+  }
+
+  /** Exact decimal cast for money math — the engine-wide rule replacing the
+    * reference's BigQuery NUMERIC semantics (SURVEY §1.2): aggregate doubles
+    * through DECIMAL so sums are order-independent and bit-exact.
+    */
+  def dec(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    c.cast(s"decimal($precision,$scale)")
+
+  /** Null-safe optional-parameter predicate: `($p IS NULL) OR (col = $p)`
+    * (reference: core/searchad/center/exposure/models.sql:35). When the
+    * parameter is absent the predicate folds to `true` at plan time, so the
+    * filter disappears from the physical plan entirely.
+    */
+  def optEquals(c: Column, v: Option[Any]): Column =
+    v.map(x => c === lit(x)).getOrElse(lit(true))
+}

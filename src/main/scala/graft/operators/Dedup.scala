@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact hash, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  * - exact: one hash-shuffle on the digest — the cheapest possible dedup.
+  * - ngram Jaccard: exact similarity but O(n²) pairs — only for verification
+  *   / within small candidate buckets.
+  * - MinHash+LSH: the 100 TB path. shingle → k minhashes → b bands → shuffle
+  *   on (band, bandHash) so only same-bucket docs pair up; candidate pairs
+  *   are then verified with exact Jaccard. No global cross join ever exists.
+  * - SimHash: 64-bit signature; near-dups share signature (or low Hamming
+  *   distance); bucket on the signature directly.
+  *
+  * All hashing uses Spark's `xxhash64`/`hash` (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  import TextAnalysis.normText
+
+  /** Exact dedup: keep the smallest `idCol` per normalized-text digest.
+    * Survivors + their duplicate count.
+    */
+  def exact(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), md5(normText(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles of `n` tokens as an array column. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = split(normText(textCol), " ")
+    val cnt = size(toks) - (n - 1)
+    when(cnt <= 0, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard similarity join: all pairs with sim >= threshold.
+    *
+    * Implemented as a PPJoin-style prefix-filtered similarity join — the
+    * 100 TB form of the problem — NOT an all-pairs cross join:
+    * 1. explode shingles, compute global shingle frequency;
+    * 2. canonical shingle order = (frequency asc, shingle) — rarest first;
+    * 3. per doc keep only the prefix of length |sh| - ceil(t*|sh|) + 1
+    *    (prefix-filter guarantee: any pair with Jaccard >= t shares at
+    *    least one prefix shingle — no false negatives);
+    * 4. candidate pairs = equi-join on prefix shingles (rare → tiny
+    *    buckets, near-linear), dedup;
+    * 5. verify candidates with exact intersect/union Jaccard.
+    * Every stage is a hash shuffle on a well-distributed key; no cross
+    * join exists at any scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val ex = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("freq"), col("s"))
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val prefix = ex.join(freq, "s")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= prefixLen)
+      .select(col("id"), col("s"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** k MinHash values per doc: min over shingle hashes under k independent
+    * seeded xxhash64 functions. Returns (id, array of k signatures).
+    * Computed explode-side (one row per shingle, k narrow hash columns,
+    * one groupBy) so the shingle pipeline runs once — not re-evaluated per
+    * hash function as a naive array<->transform expression would.
+    */
+  def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 3, k: Int = 32): DataFrame = {
+    val ex = df.select(idCol.as("id"),
+      explode(array_distinct(shingles(textCol, n))).as("s"))
+    val mins = (0 until k).map(seed =>
+      min(xxhash64(col("s"), lit(seed))).as(s"h$seed"))
+    ex.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
+  }
+
+  /** MinHash LSH candidate pairs: split the k-signature into `bands` bands of
+    * k/bands rows, bucket docs by (band index, hash of band slice), emit
+    * pairs sharing any bucket, dedup pairs, then verify with exact Jaccard.
+    * The only shuffles are the bucket groupBy and the final distinct — no
+    * cross join at any point.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      verifyThreshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    val sigs = minHashSignatures(df, idCol, textCol, n, k)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rows).map(r => col("minhash").getItem(b * rows + r)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // verify candidates with exact Jaccard on shingles
+    val sh = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= verifyThreshold)
+  }
+
+  /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 weighted by
+    * shingle-hash bit, take sign. Near-identical docs get identical
+    * signatures; bucket-join on the signature for near-dup candidates.
+    * Pure aggregate expressions (explode + groupBy) — scales as one shuffle.
+    */
+  def simHash(df: DataFrame, idCol: Column, textCol: Column,
+              n: Int = 2): DataFrame = {
+    val exploded = df.select(idCol.as("id"),
+        explode(array_distinct(shingles(textCol, n))).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join library — the reference's non-trivial join shapes (SURVEY §2.3).
+  *
+  * Scale notes baked into each operator:
+  * - temporal/validity joins broadcast the (small) relation side; the fact
+  *   side never shuffles (reference joins a handful of validity rows against
+  *   day-partitioned facts).
+  * - rolling-interval joins are offered in two forms: the faithful range join
+  *   (O(days×facts) BNLJ if unpartitioned — only safe broadcast-small) and a
+  *   window `rangeBetween` rewrite that is a single sort within partitions —
+  *   the form to use at 100 TB.
+  */
+object Joins {
+
+  /** J3 — multi-key + temporal-validity join:
+    * `ON a.k = b.k AND a.ymd BETWEEN b.start_date AND b.end_date`
+    * (reference: dbt_bigquery/models/intermediate/ads/searchad__insight_daily.sql:99-114;
+    * relation__ad_id_to_ranged_sbn_ids.sql:17-96).
+    * The validity relation is broadcast: equi-keys hash-match first, the
+    * range predicate filters within the hash bucket — no sort-merge, no
+    * cartesian.
+    */
+  def temporalJoin(fact: DataFrame, rel: DataFrame, keys: Seq[String],
+                   factDate: Column, relStart: Column, relEnd: Column,
+                   joinType: String = "left"): DataFrame = {
+    val cond = keys.map(k => fact(k) === rel(k)).reduce(_ && _) &&
+      factDate.between(relStart, relEnd)
+    fact.join(broadcast(rel), cond, joinType)
+  }
+
+  /** J4 — rolling window via `rangeBetween`: exact rewrite of the reference's
+    * `qty.order_date BETWEEN ymd - 30d AND ymd - 1d` interval join
+    * (reference: dbt_bigquery/models/intermediate/sales/core__sold_qty_30d_daily.sql:114-119)
+    * when the scaffold is dense daily dates. One shuffle on the key, one sort
+    * — survives any scale; the range-join form does not.
+    *
+    * `dateCol` must be castable to days-since-epoch (DateType).
+    */
+  def rollingSumByDays(df: DataFrame, partition: Seq[Column], dateCol: Column,
+                       value: Column, daysBack: Int, out: String): DataFrame = {
+    val w = Window.partitionBy(partition: _*)
+      .orderBy(unix_date(dateCol.cast("date")))
+      .rangeBetween(-daysBack, -1)
+    df.withColumn(out, sum(value).over(w))
+  }
+
+  /** J5 — band join: `fact.qty BETWEEN band.lo AND band.hi` with bands built
+    * by LEAD (reference: smartstore__sales_daily.sql:20-34,298-300). Bands
+    * are tiny → broadcast; the fact side streams through unshuffled.
+    */
+  def bandJoin(fact: DataFrame, bands: DataFrame, value: Column,
+               lo: Column, hi: Column, joinType: String = "left"): DataFrame =
+    fact.join(broadcast(bands), value.between(lo, hi), joinType)
+
+  /** Build contiguous bands from per-row lower bounds using LEAD: each row's
+    * upper bound is next lower bound - 1, last band open-ended
+    * (reference: smartstore__sales_daily.sql:20-34).
+    */
+  def leadBands(df: DataFrame, partition: Seq[Column], loCol: Column,
+                outHi: String, openEnd: Long = Long.MaxValue): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(loCol)
+    df.withColumn(outHi, coalesce(lead(loCol, 1).over(w) - 1, lit(openEnd)))
+  }
+}

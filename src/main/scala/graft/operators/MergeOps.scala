@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Upsert / MERGE semantics without a transactional table format.
+  *
+  * The reference's load path is `INSERT … ON CONFLICT` with per-column
+  * strategies (reference: core/smartstore/api/order/models.sql:189-200
+  * `DO UPDATE SET c = COALESCE(EXCLUDED.c, c)`, `LEAST/GREATEST`;
+  * extensions/bigquery.py:441-468 and extensions/postgres.py:554-581 —
+  * strategy DSL `replace/ignore/greatest/least/source_first/target_first`).
+  *
+  * Spark shape: MERGE-as-join. `target FULL OUTER JOIN source ON keys`,
+  * matched rows combined per-column by strategy, unmatched source rows
+  * inserted, unmatched target rows kept. This is exactly what a Delta MERGE
+  * compiles to physically (a full-outer shuffle join on the keys), so the
+  * scale profile is identical: one shuffle on the PK, broadcast if the
+  * source batch is small.
+  *
+  * MERGE requires unique source keys (SURVEY §"What's hard": the reference
+  * pre-dedups with ROW_NUMBER before upsert) — `upsert` pre-dedups the
+  * source with `keepFirst` ordering for exactly that reason.
+  */
+object MergeOps {
+
+  sealed trait Strategy
+  /** take source value unconditionally (ON CONFLICT DO UPDATE SET c = EXCLUDED.c) */
+  case object Replace extends Strategy
+  /** keep target value (ON CONFLICT DO NOTHING for this column) */
+  case object Ignore extends Strategy
+  /** greatest(source, target) — `last = GREATEST(...)` */
+  case object Greatest extends Strategy
+  /** least(source, target) — `first = LEAST(...)` */
+  case object Least extends Strategy
+  /** COALESCE(EXCLUDED.c, c) — source value unless null */
+  case object SourceFirst extends Strategy
+  /** COALESCE(c, EXCLUDED.c) — fill target nulls only */
+  case object TargetFirst extends Strategy
+
+  /** MERGE target←source on `keys`. `strategies` maps non-key columns to a
+    * per-column conflict strategy; unlisted columns default to `default`.
+    * `dedupOrder`: deterministic source pre-dedup order (first row per key
+    * wins, matching ON CONFLICT first-seen semantics).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+             strategies: Map[String, Strategy] = Map.empty,
+             default: Strategy = SourceFirst,
+             dedupOrder: Seq[Column] = Nil): DataFrame = {
+    val valueCols = target.columns.filterNot(keys.contains).toSeq
+    require(source.columns.toSet == target.columns.toSet,
+      s"schema mismatch: ${source.columns.toSeq} vs ${target.columns.toSeq}")
+
+    val dedupedSource =
+      if (dedupOrder.nonEmpty)
+        graft.functions.F.qualifyTopN(source, keys.map(source(_)), dedupOrder)
+      else source.dropDuplicates(keys)
+
+    val t = target.alias("t")
+    val s = dedupedSource.alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+
+    val matched = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _) &&
+      keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
+    val sOnly = keys.map(k => col(s"t.$k").isNull).reduce(_ && _)
+
+    def merged(c: String): Column = {
+      val sc = col(s"s.$c"); val tc = col(s"t.$c")
+      val onMatch = strategies.getOrElse(c, default) match {
+        case Replace     => sc
+        case Ignore      => tc
+        case Greatest    => greatest(sc, tc)
+        case Least       => least(sc, tc)
+        case SourceFirst => coalesce(sc, tc)
+        case TargetFirst => coalesce(tc, sc)
+      }
+      when(matched, onMatch).when(sOnly, sc).otherwise(tc).as(c)
+    }
+    val keyCols = keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
+    joined.select(keyCols ++ valueCols.map(merged): _*)
+  }
+
+  /** Insert-ignore (D2): `INSERT … ON CONFLICT DO NOTHING` — keep all target
+    * rows, add only source rows whose key is absent (113 uses in the
+    * reference, e.g. core/smartstore/api/order/models.sql:82,136,167).
+    * Implemented as left-anti + union: one shuffle, no full-outer needed.
+    */
+  def insertIgnore(target: DataFrame, source: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val newRows = source.dropDuplicates(keys)
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+    target.unionByName(newRows.select(target.columns.map(col).toSeq: _*))
+  }
+}

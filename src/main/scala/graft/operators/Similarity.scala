@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k. The query side is broadcast; the
+  *   corpus side streams through map-side — one window shuffle on query id
+  *   for the top-k. Baseline and verification oracle.
+  * - `lshTopK`: the scale path — random-hyperplane LSH. Each vector gets a
+  *   b-bit sign signature from fixed pseudo-random hyperplanes; candidates
+  *   are pairs sharing a signature band, re-ranked exactly. Corpus never
+  *   cross-joins: the join key is the (band, bucket) pair.
+  *
+  * All vector math is `functions.zip_with`/`aggregate` — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  /** Cosine similarity, null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0 || nb === 0, lit(0.0d)).otherwise(d / (na * nb))
+  }
+
+  /** Exact top-k by cosine for each query vector. `queries` is expected to be
+    * small (it is broadcast); corpus is arbitrary size.
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int = 10): DataFrame = {
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cvec"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 → [-0.5, 0.5)),
+    * materialized driver-side as literal arrays so signature evaluation is
+    * `bits` dot products against constants — no per-row plane generation.
+    * No Math.random — reproducible across runs.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def planes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (p, i) =>
+      (math.floorMod(mix64(p.toLong * 1000003L + i), 1000000L).toDouble / 1e6) - 0.5
+    }
+
+  /** b-bit random-hyperplane signature of a `dim`-dimensional vector:
+    * bit p = sign of dot(vec, plane_p).
+    */
+  def lshSignature(vec: Column, bits: Int = 16, dim: Int = 64): Column = {
+    val pl = planes(bits, dim)
+    (0 until bits).map { p =>
+      val planeArr = array(pl(p).map(lit).toSeq: _*)
+      val proj = aggregate(zip_with(vec, planeArr, (x, h) => x * h),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: signature → same-bucket candidate pairs → exact
+    * cosine re-rank to top-k per query. `bandBits` bits per band; more bands
+    * = higher recall, more candidates.
+    */
+  def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+              k: Int = 10, bits: Int = 16, bands: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = corpus.select(idCol.as("id"), vecCol.as("vec"))
+      .withColumn("sig", lshSignature(col("vec"), bits, dim))
+    val banded = sigs.select(col("id"), col("vec"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("a.vec").as("qvec"),
+        col("b.id").as("corpus_id"), col("b.vec").as("cvec"))
+      .dropDuplicates("query_id", "corpus_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cand.select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load/export layer — the Spark shape of the reference's L4
+  * (extensions/bigquery.py, extensions/postgres.py, airflow/plugins/dual_load.py).
+  */
+object Sinks {
+
+  /** Dynamic partition overwrite (D5): replace exactly the partitions present
+    * in `df`, leave all others (reference: BigQuery `insert_overwrite` with
+    * explicit partition list, dbt_bigquery/macros/incremental_partitions.sql:1-14;
+    * PG truncate-children + insert, dbt_postgres/macros/partitioned_tables.sql:333-433).
+    * Empty-batch short-circuit mirrors common/transform.py:765-769.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    if (df.isEmpty) return
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Result struct of one sink write — the reference's per-table
+    * `{count, pg_success, bq_success}` protocol
+    * (airflow/plugins/dual_load.py:23-41). */
+  final case class SinkResult(sink: String, count: Long, success: Boolean,
+                              error: Option[String])
+
+  /** Dual-load (S15): write to the strict sink first (validation), then the
+    * analytics sink; the second write is skipped if the first fails —
+    * matching the reference's PG-before-BigQuery ordering.
+    */
+  def dualLoad(df: DataFrame,
+               strictSink: DataFrame => Unit,
+               analyticsSink: DataFrame => Unit): Seq[SinkResult] = {
+    val cached = df.cache()
+    try {
+      val n = cached.count()
+      val first =
+        try { strictSink(cached); SinkResult("strict", n, success = true, None) }
+        catch { case e: Exception =>
+          SinkResult("strict", n, success = false, Some(e.getMessage)) }
+      val second =
+        if (first.success)
+          try { analyticsSink(cached); SinkResult("analytics", n, success = true, None) }
+          catch { case e: Exception =>
+            SinkResult("analytics", n, success = false, Some(e.getMessage)) }
+        else SinkResult("analytics", 0, success = false, Some("skipped: strict sink failed"))
+      Seq(first, second)
+    } finally cached.unpersist()
+  }
+
+  /** Partitioned iterator export (S12): write one output per distinct key,
+    * via a single partitioned write — not a driver-side loop over
+    * `distinct().collect()` like the reference (common/load.py:714-791);
+    * the filesystem layout (`path/key=value/`) carries the iteration.
+    */
+  def exportByKey(df: DataFrame, keyCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).parquet(path)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different text about spark engines here"),
+    (5L, "THE  Quick   Brown fox jumps over the lazy dog") // normalized dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+    val dupGroup = out.filter(col("n_dups") === 3).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup(0).getAs[Long]("keep_id") == 1L)
+    assert(out.count() == 3) // {1,2,5}, {3}, {4}
+  }
+
+  test("ngram Jaccard finds near-duplicate pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L))) // exact dups → jaccard 1.0
+    assert(keys.contains((1L, 3L))) // near dup above 0.5
+    assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH recall vs exact ngram Jaccard on real docs") {
+    val d = Tables.documents(spark, sf001)
+    val exact = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(d, col("doc_id"), col("text"),
+        n = 3, k = 32, bands = 8, verifyThreshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected known near-dup pairs in testdata")
+    // verify step guarantees precision; recall should be high for sim>=0.8
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size} of ${exact.size})")
+    assert((lsh -- exact).isEmpty, "verified LSH pairs must be a subset of exact pairs")
+  }
+
+  test("simhash: identical docs share signature, near dups are close") {
+    val sig = Dedup.simHash(docs, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) == sig(5L))
+    val nearDist = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val farDist = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(nearDist < farDist,
+      s"near-dup hamming $nearDist should be < unrelated $farDist")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.{Joins, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualifyTopN keeps top-n per key") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("k", "v")
+    val out = F.qualifyTopN(df, Seq(col("k")), Seq(col("v").desc), 2)
+      .orderBy("k", "v").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 2), ("a", 3), ("b", 9)))
+  }
+
+  test("recode maps codes with default") {
+    val df = Seq("O", "F", "Z").toDF("c")
+    val out = df.select(F.recode(col("c"), Seq("O" -> 1, "F" -> 2), -1).as("r"))
+      .collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 2, -1))
+  }
+
+  test("datePredicate coalesces runs into BETWEEN and singletons into IN") {
+    val dates = Seq(
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 2), LocalDate.of(2024, 1, 3),
+      LocalDate.of(2024, 2, 10), LocalDate.of(2024, 3, 5))
+    val df = Seq("2024-01-02", "2024-01-04", "2024-02-10", "2024-03-06")
+      .toDF("d").select(to_date(col("d")).as("d"))
+    val out = df.filter(F.datePredicate(col("d"), dates)).collect()
+    assert(out.map(_.getDate(0).toString).toSet == Set("2024-01-02", "2024-02-10"))
+    // predicate should be 1 BETWEEN + 1 IN (2 values), not 5 equality ORs
+    val sql = F.datePredicate(col("d"), dates).toString
+    assert(sql.contains("BETWEEN") || sql.contains(">="), sql)
+  }
+
+  test("optEquals folds away when param absent") {
+    val df = Seq(1, 2).toDF("x")
+    assert(df.filter(F.optEquals(col("x"), None)).count() == 2)
+    assert(df.filter(F.optEquals(col("x"), Some(1))).count() == 1)
+  }
+
+  test("rollingSumByDays matches naive range join") {
+    val df = Seq(
+      ("k", "2024-01-01", 1.0), ("k", "2024-01-05", 2.0),
+      ("k", "2024-01-20", 4.0), ("k", "2024-02-10", 8.0),
+      ("j", "2024-01-02", 100.0), ("j", "2024-01-03", 50.0)
+    ).toDF("k", "d", "v").select(col("k"), to_date(col("d")).as("d"), col("v"))
+    val m = Joins.rollingSumByDays(df, Seq(col("k")), col("d"), col("v"), 30, "r")
+      .collect().map(r => (r.getString(0) + r.getDate(1).toString) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(m("k2024-01-01").isEmpty) // no lookback rows
+    assert(m("k2024-01-05") == Some(1.0))
+    assert(m("k2024-01-20") == Some(3.0))
+    assert(m("k2024-02-10") == Some(4.0))   // only 01-20 within 30d
+    assert(m("j2024-01-03") == Some(100.0))
+  }
+
+  test("leadBands + bandJoin bucket values correctly") {
+    val bands0 = Seq(("S", 1L), ("M", 11L), ("L", 26L)).toDF("name", "lo")
+    val bands = Joins.leadBands(bands0, Nil, col("lo"), "hi")
+    val b = bands.orderBy("lo").collect()
+    assert(b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("S", 1L, 10L), ("M", 11L, 25L), ("L", 26L, Long.MaxValue)))
+    val facts = Seq(5L, 11L, 30L, 100L).toDF("q")
+    val joined = Joins.bandJoin(facts, bands, col("q"), col("lo"), col("hi"))
+      .orderBy("q").collect()
+    assert(joined.map(_.getString(1)).toSeq == Seq("S", "M", "L", "L"))
+  }
+
+  test("temporalJoin resolves validity ranges") {
+    val fact = Seq((1L, "2024-01-15"), (1L, "2024-03-15"))
+      .toDF("id", "d").select(col("id"), to_date(col("d")).as("d"))
+    val rel = Seq((1L, "2024-01-01", "2024-01-31", "JAN"),
+                  (1L, "2024-03-01", "2024-03-31", "MAR"))
+      .toDF("id", "s", "e", "label")
+      .select(col("id"), to_date(col("s")).as("s"), to_date(col("e")).as("e"), col("label"))
+    val out = Joins.temporalJoin(fact, rel, Seq("id"), fact("d"), rel("s"), rel("e"))
+      .select("d", "label").orderBy("d").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("JAN", "MAR"))
+  }
+
+  test("text quality and token counts on crafted strings") {
+    val df = Seq((1L, "The quick, brown fox!"), (2L, ""), (3L, "  a  b  ")).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.tokenCountWs(col("t")).as("ws"),
+        TextAnalysis.normText(col("t")).as("norm"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 4)
+    assert(out(1).getInt(1) == 0)
+    assert(out(2).getInt(1) == 2)
+    assert(out(2).getString(2) == "a b")
+  }
+
+  test("langIdPredict picks marker language deterministically") {
+    val df = Seq("the cat and the dog is here", "der hund und die katze ist von zu",
+      "xyzzy qwerty").toDF("t")
+    val out = df.select(TextAnalysis.langIdPredict(col("t")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+}

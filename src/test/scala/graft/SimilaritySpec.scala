@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, zero-vector safe") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))
+    ).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(out(1) == 1.0)
+    assert(out(2) == 0.0)
+  }
+
+  test("bruteForceTopK ranks nearest vectors first") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val q = e.filter(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+      q, col("vec_id"), col("vec"), k = 5).collect()
+    assert(out.length == 5)
+    val cosines = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+    assert(cosines.sliding(2).forall(p => p(0) >= p(1)), "cos must be descending by rank")
+    assert(!out.exists(_.getAs[Long]("corpus_id") == 0L), "self excluded")
+  }
+
+  test("lshTopK results are real neighbors (precision vs brute force)") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+        e, col("vec_id"), col("vec"), k = 20)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, col("vec_id"), col("vec"), k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty, "LSH should produce candidates on 500 vectors")
+    val hits = lsh.count(brute.contains).toDouble / lsh.length
+    // LSH top-3 should mostly fall inside the exact top-20 neighborhood
+    assert(hits >= 0.5, s"LSH precision@top20 too low: $hits")
+  }
+}

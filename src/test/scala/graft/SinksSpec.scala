@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.Sinks
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overwritePartitions replaces only touched partitions") {
+    val dir = Files.createTempDirectory("graft_pt").toString
+    val v1 = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("ymd", "v")
+    Sinks.overwritePartitions(v1, dir, Seq("ymd"))
+    // overwrite only day 2 with new value
+    val v2 = Seq(("2024-01-02", 99)).toDF("ymd", "v")
+    Sinks.overwritePartitions(v2, dir, Seq("ymd"))
+    // partition values come back type-inferred (DATE) — compare as strings
+    val out = spark.read.parquet(dir).orderBy("ymd").collect()
+      .map(r => (String.valueOf(r.getAs[Any]("ymd")), r.getAs[Int]("v")))
+    assert(out.toSeq == Seq(("2024-01-01", 1), ("2024-01-02", 99)))
+  }
+
+  test("overwritePartitions short-circuits empty batches") {
+    val dir = Files.createTempDirectory("graft_pt2").toString
+    val v1 = Seq(("2024-01-01", 1)).toDF("ymd", "v")
+    Sinks.overwritePartitions(v1, dir, Seq("ymd"))
+    Sinks.overwritePartitions(v1.filter(col("v") < 0), dir, Seq("ymd"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("dualLoad runs strict sink first and skips analytics on failure") {
+    val df = Seq(1, 2, 3).toDF("x")
+    val okResults = Sinks.dualLoad(df, _ => (), _ => ())
+    assert(okResults.forall(_.success))
+    assert(okResults.map(_.sink) == Seq("strict", "analytics"))
+    val failResults = Sinks.dualLoad(df,
+      _ => throw new RuntimeException("constraint violation"), _ => ())
+    assert(!failResults.head.success)
+    assert(!failResults(1).success)
+    assert(failResults(1).error.exists(_.contains("skipped")))
+  }
+
+  test("exportByKey writes one directory per key value") {
+    val dir = Files.createTempDirectory("graft_exp").toString
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    Sinks.exportByKey(df, "k", dir)
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("k=")).sorted
+    assert(sub.toSeq == Seq("k=a", "k=b"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("multimodal plumbing: schema, determinism, batched decode") {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(20))
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.schema == Multimodal.featureSchema)
+    assert(feats.count() == 20)
+    val r1 = feats.orderBy("media_id").collect()
+    val r2 = Multimodal.extractFeatures(spark, media).orderBy("media_id").collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "decode must be deterministic")
+    assert(r1.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    assert(r1.forall(r => r.getAs[Int]("n_bytes") > 0))
+  }
+}
