@@ -376,6 +376,50 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ---- streaming-equivalent batch sessionization (gap islands) ----
+    "q37_sessionize" -> ((s, d) => {
+      graft.streaming.Streams.sessionizeBatch(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "value"),
+        gapMinutes = 30)
+    }),
+
+    // ---- J3: temporal-validity join against derived quarter ranges ----
+    "q38_temporal_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("ymd"),
+        dec2(col("o_totalprice")).as("total"))
+      val rel = o.select(date_trunc("quarter", col("ymd")).cast("date").as("q_start"))
+        .distinct()
+        .withColumn("q_end", date_sub(add_months(col("q_start"), 3), 1))
+        .withColumn("q_label", concat(year(col("q_start")).cast("string"),
+          lit("-Q"), quarter(col("q_start")).cast("string")))
+      Joins.temporalJoin(o, rel, Nil, col("ymd"), col("q_start"), col("q_end"),
+          joinType = "inner")
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total")).cast("decimal(38,2)").as("total"))
+    }),
+
+    // ---- A2 extension: groupBy().pivot() wide aggregation ----
+    "q39_pivot" -> ((s, d) => {
+      val p = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+      p.select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+    }),
+
+    // ---- dedup: embedding-cosine near-duplicate pairs (exact form) ----
+    "q40_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Similarity.cosinePairs(e, col("vec_id"), col("vec"), threshold = 0.45)
+    }),
+
     // ---- multimodal: binary columns + batched feature-extraction plumbing ----
     "q36_multimodal" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -688,6 +732,54 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q37_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+        |  ts, event_id, value
+        |FROM f""".stripMargin,
+
+    "q38_temporal_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ymd,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total FROM orders),
+        |rel AS (SELECT DISTINCT CAST(date_trunc('quarter', ymd) AS DATE) AS q_start FROM o),
+        |rel2 AS (
+        |  SELECT q_start,
+        |    CAST(q_start + INTERVAL 3 MONTH AS DATE) - 1 AS q_end,
+        |    concat(CAST(EXTRACT(year FROM q_start) AS VARCHAR), '-Q',
+        |           CAST(EXTRACT(quarter FROM q_start) AS VARCHAR)) AS q_label
+        |  FROM rel)
+        |SELECT q_label, COUNT(*) AS n_orders,
+        |  CAST(SUM(total) AS DECIMAL(38,2)) AS total
+        |FROM o JOIN rel2 ON o.ymd BETWEEN q_start AND q_end
+        |GROUP BY q_label""".stripMargin,
+
+    "q39_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q40_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45""".stripMargin,
 
     "q34_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

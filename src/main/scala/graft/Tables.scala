@@ -19,8 +19,10 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, timestamp_micros}
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      import org.apache.spark.sql.functions.expr
+      // integer `div`, not `/`: ns epochs exceed 2^53, double division
+      // would lose microseconds
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

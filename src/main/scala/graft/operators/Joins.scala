@@ -28,8 +28,8 @@ object Joins {
   def temporalJoin(fact: DataFrame, rel: DataFrame, keys: Seq[String],
                    factDate: Column, relStart: Column, relEnd: Column,
                    joinType: String = "left"): DataFrame = {
-    val cond = keys.map(k => fact(k) === rel(k)).reduce(_ && _) &&
-      factDate.between(relStart, relEnd)
+    val range = factDate.between(relStart, relEnd)
+    val cond = keys.map(k => fact(k) === rel(k)).foldRight(range)(_ && _)
     fact.join(broadcast(rel), cond, joinType)
   }
 

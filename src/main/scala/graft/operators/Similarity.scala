@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two array<double> columns — a native codegen'd
+    * Expression (graft.plans.DotProduct); same ascending-index accumulation
+    * order as the equivalent `aggregate(zip_with(...))` fold.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, null-safe on zero vectors. */
   def cosine(a: Column, b: Column): Column = {
@@ -49,6 +50,20 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a,b) with cosine >=
+    * threshold. Exact all-pairs form — the verification oracle for
+    * LSH-based near-dup detection; quadratic, so test/bucket scale only
+    * (the scale path is `lshTopK` / bucketed variants).
+    */
+  def cosinePairs(corpus: DataFrame, idCol: Column, vecCol: Column,
+                  threshold: Double): DataFrame = {
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    base.alias("a").join(base.alias("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → [-0.5, 0.5)),
@@ -82,30 +97,38 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: signature → same-bucket candidate pairs → exact
-    * cosine re-rank to top-k per query. `bandBits` bits per band; more bands
-    * = higher recall, more candidates.
+    * cosine re-rank to top-k per query. `bits/bands` bits per band: 8-bit
+    * bands (256 buckets) keep per-bucket pair counts near-linear; more
+    * bands = higher recall, more candidates.
+    *
+    * Scale shape: candidate generation is ids-only (bucket join never
+    * shuffles vectors); vectors are fetched by id join *after* pair dedup,
+    * so the expensive cosine runs once per distinct candidate pair.
     */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
-              k: Int = 10, bits: Int = 16, bands: Int = 4,
+              k: Int = 10, bits: Int = 64, bands: Int = 8,
               dim: Int = 64): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sigs = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val banded = base
       .withColumn("sig", lshSignature(col("vec"), bits, dim))
-    val banded = sigs.select(col("id"), col("vec"),
-      posexplode(array((0 until bands).map { b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
-      }: _*)).as(Seq("band", "bucket")))
-    val a = banded.alias("a"); val b = banded.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("a.vec").as("qvec"),
-        col("b.id").as("corpus_id"), col("b.vec").as("cvec"))
-      .dropDuplicates("query_id", "corpus_id")
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask) * bands + b
+        }: _*)).as(Seq("band", "bucket")))
+      .select(col("id"), col("bucket"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("corpus_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    cand.select(col("query_id"), col("corpus_id"),
+    cand
+      .join(base.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("vec").as("cvec")), "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

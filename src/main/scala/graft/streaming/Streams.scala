@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer.
+  *
+  * The reference is strictly batch (SURVEY §2.9) — its natural streaming
+  * extension is the OrderStatus change feed (reference:
+  * core/smartstore/api/order/extract.py:170-271, a cursor loop over
+  * `lastChangedDate`). Here that shape is generalized over the `events`
+  * stream table: event-time watermarking, windowed aggregation, and
+  * stateful sessionization — the three primitives a change-feed pipeline
+  * needs. All operators take/return DataFrames so they run identically on
+  * `readStream` sources and on batch frames in tests.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is one small struct per active key, dropped on
+  * timeout. Both shuffle once on the grouping key.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window counts/sums per event type.
+    * Late rows beyond `watermark` are dropped by the engine, bounding state.
+    */
+  def windowedEventStats(events: DataFrame, watermark: String = "1 hour",
+                         windowLen: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Stateful sessionization via mapGroupsWithState: a session closes after
+    * `gapMs` of user inactivity in EVENT time (event-time timeout fires when
+    * the watermark passes last_event + gap — processing-time timeouts would
+    * busy-loop empty micro-batches and tie session life to wall clock).
+    * Emits the currently-open session on each update and the final session
+    * on timeout; state is one small struct per active user, dropped on
+    * close, so state size is bounded by concurrently-active users. The
+    * batch equivalent (gap-based island detection) is sessionizeBatch.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${math.max(gapMs / 1000, 1)} seconds")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sum)
+          } else {
+            val evs = rows.toSeq
+            val tsMin = evs.map(_.ts.getTime).min
+            val tsMax = evs.map(_.ts.getTime).max
+            val prev = state.getOption
+            val next = prev match {
+              case Some(p) if tsMin - p.last <= gapMs =>
+                SessionState(p.start, math.max(p.last, tsMax),
+                  p.n + evs.size, p.sum + evs.map(_.value).sum)
+              case _ =>
+                SessionState(tsMin, tsMax, evs.size.toLong, evs.map(_.value).sum)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            Session(userId, new java.sql.Timestamp(next.start),
+              new java.sql.Timestamp(next.last), next.n, next.sum)
+          }
+      }
+  }
+
+  /** Batch sessionization — gap-based island detection with windows:
+    * new session when gap to previous event > gapMinutes; session id =
+    * running count of session starts (reference models time-series as
+    * date-partitioned snapshots diffed with LEAD — same island technique,
+    * naver_shp__stock_sales.sql:40-48).
+    * One shuffle on user_id; two window passes, no joins.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wSess = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_id"), col("ts"), col("event_id"),
+        col("value"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedEventStats aggregates a real stream with watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedEventStats(df, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(12), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .groupBy("win_start", "event_type")
+        .agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .collect()
+      val click = rows.find(_.getString(1) == "click").get
+      assert(click.getLong(2) == 2 && click.getDouble(3) == 3.0)
+      val view = rows.find(_.getString(1) == "view").get
+      assert(view.getLong(2) == 1 && view.getDouble(3) == 4.0)
+    } finally q.stop()
+  }
+
+  test("sessionize (stateful streaming) merges events within gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0), Event(2L, ts(0), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L).maxBy(_.getLong(3))
+      assert(u1.getLong(3) == 2 && u1.getDouble(4) == 3.0)
+      assert(u1.getTimestamp(1) == ts(0) && u1.getTimestamp(2) == ts(5))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch splits on gaps and matches stream semantics") {
+    val df = Seq(
+      (1L, ts(0), 1L, 1.0), (1L, ts(10), 2L, 2.0),   // session 1 (gap 10 <= 30)
+      (1L, ts(60), 3L, 4.0),                          // session 2 (gap 50)
+      (2L, ts(0), 4L, 8.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Streams.sessionizeBatch(df, gapMinutes = 30)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out((1L, 1L)) == (2L, 3.0))
+    assert(out((1L, 2L)) == (1L, 4.0))
+    assert(out((2L, 1L)) == (1L, 8.0))
+  }
+}
