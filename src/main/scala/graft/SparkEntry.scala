@@ -420,6 +420,13 @@ object SparkEntry {
       Similarity.cosinePairs(e, col("vec_id"), col("vec"), threshold = 0.45)
     }),
 
+    // ---- analytics model DAG: TVF-on-TVF month-over-month mart ----
+    "q41_profit_mom" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("profit_mom", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1990-01-01", "ds_end_date" -> "2030-12-31")))
+    }),
+
     // ---- multimodal: binary columns + batched feature-extraction plumbing ----
     "q36_multimodal" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -732,6 +739,32 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q41_profit_mom" ->
+      """WITH u AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS ymd, 'orders' AS channel,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS amount FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE), 'lineitem',
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |  FROM lineitem),
+        |core AS (
+        |  SELECT ymd, channel, CAST(SUM(amount) AS DECIMAL(38,4)) AS revenue
+        |  FROM u GROUP BY 1, 2),
+        |base AS (
+        |  SELECT CAST(date_trunc('month', ymd) AS DATE) AS month, channel,
+        |    CAST(SUM(revenue) AS DECIMAL(38,4)) AS revenue
+        |  FROM core
+        |  WHERE ymd BETWEEN DATE '1990-01-01' AND DATE '2030-12-31'
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT month, channel, revenue,
+        |    CAST(LAG(revenue) OVER (PARTITION BY channel ORDER BY month) AS DECIMAL(38,4)) AS prev_revenue
+        |  FROM base)
+        |SELECT month, channel, revenue, prev_revenue,
+        |  CAST(ROUND(CAST((CAST(revenue AS DOUBLE) - CAST(prev_revenue AS DOUBLE))
+        |    / CAST(prev_revenue AS DOUBLE) * 100 AS DECIMAL(38,10)), 4) AS DECIMAL(38,4)) AS mom_pct
+        |FROM lagged""".stripMargin,
 
     "q37_sessionize" ->
       """WITH e AS (

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.models.{Analytics, Incremental, Model, ModelRegistry, Params, View}
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry resolves deps topologically and rejects cycles") {
+    val r = new ModelRegistry
+    r.register(Model("a", Nil, View, _ => Seq(1).toDF("x")))
+    r.register(Model("b", Seq("a"), View, ctx => ctx.ref("a")))
+    r.register(Model("c", Seq("b", "a"), View, ctx => ctx.ref("b").union(ctx.ref("a"))))
+    assert(r.topo("c") == Seq("a", "b", "c"))
+    val bad = new ModelRegistry
+    bad.register(Model("x", Seq("y"), View, ctx => ctx.ref("y")))
+    bad.register(Model("y", Seq("x"), View, ctx => ctx.ref("x")))
+    intercept[IllegalStateException](bad.topo("x"))
+  }
+
+  test("shared dependency is built once per run") {
+    var builds = 0
+    val r = new ModelRegistry
+    r.register(Model("base", Nil, View, _ => { builds += 1; Seq(1, 2).toDF("x") }))
+    r.register(Model("l", Seq("base"), View, ctx => ctx.ref("base")))
+    r.register(Model("r2", Seq("base"), View, ctx => ctx.ref("base")))
+    r.register(Model("top", Seq("l", "r2"), View,
+      ctx => ctx.ref("l").union(ctx.ref("r2"))))
+    assert(r.run("top", spark).count() == 4)
+    assert(builds == 1)
+  }
+
+  test("analytics DAG: profit_mom computes month-over-month by channel") {
+    val reg = Analytics.registry(sf001)
+    val params = Params(Map(
+      "ds_start_date" -> "1990-01-01", "ds_end_date" -> "2030-12-31"))
+    val out = reg.run("profit_mom", spark, params).collect()
+    assert(out.nonEmpty)
+    val channels = out.map(_.getAs[String]("channel")).distinct.sorted
+    assert(channels.toSeq == Seq("lineitem", "orders"))
+    // first month per channel has null prev/mom; later months have values
+    val orders = out.filter(_.getAs[String]("channel") == "orders")
+      .sortBy(_.getAs[java.sql.Date]("month").toString)
+    assert(orders.head.getAs[Any]("mom_pct") == null)
+    assert(orders.tail.forall(_.getAs[Any]("mom_pct") != null))
+  }
+
+  test("incremental materialization overwrites only batch partitions") {
+    val reg = Analytics.registry(sf001)
+    val dir = Files.createTempDirectory("graft_mat").toString
+    reg.materialize("core_sales_daily", spark, dir)
+    val full = spark.read.parquet(dir)
+    val nDays = full.select("ymd").distinct().count()
+    val before = full.count()
+    // re-materialize → same content (dynamic overwrite replaces, not appends)
+    reg.materialize("core_sales_daily", spark, dir)
+    assert(spark.read.parquet(dir).count() == before)
+    assert(spark.read.parquet(dir).select("ymd").distinct().count() == nDays)
+  }
+}
