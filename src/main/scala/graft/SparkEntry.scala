@@ -420,6 +420,34 @@ object SparkEntry {
       Similarity.cosinePairs(e, col("vec_id"), col("vec"), threshold = 0.45)
     }),
 
+    // ---- W2: global display-rank ROW_NUMBER (single-partition by design:
+    // rank assignment over a small result set, reference openapi search) ----
+    "q44_global_rank" -> ((s, d) => {
+      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"))
+        .withColumn("display_rank", (row_number().over(w) + 100 - 1).cast("long"))
+    }),
+
+    // ---- §2.7: UNION (dedup) ----
+    "q45_union_distinct" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_orderstatus").as("status"))
+      val b = Tables.lineitem(s, d).select(col("l_linestatus").as("status"))
+      a.union(b).distinct()
+    }),
+
+    // ---- A4: programmatic aggregation map + deterministic list agg ----
+    "q42_agg_map" -> ((s, d) => {
+      F.aggMap(Tables.orders(s, d), Seq(col("o_orderpriority")),
+          Seq("o_orderkey" -> "count", "o_totalprice" -> "min",
+              "o_totalprice" -> "max"))
+        .join(
+          Tables.orders(s, d).groupBy(col("o_orderpriority"))
+            .agg(concat_ws(",", sort_array(collect_list(col("o_orderstatus"))))
+              .as("statuses")),
+          Seq("o_orderpriority"))
+    }),
+
     // ---- analytics model DAG: TVF-on-TVF month-over-month mart ----
     "q41_profit_mom" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("profit_mom", s,
@@ -739,6 +767,25 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q44_global_rank" ->
+      """SELECT p_partkey, p_retailprice,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey) + 100 - 1 AS BIGINT) AS display_rank
+        |FROM part""".stripMargin,
+
+    "q45_union_distinct" ->
+      """SELECT DISTINCT status FROM (
+        |  SELECT o_orderstatus AS status FROM orders
+        |  UNION ALL
+        |  SELECT l_linestatus AS status FROM lineitem) t""".stripMargin,
+
+    "q42_agg_map" ->
+      """SELECT o_orderpriority,
+        |  COUNT(o_orderkey) AS o_orderkey_count,
+        |  MIN(o_totalprice) AS o_totalprice_min,
+        |  MAX(o_totalprice) AS o_totalprice_max,
+        |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q41_profit_mom" ->
       """WITH u AS (

@@ -97,6 +97,32 @@ object F {
   def dec(c: Column, precision: Int = 18, scale: Int = 2): Column =
     c.cast(s"decimal($precision,$scale)")
 
+  /** A4 — programmatic aggregation map: `groupby(source, by, {col: how})`
+    * (reference: common/load.py:638-667). `how` ∈ count/sum/avg/min/max/
+    * first/last/list; first/last ignore nulls (the reference adds
+    * `FILTER (WHERE col IS NOT NULL)`); `dropna` filters null group keys.
+    * Output columns are named `<col>_<how>`.
+    */
+  def aggMap(df: DataFrame, by: Seq[Column], aggs: Seq[(String, String)],
+             dropna: Boolean = false): DataFrame = {
+    val exprs = aggs.map { case (c, how) =>
+      val built = how match {
+        case "count" => count(col(c))
+        case "sum"   => sum(col(c))
+        case "avg"   => avg(col(c))
+        case "min"   => min(col(c))
+        case "max"   => max(col(c))
+        case "first" => first(col(c), ignoreNulls = true)
+        case "last"  => last(col(c), ignoreNulls = true)
+        case "list"  => collect_list(col(c))
+        case other   => throw new IllegalArgumentException(s"unknown agg: $other")
+      }
+      built.as(s"${c}_$how")
+    }
+    val base = if (dropna) df.filter(by.map(_.isNotNull).reduce(_ && _)) else df
+    base.groupBy(by: _*).agg(exprs.head, exprs.tail: _*)
+  }
+
   /** Null-safe optional-parameter predicate: `($p IS NULL) OR (col = $p)`
     * (reference: core/searchad/center/exposure/models.sql:35). When the
     * parameter is absent the predicate folds to `true` at plan time, so the

@@ -54,6 +54,15 @@ object Sinks {
     } finally cached.unpersist()
   }
 
+  /** S10 — table copy with optional row limit (`copy_table`,
+    * reference common/load.py:570-585; LIMIT 0 = schema-only clone). */
+  def copyTable(df: DataFrame, path: String, columns: Seq[String] = Nil,
+                limit: Option[Int] = None): Unit = {
+    val projected = if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+    val limited = limit.map(projected.limit).getOrElse(projected)
+    limited.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Partitioned iterator export (S12): write one output per distinct key,
     * via a single partitioned write — not a driver-side loop over
     * `distinct().collect()` like the reference (common/load.py:714-791);

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftExtensions registers graft_dot for SQL use") {
+    // `spark.sql.extensions` is a static conf — it only applies to a fresh
+    // SparkContext (spark-submit path). Sharing this JVM's context, the
+    // builder-side withExtensions is the applicable injection route.
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val out = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+        .head().getDouble(0)
+      assert(out == 32.0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("DotProduct matches the HOF fold and survives codegen") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0)), (Seq(0.5, -1.0), Seq(2.0, 2.0))).toDF("a", "b")
+    val native = df.select(graft.plans.VectorExpressions.dot(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0))
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(native.toSeq == hof.toSeq)
+    assert(native.toSeq == Seq(11.0, -1.0))
+  }
+
+  test("aggMap builds named aggregates with null-ignoring first") {
+    val df = Seq(("a", Option(1), Option.empty[Int]), ("a", Option(2), Option(9)),
+      ("b", Option(5), Option(7))).toDF("k", "x", "y")
+    val out = F.aggMap(df, Seq(col("k")),
+        Seq("x" -> "sum", "x" -> "count", "y" -> "first"))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("x_sum") == 3)
+    assert(out(0).getAs[Long]("x_count") == 2)
+    assert(out(0).getAs[Int]("y_first") == 9) // null skipped
+    assert(out(1).getAs[Int]("y_first") == 7)
+  }
+
+  test("aggMap dropna filters null group keys") {
+    val df = Seq((Option("a"), 1), (Option.empty[String], 2)).toDF("k", "x")
+    assert(F.aggMap(df, Seq(col("k")), Seq("x" -> "sum"), dropna = true).count() == 1)
+    assert(F.aggMap(df, Seq(col("k")), Seq("x" -> "sum")).count() == 2)
+  }
+}
