@@ -140,12 +140,13 @@ object Dedup {
     val exploded = df.select(idCol.as("id"),
         explode(array_distinct(shingles(textCol, n))).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
+    // branch-free: ones_b = SUM((h >> b) & 1); bit set iff 2*ones > count
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")
+    } :+ count(lit(1)).as("cnt")
     val agg = exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      when(col(s"b$b") * 2 > col("cnt"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("id"), sig.as("simhash"))
   }
