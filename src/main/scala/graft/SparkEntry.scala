@@ -420,6 +420,22 @@ object SparkEntry {
       Similarity.cosinePairs(e, col("vec_id"), col("vec"), threshold = 0.45)
     }),
 
+    // ---- W5/J6 composite: IQR outlier detection — grouped quartiles
+    // joined back to the base (reference naver_shp__stock_sales IQR filter) ----
+    "q43_iqr_outliers" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val stats = p.groupBy(col("p_brand")).agg(
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY p_retailprice)").as("q1"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY p_retailprice)").as("q3"))
+        .select(col("p_brand"),
+          round(col("q1") - (col("q3") - col("q1")) * 1.5, 4).as("lo"),
+          round(col("q3") + (col("q3") - col("q1")) * 1.5, 4).as("hi"))
+      p.join(broadcast(stats), Seq("p_brand"))
+        .filter(col("p_retailprice") < col("lo") || col("p_retailprice") > col("hi"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          col("lo"), col("hi"))
+    }),
+
     // ---- W2: global display-rank ROW_NUMBER (single-partition by design:
     // rank assignment over a small result set, reference openapi search) ----
     "q44_global_rank" -> ((s, d) => {
@@ -767,6 +783,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q43_iqr_outliers" ->
+      """WITH stats AS (
+        |  SELECT p_brand,
+        |    ROUND(q1 - (q3 - q1) * 1.5, 4) AS lo,
+        |    ROUND(q3 + (q3 - q1) * 1.5, 4) AS hi
+        |  FROM (
+        |    SELECT p_brand,
+        |      PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY p_retailprice) AS q1,
+        |      PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY p_retailprice) AS q3
+        |    FROM part GROUP BY p_brand) t)
+        |SELECT p_partkey, p.p_brand, p_retailprice, lo, hi
+        |FROM part p JOIN stats s ON p.p_brand = s.p_brand
+        |WHERE p_retailprice < lo OR p_retailprice > hi""".stripMargin,
 
     "q44_global_rank" ->
       """SELECT p_partkey, p_retailprice,

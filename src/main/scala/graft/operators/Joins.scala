@@ -66,4 +66,41 @@ object Joins {
     val w = Window.partitionBy(partition: _*).orderBy(loCol)
     df.withColumn(outHi, coalesce(lead(loCol, 1).over(w) - 1, lit(openEnd)))
   }
+
+  /** Skew-safe two-phase aggregation: partial-aggregate on (key, salt) —
+    * spreading a hot key over `buckets` reducers — then final-aggregate on
+    * the key. `partials` must be decomposable aggregates expressed over the
+    * salted stage's outputs (sum-of-sums, sum-of-counts, …).
+    *
+    * AQE handles skewed *joins* automatically, but a groupBy with one
+    * dominant key still funnels into a single reducer; salting is the
+    * explicit fix (SURVEY §"Optimize for scale": salting for skew).
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[Column], buckets: Int,
+                      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val partial = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partials.head, partials.tail: _*)
+    partial.groupBy(keys: _*).agg(finals.head, finals.tail: _*)
+  }
+
+  /** Skew-safe broadcast-style join against a small dimension when the
+    * fact side has hot keys and the dim cannot be broadcast whole: the dim
+    * is replicated `buckets` times with a salt column, the fact side gets a
+    * random-but-deterministic salt, and the join key becomes (key, salt) —
+    * hot fact keys spread across `buckets` tasks instead of one.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact(key), spark_partition_id() + monotonically_increasing_id()),
+        lit(buckets)))
+    val replicatedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

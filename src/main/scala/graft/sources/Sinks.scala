@@ -54,6 +54,44 @@ object Sinks {
     } finally cached.unpersist()
   }
 
+  /** Persistent MERGE into a parquet table path (the load-path flow the
+    * reference drives against BigQuery/Postgres, D4+D6): read current
+    * target, join-MERGE the source batch, write to a fresh generation
+    * directory, then swap a pointer file — readers resolve the pointer, so
+    * the swap is atomic at the pointer-write level (a transactional table
+    * format replaces this dance in production; the MERGE semantics and
+    * shuffle shape are identical).
+    */
+  def upsertParquet(spark: SparkSession, tablePath: String, source: DataFrame,
+                    keys: Seq[String],
+                    strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty)
+      : Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(tablePath)
+    Files.createDirectories(root)
+    val pointer = root.resolve("_CURRENT")
+    val current = if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+    val merged = current match {
+      case Some(gen) =>
+        val target = spark.read.parquet(root.resolve(gen).toString)
+        graft.operators.MergeOps.upsert(target, source, keys, strategies)
+      case None => source.dropDuplicates(keys)
+    }
+    val nextGen = s"gen-${current.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)}"
+    merged.write.mode(SaveMode.Overwrite).parquet(root.resolve(nextGen).toString)
+    val tmp = root.resolve("_CURRENT.tmp")
+    Files.writeString(tmp, nextGen)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the current generation of an `upsertParquet` table. */
+  def readUpsertTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val pointer = java.nio.file.Paths.get(tablePath, "_CURRENT")
+    val gen = java.nio.file.Files.readString(pointer).trim
+    spark.read.parquet(java.nio.file.Paths.get(tablePath, gen).toString)
+  }
+
   /** S10 — table copy with optional row limit (`copy_table`,
     * reference common/load.py:570-585; LIMIT 0 = schema-only clone). */
   def copyTable(df: DataFrame, path: String, columns: Seq[String] = Nil,

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, MergeOps}
+import graft.sources.Sinks
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAggregate equals plain aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Joins.saltedAggregate(df, Seq(col("k")), buckets = 8,
+        partials = Seq(sum("v").as("ps"), count(lit(1)).as("pc")),
+        finals = Seq(sum("ps").as("total"), sum("pc").as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val fact = (1 to 500).map(i => (s"k${i % 5}", i)).toDF("k", "v")
+    val dim = (0 until 5).map(i => (s"k$i", s"label$i")).toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Joins.saltedJoin(fact, dim, "k", buckets = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(salted.size == 500)
+  }
+
+  test("upsertParquet: generational MERGE with pointer swap") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val batch1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    Sinks.upsertParquet(spark, dir, batch1, Seq("k"))
+    assert(Sinks.readUpsertTable(spark, dir).count() == 2)
+    // second batch: update k=2 (greatest v), insert k=3
+    val batch2 = Seq((2L, "b2", 5.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    Sinks.upsertParquet(spark, dir, batch2, Seq("k"),
+      Map("v" -> MergeOps.Greatest))
+    val out = Sinks.readUpsertTable(spark, dir).orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(1).getString(1) == "b2")   // SourceFirst default
+    assert(out(1).getDouble(2) == 20.0)   // Greatest kept target
+    assert(out(2).getDouble(2) == 30.0)
+    // generations retained for rollback; pointer names the latest
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.contains("gen-0") && files.contains("gen-1") && files.contains("_CURRENT"))
+  }
+}
