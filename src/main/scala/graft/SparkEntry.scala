@@ -452,6 +452,28 @@ object SparkEntry {
       a.union(b).distinct()
     }),
 
+    // ---- P1: TRY_CAST null-safe projection (209 TRY_CAST uses in reference) ----
+    "q46_try_cast" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        expr("try_cast(p_name AS INT)").as("name_as_int"),
+        expr("try_cast(p_size AS STRING)").as("size_str"),
+        expr("try_cast(substr(p_name, 1, 1) AS INT)").as("first_char_int"),
+        coalesce(expr("try_cast(p_name AS INT)"), lit(-1)).as("with_default"))
+    }),
+
+    // ---- P8: minimal-partition date predicate (runs→BETWEEN, singles→IN) ----
+    "q47_date_predicate" -> ((s, d) => {
+      val dates = Seq(
+        java.time.LocalDate.of(1994, 1, 1), java.time.LocalDate.of(1994, 1, 2),
+        java.time.LocalDate.of(1994, 1, 3), java.time.LocalDate.of(1994, 2, 14),
+        java.time.LocalDate.of(1994, 3, 1))
+      Tables.orders(s, d)
+        .withColumn("ymd", to_date(col("o_orderdate")))
+        .filter(F.datePredicate(col("ymd"), dates))
+        .select(col("o_orderkey"), col("ymd"))
+    }),
+
     // ---- A4: programmatic aggregation map + deterministic list agg ----
     "q42_agg_map" -> ((s, d) => {
       F.aggMap(Tables.orders(s, d), Seq(col("o_orderpriority")),
@@ -783,6 +805,19 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q46_try_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_name AS INTEGER) AS name_as_int,
+        |  TRY_CAST(p_size AS VARCHAR) AS size_str,
+        |  TRY_CAST(substr(p_name, 1, 1) AS INTEGER) AS first_char_int,
+        |  COALESCE(TRY_CAST(p_name AS INTEGER), -1) AS with_default
+        |FROM part""".stripMargin,
+
+    "q47_date_predicate" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ymd FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1994-01-03'
+        |   OR CAST(o_orderdate AS DATE) IN (DATE '1994-02-14', DATE '1994-03-01')""".stripMargin,
 
     "q43_iqr_outliers" ->
       """WITH stats AS (
