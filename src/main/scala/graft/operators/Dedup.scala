@@ -55,8 +55,14 @@ object Dedup {
     * join exists at any scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+                        n: Int = 3, threshold: Double = 0.8,
+                        materialize: Boolean = true): DataFrame = {
+    // the shingle table feeds three consumers (prefix index + two verify
+    // sides) — materialize it once instead of re-running the tokenize/
+    // slice/concat pipeline per consumer. At data-lake scale prefer
+    // materialize=false + an explicit checkpoint of the shingle table.
+    val sh0 = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
@@ -106,9 +112,19 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
-                      verifyThreshold: Double = 0.7): DataFrame = {
+                      verifyThreshold: Double = 0.7,
+                      materialize: Boolean = true): DataFrame = {
     val rows = k / bands
-    val sigs = minHashSignatures(df, idCol, textCol, n, k)
+    // one shingle table shared by the signature explode and both verify
+    // joins (see ngramJaccardPairs on the materialize tradeoff)
+    val sh0 = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val sh = if (materialize) sh0.persist() else sh0
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val mins = (0 until k).map(seed =>
+      min(xxhash64(col("s"), lit(seed))).as(s"h$seed"))
+    val sigs = ex.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
@@ -120,7 +136,6 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // verify candidates with exact Jaccard on shingles
-    val sh = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
