@@ -486,6 +486,11 @@ object SparkEntry {
           Seq("o_orderpriority"))
     }),
 
+    // ---- analytics DAG stock chain: rolling 30d + LEAD day-over-day ----
+    "q48_stock_report" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_report", s)
+    }),
+
     // ---- analytics model DAG: TVF-on-TVF month-over-month mart ----
     "q41_profit_mom" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("profit_mom", s,
@@ -851,6 +856,22 @@ object SparkEntry {
         |  MAX(o_totalprice) AS o_totalprice_max,
         |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q48_stock_report" ->
+      """WITH daily AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS ymd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT a.l_partkey, a.ymd, a.day_qty,
+        |    CAST((SELECT SUM(b.day_qty) FROM daily b
+        |          WHERE b.l_partkey = a.l_partkey
+        |            AND b.ymd BETWEEN a.ymd - 30 AND a.ymd - 1) AS DECIMAL(38,2)) AS qty_30d
+        |  FROM daily a)
+        |SELECT l_partkey, ymd, day_qty, qty_30d,
+        |  CAST(LEAD(day_qty) OVER (PARTITION BY l_partkey ORDER BY ymd) AS DECIMAL(38,2)) AS next_qty,
+        |  CAST(LEAD(day_qty) OVER (PARTITION BY l_partkey ORDER BY ymd) - day_qty AS DECIMAL(38,2)) AS dod
+        |FROM r""".stripMargin,
 
     "q41_profit_mom" ->
       """WITH u AS (

@@ -75,6 +75,30 @@ object Analytics {
             .cast("decimal(38,4)"))
     }))
 
+    // stock chain (reference: core__sold_qty_30d_daily → stock models):
+    // daily sold qty per part → 30-day rolling window → day-over-day diff
+    r.register(Model("sold_qty_daily", Nil, Incremental("ymd"), ctx => {
+      Tables.lineitem(ctx.session, sfDir)
+        .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("ymd"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("day_qty"))
+    }))
+
+    r.register(Model("sold_qty_30d", Seq("sold_qty_daily"), View, ctx => {
+      graft.operators.Joins.rollingSumByDays(
+          ctx.ref("sold_qty_daily"), Seq(col("l_partkey")), col("ymd"),
+          col("day_qty"), 30, "qty_30d")
+        .withColumn("qty_30d", col("qty_30d").cast("decimal(38,2)"))
+    }))
+
+    r.register(Model("stock_report", Seq("sold_qty_30d"), View, ctx => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey")).orderBy(col("ymd"))
+      ctx.ref("sold_qty_30d")
+        .withColumn("next_qty", lead(col("day_qty"), 1).over(w).cast("decimal(38,2)"))
+        .withColumn("dod", (col("next_qty") - col("day_qty")).cast("decimal(38,2)"))
+    }))
+
     r
   }
 }
