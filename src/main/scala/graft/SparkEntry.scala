@@ -486,6 +486,19 @@ object SparkEntry {
           Seq("o_orderpriority"))
     }),
 
+    // ---- events funnel: signup → later purchase conversion ----
+    "q49_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_signup"))
+      val converted = e.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") > col("ts_signup"))
+        .select(col("user_id")).distinct()
+      signup.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+    }),
+
     // ---- analytics DAG stock chain: rolling 30d + LEAD day-over-day ----
     "q48_stock_report" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("stock_report", s)
@@ -856,6 +869,16 @@ object SparkEntry {
         |  MAX(o_totalprice) AS o_totalprice_max,
         |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q49_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS ts_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT DISTINCT e.user_id FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.ts_signup)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+        |       (SELECT COUNT(*) FROM p) AS n_converted""".stripMargin,
 
     "q48_stock_report" ->
       """WITH daily AS (
