@@ -97,11 +97,20 @@ object Dedup {
                         n: Int = 3, k: Int = 32): DataFrame = {
     val ex = df.select(idCol.as("id"),
       explode(array_distinct(shingles(textCol, n))).as("s"))
-    val mins = (0 until k).map(seed =>
-      min(xxhash64(col("s"), lit(seed))).as(s"h$seed"))
     ex.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
+      .agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
+  }
+
+  /** k min-hash aggregate columns over a shingle column named `s`: the
+    * variable-length string is hashed ONCE (`xxhash64(s)`); the k
+    * independent hash functions then re-hash that 8-byte value with a seed
+    * — 32× cheaper than re-hashing the string per function, same
+    * uniformity.
+    */
+  private def minHashAggs(k: Int): Seq[Column] = {
+    val base = xxhash64(col("s"))
+    (0 until k).map(seed => min(xxhash64(base, lit(seed))).as(s"h$seed"))
   }
 
   /** MinHash LSH candidate pairs: split the k-signature into `bands` bands of
@@ -120,10 +129,8 @@ object Dedup {
     val sh0 = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
     val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
-    val mins = (0 until k).map(seed =>
-      min(xxhash64(col("s"), lit(seed))).as(s"h$seed"))
     val sigs = ex.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
+      .agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map { b =>
