@@ -17,7 +17,12 @@ import graft.operators._
   * Cross-engine determinism rules used throughout (see SURVEY §"What's hard",
   * exact money math):
   * - money/double aggregation goes through DECIMAL casts → order-independent,
-  *   bit-exact sums; final aggregates are cast to DECIMAL(38,s) on both sides.
+  *   bit-exact sums; the FINAL projection casts those exact decimals to DOUBLE
+  *   (or BIGINT for counts) on both sides — the driver hashes typed values from
+  *   each engine's native output path, and DECIMAL/HUGEINT representations
+  *   diverge between Spark parquet and DuckDB even when values are equal.
+  *   decimal→double is correctly rounded in both engines, so the doubles match
+  *   bit-for-bit.
   * - derived doubles are computed with the *same* operation order in both
   *   engines and rounded (4 decimals) before output.
   * - integer outputs are BIGINT on both sides.
@@ -37,8 +42,8 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -48,9 +53,9 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(
           sum(when(col("l_linestatus") === "O", dec2(col("l_quantity"))))
-            .cast("decimal(38,2)").as("qty_open"),
+            .cast("double").as("qty_open"),
           sum(when(col("l_linestatus") === "F", dec2(col("l_quantity"))))
-            .cast("decimal(38,2)").as("qty_filled"),
+            .cast("double").as("qty_filled"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -85,7 +90,7 @@ object SparkEntry {
           Seq(col("l_orderkey")), Seq(col("l_linenumber"), col("l_extendedprice")),
           col("o_totalprice"), col("l_extendedprice"), "alloc", 2)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-          col("alloc"))
+          col("alloc").cast("double").as("alloc"))
     }),
 
     // ---- A9: integer div/mod equal split across exploded slots ----
@@ -138,7 +143,7 @@ object SparkEntry {
           sum(dec2(col("l_extendedprice"))).over(w).as("order_total"))
         .withColumn("price_ratio",
           round(col("l_extendedprice") / col("order_total").cast("double"), 4))
-        .withColumn("order_total", col("order_total").cast("decimal(38,2)"))
+        .withColumn("order_total", col("order_total").cast("double"))
     }),
 
     // ---- J1/J2: star-schema broadcast join + re-aggregation (flagship) ----
@@ -155,7 +160,7 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -166,7 +171,8 @@ object SparkEntry {
         .agg(sum(dec2(col("o_totalprice"))).cast("decimal(38,2)").as("day_total"))
       Joins.rollingSumByDays(daily, Seq(col("o_custkey")), col("ymd"),
           col("day_total"), 30, "rolling_30d")
-        .withColumn("rolling_30d", col("rolling_30d").cast("decimal(38,2)"))
+        .withColumn("rolling_30d", col("rolling_30d").cast("double"))
+        .withColumn("day_total", col("day_total").cast("double"))
     }),
 
     // ---- J5: band join with LEAD-built bands ----
@@ -178,7 +184,7 @@ object SparkEntry {
           col("lo"), col("hi"))
         .groupBy(col("band_name"))
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
     // ---- J7: anti join — customers with no orders ----
@@ -212,7 +218,7 @@ object SparkEntry {
         dec2(col("l_extendedprice")).as("amt"), lit("lineitem").as("src"))
       a.unionByName(b)
         .groupBy(date_trunc("month", col("ymd")).cast("date").as("month"), col("src"))
-        .agg(sum(col("amt")).cast("decimal(38,2)").as("total"),
+        .agg(sum(col("amt")).cast("double").as("total"),
           count(lit(1)).as("n"))
     }),
 
@@ -299,6 +305,7 @@ object SparkEntry {
         Map("o_orderstatus" -> MergeOps.Replace,
             "total" -> MergeOps.Greatest,
             "ymd" -> MergeOps.Least))
+        .withColumn("total", col("total").cast("double"))
     }),
 
     // ---- dedup: exact (hash group-by) ----
@@ -397,7 +404,7 @@ object SparkEntry {
           joinType = "inner")
         .groupBy(col("q_label"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("total")).cast("decimal(38,2)").as("total"))
+          sum(col("total")).cast("double").as("total"))
     }),
 
     // ---- A2 extension: groupBy().pivot() wide aggregation ----
@@ -501,7 +508,13 @@ object SparkEntry {
 
     // ---- analytics DAG stock chain: rolling 30d + LEAD day-over-day ----
     "q48_stock_report" -> ((s, d) => {
+      // Internal model math stays DECIMAL (order-independent sums); only the
+      // final output representation is DOUBLE for cross-engine hash stability.
       graft.models.Analytics.registry(d).run("stock_report", s)
+        .withColumn("day_qty", col("day_qty").cast("double"))
+        .withColumn("qty_30d", col("qty_30d").cast("double"))
+        .withColumn("next_qty", col("next_qty").cast("double"))
+        .withColumn("dod", col("dod").cast("double"))
     }),
 
     // ---- analytics model DAG: TVF-on-TVF month-over-month mart ----
@@ -509,6 +522,9 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("profit_mom", s,
         graft.models.Params(Map(
           "ds_start_date" -> "1990-01-01", "ds_end_date" -> "2030-12-31")))
+        .withColumn("revenue", col("revenue").cast("double"))
+        .withColumn("prev_revenue", col("prev_revenue").cast("double"))
+        .withColumn("mom_pct", col("mom_pct").cast("double"))
     }),
 
     // ---- multimodal: binary columns + batched feature-extraction plumbing ----
@@ -525,15 +541,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_agg_conditional" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_open,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_filled,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
@@ -561,9 +577,9 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) AS rn
         |  FROM li)
         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |  CAST(CASE WHEN rn = 1
+        |  CAST(CAST(CASE WHEN rn = 1
         |    THEN total - SUM(raw) OVER (PARTITION BY l_orderkey) + raw
-        |    ELSE raw END AS DECIMAL(38,2)) AS alloc
+        |    ELSE raw END AS DECIMAL(38,2)) AS DOUBLE) AS alloc
         |FROM r""".stripMargin,
 
     "q07_alloc_divmod" ->
@@ -603,14 +619,14 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  l_extendedprice,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |    OVER (PARTITION BY l_orderkey) AS DECIMAL(38,2)) AS order_total,
+        |    OVER (PARTITION BY l_orderkey) AS DOUBLE) AS order_total,
         |  ROUND(l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY l_orderkey) AS DOUBLE), 4) AS price_ratio
         |FROM lineitem""".stripMargin,
 
     "q12_star_join" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -624,10 +640,10 @@ object SparkEntry {
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS ymd,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
         |  FROM orders GROUP BY 1, 2)
-        |SELECT a.o_custkey, a.ymd, a.day_total,
+        |SELECT a.o_custkey, a.ymd, CAST(a.day_total AS DOUBLE) AS day_total,
         |  CAST((SELECT SUM(b.day_total) FROM daily b
         |        WHERE b.o_custkey = a.o_custkey
-        |          AND b.ymd BETWEEN a.ymd - 30 AND a.ymd - 1) AS DECIMAL(38,2)) AS rolling_30d
+        |          AND b.ymd BETWEEN a.ymd - 30 AND a.ymd - 1) AS DOUBLE) AS rolling_30d
         |FROM daily a""".stripMargin,
 
     "q14_band_join" ->
@@ -638,7 +654,7 @@ object SparkEntry {
         |    COALESCE(LEAD(lo) OVER (ORDER BY lo) - 1, 9223372036854775807) AS hi
         |  FROM bands0)
         |SELECT band_name, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem LEFT JOIN bands ON l_quantity BETWEEN lo AND hi
         |GROUP BY band_name""".stripMargin,
 
@@ -663,7 +679,7 @@ object SparkEntry {
         |  SELECT CAST(l_shipdate AS DATE) AS ymd,
         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS amt, 'lineitem' AS src FROM lineitem)
         |SELECT CAST(date_trunc('month', ymd) AS DATE) AS month, src,
-        |  CAST(SUM(amt) AS DECIMAL(38,2)) AS total, COUNT(*) AS n
+        |  CAST(SUM(amt) AS DOUBLE) AS total, COUNT(*) AS n
         |FROM u GROUP BY 1, 2""".stripMargin,
 
     "q19_enum_recode" ->
@@ -708,7 +724,7 @@ object SparkEntry {
 
     "q23_json_extract" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -736,9 +752,9 @@ object SparkEntry {
         |  CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN s.o_orderstatus
         |       WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
         |       ELSE t.o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN GREATEST(s.total, t.total)
+        |  CAST(CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN GREATEST(s.total, t.total)
         |       WHEN t.o_orderkey IS NULL THEN s.total
-        |       ELSE t.total END AS total,
+        |       ELSE t.total END AS DOUBLE) AS total,
         |  CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN LEAST(s.ymd, t.ymd)
         |       WHEN t.o_orderkey IS NULL THEN s.ymd
         |       ELSE t.ymd END AS ymd
@@ -891,9 +907,10 @@ object SparkEntry {
         |          WHERE b.l_partkey = a.l_partkey
         |            AND b.ymd BETWEEN a.ymd - 30 AND a.ymd - 1) AS DECIMAL(38,2)) AS qty_30d
         |  FROM daily a)
-        |SELECT l_partkey, ymd, day_qty, qty_30d,
-        |  CAST(LEAD(day_qty) OVER (PARTITION BY l_partkey ORDER BY ymd) AS DECIMAL(38,2)) AS next_qty,
-        |  CAST(LEAD(day_qty) OVER (PARTITION BY l_partkey ORDER BY ymd) - day_qty AS DECIMAL(38,2)) AS dod
+        |SELECT l_partkey, ymd, CAST(day_qty AS DOUBLE) AS day_qty,
+        |  CAST(qty_30d AS DOUBLE) AS qty_30d,
+        |  CAST(LEAD(day_qty) OVER (PARTITION BY l_partkey ORDER BY ymd) AS DOUBLE) AS next_qty,
+        |  CAST(LEAD(day_qty) OVER (PARTITION BY l_partkey ORDER BY ymd) - day_qty AS DOUBLE) AS dod
         |FROM r""".stripMargin,
 
     "q41_profit_mom" ->
@@ -917,9 +934,10 @@ object SparkEntry {
         |  SELECT month, channel, revenue,
         |    CAST(LAG(revenue) OVER (PARTITION BY channel ORDER BY month) AS DECIMAL(38,4)) AS prev_revenue
         |  FROM base)
-        |SELECT month, channel, revenue, prev_revenue,
-        |  CAST(ROUND(CAST((CAST(revenue AS DOUBLE) - CAST(prev_revenue AS DOUBLE))
-        |    / CAST(prev_revenue AS DOUBLE) * 100 AS DECIMAL(38,10)), 4) AS DECIMAL(38,4)) AS mom_pct
+        |SELECT month, channel, CAST(revenue AS DOUBLE) AS revenue,
+        |  CAST(prev_revenue AS DOUBLE) AS prev_revenue,
+        |  CAST(CAST(ROUND(CAST((CAST(revenue AS DOUBLE) - CAST(prev_revenue AS DOUBLE))
+        |    / CAST(prev_revenue AS DOUBLE) * 100 AS DECIMAL(38,10)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS mom_pct
         |FROM lagged""".stripMargin,
 
     "q37_sessionize" ->
@@ -950,7 +968,7 @@ object SparkEntry {
         |           CAST(EXTRACT(quarter FROM q_start) AS VARCHAR)) AS q_label
         |  FROM rel)
         |SELECT q_label, COUNT(*) AS n_orders,
-        |  CAST(SUM(total) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(total) AS DOUBLE) AS total
         |FROM o JOIN rel2 ON o.ymd BETWEEN q_start AND q_end
         |GROUP BY q_label""".stripMargin,
 
