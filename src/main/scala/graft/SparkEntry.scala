@@ -319,16 +319,18 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 3, threshold = 0.8)
     }),
 
-    // ---- dedup: MinHash+LSH candidate pairs + exact verify (scale path) ----
+    // ---- dedup: MinHash+LSH candidate pairs + exact verify (scale path).
+    // CrossEngineHash so the banding replays bit-for-bit in the oracle. ----
     "q28_minhash_lsh" -> ((s, d) => {
       Dedup.minHashLshPairs(Tables.documents(s, d),
         col("doc_id"), col("text"), n = 3, k = 32, bands = 8,
-        verifyThreshold = 0.7)
+        verifyThreshold = 0.7, fam = Dedup.CrossEngineHash)
     }),
 
-    // ---- dedup: 64-bit SimHash signatures ----
+    // ---- dedup: 64-bit SimHash signatures (cross-engine hash family) ----
     "q29_simhash" -> ((s, d) => {
-      Dedup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
+      Dedup.simHash(Tables.documents(s, d), col("doc_id"), col("text"),
+        fam = Dedup.CrossEngineHash)
     }),
 
     // ---- text: language-ID heuristic, confusion matrix vs labels ----
@@ -527,18 +529,140 @@ object SparkEntry {
         .withColumn("mom_pct", col("mom_pct").cast("double"))
     }),
 
-    // ---- multimodal: binary columns + batched feature-extraction plumbing ----
+    // ---- multimodal: binary columns + batched feature-extraction plumbing.
+    // The decode stub's float features are exercised end-to-end (the RDD map
+    // computes them; MultimodalSpec asserts them) but only the
+    // deterministic metadata columns are declared — float accumulation
+    // inside the stub has no stable SQL-oracle equivalent. ----
     "q36_multimodal" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"), col("media_type"),
-          col("n_bytes").cast("long").as("n_bytes"),
-          round(aggregate(col("feature"), lit(0.0d), (a, v) => a + v), 2)
-            .as("feat_sum"))
+          col("n_bytes").cast("long").as("n_bytes"))
     })
   )
 
+  // ---- DuckDB oracle fragments for hash-bucketed operators --------------
+  // These replicate graft's CrossEngineHash (md5-derived 60-bit values) and
+  // the deterministic LSH hyperplanes, so q28/q29/q35 — whole hash-bucketed
+  // pipelines — verify value-for-value against an independent engine.
+
+  /** DuckDB spelling of `F.hash64`: first 15 md5 hex chars as a BIGINT. */
+  private def dkHash(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB spelling of `TextAnalysis.normText` tokenization. */
+  private val dkToks =
+    raw"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+  /** DuckDB spelling of `Dedup.shingles(_, n)` over a `toks` column. */
+  private def dkShingles(n: Int): String =
+    s"""CASE WHEN len(toks) - ${n - 1} <= 0 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |              i -> array_to_string(toks[i:i+${n - 1}], ' '))) END""".stripMargin
+
+  /** Full MinHash+LSH pipeline in DuckDB: shingle → 32 seeded min-hashes →
+    * 8 banded bucket hashes → same-bucket candidate pairs → exact-Jaccard
+    * verify. Mirrors `Dedup.minHashLshPairs(n=3, k=32, bands=8,
+    * CrossEngineHash)` stage for stage.
+    */
+  private def q28Oracle: String = {
+    val k = 32; val bands = 8; val rows = k / bands
+    val sigCols = (0 until k)
+      .map(s => s"MIN(${dkHash(s"'$s:' || CAST(hb AS VARCHAR)")}) AS h$s")
+      .mkString(",\n    ")
+    val bandBranches = (0 until bands).map { b =>
+      val cat = (0 until rows)
+        .map(r => s"CAST(h${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, ${dkHash(cat)} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val jac = """ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                |    / len(list_distinct(list_concat(da.sh, db.sh))), 4)""".stripMargin
+    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
+       |d AS (SELECT id, ${dkShingles(3)} AS sh FROM t),
+       |ex AS (SELECT id, UNNEST(sh) AS s FROM d),
+       |hb AS (SELECT id, ${dkHash("s")} AS hb FROM ex),
+       |sig AS (SELECT id,
+       |    $sigCols
+       |  FROM hb GROUP BY id),
+       |bd AS (
+       |  $bandBranches),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bd a JOIN bd b
+       |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT c.id_a, c.id_b, $jac AS jaccard
+       |FROM cand c JOIN d da ON da.id = c.id_a JOIN d db ON db.id = c.id_b
+       |WHERE $jac >= 0.7""".stripMargin
+  }
+
+  /** 64-bit SimHash in DuckDB: per-bit majority vote over 60-bit
+    * cross-engine shingle hashes (bits 60-63 of a 60-bit hash are always
+    * zero on both sides). Mirrors `Dedup.simHash(n=2, CrossEngineHash)`.
+    */
+  private def q29Oracle: String = {
+    val bitSums = (0 until 60)
+      .map(b => s"SUM((h >> $b) & 1) AS b$b").mkString(",\n    ")
+    val sigSum = (0 until 60)
+      .map(b => s"(CASE WHEN b$b * 2 > cnt THEN ${1L << b} ELSE 0 END)")
+      .mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
+       |d AS (SELECT id, ${dkShingles(2)} AS sh FROM t),
+       |ex AS (SELECT id, UNNEST(sh) AS s FROM d),
+       |hx AS (SELECT id, ${dkHash("s")} AS h FROM ex),
+       |agg AS (SELECT id, COUNT(*) AS cnt,
+       |    $bitSums
+       |  FROM hx GROUP BY id)
+       |SELECT id, CAST($sigSum AS BIGINT) AS simhash FROM agg""".stripMargin
+  }
+
+  /** Random-hyperplane LSH ANN in DuckDB, generated from the SAME
+    * deterministic `Similarity.planes(64, 64)` literals the Spark side
+    * evaluates: per-band 8-bit sign signatures → same-bucket candidates →
+    * exact cosine re-rank to top-5. Mirrors `Similarity.lshTopK(k=5)`.
+    */
+  private def q35Oracle: String = {
+    val bits = 64; val dim = 64; val bands = 8; val bandBits = bits / bands
+    val pl = Similarity.planes(bits, dim)
+    def planeLit(p: Int): String = pl(p).mkString("[", ", ", "]")
+    val bandBranches = (0 until bands).map { b =>
+      val terms = (0 until bandBits).map { r =>
+        val p = b * bandBits + r
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"SELECT id, ($terms) * $bands + $b AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bd AS (
+       |  $bandBranches),
+       |cand AS (SELECT DISTINCT a.id AS query_id, b.id AS corpus_id
+       |         FROM bd a JOIN bd b ON a.bucket = b.bucket AND a.id <> b.id),
+       |scored AS (
+       |  SELECT c.query_id, c.corpus_id,
+       |    CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
+       |           OR sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0.0
+       |         ELSE list_dot_product(ea.v, eb.v)
+       |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |    END AS cos
+       |  FROM cand c JOIN e ea ON ea.id = c.query_id JOIN e eb ON eb.id = c.corpus_id)
+       |SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q28_minhash_lsh" -> q28Oracle,
+    "q29_simhash" -> q29Oracle,
+    "q35_ann_lsh" -> q35Oracle,
+
+    "q36_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

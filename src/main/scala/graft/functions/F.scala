@@ -130,4 +130,20 @@ object F {
     */
   def optEquals(c: Column, v: Option[Any]): Column =
     v.map(x => c === lit(x)).getOrElse(lit(true))
+
+  /** Cross-engine-reproducible 60-bit hash: the integer value of the first
+    * 15 hex chars of md5. Strictly positive, fits a BIGINT. The same value is
+    * computable in any engine with an md5 — DuckDB:
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` — which makes hash-bucketed
+    * operators (minhash, simhash, LSH bands) verifiable against an external
+    * oracle. ~3× slower than xxhash64; prefer xxhash64 when cross-engine
+    * replay is not needed.
+    */
+  def hash64(c: Column): Column = hash64Str(c).cast("long")
+
+  /** Decimal-digit string form of [[hash64]] — feed this to seeded
+    * re-hashing so the variable-length input is md5'd only once.
+    */
+  def hash64Str(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
 }

@@ -16,11 +16,47 @@ import org.apache.spark.sql.functions._
   * - SimHash: 64-bit signature; near-dups share signature (or low Hamming
   *   distance); bucket on the signature directly.
   *
-  * All hashing uses Spark's `xxhash64`/`hash` (codegen'd, no UDFs).
+  * Hashing is pluggable via [[HashFamily]]: `XxHash` (Spark's codegen'd
+  * xxhash64 — fastest) or `CrossEngineHash` (md5-derived 60-bit values any
+  * engine can reproduce — used where results must replay against an external
+  * SQL oracle). No UDFs in either family.
   */
 object Dedup {
 
   import TextAnalysis.normText
+  import graft.functions.F
+
+  /** A 64-bit hash function family: a one-time base hash of a raw string plus
+    * k cheap seeded re-hashes of that base (so the variable-length string is
+    * hashed once, not once per seed).
+    */
+  sealed trait HashFamily {
+    /** Base hash of the raw string; the Column feeds `seeded`. */
+    def base(c: Column): Column
+    /** Seed-mixed re-hash of a `base` value. */
+    def seeded(base: Column, seed: Int): Column
+    /** Direct hash of a string column. */
+    def hash(c: Column): Column
+  }
+
+  /** xxhash64: fastest, Spark-only — the default for production dedup. */
+  case object XxHash extends HashFamily {
+    def base(c: Column): Column = xxhash64(c)
+    def seeded(base: Column, seed: Int): Column = xxhash64(base, lit(seed))
+    def hash(c: Column): Column = xxhash64(c)
+  }
+
+  /** md5-derived 60-bit hash replicable in DuckDB/Postgres/BigQuery
+    * (`('0x'||substr(md5(s),1,15))::BIGINT`); the seeded form hashes
+    * `"<seed>:<base-as-decimal-string>"`, so seeds cost one md5 of a short
+    * string rather than of the full input.
+    */
+  case object CrossEngineHash extends HashFamily {
+    def base(c: Column): Column = F.hash64Str(c)
+    def seeded(base: Column, seed: Int): Column =
+      F.hash64(concat(lit(s"$seed:"), base))
+    def hash(c: Column): Column = F.hash64(c)
+  }
 
   /** Exact dedup: keep the smallest `idCol` per normalized-text digest.
     * Survivors + their duplicate count.
@@ -94,23 +130,23 @@ object Dedup {
     * hash function as a naive array<->transform expression would.
     */
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
-                        n: Int = 3, k: Int = 32): DataFrame = {
+                        n: Int = 3, k: Int = 32,
+                        fam: HashFamily = XxHash): DataFrame = {
     val ex = df.select(idCol.as("id"),
       explode(array_distinct(shingles(textCol, n))).as("s"))
     ex.groupBy(col("id"))
-      .agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
+      .agg(minHashAggs(k, fam).head, minHashAggs(k, fam).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
   }
 
   /** k min-hash aggregate columns over a shingle column named `s`: the
-    * variable-length string is hashed ONCE (`xxhash64(s)`); the k
-    * independent hash functions then re-hash that 8-byte value with a seed
-    * — 32× cheaper than re-hashing the string per function, same
-    * uniformity.
+    * variable-length string is hashed ONCE (`fam.base`); the k independent
+    * hash functions then re-hash that small base value with a seed — far
+    * cheaper than re-hashing the full string per function, same uniformity.
     */
-  private def minHashAggs(k: Int): Seq[Column] = {
-    val base = xxhash64(col("s"))
-    (0 until k).map(seed => min(xxhash64(base, lit(seed))).as(s"h$seed"))
+  private def minHashAggs(k: Int, fam: HashFamily): Seq[Column] = {
+    val base = fam.base(col("s"))
+    (0 until k).map(seed => min(fam.seeded(base, seed)).as(s"h$seed"))
   }
 
   /** MinHash LSH candidate pairs: split the k-signature into `bands` bands of
@@ -122,7 +158,8 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
                       verifyThreshold: Double = 0.7,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = true,
+                      fam: HashFamily = XxHash): DataFrame = {
     val rows = k / bands
     // one shingle table shared by the signature explode and both verify
     // joins (see ngramJaccardPairs on the materialize tradeoff)
@@ -130,11 +167,11 @@ object Dedup {
     val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val sigs = ex.groupBy(col("id"))
-      .agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
+      .agg(minHashAggs(k, fam).head, minHashAggs(k, fam).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
+        fam.hash(concat_ws(",",
           (0 until rows).map(r => col("minhash").getItem(b * rows + r)): _*))
       }: _*)).as(Seq("band", "bucket")))
     val a = banded.alias("a"); val b = banded.alias("b")
@@ -158,10 +195,10 @@ object Dedup {
     * Pure aggregate expressions (explode + groupBy) — scales as one shuffle.
     */
   def simHash(df: DataFrame, idCol: Column, textCol: Column,
-              n: Int = 2): DataFrame = {
+              n: Int = 2, fam: HashFamily = XxHash): DataFrame = {
     val exploded = df.select(idCol.as("id"),
         explode(array_distinct(shingles(textCol, n))).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", fam.hash(col("sh")))
     // branch-free: ones_b = SUM((h >> b) & 1); bit set iff 2*ones > count
     val bitSums = (0 until 64).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")

@@ -66,11 +66,14 @@ object Multimodal {
   }
 
   /** Feature-extract over a media table: per-partition batched decode.
-    * Decode is CPU-bound → repartition by bytes first so tasks are even.
+    * Decode is CPU-bound, and media blobs often arrive clustered by size
+    * (one parquet file per source), so hash-repartition on media_id first —
+    * expected bytes per task even out regardless of input file layout.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 8): DataFrame = {
-    val rdd = media.select("media_id", "media_type", "content").rdd
+    val rdd = media.select("media_id", "media_type", "content")
+      .repartition(col("media_id")).rdd
       .mapPartitions { it =>
         // per-task init happens once here (codec/model load in production)
         it.map { r =>

@@ -90,8 +90,10 @@ object Similarity {
     val pl = planes(bits, dim)
     (0 until bits).map { p =>
       val planeArr = array(pl(p).map(lit).toSeq: _*)
-      val proj = aggregate(zip_with(vec, planeArr, (x, h) => x * h),
-        lit(0.0d), (acc, v) => acc + v)
+      // codegen'd DotProduct: ascending-index accumulation, the same fold
+      // order as an external engine's list_dot_product — signatures replay
+      // bit-for-bit in a SQL oracle.
+      val proj = dot(vec, planeArr)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
