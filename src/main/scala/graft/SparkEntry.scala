@@ -421,12 +421,13 @@ object SparkEntry {
         coalesce(col("P"), lit(0L)).as("n_pending"))
     }),
 
-    // ---- dedup: embedding-cosine near-duplicate pairs (exact form) ----
+    // ---- dedup: embedding-cosine near-dup pairs, LSH-bucketed scale form
+    // (the exact all-pairs cosinePairs stays as the test-side oracle) ----
     "q40_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"),
           x => x.cast("double")).as("vec"))
-      Similarity.cosinePairs(e, col("vec_id"), col("vec"), threshold = 0.45)
+      Similarity.lshCosinePairs(e, col("vec_id"), col("vec"), threshold = 0.45)
     }),
 
     // ---- W5/J6 composite: IQR outlier detection — grouped quartiles
@@ -445,13 +446,14 @@ object SparkEntry {
           col("lo"), col("hi"))
     }),
 
-    // ---- W2: global display-rank ROW_NUMBER (single-partition by design:
-    // rank assignment over a small result set, reference openapi search) ----
+    // ---- W2: global display-rank ROW_NUMBER — two-phase distributed rank
+    // (range buckets + per-bucket offsets), no single-partition window.
+    // ShopSearch keeps the plain window for its bounded ≤100-row API pages. ----
     "q44_global_rank" -> ((s, d) => {
-      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
-      Tables.part(s, d)
-        .select(col("p_partkey"), col("p_retailprice"))
-        .withColumn("display_rank", (row_number().over(w) + 100 - 1).cast("long"))
+      F.globalRowNumber(
+          Tables.part(s, d).select(col("p_partkey"), col("p_retailprice")),
+          Seq(col("p_retailprice").desc, col("p_partkey")), "display_rank")
+        .withColumn("display_rank", col("display_rank") + 100 - 1)
     }),
 
     // ---- §2.7: UNION (dedup) ----
@@ -568,8 +570,10 @@ object SparkEntry {
     */
   private def q28Oracle: String = {
     val k = 32; val bands = 8; val rows = k / bands
+    val P = Dedup.CrossEngineHash.P
     val sigCols = (0 until k)
-      .map(s => s"MIN(${dkHash(s"'$s:' || CAST(hb AS VARCHAR)")}) AS h$s")
+      .map(s => s"MIN((${Dedup.CrossEngineHash.a(s)} * (hb % $P) + " +
+        s"${Dedup.CrossEngineHash.b(s)}) % $P) AS h$s")
       .mkString(",\n    ")
     val bandBranches = (0 until bands).map { b =>
       val cat = (0 until rows)
@@ -621,20 +625,26 @@ object SparkEntry {
     * evaluates: per-band 8-bit sign signatures → same-bucket candidates →
     * exact cosine re-rank to top-5. Mirrors `Similarity.lshTopK(k=5)`.
     */
-  private def q35Oracle: String = {
+  /** Shared q35/q40 prefix: per-band 8-bit sign-signature buckets from the
+    * deterministic `Similarity.planes(64, 64)` literals.
+    */
+  private def dkLshBandCte: String = {
     val bits = 64; val dim = 64; val bands = 8; val bandBits = bits / bands
     val pl = Similarity.planes(bits, dim)
     def planeLit(p: Int): String = pl(p).mkString("[", ", ", "]")
-    val bandBranches = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val terms = (0 until bandBits).map { r =>
         val p = b * bandBits + r
         s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << r} ELSE 0 END)"
       }.mkString("\n     + ")
       s"SELECT id, ($terms) * $bands + $b AS bucket FROM e"
     }.mkString("\n  UNION ALL ")
+  }
+
+  private def q35Oracle: String = {
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bd AS (
-       |  $bandBranches),
+       |  $dkLshBandCte),
        |cand AS (SELECT DISTINCT a.id AS query_id, b.id AS corpus_id
        |         FROM bd a JOIN bd b ON a.bucket = b.bucket AND a.id <> b.id),
        |scored AS (
@@ -651,10 +661,31 @@ object SparkEntry {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** LSH-bucketed near-dup pairs: same band CTE as q35, pair direction
+    * `id_a < id_b`, exact cosine verify at threshold. Mirrors
+    * `Similarity.lshCosinePairs(threshold = 0.45)`.
+    */
+  private def q40Oracle: String = {
+    val cos = """CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
+                |           OR sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0.0
+                |         ELSE list_dot_product(ea.v, eb.v)
+                |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+                |    END""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bd AS (
+       |  $dkLshBandCte),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bd a JOIN bd b ON a.bucket = b.bucket AND a.id < b.id)
+       |SELECT c.id_a, c.id_b, ROUND($cos, 4) AS cos
+       |FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+       |WHERE ROUND($cos, 4) >= 0.45""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q28_minhash_lsh" -> q28Oracle,
     "q29_simhash" -> q29Oracle,
     "q35_ann_lsh" -> q35Oracle,
+    "q40_embedding_neardup" -> q40Oracle,
 
     "q36_multimodal" ->
       """SELECT doc_id AS media_id,
@@ -1102,15 +1133,6 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
-
-    "q40_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45""".stripMargin,
 
     "q34_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -146,4 +146,31 @@ object F {
     */
   def hash64Str(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+
+  /** W2 at scale — global ROW_NUMBER without the single-partition window:
+    * range-repartition on the order keys (a total order across partitions,
+    * since `order` must end in a unique tiebreaker), ROW_NUMBER within each
+    * range bucket, then add per-bucket cumulative offsets computed over the
+    * `buckets`-row count table (a broadcast self-join, no global window
+    * anywhere). Output values are identical to `Window.orderBy(order)` but
+    * the sort is distributed across `buckets` tasks.
+    *
+    * RangePartitioner's sampling is deterministic for a given input, so the
+    * assignment is stable across retries and re-evaluation.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                      buckets: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(buckets, order: _*)
+      .withColumn("__bucket", spark_partition_id())
+    val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+    val ranked = ranged.withColumn("__rn", row_number().over(w))
+    val counts = ranked.groupBy(col("__bucket")).agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
+    ranked.join(broadcast(offsets), "__bucket")
+      .withColumn(out, (col("__rn") + col("__offset")).cast("long"))
+      .drop("__bucket", "__rn", "__offset")
+  }
 }

@@ -47,14 +47,28 @@ object Dedup {
   }
 
   /** md5-derived 60-bit hash replicable in DuckDB/Postgres/BigQuery
-    * (`('0x'||substr(md5(s),1,15))::BIGINT`); the seeded form hashes
-    * `"<seed>:<base-as-decimal-string>"`, so seeds cost one md5 of a short
-    * string rather than of the full input.
+    * (`('0x'||substr(md5(s),1,15))::BIGINT`); seeded re-hashes are a
+    * 2-universal modular family over the Mersenne prime 2^31-1 —
+    * `(a_seed * (base % P) + b_seed) % P` — so the string is md5'd ONCE and
+    * each seed costs one multiply+mod, with every product < 2^62 (no
+    * overflow in Spark's wrapping longs NOR engines that error on BIGINT
+    * overflow, so both compute identical values).
     */
   case object CrossEngineHash extends HashFamily {
-    def base(c: Column): Column = F.hash64Str(c)
+    val P: Long = 2147483647L // 2^31 - 1
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    /** Multiplier for seed: deterministic, in [1, P-1]. */
+    def a(seed: Int): Long = 1 + math.floorMod(mix64(2L * seed), P - 1)
+    /** Offset for seed: deterministic, in [0, P-1]. */
+    def b(seed: Int): Long = math.floorMod(mix64(2L * seed + 1), P)
+    def base(c: Column): Column = F.hash64(c)
     def seeded(base: Column, seed: Int): Column =
-      F.hash64(concat(lit(s"$seed:"), base))
+      pmod(lit(a(seed)) * pmod(base, lit(P)) + lit(b(seed)), lit(P))
     def hash(c: Column): Column = F.hash64(c)
   }
 

@@ -78,8 +78,15 @@ object Joins {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[Column], buckets: Int,
                       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    // Salt derives from row CONTENT, never from spark_partition_id /
+    // monotonically_increasing_id: those recompute differently when a stage
+    // retries after a fetch failure (SPARK-23207 class), silently dropping
+    // or duplicating rows in the salted aggregation — at exactly the cluster
+    // scale salting exists for. Hashing all columns spreads rows of a hot
+    // key; exact-duplicate rows sharing a bucket costs balance, not
+    // correctness.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
     val partial = salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -94,9 +101,10 @@ object Joins {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
+    // content-derived salt — deterministic across task/stage retries
+    // (see saltedAggregate)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact(key), spark_partition_id() + monotonically_increasing_id()),
-        lit(buckets)))
+      pmod(xxhash64(fact.columns.map(fact(_)): _*), lit(buckets)))
     val replicatedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

@@ -52,10 +52,43 @@ object Similarity {
       .withColumn("cos", round(col("cos"), 4))
   }
 
+  /** Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
+    * bucket candidates → exact cosine verify. Output = all pairs that share
+    * at least one band bucket AND have cosine >= threshold; true near-dups
+    * (cosine near 1) collide in some band with probability ~1, and recall
+    * for a given cosine rises with `bands`. The plan is bucket equi-join →
+    * pair dedup → id-join verify — no cross join at any corpus size
+    * (contrast `cosinePairs`, the exact quadratic verification form).
+    */
+  def lshCosinePairs(corpus: DataFrame, idCol: Column, vecCol: Column,
+                     threshold: Double, bits: Int = 64, bands: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val banded = base
+      .withColumn("sig", lshSignature(col("vec"), bits, dim))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask) * bands + b
+        }: _*)).as("bucket"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b) with cosine >=
     * threshold. Exact all-pairs form — the verification oracle for
     * LSH-based near-dup detection; quadratic, so test/bucket scale only
-    * (the scale path is `lshTopK` / bucketed variants).
+    * (the scale path is `lshCosinePairs` / `lshTopK`).
     */
   def cosinePairs(corpus: DataFrame, idCol: Column, vecCol: Column,
                   threshold: Double): DataFrame = {

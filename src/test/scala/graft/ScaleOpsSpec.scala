@@ -20,6 +20,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salt is content-derived: stable across re-evaluation of the same row") {
+    // SPARK-23207 guard: the salt must be a pure function of row content so a
+    // stage retry recomputes identical salts. Evaluate the salted plan twice
+    // and demand identical per-row assignments.
+    val df = (1 to 200).map(i => (if (i % 7 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    def saltOf() = df
+      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(8)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(saltOf() == saltOf())
+  }
+
   test("saltedJoin equals plain join") {
     val fact = (1 to 500).map(i => (s"k${i % 5}", i)).toDF("k", "v")
     val dim = (0 until 5).map(i => (s"k$i", s"label$i")).toDF("k", "label")

@@ -31,6 +31,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_.getAs[Long]("corpus_id") == 0L), "self excluded")
   }
 
+  test("lshCosinePairs ⊆ exact cosinePairs; catches true near-dups") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // plant a true near-duplicate: vec 9001 = vec 1 scaled (cosine 1.0)
+    val dup = e.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"), transform(col("vec"), x => x * 2.0).as("vec"))
+    val corpus = e.unionByName(dup)
+    val exact = Similarity.cosinePairs(corpus, col("vec_id"), col("vec"), 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(corpus, col("vec_id"), col("vec"), 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be a subset of exact pairs")
+    assert(lsh.contains((1L, 9001L)), "a cosine-1.0 duplicate must always collide")
+  }
+
+  test("lshCosinePairs plan has no cross join") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val plan = Similarity.lshCosinePairs(e, col("vec_id"), col("vec"), 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucketed near-dup must not cross join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed near-dup must equi-join")
+  }
+
   test("lshTopK results are real neighbors (precision vs brute force)") {
     val e = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
