@@ -92,6 +92,32 @@ object Sinks {
     spark.read.parquet(java.nio.file.Paths.get(tablePath, gen).toString)
   }
 
+  /** D7 — batched partition rebuild with validation (reference:
+    * dbt_postgres/macros/partitioned_tables.sql:50-118,274-307): rebuild a
+    * date-partitioned table one declared batch at a time; a batch whose rows
+    * fall outside its declared [lo, hi] range is rejected BEFORE any write
+    * (the reference's `assert_rows_in_partition` guard), and earlier batches
+    * stay applied — matching the reference's per-batch transaction scope.
+    * Each accepted batch is a dynamic partition overwrite, so only the
+    * partitions present in the batch are replaced.
+    */
+  def rebuildPartitionsBatched(path: String, dateCol: String,
+      batches: Seq[(java.time.LocalDate, java.time.LocalDate, DataFrame)])
+      : Seq[SinkResult] =
+    batches.map { case (lo, hi, batch) =>
+      val bad = batch.filter(
+        col(dateCol) < lit(java.sql.Date.valueOf(lo)) ||
+        col(dateCol) > lit(java.sql.Date.valueOf(hi))).count()
+      if (bad > 0)
+        SinkResult(s"rebuild[$lo..$hi]", 0, success = false,
+          Some(s"$bad rows outside declared partition range"))
+      else {
+        val n = batch.count()
+        overwritePartitions(batch, path, Seq(dateCol))
+        SinkResult(s"rebuild[$lo..$hi]", n, success = true, None)
+      }
+    }
+
   /** S10 — table copy with optional row limit (`copy_table`,
     * reference common/load.py:570-585; LIMIT 0 = schema-only clone). */
   def copyTable(df: DataFrame, path: String, columns: Seq[String] = Nil,

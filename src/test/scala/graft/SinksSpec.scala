@@ -50,6 +50,55 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("JDBC stagedMerge: round-trip with strategies against embedded Derby") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    import graft.sources.JdbcSink
+    import graft.operators.MergeOps
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    assert(JdbcSink.stagedMerge(b1, url, "tgt", Seq("k")) == 2)
+    // second batch: k=2 updated (Greatest keeps 20.0, Replace takes name), k=3 inserted
+    val b2 = Seq((2L, "b2", 5.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    JdbcSink.stagedMerge(b2, url, "tgt", Seq("k"),
+      Map("v" -> MergeOps.Greatest, "name" -> MergeOps.Replace))
+    val out = spark.read.jdbc(url, "tgt", new java.util.Properties)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 20.0), (3L, "c", 30.0)))
+    // staging table must be gone
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "TGT_STG", null)
+      try assert(!rs.next(), "staging table must be dropped") finally rs.close()
+    } finally conn.close()
+  }
+
+  test("JDBC onConflictSql renders the Postgres dialect") {
+    import graft.sources.JdbcSink
+    import graft.operators.MergeOps
+    val sql = JdbcSink.onConflictSql("t", "t_stg", Seq("k"), Seq("v"),
+      Map("v" -> MergeOps.SourceFirst), MergeOps.SourceFirst)
+    assert(sql.contains("ON CONFLICT (\"k\")"))
+    assert(sql.contains("COALESCE(EXCLUDED.\"v\", t.\"v\")"))
+  }
+
+  test("rebuildPartitionsBatched rejects out-of-range batches before writing") {
+    import java.time.LocalDate
+    val dir = Files.createTempDirectory("graft_d7").toString
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val base = Seq((day("2024-01-01"), 1), (day("2024-01-02"), 2),
+      (day("2024-02-01"), 3)).toDF("ymd", "v")
+    // batch 1 valid (Jan), batch 2 declares Feb but smuggles a Jan row
+    val r = Sinks.rebuildPartitionsBatched(dir, "ymd", Seq(
+      (LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 31),
+        base.filter(col("ymd") < lit(day("2024-02-01")))),
+      (LocalDate.of(2024, 2, 1), LocalDate.of(2024, 2, 29),
+        base.filter(col("ymd") >= lit(day("2024-01-02"))))))
+    assert(r.head.success && r.head.count == 2)
+    assert(!r(1).success && r(1).error.exists(_.contains("outside declared")))
+    // only the valid batch landed
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("multimodal plumbing: schema, determinism, batched decode") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(20))
     val feats = Multimodal.extractFeatures(spark, media)
