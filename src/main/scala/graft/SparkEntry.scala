@@ -531,6 +531,41 @@ object SparkEntry {
         .withColumn("mom_pct", col("mom_pct").cast("double"))
     }),
 
+    // ---- settlement staging: TRY_CAST detail + group window sums + tz
+    // shift + first-row-per-group dedup (coupang settlement W4 shape).
+    // Raw rows are synthesized string-typed from orders — the staging
+    // contract takes API-shaped strings. ----
+    "q52_settlement" -> ((s, d) => {
+      val raw = Tables.orders(s, d).select(
+        concat(lit("G"), pmod(col("o_custkey"), lit(50))).as("settlementGroupKey"),
+        col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(100)).cast("string").as("settlementRatio"),
+        floor(col("o_totalprice")).cast("int").cast("string")
+          .as("finalSettlementAmount"),
+        floor(col("o_totalprice")).cast("int").cast("string")
+          .as("totalSalesAmount"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("n/a"))
+          .otherwise((-floor(col("o_totalprice") * 0.1)).cast("int").cast("string"))
+          .as("totalRefundedAmount"),
+        floor(col("o_totalprice") * 0.8).cast("int").cast("string")
+          .as("totalPayableAmount"),
+        to_date(col("o_orderdate")).cast("string").as("settlementPeriodStartDate"),
+        date_add(to_date(col("o_orderdate")), 13).cast("string")
+          .as("settlementPeriodEndDate"))
+      graft.staging.Settlement.stage(raw, "V1", Seq(col("o_orderkey")))
+    }),
+
+    // ---- A8 in the analytics DAG: weighted payment split model chain ----
+    "q50_payment_split" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("payment_split_daily", s)
+        .withColumn("alloc_total", col("alloc_total").cast("double"))
+    }),
+
+    // ---- A9 in the analytics DAG: div/mod slot-allocation model chain ----
+    "q51_insight_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("insight_daily", s)
+    }),
+
     // ---- multimodal: binary columns + batched feature-extraction plumbing.
     // The decode stub's float features are exercised end-to-end (the RDD map
     // computes them; MultimodalSpec asserts them) but only the
@@ -1133,6 +1168,71 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q52_settlement" ->
+      """WITH raw AS (
+        |  SELECT 'G' || CAST(o_custkey % 50 AS VARCHAR) AS gk,
+        |    o_orderkey,
+        |    CAST(o_orderkey % 100 AS VARCHAR) AS ratio,
+        |    CAST(CAST(FLOOR(o_totalprice) AS INTEGER) AS VARCHAR) AS final_amt,
+        |    CAST(CAST(FLOOR(o_totalprice) AS INTEGER) AS VARCHAR) AS sales,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'n/a'
+        |      ELSE CAST(CAST(-FLOOR(o_totalprice * 0.1) AS INTEGER) AS VARCHAR) END AS refunded,
+        |    CAST(CAST(FLOOR(o_totalprice * 0.8) AS INTEGER) AS VARCHAR) AS payable,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS start_s,
+        |    CAST(CAST(o_orderdate AS DATE) + 13 AS VARCHAR) AS end_s
+        |  FROM orders),
+        |st AS (
+        |  SELECT gk,
+        |    CAST(SUM(TRY_CAST(ratio AS INTEGER)) OVER (PARTITION BY gk) AS BIGINT) AS settlement_ratio,
+        |    CAST(SUM(TRY_CAST(final_amt AS INTEGER)) OVER (PARTITION BY gk) AS BIGINT) AS settlement_amount,
+        |    TRY_CAST(sales AS INTEGER) AS sales_amount,
+        |    TRY_CAST(refunded AS INTEGER) AS refund_amount,
+        |    CAST(SUM(TRY_CAST(payable AS INTEGER)) OVER (PARTITION BY gk) AS BIGINT) AS payable_amount,
+        |    CAST(start_s AS TIMESTAMP) + INTERVAL 9 HOUR AS start_date,
+        |    CAST(end_s AS TIMESTAMP) + INTERVAL 9 HOUR AS end_date,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY o_orderkey) AS rn
+        |  FROM raw)
+        |SELECT gk AS group_key, 'V1' AS vendor_id, settlement_ratio,
+        |  settlement_amount, sales_amount, refund_amount, payable_amount,
+        |  start_date, end_date
+        |FROM st WHERE rn = 1""".stripMargin,
+
+    "q50_payment_split" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag,
+        |         o_totalprice, CAST(o_orderdate AS DATE) AS ymd,
+        |         SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) AS wsum
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT l_orderkey, ymd, l_returnflag,
+        |    CAST(ROUND(CAST(o_totalprice * l_extendedprice / wsum AS DECIMAL(38,10)), 2) AS DECIMAL(38,2)) AS raw,
+        |    CAST(o_totalprice AS DECIMAL(38,2)) AS total,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) AS rn
+        |  FROM li),
+        |a AS (
+        |  SELECT ymd, l_returnflag,
+        |    CAST(CASE WHEN rn = 1
+        |      THEN total - SUM(raw) OVER (PARTITION BY l_orderkey) + raw
+        |      ELSE raw END AS DECIMAL(38,2)) AS alloc
+        |  FROM r)
+        |SELECT ymd, l_returnflag, CAST(SUM(alloc) AS DOUBLE) AS alloc_total,
+        |  COUNT(*) AS n_items
+        |FROM a GROUP BY ymd, l_returnflag""".stripMargin,
+
+    "q51_insight_daily" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ymd,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 3 + 1 AS INTEGER) AS n
+        |  FROM orders),
+        |e AS (SELECT ymd, cents, n, UNNEST(generate_series(0, n - 1)) AS pos FROM o),
+        |a AS (SELECT ymd, CAST(pos AS BIGINT) AS pos,
+        |        cents // n + CASE WHEN pos = 0 THEN cents % n ELSE 0 END AS alloc
+        |      FROM e)
+        |SELECT ymd, pos, CAST(SUM(alloc) AS BIGINT) AS alloc_total,
+        |  COUNT(*) AS n_slots
+        |FROM a GROUP BY ymd, pos""".stripMargin,
 
     "q34_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -99,6 +99,51 @@ object Analytics {
         .withColumn("dod", (col("next_qty") - col("day_qty")).cast("decimal(38,2)"))
     }))
 
+    // A8 inside the DAG (reference: dbt_bigquery/models/intermediate/sales/
+    // smartstore__sales_daily.sql:171-217,335-371 — the order-level paid
+    // amount split across items proportionally to item price, remainder
+    // repaired exactly, then re-aggregated to a daily split fact).
+    r.register(Model("order_payment_alloc", Nil, Incremental("ymd"), ctx => {
+      val li = Tables.lineitem(ctx.session, sfDir)
+        .join(Tables.orders(ctx.session, sfDir).select(
+            col("o_orderkey"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("ymd")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.operators.Allocation.weightedAllocate(li,
+          Seq(col("l_orderkey")), Seq(col("l_linenumber"), col("l_extendedprice")),
+          col("o_totalprice"), col("l_extendedprice"), "alloc", 2)
+        .select(col("ymd"), col("l_returnflag"), col("alloc"))
+    }))
+
+    r.register(Model("payment_split_daily", Seq("order_payment_alloc"), View,
+      ctx => {
+        ctx.ref("order_payment_alloc")
+          .groupBy(col("ymd"), col("l_returnflag"))
+          .agg(sum(col("alloc")).cast("decimal(38,2)").as("alloc_total"),
+            count(lit(1)).as("n_items"))
+      }))
+
+    // A9 inside the DAG (reference: dbt_bigquery/models/intermediate/ads/
+    // searchad__insight_daily.sql:197-230 — a cent-exact amount divided
+    // equally over exploded slots, remainder to slot 0, re-aggregated daily).
+    r.register(Model("insight_slots", Nil, Incremental("ymd"), ctx => {
+      val o = Tables.orders(ctx.session, sfDir).select(
+        col("o_orderkey"), to_date(col("o_orderdate")).as("ymd"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (pmod(col("o_orderkey"), lit(3)) + 1).cast("int").as("n"))
+      o.select(col("ymd"), col("cents"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1)).as(Seq("pos", "__v")))
+        .select(col("ymd"), col("pos").cast("long").as("pos"),
+          graft.operators.Allocation.divModAllocate(col("cents"), col("n"),
+            col("pos")).as("alloc"))
+    }))
+
+    r.register(Model("insight_daily", Seq("insight_slots"), View, ctx => {
+      ctx.ref("insight_slots")
+        .groupBy(col("ymd"), col("pos"))
+        .agg(sum(col("alloc")).as("alloc_total"), count(lit(1)).as("n_slots"))
+    }))
+
     r
   }
 }
