@@ -555,6 +555,36 @@ object SparkEntry {
       graft.staging.Settlement.stage(raw, "V1", Seq(col("o_orderkey")))
     }),
 
+    // ---- relation ranges: gap-islands over ids → "lo-hi" strings →
+    // ordered list rebuild (reference relation__ad_id_to_ranged_sbn_ids
+    // .sql:58-66 — exercises format_string + array_join + islands) ----
+    "q53_relation_ranges" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      val grp = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"))
+        .withColumn("__grp", col("c_custkey") - row_number().over(w))
+      val ranges = grp.groupBy(col("c_mktsegment"), col("__grp"))
+        .agg(min(col("c_custkey")).as("lo"), max(col("c_custkey")).as("hi"))
+      ranges.groupBy(col("c_mktsegment"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("lo"),
+                format_string("%d-%d", col("lo"), col("hi")).as("s")))),
+              x => x.getField("s")),
+            ",").as("ranges"),
+          count(lit(1)).as("n_ranges"))
+    }),
+
+    // ---- base64 decode of opaque payload keys (reference searchad/center/
+    // exposure/models.sql:25 UNBASE64) ----
+    "q54_base64" -> ((s, d) => {
+      val b = base64(encode(col("p_name"), "UTF-8"))
+      Tables.part(s, d).select(
+        col("p_partkey"), b.as("b64"),
+        decode(unbase64(b), "UTF-8").as("roundtrip"))
+    }),
+
     // ---- A8 in the analytics DAG: weighted payment split model chain ----
     "q50_payment_split" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("payment_split_daily", s)
@@ -1168,6 +1198,26 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q53_relation_ranges" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    c_custkey - ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_custkey) AS grp
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_mktsegment, grp, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
+        |  FROM g GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  STRING_AGG(printf('%d-%d', lo, hi), ',' ORDER BY lo) AS ranges,
+        |  COUNT(*) AS n_ranges
+        |FROM r GROUP BY c_mktsegment""".stripMargin,
+
+    "q54_base64" ->
+      """SELECT p_partkey,
+        |  to_base64(encode(p_name)) AS b64,
+        |  decode(from_base64(to_base64(encode(p_name)))) AS roundtrip
+        |FROM part""".stripMargin,
 
     "q52_settlement" ->
       """WITH raw AS (

@@ -36,10 +36,34 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** S5/S6 (Excel / HTML scans) are driver-side concerns in this engine:
-    * the reference parses xlsx/HTML bytes in Python (utils/excel.py,
-    * transform.py:245-311) before they ever reach SQL. The Spark-side
-    * contract is identical to S1 — parse driver-side to JSON/rows, then
-    * `rowBatch` with the staging schema. No POI/jsoup is bundled here.
+  /** S5 — Excel scan: xlsx bytes parsed DRIVER-side (zip-of-XML, no POI —
+    * see [[Xlsx]]; reference utils/excel.py:146-161) into an all-string
+    * DataFrame keyed by the deduplicated header row. Staging projections
+    * TRY_CAST the strings (P1 rule), identical to how API payloads flow
+    * through `rowBatch`.
     */
+  def excel(spark: SparkSession, bytes: Array[Byte],
+            sheetName: Option[String] = None, header: Int = 1): DataFrame = {
+    val (headers, rows) = Xlsx.toRows(bytes, sheetName, header)
+    stringFrame(spark, headers, rows)
+  }
+
+  /** S6 — HTML table scan: table `tableIndex` of the page parsed DRIVER-side
+    * (see [[Htmls]]; reference common/transform.py:245-311) into an
+    * all-string DataFrame keyed by the header row.
+    */
+  def htmlTable(spark: SparkSession, html: String,
+                tableIndex: Int = 0): DataFrame = {
+    val (headers, rows) = Htmls.tableRows(html, tableIndex)
+    stringFrame(spark, headers, rows)
+  }
+
+  private def stringFrame(spark: SparkSession, headers: Seq[String],
+                          rows: Seq[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val schema = StructType(headers.map(StructField(_, StringType, nullable = true)))
+    val data = rows.map(r => Row(r.padTo(headers.size, "").take(headers.size): _*))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
 }

@@ -85,6 +85,16 @@ object Sinks {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** S8 — catalog CTAS (reference: common/load.py:522-585 `create_table` —
+    * CTAS into the warehouse vs a session-scoped temp relation): register
+    * the frame in the session catalog, either as a managed parquet table
+    * (`saveAsTable`, queryable by name across sessions sharing the
+    * metastore) or a temp view (this session only, zero materialization).
+    */
+  def ctas(df: DataFrame, table: String, temp: Boolean = false): Unit =
+    if (temp) df.createOrReplaceTempView(table)
+    else df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
   /** Read the current generation of an `upsertParquet` table. */
   def readUpsertTable(spark: SparkSession, tablePath: String): DataFrame = {
     val pointer = java.nio.file.Paths.get(tablePath, "_CURRENT")

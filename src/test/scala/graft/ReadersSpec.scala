@@ -40,6 +40,85 @@ class ReadersSpec extends SparkSpec {
     assert(out.getLong(0) == 7L)
   }
 
+  /** Minimal but structurally-faithful xlsx: zip with workbook + rels +
+    * sharedStrings (incl. a rich-text run) + two sheets, sparse cells,
+    * inline strings, and numeric cells.
+    */
+  private def fixtureXlsx: Array[Byte] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook><sheets>
+        |<sheet name="Data" sheetId="1" r:id="rId1"/>
+        |<sheet name="Other" sheetId="2" r:id="rId2"/>
+        |</sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      "<sst><si><t>name</t></si><si><r><t>wid</t></r><r><t>get</t></r></si></sst>")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>qty</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42</v></c></row>
+        |<row r="3"><c r="B3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+        |<row r="2"><c r="A2"><v>99</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    bos.toByteArray
+  }
+
+  test("excel: shared/rich/inline strings, sparse cells, sheet by name") {
+    val out = Readers.excel(spark, fixtureXlsx).collect()
+    assert(Readers.excel(spark, fixtureXlsx).columns.toSeq == Seq("name", "qty"))
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "widget") // rich-text runs concatenated
+    assert(out(0).getString(1) == "42")
+    assert(out(1).getString(0) == "")       // sparse A3 -> empty
+    assert(out(1).getString(1) == "7")
+    val other = Readers.excel(spark, fixtureXlsx, Some("Other")).collect()
+    assert(other.head.getString(0) == "99")
+    intercept[IllegalArgumentException] {
+      Readers.excel(spark, fixtureXlsx, Some("Nope"))
+    }
+  }
+
+  test("htmlTable: markup stripped, entities unescaped, headers deduped") {
+    val html =
+      """<html><body><p>noise</p>
+        |<table class="x">
+        |  <tr><th>name</th><th> name </th><th></th></tr>
+        |  <tr><td><b>Tom &amp; Co</b></td><td>1&nbsp;000</td><td>x</td></tr>
+        |  <tr><td>B</td><td>2</td></tr>
+        |</table></body></html>""".stripMargin
+    val df = Readers.htmlTable(spark, html)
+    assert(df.columns.toSeq == Seq("name", "name_1", "col2"))
+    val out = df.collect()
+    assert(out(0).getString(0) == "Tom & Co")
+    assert(out(0).getString(1) == "1 000")
+    assert(out(1).getString(2) == "")      // short row padded
+  }
+
+  test("ctas registers catalog table and temp view") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.ctas(df, "graft_ctas_tbl")
+    assert(spark.table("graft_ctas_tbl").count() == 2)
+    Sinks.ctas(df.filter(col("k") === 1), "graft_ctas_view", temp = true)
+    assert(spark.table("graft_ctas_view").count() == 1)
+    spark.sql("DROP TABLE graft_ctas_tbl")
+  }
+
   test("copyTable projects, limits, and LIMIT 0 clones schema only") {
     val dir1 = Files.createTempDirectory("graft_cp1").toString
     val dir2 = Files.createTempDirectory("graft_cp2").toString
