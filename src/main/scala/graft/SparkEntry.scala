@@ -555,6 +555,27 @@ object SparkEntry {
       graft.staging.Settlement.stage(raw, "V1", Seq(col("o_orderkey")))
     }),
 
+    // ---- hcenter sales staging: nested JSON payload → P3 path projection
+    // → DISTINCT → SUM/MAX re-agg (smartstore hcenter AggregatedSales).
+    // The payload string is synthesized deterministically from orders; the
+    // oracle recomputes the same values from the base columns, so the JSON
+    // parse itself is what's being verified. ----
+    "q55_hcenter_sales" -> ((s, d) => {
+      val payload = concat(
+        lit("""{"product":{"identifier":""""), col("o_orderkey"),
+        lit("""","category":{"identifier":""""),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit("x"))
+          .otherwise(pmod(col("o_custkey"), lit(100)).cast("string")),
+        lit(""""}},"visit":{"click":"""), pmod(col("o_orderkey"), lit(7)),
+        lit("""},"sales":{"paymentCount":"""), pmod(col("o_orderkey"), lit(3)),
+        lit(""","paymentAmount":"""), floor(col("o_totalprice")).cast("long"),
+        lit("}}"))
+      graft.staging.HcenterSales.stageSales(
+        Tables.orders(s, d).select(payload.as("payload")),
+        col("payload"), mallSeq = 77,
+        paymentDate = java.time.LocalDate.of(2024, 1, 31))
+    }),
+
     // ---- relation ranges: gap-islands over ids → "lo-hi" strings →
     // ordered list rebuild (reference relation__ad_id_to_ranged_sbn_ids
     // .sql:58-66 — exercises format_string + array_join + islands) ----
@@ -1198,6 +1219,24 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q55_hcenter_sales" ->
+      """WITH items AS (
+        |  SELECT DISTINCT o_orderkey AS product_id, 77 AS mall_seq,
+        |    TRY_CAST(CASE WHEN o_orderkey % 11 = 0 THEN 'x'
+        |      ELSE CAST(o_custkey % 100 AS VARCHAR) END AS INTEGER) AS category_id3,
+        |    o_orderkey % 7 AS click_count,
+        |    o_orderkey % 3 AS payment_count,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS payment_amount,
+        |    DATE '2024-01-31' AS payment_date
+        |  FROM orders)
+        |SELECT product_id, MAX(mall_seq) AS mall_seq,
+        |  MAX(category_id3) AS category_id3,
+        |  CAST(SUM(click_count) AS BIGINT) AS click_count,
+        |  CAST(SUM(payment_count) AS BIGINT) AS payment_count,
+        |  CAST(SUM(payment_amount) AS BIGINT) AS payment_amount,
+        |  payment_date
+        |FROM items GROUP BY product_id, payment_date""".stripMargin,
 
     "q53_relation_ranges" ->
       """WITH g AS (
