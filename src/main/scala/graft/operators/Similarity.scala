@@ -64,14 +64,11 @@ object Similarity {
                      threshold: Double, bits: Int = 64, bands: Int = 8,
                      dim: Int = 64): DataFrame = {
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
     val banded = base
-      .withColumn("sig", lshSignature(col("vec"), bits, dim))
       .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          shiftright(col("sig"), b * bandBits).bitwiseAND(mask) * bands + b
-        }: _*)).as("bucket"))
+        explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
+          .as("bucket"))
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -131,6 +128,35 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Per-band bucket columns: band b's bucket is its `bandBits` sign bits
+    * (planes `b*bandBits until (b+1)*bandBits`) packed little-endian, then
+    * disambiguated by band index. Unlike a single packed signature long,
+    * `bands * bandBits` is not capped at 64 — the corpus-size-scaled path
+    * needs wide bands. For `bands*bandBits = 64` the bucket values equal the
+    * packed-signature extraction bit for bit.
+    */
+  private def bandBuckets(vec: Column, bands: Int, bandBits: Int,
+                          dim: Int): Seq[Column] = {
+    val pl = planes(bands * bandBits, dim)
+    (0 until bands).map { b =>
+      (0 until bandBits).map { r =>
+        val planeArr = array(pl(b * bandBits + r).map(lit).toSeq: _*)
+        when(dot(vec, planeArr) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _) * bands + b
+    }
+  }
+
+  /** Band bits scaled to corpus size: with `n` vectors and ~2^bits buckets
+    * per band, expected bucket occupancy is n / 2^bits — pin it near
+    * `targetPerBucket` so within-bucket pairing stays linear as the corpus
+    * grows (fixed 8-bit bands go quadratic past ~10^5 vectors).
+    */
+  def adaptiveBandBits(corpusSize: Long, targetPerBucket: Long = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(corpusSize.toDouble / targetPerBucket, 1.0)) / math.log(2)).toInt
+    math.min(math.max(needed, 8), 30)
+  }
+
   /** LSH-bucketed ANN: signature → same-bucket candidate pairs → exact
     * cosine re-rank to top-k per query. `bits/bands` bits per band: 8-bit
     * bands (256 buckets) keep per-bucket pair counts near-linear; more
@@ -144,15 +170,11 @@ object Similarity {
               k: Int = 10, bits: Int = 64, bands: Int = 8,
               dim: Int = 64): DataFrame = {
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
     val banded = base
-      .withColumn("sig", lshSignature(col("vec"), bits, dim))
       .select(col("id"),
-        posexplode(array((0 until bands).map { b =>
-          shiftright(col("sig"), b * bandBits).bitwiseAND(mask) * bands + b
-        }: _*)).as(Seq("band", "bucket")))
-      .select(col("id"), col("bucket"))
+        explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
+          .as("bucket"))
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
@@ -168,5 +190,19 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** `lshTopK` with band width scaled to the measured corpus size (one
+    * count job — metadata-scale — against a quadratic within-bucket blowup
+    * at fixed width). The declared benchmark query pins `bits` instead so
+    * its oracle replays deterministically; use this form on corpora of
+    * unknown size.
+    */
+  def lshTopKAuto(corpus: DataFrame, idCol: Column, vecCol: Column,
+                  k: Int = 10, bands: Int = 8, dim: Int = 64,
+                  targetPerBucket: Long = 64): DataFrame = {
+    val n = corpus.count()
+    val bandBits = adaptiveBandBits(n, targetPerBucket)
+    lshTopK(corpus, idCol, vecCol, k, bits = bands * bandBits, bands, dim)
   }
 }

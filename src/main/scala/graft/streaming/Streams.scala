@@ -84,6 +84,23 @@ object Streams {
       }
   }
 
+  /** Streaming incremental load: MERGE each micro-batch into a persistent
+    * keyed table via `foreachBatch` — the streaming form of the reference's
+    * cursor-loop incremental load (extract.py:170-271 fetches changed rows,
+    * models.sql upserts them; here the change feed is the stream and the
+    * upsert is `Sinks.upsertParquet` with the same [[graft.operators
+    * .MergeOps.Strategy]] DSL). Batches are pre-deduped inside upsert; a
+    * retried batch re-merges idempotently for Replace/Greatest/Least/
+    * coalesce strategies.
+    */
+  def upsertSink(tablePath: String, keys: Seq[String],
+                 strategies: Map[String, graft.operators.MergeOps.Strategy] =
+                   Map.empty): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        graft.sources.Sinks.upsertParquet(batch.sparkSession, tablePath,
+          batch, keys, strategies)
+
   /** Batch sessionization — gap-based island detection with windows:
     * new session when gap to previous event > gapMinutes; session id =
     * running count of session starts (reference models time-series as

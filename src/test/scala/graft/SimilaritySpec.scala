@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed near-dup must equi-join")
   }
 
+  test("adaptiveBandBits scales with corpus; lshTopKAuto finds real neighbors") {
+    assert(Similarity.adaptiveBandBits(1000) == 8)          // floor
+    assert(Similarity.adaptiveBandBits(1000000) == 14)      // 10^6/64 ≈ 2^14
+    assert(Similarity.adaptiveBandBits(1000000000L) == 24)  // 10^9/64 ≈ 2^24
+    assert(Similarity.adaptiveBandBits(Long.MaxValue) == 30) // cap
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val auto = Similarity.lshTopKAuto(e, col("vec_id"), col("vec"), k = 3)
+      .collect()
+    assert(auto.nonEmpty)
+    assert(auto.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
+  }
+
   test("lshTopK results are real neighbors (precision vs brute force)") {
     val e = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))

@@ -49,6 +49,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink merges each micro-batch into a keyed table") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "name", "v")
+      .writeStream
+      .foreachBatch(Streams.upsertSink(dir, Seq("k"),
+        Map("v" -> graft.operators.MergeOps.Greatest)))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "a", 10.0), (2L, "b", 20.0))
+      q.processAllAvailable()
+      mem.addData((2L, "b2", 5.0), (3L, "c", 30.0))   // update + insert
+      q.processAllAvailable()
+      val out = graft.sources.Sinks.readUpsertTable(spark, dir)
+        .orderBy("k").collect()
+      assert(out.length == 3)
+      assert(out(1).getString(1) == "b2")   // SourceFirst default
+      assert(out(1).getDouble(2) == 20.0)   // Greatest kept target value
+      assert(out(2).getDouble(2) == 30.0)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch splits on gaps and matches stream semantics") {
     val df = Seq(
       (1L, ts(0), 1L, 1.0), (1L, ts(10), 2L, 2.0),   // session 1 (gap 10 <= 30)
