@@ -10,7 +10,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q12_star_join", "q13_rolling_30d", "q27_ngram_jaccard",
-                         "q34_ann_bruteforce", "q01_agg_sum")
+                         "q34_ann_bruteforce", "q01_agg_sum",
+                         "q40_embedding_neardup", "q44_global_rank",
+                         "q28_minhash_lsh", "q50_payment_split")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1161,7 +1161,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(l_shipdate AS DATE), 'lineitem',
         |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(ts AS DATE), 'events', CAST(value AS DECIMAL(18,4))
+        |  FROM events WHERE event_type = 'purchase'),
         |core AS (
         |  SELECT ymd, channel, CAST(SUM(amount) AS DECIMAL(38,4)) AS revenue
         |  FROM u GROUP BY 1, 2),

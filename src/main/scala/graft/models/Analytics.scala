@@ -42,10 +42,24 @@ object Analytics {
           .cast("decimal(18,4)").as("amount"))
     }))
 
-    // 2-source UNION ALL → re-aggregate (the reference's 6-source core fact)
+    r.register(Model("sales_events", Nil, View, ctx => {
+      Tables.events(ctx.session, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("ts").cast("date").as("ymd"),
+          lit("events").as("channel"),
+          col("value").cast("decimal(18,4)").as("amount"))
+    }))
+
+    // multi-source UNION ALL → re-aggregate (the reference's 6-source core
+    // fact, core__sales_daily: per-channel staging models unioned then
+    // re-aggregated by day)
     r.register(Model("core_sales_daily",
-      Seq("sales_orders", "sales_lineitems"), Incremental("ymd"), ctx => {
-        ctx.ref("sales_orders").unionByName(ctx.ref("sales_lineitems"))
+      Seq("sales_orders", "sales_lineitems", "sales_events"),
+      Incremental("ymd"), ctx => {
+        ctx.ref("sales_orders")
+          .unionByName(ctx.ref("sales_lineitems"))
+          .unionByName(ctx.ref("sales_events"))
           .groupBy(col("ymd"), col("channel"))
           .agg(sum(col("amount")).cast("decimal(38,4)").as("revenue"),
             count(lit(1)).as("n_rows"))

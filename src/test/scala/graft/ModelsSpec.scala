@@ -38,7 +38,7 @@ class ModelsSpec extends SparkSpec {
     val out = reg.run("profit_mom", spark, params).collect()
     assert(out.nonEmpty)
     val channels = out.map(_.getAs[String]("channel")).distinct.sorted
-    assert(channels.toSeq == Seq("lineitem", "orders"))
+    assert(channels.toSeq == Seq("events", "lineitem", "orders"))
     // first month per channel has null prev/mom; later months have values
     val orders = out.filter(_.getAs[String]("channel") == "orders")
       .sortBy(_.getAs[java.sql.Date]("month").toString)
