@@ -422,7 +422,11 @@ object SparkEntry {
     }),
 
     // ---- dedup: embedding-cosine near-dup pairs, LSH-bucketed scale form
-    // (the exact all-pairs cosinePairs stays as the test-side oracle) ----
+    // (the exact all-pairs cosinePairs stays as the test-side oracle).
+    // Contract note: output = band-colliding pairs verified at the exact
+    // threshold. Recall ≈ 1 for true near-dups (cos→1); at a LOW threshold
+    // like this test corpus's 0.45 it is a candidate-limited subset —
+    // raise `bands` (or lower bandBits) when low-threshold recall matters. ----
     "q40_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"),

@@ -163,7 +163,13 @@ object F {
     val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__bucket", spark_partition_id())
     val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)
-    val ranked = ranged.withColumn("__rn", row_number().over(w))
+    // persist: the ranked frame feeds BOTH the output rows and the offsets
+    // table. Without it the two consumers may execute the range exchange
+    // twice (e.g. spark.sql.exchange.reuse=false), and RangePartitioner
+    // re-samples per execution — __bucket values from one partitioning
+    // would meet __offsets from another. One evaluation → one partitioner
+    // (retried tasks reuse the same partitioner instance via lineage).
+    val ranked = ranged.withColumn("__rn", row_number().over(w)).persist()
     val counts = ranked.groupBy(col("__bucket")).agg(count(lit(1)).as("__cnt"))
     val offsets = counts.alias("a")
       .join(counts.alias("b"), col("b.__bucket") < col("a.__bucket"), "left")

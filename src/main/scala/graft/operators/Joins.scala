@@ -82,11 +82,11 @@ object Joins {
     // monotonically_increasing_id: those recompute differently when a stage
     // retries after a fetch failure (SPARK-23207 class), silently dropping
     // or duplicating rows in the salted aggregation — at exactly the cluster
-    // scale salting exists for. Hashing all columns spreads rows of a hot
-    // key; exact-duplicate rows sharing a bucket costs balance, not
+    // scale salting exists for. Hashing all hashable columns spreads rows of
+    // a hot key; exact-duplicate rows sharing a bucket costs balance, not
     // correctness.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
+      pmod(xxhash64(hashableCols(df): _*), lit(buckets)))
     val partial = salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -104,11 +104,31 @@ object Joins {
     // content-derived salt — deterministic across task/stage retries
     // (see saltedAggregate)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(fact(_)): _*), lit(buckets)))
+      pmod(xxhash64(hashableCols(fact): _*), lit(buckets)))
     val replicatedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
     saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
       .drop("__salt")
+  }
+
+  /** Columns usable as salt input: xxhash64 rejects MapType (maps have no
+    * canonical element order), so map-typed columns are excluded. Requires
+    * unique column names (`col(name)` is ambiguous otherwise).
+    */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    require(df.columns.distinct.length == df.columns.length,
+      s"salting requires unique column names, got ${df.columns.mkString(",")}")
+    val ok = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      .map(f => df(f.name)).toSeq
+    // all-map frame: degenerate single bucket (correct, just unspread)
+    if (ok.nonEmpty) ok else Seq(lit(0L))
   }
 }

@@ -9,7 +9,8 @@ package graft.sources
   */
 object Htmls {
 
-  private val TableRe = "(?is)<table[^>]*>(.*?)</table>".r
+  private val OpenRe = "(?i)<table[^>]*>".r
+  private val CloseRe = "(?i)</table\\s*>".r
   private val RowRe = "(?is)<tr[^>]*>(.*?)</tr>".r
   private val CellRe = "(?is)<t[dh][^>]*>(.*?)</t[dh]>".r
   private val TagRe = "(?s)<[^>]+>".r
@@ -21,13 +22,39 @@ object Htmls {
   private def cellText(html: String): String =
     unescape(TagRe.replaceAllIn(html, "")).trim
 
-  /** All tables on the page as raw string grids. */
-  def tables(html: String): Seq[Seq[Seq[String]]] =
-    TableRe.findAllMatchIn(html).map { t =>
-      RowRe.findAllMatchIn(t.group(1)).map { r =>
+  /** All tables on the page as raw string grids, in document order of their
+    * opening tags — including tables NESTED inside another table's cell
+    * (vendor pages routinely wrap the data table in a layout table). Open/
+    * close tags are paired with a stack, so an outer table's rows after a
+    * nested table are kept; a nested table's markup is blanked out of its
+    * parent's body before row-splitting, so its rows appear only in its own
+    * grid.
+    */
+  def tables(html: String): Seq[Seq[Seq[String]]] = {
+    // (openEnd, closeStart) span of every table body, document order
+    val events =
+      (OpenRe.findAllMatchIn(html).map(m => (m.start, m.end, true)) ++
+       CloseRe.findAllMatchIn(html).map(m => (m.start, m.end, false)))
+        .toSeq.sortBy(_._1)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    events.foreach {
+      case (_, end, true) => stack.push(end)
+      case (start, _, false) => if (stack.nonEmpty) spans += ((stack.pop(), start))
+    }
+    val ordered = spans.sortBy(_._1).toSeq
+    ordered.map { case (s, e) =>
+      // blank nested table spans so their rows stay out of this grid
+      val nested = ordered.filter(n => n._1 > s && n._2 < e)
+      val body = nested.foldLeft(html.substring(s, e)) { case (b, (ns, ne)) =>
+        val rs = ns - s; val re = ne - s
+        b.substring(0, rs) + (" " * (re - rs)) + b.substring(re)
+      }
+      RowRe.findAllMatchIn(body).map { r =>
         CellRe.findAllMatchIn(r.group(1)).map(c => cellText(c.group(1))).toSeq
       }.toSeq.filter(_.nonEmpty)
-    }.toSeq
+    }
+  }
 
   /** Header-keyed rows of table `index` (first row = header, deduplicated
     * with the same rule as Xlsx).

@@ -104,7 +104,6 @@ object JdbcSink {
     val deduped = df.dropDuplicates(keys)
     val valueCols = df.columns.filterNot(keys.contains).toSeq
     deduped.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
-    val n = deduped.count()
     val conn = DriverManager.getConnection(url, props)
     try {
       def tableExists(name: String): Boolean = {
@@ -116,15 +115,20 @@ object JdbcSink {
         tableExists(table.toLowerCase)
       val st = conn.createStatement()
       try {
+        // count what was actually staged (a second evaluation of `deduped`
+        // would re-run the scan+shuffle and could disagree with the write)
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $staging")
+        val n = { rs.next(); rs.getLong(1) }
+        rs.close()
         if (!exists)
           st.executeUpdate(
             s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
         st.executeUpdate(
           mergeSql(table, staging, keys, valueCols, strategies, default))
         st.executeUpdate(s"DROP TABLE $staging")
+        n
       } finally st.close()
     } finally conn.close()
-    n
   }
 
   /** A `dualLoad`-shaped strict sink closing over connection details. */

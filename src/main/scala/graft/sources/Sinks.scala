@@ -115,17 +115,25 @@ object Sinks {
       batches: Seq[(java.time.LocalDate, java.time.LocalDate, DataFrame)])
       : Seq[SinkResult] =
     batches.map { case (lo, hi, batch) =>
-      val bad = batch.filter(
-        col(dateCol) < lit(java.sql.Date.valueOf(lo)) ||
-        col(dateCol) > lit(java.sql.Date.valueOf(hi))).count()
-      if (bad > 0)
-        SinkResult(s"rebuild[$lo..$hi]", 0, success = false,
-          Some(s"$bad rows outside declared partition range"))
-      else {
-        val n = batch.count()
-        overwritePartitions(batch, path, Seq(dateCol))
-        SinkResult(s"rebuild[$lo..$hi]", n, success = true, None)
-      }
+      // persist: validation, count, and write must see ONE evaluation of a
+      // possibly-expensive (or nondeterministic) upstream
+      val cached = batch.persist()
+      try {
+        // NULL dates are out-of-range too (they'd land in the default
+        // partition, outside every declared range)
+        val bad = cached.filter(
+          col(dateCol).isNull ||
+          col(dateCol) < lit(java.sql.Date.valueOf(lo)) ||
+          col(dateCol) > lit(java.sql.Date.valueOf(hi))).count()
+        if (bad > 0)
+          SinkResult(s"rebuild[$lo..$hi]", 0, success = false,
+            Some(s"$bad rows outside declared partition range"))
+        else {
+          val n = cached.count()
+          overwritePartitions(cached, path, Seq(dateCol))
+          SinkResult(s"rebuild[$lo..$hi]", n, success = true, None)
+        }
+      } finally cached.unpersist()
     }
 
   /** S10 — table copy with optional row limit (`copy_table`,

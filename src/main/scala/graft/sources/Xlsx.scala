@@ -31,9 +31,16 @@ object Xlsx {
     val ws = parse(parts.getOrElse(sheetPath,
       throw new IllegalArgumentException(s"no worksheet part $sheetPath")))
     val rows = elems(ws.getDocumentElement, "row").map { r =>
-      val cells = elems(r, "c").map { c =>
+      // `r="C3"` refs are optional per OOXML — refless cells take the next
+      // sequential position after the previous cell
+      var nextIdx = 0
+      elems(r, "c").map { c =>
         val ref = c.getAttribute("r")
-        val colIdx = ref.takeWhile(_.isLetter).foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+        val letters = ref.takeWhile(_.isLetter)
+        val colIdx =
+          if (letters.isEmpty) nextIdx
+          else letters.foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
+        nextIdx = colIdx + 1
         val t = c.getAttribute("t")
         val v =
           if (t == "inlineStr") elems(c, "is").flatMap(texts).mkString
@@ -41,7 +48,6 @@ object Xlsx {
         val value = if (t == "s") shared(v.trim.toInt) else v
         (colIdx max 0, value)
       }
-      cells
     }
     val width = (rows.flatMap(_.map(_._1 + 1)) :+ 0).max
     rows.map { cells =>

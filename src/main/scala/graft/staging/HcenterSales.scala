@@ -71,8 +71,9 @@ object HcenterSales {
         "payment_count", "payment_amount", "payment_date")
 
   /** Product-dim upsert (models.sql:129-147): one row per product from the
-    * batch (QUALIFY rn=1, made deterministic by ordering on all projected
-    * columns), then the coalescing MERGE.
+    * batch (the reference's unordered `QUALIFY rn=1` is made deterministic
+    * by ordering on the value columns — ties then mean identical rows),
+    * then the coalescing MERGE.
     */
   def upsertProduct(target: DataFrame, raw: DataFrame, payloadCol: Column,
                     mallSeq: Int, startDate: LocalDate,
@@ -91,6 +92,6 @@ object HcenterSales {
       Map("first_payment_date" -> MergeOps.Least,
           "last_payment_date" -> MergeOps.Greatest),
       default = MergeOps.SourceFirst,
-      dedupOrder = Seq(col("product_id")))
+      dedupOrder = Seq(col("category_id3").desc_nulls_last, col("product_name")))
   }
 }

@@ -84,6 +84,19 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate keys across micro-batches with
+    * state bounded by the event-time watermark — the streaming form of
+    * `Dedup.exact` for a document/event feed (a key seen twice within the
+    * watermark horizon is emitted once; state for keys older than the
+    * watermark is dropped, so this scales to unbounded streams where an
+    * unwindowed `dropDuplicates` would grow state forever).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming incremental load: MERGE each micro-batch into a persistent
     * keyed table via `foreachBatch` — the streaming form of the reference's
     * cursor-loop incremental load (extract.py:170-271 fetches changed rows,

@@ -110,6 +110,37 @@ class ReadersSpec extends SparkSpec {
     assert(out(1).getString(2) == "")      // short row padded
   }
 
+  test("htmlTable: nested table split out, outer rows after it kept") {
+    val html =
+      """<table>
+        |  <tr><th>a</th><th>b</th></tr>
+        |  <tr><td>1</td><td><table><tr><th>x</th></tr><tr><td>9</td></tr></table></td></tr>
+        |  <tr><td>2</td><td>after-nested</td></tr>
+        |</table>""".stripMargin
+    val outer = Readers.htmlTable(spark, html, 0).collect()
+    assert(outer.length == 2)
+    assert(outer(1).getString(0) == "2" && outer(1).getString(1) == "after-nested")
+    assert(!outer.exists(_.getString(0) == "9"), "nested rows stay out of outer grid")
+    val inner = Readers.htmlTable(spark, html, 1).collect()
+    assert(inner.head.getString(0) == "9")
+  }
+
+  test("excel: cells without r= refs take sequential positions") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(
+      """<worksheet><sheetData>
+        |<row><c t="inlineStr"><is><t>h1</t></is></c><c t="inlineStr"><is><t>h2</t></is></c></row>
+        |<row><c><v>1</v></c><c><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    val out = Readers.excel(spark, bos.toByteArray).collect()
+    assert(Readers.excel(spark, bos.toByteArray).columns.toSeq == Seq("h1", "h2"))
+    assert(out.head.getString(0) == "1" && out.head.getString(1) == "2")
+  }
+
   test("ctas registers catalog table and temp view") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Sinks.ctas(df, "graft_ctas_tbl")

@@ -32,6 +32,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltOf() == saltOf())
   }
 
+  test("saltedAggregate tolerates map-typed columns (salt skips them)") {
+    val df = (1 to 100).map(i => (s"k${i % 3}", i.toLong, Map("m" -> i)))
+      .toDF("k", "v", "props")
+    val out = Joins.saltedAggregate(df, Seq(col("k")), buckets = 4,
+        partials = Seq(sum("v").as("ps")), finals = Seq(sum("ps").as("total")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("k1") == (1 to 100).filter(_ % 3 == 1).sum)
+  }
+
   test("saltedJoin equals plain join") {
     val fact = (1 to 500).map(i => (s"k${i % 5}", i)).toDF("k", "v")
     val dim = (0 until 5).map(i => (s"k$i", s"label$i")).toDF("k", "label")

@@ -99,6 +99,16 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("rebuildPartitionsBatched rejects NULL dates (default-partition guard)") {
+    import java.time.LocalDate
+    val dir = Files.createTempDirectory("graft_d7n").toString
+    val withNull = Seq((Option(java.sql.Date.valueOf("2024-01-01")), 1),
+      (Option.empty[java.sql.Date], 2)).toDF("ymd", "v")
+    val r = Sinks.rebuildPartitionsBatched(dir, "ymd", Seq(
+      (LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 31), withNull)))
+    assert(!r.head.success && r.head.error.exists(_.contains("outside declared")))
+  }
+
   test("multimodal plumbing: schema, determinism, batched decode") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(20))
     val feats = Multimodal.extractFeatures(spark, media)

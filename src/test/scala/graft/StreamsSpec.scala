@@ -49,6 +49,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.dedupStream(
+        mem.toDF().toDF("doc_id", "ts", "value"), Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0), (2L, ts(0), 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(2), 4.0), (3L, ts(2), 5.0)) // 1 is a dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("upsertSink merges each micro-batch into a keyed table") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
