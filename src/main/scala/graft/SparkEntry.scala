@@ -580,6 +580,22 @@ object SparkEntry {
         paymentDate = java.time.LocalDate.of(2024, 1, 31))
     }),
 
+    // ---- search-page summary staging: list[list[dict]] payload →
+    // from_json(array<array<struct>>) → posexplode + explode → grouped
+    // counts (naver main search summary shape). ----
+    "q56_search_summary" -> ((s, d) => {
+      val payload = concat(
+        lit("[[{\"section\":\"shop\",\"subject\":\"s"), pmod(col("o_orderkey"), lit(3)),
+        lit("\"},{\"section\":\"shop\",\"subject\":\"s"), pmod(col("o_custkey"), lit(2)),
+        lit("\"}],[{\"section\":\"cafe\",\"subject\":\"c"), pmod(col("o_orderkey"), lit(2)),
+        lit("\"}]]"))
+      graft.staging.NaverSearch.stageSummary(
+        Tables.orders(s, d).select(
+          concat(lit("q"), pmod(col("o_custkey"), lit(50))).as("q"),
+          payload.as("p")),
+        col("q"), col("p"))
+    }),
+
     // ---- relation ranges: gap-islands over ids → "lo-hi" strings →
     // ordered list rebuild (reference relation__ad_id_to_ranged_sbn_ids
     // .sql:58-66 — exercises format_string + array_join + islands) ----
@@ -1226,6 +1242,22 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q56_search_summary" ->
+      """WITH base AS (
+        |  SELECT 'q' || CAST(o_custkey % 50 AS VARCHAR) AS query,
+        |    o_orderkey % 3 AS s1, o_custkey % 2 AS s2, o_orderkey % 2 AS c1
+        |  FROM orders),
+        |items AS (
+        |  SELECT query, 0 AS seq, 'shop' AS section,
+        |    's' || CAST(s1 AS VARCHAR) AS subject FROM base
+        |  UNION ALL
+        |  SELECT query, 0, 'shop', 's' || CAST(s2 AS VARCHAR) FROM base
+        |  UNION ALL
+        |  SELECT query, 1, 'cafe', 'c' || CAST(c1 AS VARCHAR) FROM base)
+        |SELECT query, CAST(seq AS BIGINT) AS seq, section, subject,
+        |  COUNT(*) AS item_count
+        |FROM items GROUP BY query, seq, section, subject""".stripMargin,
 
     "q55_hcenter_sales" ->
       """WITH items AS (
