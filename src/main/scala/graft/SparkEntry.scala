@@ -333,6 +333,12 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- dedup: simhash-banded near-dup retrieval (hamming <= 3) ----
+    "q57_simhash_neardup" -> ((s, d) => {
+      Dedup.simHashNearDupPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), fam = Dedup.CrossEngineHash)
+    }),
+
     // ---- text: language-ID heuristic, confusion matrix vs labels ----
     "q30_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -787,9 +793,29 @@ object SparkEntry {
        |WHERE ROUND($cos, 4) >= 0.45""".stripMargin
   }
 
+  /** SimHash banded near-dup in DuckDB: the q29 signature pipeline as a
+    * CTE, 16-bit slice banding, pigeonhole candidate join, exact hamming
+    * (`bit_count(xor(...))`) verify. Mirrors `Dedup.simHashNearDupPairs`.
+    */
+  private def q57Oracle: String = {
+    val sigSql = q29Oracle.replace("\n", "\n  ")
+    s"""WITH sig AS (
+       |  $sigSql),
+       |bd AS (
+       |  SELECT id, simhash, band, (simhash >> (band * 16)) & 65535 AS slice
+       |  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM bd a JOIN bd b
+       |  ON a.band = b.band AND a.slice = b.slice AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q28_minhash_lsh" -> q28Oracle,
     "q29_simhash" -> q29Oracle,
+    "q57_simhash_neardup" -> q57Oracle,
     "q35_ann_lsh" -> q35Oracle,
     "q40_embedding_neardup" -> q40Oracle,
 

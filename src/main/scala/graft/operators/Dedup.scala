@@ -227,4 +227,36 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup retrieval (the Manku et al. WWW'07 design): pairs of
+    * docs whose 64-bit simhashes differ in at most `maxHamming` bits.
+    * Candidates come from banding the signature into `bands` equal bit
+    * slices — by pigeonhole, any pair with hamming distance < `bands`
+    * matches exactly on at least one slice, so the (band, slice) equi-join
+    * has NO false negatives for maxHamming < bands; exact hamming filters
+    * the candidates. One shuffle on the slice values, no cross join —
+    * the same scale shape as `minHashLshPairs` with a 64-bit signature
+    * instead of a k-value sketch.
+    */
+  def simHashNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
+                          n: Int = 2, maxHamming: Int = 3, bands: Int = 4,
+                          fam: HashFamily = XxHash): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = simHash(df, idCol, textCol, n, fam)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "slice")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

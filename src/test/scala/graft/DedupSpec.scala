@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, "verified LSH pairs must be a subset of exact pairs")
   }
 
+  test("simHashNearDupPairs retrieves identical/near docs, no cross join") {
+    val pairs = Dedup.simHashNearDupPairs(docs, col("doc_id"), col("text"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "identical docs (hamming 0) must pair")
+    assert(got.contains((1L, 5L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "banded join must be equi")
+  }
+
   test("simhash: identical docs share signature, near dups are close") {
     val sig = Dedup.simHash(docs, col("doc_id"), col("text"), n = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
