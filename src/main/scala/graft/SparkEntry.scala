@@ -333,6 +333,17 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- J6/W5 in the DAG: per-part IQR outlier days over daily stock ----
+    "q58_stock_outliers" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_outliers", s)
+    }),
+
+    // ---- corpus cleaning: quality gate → exact dedup of survivors ----
+    "q59_corpus_clean" -> ((s, d) => {
+      TextAnalysis.cleanCorpus(Tables.documents(s, d),
+        col("doc_id"), col("text"))
+    }),
+
     // ---- dedup: simhash-banded near-dup retrieval (hamming <= 3) ----
     "q57_simhash_neardup" -> ((s, d) => {
       Dedup.simHashNearDupPairs(Tables.documents(s, d),
@@ -1268,6 +1279,39 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q58_stock_outliers" ->
+      """WITH daily AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS ymd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT l_partkey,
+        |    ROUND(q1 - (q3 - q1) * 1.5, 4) AS lo,
+        |    ROUND(q3 + (q3 - q1) * 1.5, 4) AS hi
+        |  FROM (
+        |    SELECT l_partkey,
+        |      PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY CAST(day_qty AS DOUBLE)) AS q1,
+        |      PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY CAST(day_qty AS DOUBLE)) AS q3
+        |    FROM daily GROUP BY l_partkey) t)
+        |SELECT d.l_partkey, d.ymd, CAST(d.day_qty AS DOUBLE) AS day_qty, lo, hi
+        |FROM daily d JOIN stats s ON d.l_partkey = s.l_partkey
+        |WHERE CAST(d.day_qty AS DOUBLE) < lo OR CAST(d.day_qty AS DOUBLE) > hi""".stripMargin,
+
+    "q59_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, md5(txt) AS digest,
+        |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(length(txt) - length(regexp_replace(txt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(length(txt), 1), 4) AS punct_ratio
+        |  FROM t),
+        |p AS (SELECT * FROM x WHERE n_tokens >= 5 AND punct_ratio <= 0.3),
+        |k AS (SELECT digest, MIN(doc_id) AS doc_id FROM p GROUP BY digest)
+        |SELECT p.doc_id, p.digest, p.n_tokens, p.punct_ratio
+        |FROM p JOIN k ON p.digest = k.digest AND p.doc_id = k.doc_id""".stripMargin,
 
     "q56_search_summary" ->
       """WITH base AS (

@@ -113,6 +113,24 @@ object Analytics {
         .withColumn("dod", (col("next_qty") - col("day_qty")).cast("decimal(38,2)"))
     }))
 
+    // J6/W5 inside the DAG (reference: naver_shp__stock_sales.sql:123-155 —
+    // per-key IQR bounds from grouped quartiles, broadcast-joined back to
+    // flag outlier days)
+    r.register(Model("stock_outliers", Seq("sold_qty_daily"), View, ctx => {
+      val d = ctx.ref("sold_qty_daily")
+      val stats = d.groupBy(col("l_partkey")).agg(
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(day_qty AS DOUBLE))").as("q1"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(day_qty AS DOUBLE))").as("q3"))
+        .select(col("l_partkey"),
+          round(col("q1") - (col("q3") - col("q1")) * 1.5, 4).as("lo"),
+          round(col("q3") + (col("q3") - col("q1")) * 1.5, 4).as("hi"))
+      d.join(broadcast(stats), Seq("l_partkey"))
+        .filter(col("day_qty").cast("double") < col("lo") ||
+          col("day_qty").cast("double") > col("hi"))
+        .select(col("l_partkey"), col("ymd"),
+          col("day_qty").cast("double").as("day_qty"), col("lo"), col("hi"))
+    }))
+
     // A8 inside the DAG (reference: dbt_bigquery/models/intermediate/sales/
     // smartstore__sales_daily.sql:171-217,335-371 — the order-level paid
     // amount split across items proportionally to item price, remainder

@@ -86,4 +86,26 @@ object TextAnalysis {
   /** Document fingerprint: md5 of normalized text — the exact-dup signature.
     * (Rolling-hash content-defined chunk fingerprints are in Dedup.) */
   def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** End-to-end corpus cleaning — the standard pre-training filter chain
+    * composed from this module + Dedup's exact signature:
+    * quality gate (min tokens, max punctuation ratio) → exact dedup over
+    * the SURVIVING docs (the group winner is the smallest passing id).
+    * Returns kept docs with their quality stats. Two shuffles total
+    * (digest groupBy + keeper join); at 100 TB both keys are
+    * well-distributed hashes.
+    */
+  def cleanCorpus(df: DataFrame, idCol: Column, textCol: Column,
+                  minTokens: Long = 5, maxPunctRatio: Double = 0.3)
+      : DataFrame = {
+    val q = qualityColumns(textCol)
+    val scored = df.select(idCol.as("doc_id"),
+      q(1).cast("long").as("n_tokens"), q(2).as("punct_ratio"),
+      fingerprint(textCol).as("digest"))
+    val passed = scored.filter(
+      col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+    val keepers = passed.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+    passed.join(keepers, Seq("digest", "doc_id"))
+      .select(col("doc_id"), col("digest"), col("n_tokens"), col("punct_ratio"))
+  }
 }
