@@ -240,12 +240,17 @@ object Dedup {
     */
   def simHashNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
                           n: Int = 2, maxHamming: Int = 3, bands: Int = 4,
-                          fam: HashFamily = XxHash): DataFrame = {
+                          fam: HashFamily = XxHash,
+                          materialize: Boolean = true): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
     val bandBits = 64 / bands
     val mask = (1L << bandBits) - 1
-    val sigs = simHash(df, idCol, textCol, n, fam)
+    // both sides of the banded self-join consume the signature table —
+    // materialize it once or the full shingle+hash+bit-sum pipeline runs
+    // twice (same tradeoff knob as ngramJaccardPairs)
+    val sigs0 = simHash(df, idCol, textCol, n, fam)
+    val sigs = if (materialize) sigs0.persist() else sigs0
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
