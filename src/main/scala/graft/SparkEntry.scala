@@ -333,6 +333,20 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- as-of join: purchase events matched to the latest prior-or-equal
+    // pageview per user. Spark has no ASOF JOIN; Joins.asOfJoin is the
+    // union+window scale rewrite, verified against DuckDB's NATIVE
+    // ASOF LEFT JOIN. ----
+    "q60_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val pageviews = e.filter(col("event_type") === "pageview")
+        .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+      Joins.asOfJoin(purchases, pageviews, Seq("user_id"), "ts", "ts",
+        Seq("ref_value"))
+    }),
+
     // ---- J6/W5 in the DAG: per-part IQR outlier days over daily stock ----
     "q58_stock_outliers" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("stock_outliers", s)
@@ -1279,6 +1293,20 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q60_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |r0 AS (
+        |  SELECT user_id, ts, value AS ref_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |      ORDER BY value DESC) AS rn
+        |  FROM events WHERE event_type = 'pageview'),
+        |r AS (SELECT user_id, ts, ref_value FROM r0 WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.ref_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q58_stock_outliers" ->
       """WITH daily AS (

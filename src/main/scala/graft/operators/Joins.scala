@@ -67,6 +67,55 @@ object Joins {
     df.withColumn(outHi, coalesce(lead(loCol, 1).over(w) - 1, lit(openEnd)))
   }
 
+  /** As-of join: for each left row, the single right row with the same key
+    * and the greatest `rightTs <= leftTs` (inclusive — standard ASOF
+    * semantics). Spark has no native ASOF JOIN and the range-join
+    * formulation is quadratic per key; this is the scale rewrite: tag and
+    * UNION both sides, one window sort per key carries the latest right row
+    * forward (right rows sort before left rows at equal ts, giving the
+    * inclusive bound), then keep left rows. One shuffle + one sort at any
+    * size. The right side is pre-deduped to one row per (keys, ts) —
+    * deterministically, largest value-struct wins — since ASOF is ambiguous
+    * under duplicate timestamps. The carried row is one struct, so right
+    * columns stay atomic (no per-column carry mixing rows).
+    *
+    * Output: all left columns ++ `asofTsOut` (matched right ts, null when
+    * no right row precedes) ++ `rightValues`. `rightValues` must not
+    * collide with left column names.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightValues: Seq[String],
+               asofTsOut: String = "asof_ts"): DataFrame = {
+    require(rightValues.intersect(left.columns.toSeq).isEmpty,
+      s"right value columns ${rightValues.mkString(",")} collide with left")
+    val rDeduped = graft.functions.F.qualifyTopN(
+      right.select((keys :+ rightTs).map(col) ++ rightValues.map(col): _*),
+      (keys :+ rightTs).map(col),
+      rightValues.map(col(_).desc))
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rPayload = struct(col(rightTs).as(asofTsOut) +: rightValues.map(col): _*)
+    val rPayloadType = StructType(
+      StructField(asofTsOut, right.schema(rightTs).dataType) +:
+        rightValues.map(c => right.schema(c)))
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lStructType = StructType(left.schema.fields)
+    val lTagged = left.select(
+      keys.map(col) :+ col(leftTs).as("__ts") :+ lit(0).as("__isR") :+
+        lStruct.as("__l") :+ lit(null).cast(rPayloadType).as("__r"): _*)
+    val rTagged = rDeduped.select(
+      keys.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__isR") :+
+        lit(null).cast(lStructType).as("__l") :+ rPayload.as("__r"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isR") === 0)
+      .select(left.columns.map(c => col(s"__l.$c")) ++
+        (col(s"__m.$asofTsOut").as(asofTsOut) +:
+          rightValues.map(c => col(s"__m.$c").as(c))): _*)
+  }
+
   /** Skew-safe two-phase aggregation: partial-aggregate on (key, salt) —
     * spreading a hot key over `buckets` reducers — then final-aggregate on
     * the key. `partials` must be decomposable aggregates expressed over the

@@ -94,6 +94,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).getString(2) == "a b")
   }
 
+  test("asOfJoin: inclusive latest-prior match, null when none, dup-ts dedup") {
+    import graft.operators.Joins
+    val left = Seq((1L, 5L, "p1"), (1L, 10L, "p2"), (2L, 3L, "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 4L, 100.0), (1L, 10L, 200.0), (1L, 10L, 300.0),
+      (2L, 7L, 400.0)).toDF("k", "ts", "ref")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("ref"))
+      .orderBy("k", "ts").collect()
+    assert(out(0).getString(2) == "p1" && out(0).getDouble(4) == 100.0)
+    // inclusive at equal ts; dup right rows at ts=10 dedup to largest ref
+    assert(out(1).getString(2) == "p2" && out(1).getDouble(4) == 300.0)
+    assert(out(1).getLong(3) == 10L)   // asof_ts = matched right ts
+    // k=2: right row is at ts=7 > left ts=3 → no match
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("langIdPredict picks marker language deterministically") {
     val df = Seq("the cat and the dog is here", "der hund und die katze ist von zu",
       "xyzzy qwerty").toDF("t")
