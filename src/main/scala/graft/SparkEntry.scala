@@ -396,6 +396,19 @@ object SparkEntry {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // ---- text: top-3 TF-IDF terms per document ----
+    "q61_tfidf" -> ((s, d) => {
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d),
+        col("doc_id"), col("text"))
+    }),
+
+    // ---- text: order-sensitive rolling polynomial fingerprint ----
+    "q62_rolling_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintRolling(col("text")).as("rfp"))
+    }),
+
     // ---- similarity: exact brute-force cosine top-k ----
     "q34_ann_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1293,6 +1306,33 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q61_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    UNNEST(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, tf.term AS term, CAST(tf AS BIGINT) AS tf,
+        |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rn FROM s) x
+        |WHERE rn <= 3""".stripMargin,
+
+    "q62_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rfp
+        |FROM documents""".stripMargin,
 
     "q60_asof_join" ->
       """WITH l AS (

@@ -83,9 +83,53 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
-  /** Document fingerprint: md5 of normalized text — the exact-dup signature.
-    * (Rolling-hash content-defined chunk fingerprints are in Dedup.) */
+  /** Document fingerprint: md5 of normalized text — the exact-dup signature. */
   def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * `acc = (acc * 31 + hash64(token)) mod 2^31-1`, folded left to right —
+    * ORDER-SENSITIVE, unlike the set-based md5 fingerprint, so token
+    * transpositions produce different prints (the Rabin-Karp shape used for
+    * content-defined signatures). Pure codegen'd higher-order functions, no
+    * shuffle; every step is < 2^36 so no overflow in any engine, and the
+    * per-token hash is the cross-engine md5-derived one — the whole print
+    * replays in an external SQL oracle.
+    */
+  def fingerprintRolling(c: Column): Column = {
+    val P = 2147483647L
+    val hashed = transform(split(normText(c), " "),
+      t => pmod(graft.functions.F.hash64(t), lit(P)))
+    aggregate(hashed, lit(0L), (acc, h) => pmod(acc * 31 + h, lit(P)))
+  }
+
+  /** Top-k TF-IDF terms per document: term frequency per doc, document
+    * frequency per term (one row per (doc, term) already, so df is a plain
+    * count), corpus size via a broadcast single-row aggregate (no driver
+    * collect — the q05 scalar-subquery shape), `tf * ln(N/df)` rounded for
+    * cross-engine determinism, ranked per doc with a term tiebreak.
+    * Shuffles: token groupBy, term groupBy, rank window — all on
+    * well-distributed keys.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: Column, textCol: Column,
+                    k: Int = 3): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      explode(split(normText(textCol), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(idCol.as("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("tfidf"), col("rank").cast("long").as("rank"))
+  }
 
   /** End-to-end corpus cleaning — the standard pre-training filter chain
     * composed from this module + Dedup's exact signature:
