@@ -396,6 +396,27 @@ object SparkEntry {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // ---- similarity: IVF inverted-file ANN (data-adaptive scale path,
+    // complements the LSH path) ----
+    "q63_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Similarity.ivfTopK(e, col("vec_id"), col("vec"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- training split: deterministic cross-engine hash bucketing ----
+    "q64_train_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          F.hashSplit(col("doc_id"),
+            Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
     // ---- text: top-3 TF-IDF terms per document ----
     "q61_tfidf" -> ((s, d) => {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d),
@@ -1306,6 +1327,46 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q63_ann_ivf" -> {
+      val cos = (a: String, b: String) =>
+        s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0
+           |      OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+           |    ELSE list_dot_product($a, $b)
+           |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+           |    END""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+         |asg AS (
+         |  SELECT e.id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.id
+         |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |lists AS (SELECT id, cid FROM asg WHERE rn = 1),
+         |probes AS (SELECT id AS query_id, cid FROM asg WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, l.id AS corpus_id
+         |  FROM probes p JOIN lists l ON p.cid = l.cid
+         |  WHERE p.query_id <> l.id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.corpus_id, ${cos("a.v", "b.v")} AS cos
+         |  FROM cand cd JOIN e a ON a.id = cd.query_id
+         |               JOIN e b ON b.id = cd.corpus_id)
+         |SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
+         |WHERE rn <= 5""".stripMargin
+    },
+
+    "q64_train_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |  ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q61_tfidf" ->
       """WITH t AS (

@@ -147,6 +147,21 @@ object F {
   def hash64Str(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
 
+  /** Deterministic dataset split for training pipelines: each row lands in a
+    * named bucket by the cross-engine hash of its id — stable across runs,
+    * engines, partitioning, and cluster layout (a `rand()`-based split is
+    * none of those). `fractions` are integer percents summing to 100.
+    */
+  def hashSplit(idCol: Column, fractions: Seq[(String, Int)]): Column = {
+    require(fractions.map(_._2).sum == 100,
+      s"fractions must sum to 100, got ${fractions.map(_._2).sum}")
+    val b = pmod(hash64(idCol), lit(100))
+    fractions.tail.foldLeft(
+      (when(b < fractions.head._2, fractions.head._1), fractions.head._2)) {
+      case ((c, acc), (name, pct)) => (c.when(b < acc + pct, name), acc + pct)
+    }._1
+  }
+
   /** W2 at scale — global ROW_NUMBER without the single-partition window:
     * range-repartition on the order keys (a total order across partitions,
     * since `order` must end in a unique tiebreaker), ROW_NUMBER within each

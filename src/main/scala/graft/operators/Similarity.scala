@@ -192,6 +192,55 @@ object Similarity {
       .withColumn("cos", round(col("cos"), 4))
   }
 
+  /** IVF-style ANN: an inverted-file index over `nCentroids` centroids.
+    * Centroids are the corpus vectors with the smallest ids — deterministic
+    * and data-adaptive (a k-means refinement would slot in here without
+    * changing the query shape). Every corpus vector is assigned to its
+    * nearest centroid (the inverted list); each query probes its `nProbe`
+    * nearest centroids and re-ranks EXACTLY within those lists only.
+    *
+    * Scale shape: assignment is corpus × broadcast(nCentroids rows) — a
+    * bounded broadcast nested loop that IS the IVF algorithm's n·k distance
+    * computations (compute, not shuffle); list membership and candidate
+    * generation are hash joins on centroid id; the exact re-rank touches
+    * only probed-list vectors. Complements `lshTopK`: IVF adapts to data
+    * distribution, LSH needs no training pass.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val cents = broadcast(base.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec")))
+    def nearest(src: DataFrame, outId: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__sim").desc, col("cid"))
+      src.crossJoin(cents)
+        .withColumn("__sim", cosine(col("vec"), col("cvec")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .select(col(outId), col("cid"))
+    }
+    val lists = nearest(base.select(col("id"), col("vec")), "id", 1)
+    val probes = nearest(
+      base.select(col("id").as("query_id"), col("vec"))
+        .withColumnRenamed("query_id", "id"), "id", nProbe)
+      .withColumnRenamed("id", "query_id")
+    val cand = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("corpus_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cand
+      .join(base.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("vec").as("cvec")), "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
   /** `lshTopK` with band width scaled to the measured corpus size (one
     * count job — metadata-scale — against a quadratic within-bucket blowup
     * at fixed width). The declared benchmark query pins `bits` instead so
