@@ -352,6 +352,11 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("stock_outliers", s)
     }),
 
+    // ---- corpus DAG chain: cleaned corpus → per-language token stats ----
+    "q65_corpus_lang_stats" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("corpus_lang_stats", s)
+    }),
+
     // ---- corpus cleaning: quality gate → exact dedup of survivors ----
     "q59_corpus_clean" -> ((s, d) => {
       TextAnalysis.cleanCorpus(Tables.documents(s, d),
@@ -1426,6 +1431,25 @@ object SparkEntry {
         |SELECT d.l_partkey, d.ymd, CAST(d.day_qty AS DOUBLE) AS day_qty, lo, hi
         |FROM daily d JOIN stats s ON d.l_partkey = s.l_partkey
         |WHERE CAST(d.day_qty AS DOUBLE) < lo OR CAST(d.day_qty AS DOUBLE) > hi""".stripMargin,
+
+    "q65_corpus_lang_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, md5(txt) AS digest,
+        |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(length(txt) - length(regexp_replace(txt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(length(txt), 1), 4) AS punct_ratio
+        |  FROM t),
+        |p AS (SELECT * FROM x WHERE n_tokens >= 5 AND punct_ratio <= 0.3),
+        |k AS (SELECT digest, MIN(doc_id) AS doc_id FROM p GROUP BY digest),
+        |kept AS (SELECT p.doc_id, p.n_tokens FROM p
+        |         JOIN k ON p.digest = k.digest AND p.doc_id = k.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM kept JOIN documents USING (doc_id)
+        |GROUP BY lang""".stripMargin,
 
     "q59_corpus_clean" ->
       """WITH t AS (

@@ -176,6 +176,23 @@ object Analytics {
         .agg(sum(col("alloc")).as("alloc_total"), count(lit(1)).as("n_slots"))
     }))
 
+    // training-data corpus chain: the text-pipeline operators as DAG
+    // citizens — cleaning model feeding a per-language stats mart
+    r.register(Model("corpus_clean", Nil, View, ctx => {
+      graft.operators.TextAnalysis.cleanCorpus(
+        Tables.documents(ctx.session, sfDir),
+        col("doc_id"), col("text"))
+    }))
+
+    r.register(Model("corpus_lang_stats", Seq("corpus_clean"), View, ctx => {
+      ctx.ref("corpus_clean").select("doc_id", "n_tokens")
+        .join(Tables.documents(ctx.session, sfDir).select("doc_id", "lang"),
+          "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }))
+
     r
   }
 }
