@@ -84,6 +84,30 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key within a trailing window (`right.ts ∈ [left.ts - within,
+    * left.ts]`) — e.g. purchases attributed to the pageview that preceded
+    * them. Both sides carry watermarks so the engine bounds join state: a
+    * buffered right row is dropped once the left watermark passes its ts +
+    * `within` (the interval condition gives Spark the state-eviction bound;
+    * an unconstrained stream-stream join would buffer forever).
+    * Column names are prefixed `l_`/`r_` since both sides share a schema.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String = "ts", within: String = "1 hour",
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(key).as(s"l_$key"), col(tsCol).as("l_ts"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("l_row"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(key).as(s"r_$key"), col(tsCol).as("r_ts"),
+        struct(right.columns.map(col).toIndexedSeq: _*).as("r_row"))
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+      col("r_ts") <= col("l_ts"))
+  }
+
   /** Streaming exact dedup: drop duplicate keys across micro-batches with
     * state bounded by the event-time watermark — the streaming form of
     * `Dedup.exact` for a document/event feed (a key seen twice within the

@@ -49,6 +49,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin matches right rows in the trailing window") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.streamIntervalJoin(
+        lMem.toDF().toDF("user_id", "ts", "tag"),
+        rMem.toDF().toDF("user_id", "ts", "tag"),
+        "user_id", within = "30 minutes", watermark = "10 minutes")
+      .select(col("l_row.tag").as("l_tag"), col("r_row.tag").as("r_tag"))
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rMem.addData((1L, ts(0), "pv_early"), (1L, ts(50), "pv_late"), (2L, ts(0), "pv_other"))
+      lMem.addData((1L, ts(20), "buy"))
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // pv_early (ts 0) is within [ -10, 20 ] of buy; pv_late (50) is after;
+      // pv_other is another user
+      assert(rows == Set(("buy", "pv_early")))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
