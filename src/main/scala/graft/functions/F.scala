@@ -147,6 +147,22 @@ object F {
   def hash64Str(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
 
+  /** Align a frame to a target schema before a keyed write — the implicit
+    * contract of every reference `bulk_insert` (staged columns must line up
+    * with the declared table): missing columns materialize as typed nulls,
+    * extra columns are dropped, order follows the target, and present
+    * columns are cast (CAST, not TRY_CAST — a type mismatch at the load
+    * boundary should fail loudly; TRY_CAST belongs in staging projections).
+    */
+  def alignSchema(df: DataFrame,
+                  target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Deterministic dataset split for training pipelines: each row lands in a
     * named bucket by the cross-engine hash of its id — stable across runs,
     * engines, partitioning, and cluster layout (a `rand()`-based split is

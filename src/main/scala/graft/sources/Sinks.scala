@@ -64,9 +64,10 @@ object Sinks {
     */
   def upsertParquet(spark: SparkSession, tablePath: String, source: DataFrame,
                     keys: Seq[String],
-                    strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty)
-      : Unit = {
+                    strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
+                    keepGenerations: Int = 3): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")
@@ -77,12 +78,29 @@ object Sinks {
         graft.operators.MergeOps.upsert(target, source, keys, strategies)
       case None => source.dropDuplicates(keys)
     }
-    val nextGen = s"gen-${current.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)}"
+    val nextNum = current.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+    val nextGen = s"gen-$nextNum"
     merged.write.mode(SaveMode.Overwrite).parquet(root.resolve(nextGen).toString)
     val tmp = root.resolve("_CURRENT.tmp")
     Files.writeString(tmp, nextGen)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // bounded retention: generations older than the newest `keepGenerations`
+    // are vacuumed after the pointer swap. A reader that resolved the
+    // pointer BEFORE the swap must finish within keepGenerations-1 further
+    // upserts — the same grace-period contract a transactional format's
+    // VACUUM retention gives. Note: each generation is still a full table
+    // rewrite; at scale, partition-scoped merges (or a transactional
+    // format) replace this — the MERGE semantics and shuffle shape carry
+    // over unchanged.
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("gen-"))
+      .filter(p => p.getFileName.toString.stripPrefix("gen-").toLong
+        <= nextNum - keepGenerations)
+      .toSeq
+      .foreach { p =>
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
   }
 
   /** S8 — catalog CTAS (reference: common/load.py:522-585 `create_table` —

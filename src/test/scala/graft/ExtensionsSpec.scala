@@ -41,6 +41,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(native.toSeq == Seq(11.0, -1.0))
   }
 
+  test("alignSchema adds typed nulls, drops extras, reorders, casts") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType)))
+    val src = Seq((1, "x", "junk")).toDF("k", "v", "extra")
+      .withColumn("v", lit("2.5"))
+    val out = graft.functions.F.alignSchema(src, target)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    val row = out.head()
+    assert(row.getLong(0) == 1L && row.getDouble(1) == 2.5 && row.isNullAt(2))
+  }
+
   test("aggMap builds named aggregates with null-ignoring first") {
     val df = Seq(("a", Option(1), Option.empty[Int]), ("a", Option(2), Option(9)),
       ("b", Option(5), Option(7))).toDF("k", "x", "y")

@@ -70,4 +70,16 @@ class ScaleOpsSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(files.contains("gen-0") && files.contains("gen-1") && files.contains("_CURRENT"))
   }
+
+  test("upsertParquet vacuums generations beyond the retention window") {
+    val dir = Files.createTempDirectory("graft_vac").toString
+    (0 to 4).foreach { i =>
+      val batch = Seq((i.toLong, s"v$i")).toDF("k", "name")
+      Sinks.upsertParquet(spark, dir, batch, Seq("k"), keepGenerations = 2)
+    }
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).sorted
+    assert(gens.toSeq == Seq("gen-3", "gen-4"), s"got ${gens.toSeq}")
+    assert(Sinks.readUpsertTable(spark, dir).count() == 5)
+  }
 }
