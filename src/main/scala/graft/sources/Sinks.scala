@@ -154,6 +154,37 @@ object Sinks {
       } finally cached.unpersist()
     }
 
+  /** S11 — export a frame as parquet / csv-with-header / JSON-lines
+    * (reference: common/load.py:463-518 — query → csv tuples / json dicts /
+    * parquet bytes). Distributed writes; a driver-side byte fetch is just
+    * a read of the written files.
+    */
+  def export(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    format match {
+      case "parquet" => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case "csv" => df.write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(path)
+      case "json" => df.write.mode(SaveMode.Overwrite).json(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported export format $other")
+    }
+
+  /** PK-constraint gate for strict sinks — the reference's dual-load
+    * rationale is that the STRICT sink rejects constraint violations before
+    * anything reaches the analytics sink (airflow/plugins/dual_load.py:
+    * 23-41, PG primary keys). Fails fast with sample duplicate keys; wire
+    * it into a `dualLoad` strict sink ahead of the write.
+    */
+  def assertUniqueKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val dups = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(5).collect()
+    if (dups.nonEmpty)
+      throw new IllegalStateException(
+        s"duplicate keys in strict sink input (first ${dups.length}): " +
+          dups.map(_.toString).mkString(", "))
+  }
+
   /** S10 — table copy with optional row limit (`copy_table`,
     * reference common/load.py:570-585; LIMIT 0 = schema-only clone). */
   def copyTable(df: DataFrame, path: String, columns: Seq[String] = Nil,

@@ -109,6 +109,31 @@ class SinksSpec extends SparkSpec {
     assert(!r.head.success && r.head.error.exists(_.contains("outside declared")))
   }
 
+  test("export writes parquet, csv with header, and json lines") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val base = Files.createTempDirectory("graft_exp2").toString
+    Sinks.export(df, s"$base/p")
+    Sinks.export(df, s"$base/c", "csv")
+    Sinks.export(df, s"$base/j", "json")
+    assert(spark.read.parquet(s"$base/p").count() == 2)
+    val csv = spark.read.option("header", "true").csv(s"$base/c")
+    assert(csv.columns.toSeq == Seq("k", "v") && csv.count() == 2)
+    assert(spark.read.json(s"$base/j").count() == 2)
+    intercept[IllegalArgumentException](Sinks.export(df, s"$base/x", "xml"))
+  }
+
+  test("assertUniqueKeys passes unique input, rejects duplicates with samples") {
+    val ok = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.assertUniqueKeys(ok, Seq("k"))
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val e = intercept[IllegalStateException](Sinks.assertUniqueKeys(dup, Seq("k")))
+    assert(e.getMessage.contains("duplicate keys"))
+    // dualLoad integration: strict sink failure skips the analytics sink
+    val res = Sinks.dualLoad(dup,
+      b => Sinks.assertUniqueKeys(b, Seq("k")), _ => ())
+    assert(!res.head.success && res(1).error.exists(_.contains("skipped")))
+  }
+
   test("multimodal plumbing: schema, determinism, batched decode") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(20))
     val feats = Multimodal.extractFeatures(spark, media)
