@@ -313,10 +313,12 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
     }),
 
-    // ---- dedup: n-gram Jaccard similarity pairs (exact, verification op) ----
+    // ---- dedup: n-gram Jaccard similarity pairs (PPJoin prefix filter,
+    // shingles pre-hashed to longs so every shuffle/set-op is fixed-width) ----
     "q27_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d),
-        col("doc_id"), col("text"), n = 3, threshold = 0.8)
+        col("doc_id"), col("text"), n = 3, threshold = 0.8,
+        hashShingles = Some(Dedup.CrossEngineHash))
     }),
 
     // ---- dedup: MinHash+LSH candidate pairs + exact verify (scale path).
@@ -1118,16 +1120,12 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q27_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
         |s AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-        |  FROM d)
+        |    list_distinct(list_transform(${dkShingles(3)},
+        |      s -> ${dkHash("s")})) AS sh
+        |  FROM t)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard

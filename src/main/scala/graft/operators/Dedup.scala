@@ -106,12 +106,24 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, threshold: Double = 0.8,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true,
+                        hashShingles: Option[HashFamily] = None): DataFrame = {
     // the shingle table feeds three consumers (prefix index + two verify
     // sides) — materialize it once instead of re-running the tokenize/
     // slice/concat pipeline per consumer. At data-lake scale prefer
     // materialize=false + an explicit checkpoint of the shingle table.
-    val sh0 = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    //
+    // hashShingles: map each shingle string to a 64-bit hash up front —
+    // every downstream shuffle, group, join, and set-intersect then works
+    // on fixed-width longs instead of variable-length strings (Jaccard is
+    // identical modulo negligible 60/64-bit collisions). With
+    // CrossEngineHash the hashed pipeline still replays in a SQL oracle.
+    val shRaw = array_distinct(shingles(textCol, n))
+    val shCol = hashShingles match {
+      case Some(fam) => array_distinct(transform(shRaw, s => fam.hash(s)))
+      case None => shRaw
+    }
+    val sh0 = df.select(idCol.as("id"), shCol.as("sh"))
     val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
