@@ -762,9 +762,9 @@ object SparkEntry {
     val jac = """ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
                 |    / len(list_distinct(list_concat(da.sh, db.sh))), 4)""".stripMargin
     s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
-       |d AS (SELECT id, ${dkShingles(3)} AS sh FROM t),
-       |ex AS (SELECT id, UNNEST(sh) AS s FROM d),
-       |hb AS (SELECT id, ${dkHash("s")} AS hb FROM ex),
+       |d AS (SELECT id, list_distinct(list_transform(${dkShingles(3)},
+       |    s -> ${dkHash("s")})) AS sh FROM t),
+       |hb AS (SELECT id, UNNEST(sh) AS hb FROM d),
        |sig AS (SELECT id,
        |    $sigCols
        |  FROM hb GROUP BY id),

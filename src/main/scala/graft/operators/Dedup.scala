@@ -155,25 +155,31 @@ object Dedup {
     * one groupBy) so the shingle pipeline runs once — not re-evaluated per
     * hash function as a naive array<->transform expression would.
     */
+  /** Shingle sets pre-hashed to 64-bit base values: each shingle string is
+    * hashed ONCE here; everything downstream — minhash seeds, LSH buckets,
+    * exact-Jaccard verify — operates on fixed-width longs.
+    */
+  private def hashedShingles(textCol: Column, n: Int, fam: HashFamily): Column =
+    array_distinct(transform(array_distinct(shingles(textCol, n)),
+      s => fam.base(s)))
+
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, k: Int = 32,
                         fam: HashFamily = XxHash): DataFrame = {
     val ex = df.select(idCol.as("id"),
-      explode(array_distinct(shingles(textCol, n))).as("s"))
+      explode(hashedShingles(textCol, n, fam)).as("s"))
     ex.groupBy(col("id"))
       .agg(minHashAggs(k, fam).head, minHashAggs(k, fam).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
   }
 
-  /** k min-hash aggregate columns over a shingle column named `s`: the
-    * variable-length string is hashed ONCE (`fam.base`); the k independent
-    * hash functions then re-hash that small base value with a seed — far
-    * cheaper than re-hashing the full string per function, same uniformity.
+  /** k min-hash aggregate columns over a PRE-HASHED shingle column named
+    * `s`: the k independent hash functions re-hash the small base value
+    * with a seed — far cheaper than re-hashing the full string per
+    * function, same uniformity.
     */
-  private def minHashAggs(k: Int, fam: HashFamily): Seq[Column] = {
-    val base = fam.base(col("s"))
-    (0 until k).map(seed => min(fam.seeded(base, seed)).as(s"h$seed"))
-  }
+  private def minHashAggs(k: Int, fam: HashFamily): Seq[Column] =
+    (0 until k).map(seed => min(fam.seeded(col("s"), seed)).as(s"h$seed"))
 
   /** MinHash LSH candidate pairs: split the k-signature into `bands` bands of
     * k/bands rows, bucket docs by (band index, hash of band slice), emit
@@ -187,9 +193,11 @@ object Dedup {
                       materialize: Boolean = true,
                       fam: HashFamily = XxHash): DataFrame = {
     val rows = k / bands
-    // one shingle table shared by the signature explode and both verify
-    // joins (see ngramJaccardPairs on the materialize tradeoff)
-    val sh0 = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    // one PRE-HASHED shingle table (fixed-width longs) shared by the
+    // signature explode and both verify joins (see ngramJaccardPairs on
+    // the materialize tradeoff); Jaccard over hashed sets is identical
+    // modulo negligible 64-bit collisions
+    val sh0 = df.select(idCol.as("id"), hashedShingles(textCol, n, fam).as("sh"))
     val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val sigs = ex.groupBy(col("id"))
