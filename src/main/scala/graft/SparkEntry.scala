@@ -335,6 +335,27 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- big-big range join: q38's temporal semantics through the grid-
+    // bucketed equi-join (no broadcast requirement on either side) ----
+    "q66_bucketed_range_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("ymd"),
+        dec2(col("o_totalprice")).as("total"))
+      val rel = o.select(date_trunc("quarter", col("ymd")).cast("date").as("q_start"))
+        .distinct()
+        .withColumn("q_end", date_sub(add_months(col("q_start"), 3), 1))
+        .withColumn("q_label", concat(year(col("q_start")).cast("string"),
+          lit("-Q"), quarter(col("q_start")).cast("string")))
+      Joins.bucketedRangeJoin(
+          o.withColumn("__d", unix_date(col("ymd"))), col("__d"),
+          rel.withColumn("__lo", unix_date(col("q_start")))
+            .withColumn("__hi", unix_date(col("q_end"))),
+          col("__lo"), col("__hi"), bucketWidth = 30)
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total")).cast("double").as("total"))
+    }),
+
     // ---- as-of join: purchase events matched to the latest prior-or-equal
     // pageview per user. Spark has no ASOF JOIN; Joins.asOfJoin is the
     // union+window scale rewrite, verified against DuckDB's NATIVE
@@ -1397,6 +1418,22 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rfp
         |FROM documents""".stripMargin,
+
+    "q66_bucketed_range_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ymd,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total FROM orders),
+        |rel AS (SELECT DISTINCT CAST(date_trunc('quarter', ymd) AS DATE) AS q_start FROM o),
+        |rel2 AS (
+        |  SELECT q_start,
+        |    CAST(q_start + INTERVAL 3 MONTH AS DATE) - 1 AS q_end,
+        |    concat(CAST(EXTRACT(year FROM q_start) AS VARCHAR), '-Q',
+        |           CAST(EXTRACT(quarter FROM q_start) AS VARCHAR)) AS q_label
+        |  FROM rel)
+        |SELECT q_label, COUNT(*) AS n_orders,
+        |  CAST(SUM(total) AS DOUBLE) AS total
+        |FROM o JOIN rel2 ON o.ymd BETWEEN q_start AND q_end
+        |GROUP BY q_label""".stripMargin,
 
     "q60_asof_join" ->
       """WITH l AS (

@@ -67,6 +67,30 @@ object Joins {
     df.withColumn(outHi, coalesce(lead(loCol, 1).over(w) - 1, lit(openEnd)))
   }
 
+  /** Big-big range join: `fact.v BETWEEN ranges.lo AND ranges.hi` where
+    * NEITHER side fits in a broadcast (temporalJoin/bandJoin require one).
+    * Both sides quantize onto a fixed-width grid: each range row replicates
+    * to every grid bucket it overlaps (cost = range-length / bucketWidth
+    * rows), each fact row maps to its single bucket, and the join becomes a
+    * hash EQUI-join on the bucket id plus the exact range predicate. A fact
+    * can only meet a matching range in the fact's own bucket, so no
+    * post-join dedup is needed. No broadcast, no nested loop — one shuffle
+    * on a well-distributed grid key; pick `bucketWidth` near the typical
+    * range length so replication stays O(1) per range.
+    *
+    * Columns must be numeric in shared units (dates → `unix_date` days).
+    */
+  def bucketedRangeJoin(fact: DataFrame, factVal: Column,
+                        ranges: DataFrame, lo: Column, hi: Column,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val f = fact.withColumn("__bucket", floor(factVal / bucketWidth))
+    val r = ranges.withColumn("__bucket",
+      explode(sequence(floor(lo / bucketWidth), floor(hi / bucketWidth))))
+    f.join(r, f("__bucket") === r("__bucket") && factVal.between(lo, hi))
+      .drop("__bucket")
+  }
+
   /** As-of join: for each left row, the single right row with the same key
     * and the greatest `rightTs <= leftTs` (inclusive — standard ASOF
     * semantics). Spark has no native ASOF JOIN and the range-join

@@ -94,6 +94,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).getString(2) == "a b")
   }
 
+  test("bucketedRangeJoin equals naive range join; equi-join plan") {
+    import graft.operators.Joins
+    val fact = (1L to 200L).map(v => (v, s"f$v")).toDF("v", "tag")
+    // ranges of assorted widths incl. multi-bucket spans and bucket-edge hits
+    val ranges = Seq((0L, 9L, "a"), (10L, 45L, "b"), (40L, 40L, "c"),
+      (100L, 300L, "d"), (150L, 155L, "e")).toDF("lo", "hi", "name")
+    val naive = fact.join(ranges, col("v").between(col("lo"), col("hi")))
+      .select("v", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bucketed = Joins.bucketedRangeJoin(fact, col("v"), ranges,
+        col("lo"), col("hi"), bucketWidth = 16)
+      .select("v", "name").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(bucketed.toSet == naive)
+    assert(bucketed.length == naive.size, "no duplicate matches")
+    val plan = Joins.bucketedRangeJoin(fact, col("v"), ranges,
+        col("lo"), col("hi"), 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "must be an equi-join on the grid")
+  }
+
   test("asOfJoin: inclusive latest-prior match, null when none, dup-ts dedup") {
     import graft.operators.Joins
     val left = Seq((1L, 5L, "p1"), (1L, 10L, "p2"), (2L, 3L, "p3"))
