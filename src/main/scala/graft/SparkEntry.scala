@@ -335,6 +335,12 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- data profile: per-column exact counts/nulls/distincts ----
+    "q67_profile" -> ((s, d) => {
+      F.profile(Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    }),
+
     // ---- big-big range join: q38's temporal semantics through the grid-
     // bucketed equi-join (no broadcast requirement on either side) ----
     "q66_bucketed_range_join" -> ((s, d) => {
@@ -1418,6 +1424,17 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rfp
         |FROM documents""".stripMargin,
+
+    "q67_profile" ->
+      """SELECT 'c_custkey' AS column, COUNT(*) AS n_rows,
+        |  COUNT(c_custkey) AS n_nonnull, COUNT(DISTINCT c_custkey) AS n_distinct
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer""".stripMargin,
 
     "q66_bucketed_range_join" ->
       """WITH o AS (

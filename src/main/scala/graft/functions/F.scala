@@ -147,6 +147,27 @@ object F {
   def hash64Str(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
 
+  /** Per-column data profile in long form: (column, n_rows, n_nonnull,
+    * n_distinct) — the reference's table probes (A6) generalized into one
+    * statement. All counts are exact (multiple COUNT(DISTINCT)s compile to
+    * one expand+aggregate stage, not one job per column); the wide result
+    * row is unpivoted with `stack`. Min/max are deliberately omitted:
+    * heterogeneous columns would force string rendering, which is not
+    * stable across engines for floating point.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = cs.flatMap(c => Seq(
+      count(lit(1)).as(s"__n_$c"),
+      count(col(c)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__d_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(expr(
+      s"stack(${cs.size}, " +
+        cs.map(c => s"'$c', __n_$c, __nn_$c, __d_$c").mkString(", ") +
+        ") AS (column, n_rows, n_nonnull, n_distinct)"))
+  }
+
   /** Align a frame to a target schema before a keyed write — the implicit
     * contract of every reference `bulk_insert` (staged columns must line up
     * with the declared table): missing columns materialize as typed nulls,
