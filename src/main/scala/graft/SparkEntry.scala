@@ -335,6 +335,11 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- attribution DAG chain: as-of join inside the model registry ----
+    "q68_attribution_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("attribution_daily", s)
+    }),
+
     // ---- data profile: per-column exact counts/nulls/distincts ----
     "q67_profile" -> ((s, d) => {
       F.profile(Tables.customer(s, d),
@@ -1424,6 +1429,26 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rfp
         |FROM documents""".stripMargin,
+
+    "q68_attribution_daily" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |r0 AS (
+        |  SELECT user_id, ts, value AS ref_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |      ORDER BY value DESC) AS rn
+        |  FROM events WHERE event_type = 'pageview'),
+        |r AS (SELECT user_id, ts, ref_value FROM r0 WHERE rn = 1),
+        |j AS (
+        |  SELECT l.user_id, l.ts, l.value, r.ts AS asof_ts
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT CAST(ts AS DATE) AS ymd, COUNT(*) AS n_purchases,
+        |  COUNT(asof_ts) AS n_attributed,
+        |  CAST(SUM(CASE WHEN asof_ts IS NOT NULL
+        |    THEN CAST(FLOOR(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS attributed_value_e4
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q67_profile" ->
       """SELECT 'c_custkey' AS column, COUNT(*) AS n_rows,

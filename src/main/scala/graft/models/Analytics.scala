@@ -193,6 +193,33 @@ object Analytics {
           sum(col("n_tokens")).as("total_tokens"))
     }))
 
+    // attribution chain: purchases matched to the latest prior-or-equal
+    // pageview per user (as-of join inside the DAG), rolled up to a daily
+    // attribution mart — the reference's channel-attribution shape with
+    // the as-of operator replacing its validity-window join
+    r.register(Model("attributed_purchases", Nil, View, ctx => {
+      val e = Tables.events(ctx.session, sfDir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val pageviews = e.filter(col("event_type") === "pageview")
+        .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+      graft.operators.Joins.asOfJoin(purchases, pageviews,
+        Seq("user_id"), "ts", "ts", Seq("ref_value"))
+    }))
+
+    r.register(Model("attribution_daily", Seq("attributed_purchases"), View,
+      ctx => {
+        // double sums are order-dependent; fixed-point through FLOOR (no
+        // tie-rounding rule to disagree on) keeps the mart exact
+        ctx.ref("attributed_purchases")
+          .groupBy(col("ts").cast("date").as("ymd"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("asof_ts")).as("n_attributed"),
+            sum(when(col("asof_ts").isNotNull,
+                floor(col("value") * 10000).cast("long")).otherwise(lit(0L)))
+              .as("attributed_value_e4"))
+      }))
+
     r
   }
 }
