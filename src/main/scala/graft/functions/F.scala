@@ -162,9 +162,14 @@ object F {
       count(col(c)).as(s"__nn_$c"),
       count_distinct(col(c)).as(s"__d_$c")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // backtick-quote the spliced aliases and escape the label literal —
+    // column names with spaces/dashes/quotes are legal in Spark
+    def lbl(c: String): String = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def bq(a: String): String = "`" + a.replace("`", "``") + "`"
     wide.select(expr(
       s"stack(${cs.size}, " +
-        cs.map(c => s"'$c', __n_$c, __nn_$c, __d_$c").mkString(", ") +
+        cs.map(c => s"${lbl(c)}, ${bq(s"__n_$c")}, ${bq(s"__nn_$c")}, ${bq(s"__d_$c")}")
+          .mkString(", ") +
         ") AS (column, n_rows, n_nonnull, n_distinct)"))
   }
 
@@ -177,10 +182,16 @@ object F {
     */
   def alignSchema(df: DataFrame,
                   target: org.apache.spark.sql.types.StructType): DataFrame = {
-    val present = df.columns.toSet
+    // match case-insensitively, like Spark's own column resolution — a
+    // source header "Amount" must feed a target "amount", not become null
+    val byLower = df.columns.groupBy(_.toLowerCase)
     df.select(target.fields.toIndexedSeq.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byLower.get(f.name.toLowerCase) match {
+        case Some(Array(src)) => df(src).cast(f.dataType).as(f.name)
+        case Some(many) => throw new IllegalArgumentException(
+          s"ambiguous source columns ${many.mkString(",")} for target ${f.name}")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 

@@ -124,7 +124,10 @@ object Analytics {
         .select(col("l_partkey"),
           round(col("q1") - (col("q3") - col("q1")) * 1.5, 4).as("lo"),
           round(col("q3") + (col("q3") - col("q1")) * 1.5, 4).as("hi"))
-      d.join(broadcast(stats), Seq("l_partkey"))
+      // no broadcast hint: stats is one row per PART (unbounded dim) — a
+      // plain equi-join lets AQE broadcast only when it actually fits
+      // (contrast q43, whose per-brand stats are bounded)
+      d.join(stats, Seq("l_partkey"))
         .filter(col("day_qty").cast("double") < col("lo") ||
           col("day_qty").cast("double") > col("hi"))
         .select(col("l_partkey"), col("ymd"),

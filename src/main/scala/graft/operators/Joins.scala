@@ -84,9 +84,17 @@ object Joins {
                         ranges: DataFrame, lo: Column, hi: Column,
                         bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val f = fact.withColumn("__bucket", floor(factVal / bucketWidth))
+    // bucket key = the bucket's start value, computed with exact integer
+    // arithmetic (pmod-subtract) — `floor(v / w)` goes through a double
+    // quotient, which mis-buckets values above 2^53 (e.g. nanosecond
+    // epochs). pmod is non-negative, so negative values floor-align too.
+    def bucketOf(c: Column): Column = {
+      val v = c.cast("long")
+      v - pmod(v, lit(bucketWidth))
+    }
+    val f = fact.withColumn("__bucket", bucketOf(factVal))
     val r = ranges.withColumn("__bucket",
-      explode(sequence(floor(lo / bucketWidth), floor(hi / bucketWidth))))
+      explode(sequence(bucketOf(lo), bucketOf(hi), lit(bucketWidth))))
     f.join(r, f("__bucket") === r("__bucket") && factVal.between(lo, hi))
       .drop("__bucket")
   }
@@ -110,12 +118,15 @@ object Joins {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightValues: Seq[String],
                asofTsOut: String = "asof_ts"): DataFrame = {
-    require(rightValues.intersect(left.columns.toSeq).isEmpty,
-      s"right value columns ${rightValues.mkString(",")} collide with left")
+    require((rightValues :+ asofTsOut).intersect(left.columns.toSeq).isEmpty,
+      s"right value columns ${(rightValues :+ asofTsOut).mkString(",")} collide with left")
     val rDeduped = graft.functions.F.qualifyTopN(
       right.select((keys :+ rightTs).map(col) ++ rightValues.map(col): _*),
       (keys :+ rightTs).map(col),
-      rightValues.map(col(_).desc))
+      // with no value columns the partition rows are identical — any
+      // non-empty order keeps the window legal and the pick trivial
+      if (rightValues.nonEmpty) rightValues.map(col(_).desc)
+      else Seq(col(rightTs)))
     import org.apache.spark.sql.types.{StructField, StructType}
     val rPayload = struct(col(rightTs).as(asofTsOut) +: rightValues.map(col): _*)
     val rPayloadType = StructType(

@@ -211,20 +211,18 @@ object Similarity {
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
     val cents = broadcast(base.filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec")))
-    def nearest(src: DataFrame, outId: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("__sim").desc, col("cid"))
-      src.crossJoin(cents)
-        .withColumn("__sim", cosine(col("vec"), col("cvec")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= n)
-        .select(col(outId), col("cid"))
-    }
-    val lists = nearest(base.select(col("id"), col("vec")), "id", 1)
-    val probes = nearest(
-      base.select(col("id").as("query_id"), col("vec"))
-        .withColumnRenamed("query_id", "id"), "id", nProbe)
-      .withColumnRenamed("id", "query_id")
+    // ONE assignment pass (the n·k distance computations are the expensive
+    // stage): rank centroids per vector once, persist, then slice — the
+    // inverted list is rank 1 and the probe set is rank <= nProbe
+    val wAsg = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
+    val asg = base.crossJoin(cents)
+      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__cr", row_number().over(wAsg))
+      .filter(col("__cr") <= nProbe)
+      .select(col("id"), col("cid"), col("__cr"))
+      .persist()
+    val lists = asg.filter(col("__cr") === 1).select(col("id"), col("cid"))
+    val probes = asg.select(col("id").as("query_id"), col("cid"))
     val cand = probes.join(lists, "cid")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("corpus_id"))

@@ -68,6 +68,8 @@ object Sinks {
                     keepGenerations: Int = 3): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    require(keepGenerations >= 1,
+      "keepGenerations must keep at least the generation being written")
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")
@@ -93,14 +95,20 @@ object Sinks {
     // rewrite; at scale, partition-scoped merges (or a transactional
     // format) replace this — the MERGE semantics and shuffle shape carry
     // over unchanged.
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("gen-"))
-      .filter(p => p.getFileName.toString.stripPrefix("gen-").toLong
-        <= nextNum - keepGenerations)
-      .toSeq
-      .foreach { p =>
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+    val expired = {
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("gen-"))
+        .filter(p => p.getFileName.toString.stripPrefix("gen-").toLong
+          <= nextNum - keepGenerations)
+        .toSeq
+      finally ls.close()
+    }
+    expired.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
   }
 
   /** S8 — catalog CTAS (reference: common/load.py:522-585 `create_table` —

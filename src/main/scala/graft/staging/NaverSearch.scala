@@ -19,17 +19,32 @@ object NaverSearch {
     StructField("section", StringType),
     StructField("subject", StringType)))))
 
-  /** (query, seq, section, subject, item_count) summary rows. */
-  def stageSummary(raw: DataFrame, queryCol: Column,
-                   payloadCol: Column): DataFrame =
+  /** (query, seq, section, subject, item_count) summary rows.
+    *
+    * Malformed payloads FAIL by default (`from_json` returns null, and
+    * exploding null would otherwise silently drop the whole page from the
+    * counts — the reference's Python parse raises); pass
+    * `onMalformed = "ignore"` to skip bad pages instead.
+    */
+  def stageSummary(raw: DataFrame, queryCol: Column, payloadCol: Column,
+                   onMalformed: String = "fail"): DataFrame = {
+    val parsed = from_json(payloadCol, sectionsSchema)
+    val guarded = onMalformed match {
+      case "fail" => when(payloadCol.isNotNull && parsed.isNull,
+          raise_error(concat(lit("malformed sections payload for query "),
+            queryCol))).otherwise(parsed)
+      case "ignore" => parsed
+      case other =>
+        throw new IllegalArgumentException(s"onMalformed: $other")
+    }
     raw
       .select(queryCol.as("query"),
-        posexplode(from_json(payloadCol, sectionsSchema))
-          .as(Seq("seq", "items")))
+        posexplode(guarded).as(Seq("seq", "items")))
       .select(col("query"), col("seq").cast("long").as("seq"),
         explode(col("items")).as("item"))
       .groupBy(col("query"), col("seq"),
         col("item.section").as("section"),
         col("item.subject").as("subject"))
       .agg(count(lit(1)).as("item_count"))
+  }
 }

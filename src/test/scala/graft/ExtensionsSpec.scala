@@ -55,6 +55,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(0) == 1L && row.getDouble(1) == 2.5 && row.isNullAt(2))
   }
 
+  test("alignSchema resolves source columns case-insensitively") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(StructField("amount", DoubleType)))
+    val out = graft.functions.F.alignSchema(
+      Seq(("2.5")).toDF("Amount"), target).head()
+    assert(out.getDouble(0) == 2.5)
+  }
+
+  test("profile handles awkward column names and counts exactly") {
+    val df = Seq((1, Option("x")), (2, None), (2, Option("y")))
+      .toDF("order date", "a-b")
+    val out = graft.functions.F.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("order date") == ((3L, 3L, 2L)))
+    assert(out("a-b") == ((3L, 2L, 2L)))
+  }
+
   test("aggMap builds named aggregates with null-ignoring first") {
     val df = Seq(("a", Option(1), Option.empty[Int]), ("a", Option(2), Option(9)),
       ("b", Option(5), Option(7))).toDF("k", "x", "y")

@@ -114,6 +114,31 @@ class OperatorsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), "must be an equi-join on the grid")
   }
 
+  test("bucketedRangeJoin: negative values and >2^53 magnitudes bucket exactly") {
+    import graft.operators.Joins
+    val fact = Seq(-33L, -1L, 0L, (1L << 55) + 7L).toDF("v")
+    val ranges = Seq((-40L, -30L, "neg"), (-2L, 1L, "zero"),
+      ((1L << 55) + 5L, (1L << 55) + 9L, "big")).toDF("lo", "hi", "name")
+    val out = Joins.bucketedRangeJoin(fact, col("v"), ranges,
+        col("lo"), col("hi"), bucketWidth = 16)
+      .select("v", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((-33L, "neg"), (-1L, "zero"), (0L, "zero"),
+      ((1L << 55) + 7L, "big")))
+  }
+
+  test("asOfJoin: empty rightValues and asofTsOut collision guard") {
+    import graft.operators.Joins
+    val left = Seq((1L, 5L)).toDF("k", "ts")
+    val right = Seq((1L, 3L)).toDF("k", "ts")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq.empty)
+      .collect().head
+    assert(out.getLong(2) == 3L) // asof_ts only
+    val clash = left.withColumn("asof_ts", lit(0L))
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(clash, right, Seq("k"), "ts", "ts", Seq.empty)
+    }
+  }
+
   test("asOfJoin: inclusive latest-prior match, null when none, dup-ts dedup") {
     import graft.operators.Joins
     val left = Seq((1L, 5L, "p1"), (1L, 10L, "p2"), (2L, 3L, "p3"))

@@ -21,6 +21,18 @@ class Staging5Spec extends SparkSpec {
       out(1).getLong(4) == 1)
   }
 
+  test("naver search summary: malformed payload fails by default, ignorable") {
+    val bad = Seq(("q1", "{not json")).toDF("q", "p")
+    val e = intercept[Exception] {
+      NaverSearch.stageSummary(bad, col("q"), col("p")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("malformed")), s"got: ${msgs(e)}")
+    assert(NaverSearch.stageSummary(bad, col("q"), col("p"),
+      onMalformed = "ignore").count() == 0)
+  }
+
   private def exposureRaw = Seq(
     (1, "https://shopping-cdn.example/main_123/77001.jpg", "P1", true, "c>d", "B", "M", Some("1000"), None: Option[String]),
     (2, "https://searchad-img.example/ad/NzcwMDI=.png", "P2", false, "c>d", "", "M", None, Some("2000")),
