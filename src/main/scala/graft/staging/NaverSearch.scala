@@ -28,18 +28,18 @@ object NaverSearch {
     */
   def stageSummary(raw: DataFrame, queryCol: Column, payloadCol: Column,
                    onMalformed: String = "fail"): DataFrame = {
-    val parsed = from_json(payloadCol, sectionsSchema)
-    val guarded = onMalformed match {
-      case "fail" => when(payloadCol.isNotNull && parsed.isNull,
-          raise_error(concat(lit("malformed sections payload for query "),
-            queryCol))).otherwise(parsed)
-      case "ignore" => parsed
-      case other =>
-        throw new IllegalArgumentException(s"onMalformed: $other")
+    // FAILFAST makes the parser itself raise on malformed input — one
+    // parse per row (a when/otherwise guard would evaluate from_json
+    // twice); "ignore" parses PERMISSIVE, null parses explode to nothing
+    val mode = onMalformed match {
+      case "fail" => "FAILFAST"
+      case "ignore" => "PERMISSIVE"
+      case other => throw new IllegalArgumentException(s"onMalformed: $other")
     }
+    val parsed = from_json(payloadCol, sectionsSchema, Map("mode" -> mode))
     raw
       .select(queryCol.as("query"),
-        posexplode(guarded).as(Seq("seq", "items")))
+        posexplode(parsed).as(Seq("seq", "items")))
       .select(col("query"), col("seq").cast("long").as("seq"),
         explode(col("items")).as("item"))
       .groupBy(col("query"), col("seq"),

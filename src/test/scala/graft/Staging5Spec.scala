@@ -28,7 +28,7 @@ class Staging5Spec extends SparkSpec {
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("malformed")), s"got: ${msgs(e)}")
+    assert(msgs(e).exists(_.toLowerCase.contains("malformed")), s"got: ${msgs(e)}")
     assert(NaverSearch.stageSummary(bad, col("q"), col("p"),
       onMalformed = "ignore").count() == 0)
   }
