@@ -397,10 +397,15 @@ object SparkEntry {
         col("doc_id"), col("text"))
     }),
 
-    // ---- dedup: simhash-banded near-dup retrieval (hamming <= 3) ----
+    // ---- dedup: simhash-banded near-dup retrieval (hamming <= 3).
+    // sigBits = 60: CrossEngineHash values occupy bits 0-59, so banding
+    // 4×15-bit slices keeps every band equally selective (a 64-bit split
+    // would leave band 3 with 4 dead bits = 16× the collision rate).
+    // maxBucket = 64 bounds hot-bucket candidates; the oracle mirrors it. ----
     "q57_simhash_neardup" -> ((s, d) => {
       Dedup.simHashNearDupPairs(Tables.documents(s, d),
-        col("doc_id"), col("text"), fam = Dedup.CrossEngineHash)
+        col("doc_id"), col("text"), fam = Dedup.CrossEngineHash,
+        sigBits = 60, maxBucket = 64)
     }),
 
     // ---- text: language-ID heuristic, confusion matrix vs labels ----
@@ -802,9 +807,14 @@ object SparkEntry {
        |  FROM hb GROUP BY id),
        |bd AS (
        |  $bandBranches),
+       |st AS (SELECT band, bucket, COUNT(*) AS occ, MIN(id) AS rep
+       |       FROM bd GROUP BY band, bucket),
+       |bd2 AS (SELECT bd.id, bd.band, bd.bucket, st.occ, st.rep
+       |        FROM bd JOIN st USING (band, bucket)),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |         FROM bd a JOIN bd b
-       |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+       |         FROM bd2 a JOIN bd2 b
+       |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |         AND (a.occ <= 64 OR a.id = a.rep))
        |SELECT c.id_a, c.id_b, $jac AS jaccard
        |FROM cand c JOIN d da ON da.id = c.id_a JOIN d db ON db.id = c.id_b
        |WHERE $jac >= 0.7""".stripMargin
@@ -855,8 +865,12 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bd AS (
        |  $dkLshBandCte),
+       |rk AS (SELECT id, bucket,
+       |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS rn
+       |       FROM bd),
        |cand AS (SELECT DISTINCT a.id AS query_id, b.id AS corpus_id
-       |         FROM bd a JOIN bd b ON a.bucket = b.bucket AND a.id <> b.id),
+       |         FROM bd a JOIN rk b
+       |         ON a.bucket = b.bucket AND a.id <> b.id AND b.rn <= 64),
        |scored AS (
        |  SELECT c.query_id, c.corpus_id,
        |    CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
@@ -884,29 +898,46 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bd AS (
        |  $dkLshBandCte),
+       |st AS (SELECT bucket, COUNT(*) AS occ, MIN(id) AS rep
+       |       FROM bd GROUP BY bucket),
+       |bd2 AS (SELECT bd.id, bd.bucket, st.occ, st.rep
+       |        FROM bd JOIN st USING (bucket)),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |         FROM bd a JOIN bd b ON a.bucket = b.bucket AND a.id < b.id)
+       |         FROM bd2 a JOIN bd2 b
+       |         ON a.bucket = b.bucket AND a.id < b.id
+       |         AND (a.occ <= 64 OR a.id = a.rep))
        |SELECT c.id_a, c.id_b, ROUND($cos, 4) AS cos
        |FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
        |WHERE ROUND($cos, 4) >= 0.45""".stripMargin
   }
 
   /** SimHash banded near-dup in DuckDB: the q29 signature pipeline as a
-    * CTE, 16-bit slice banding, pigeonhole candidate join, exact hamming
-    * (`bit_count(xor(...))`) verify. Mirrors `Dedup.simHashNearDupPairs`.
+    * CTE, 4×15-bit slice banding over bits 0-59 (the 60-bit cross-engine
+    * hash's informative range), pigeonhole candidate join with the
+    * occupancy guard (buckets over 64 keep only representative-star pairs,
+    * mirroring `Dedup.boundedBucketPairs`), exact hamming
+    * (`bit_count(xor(...))`) verify. Mirrors `Dedup.simHashNearDupPairs(
+    * sigBits = 60, maxBucket = 64)`.
     */
   private def q57Oracle: String = {
     val sigSql = q29Oracle.replace("\n", "\n  ")
     s"""WITH sig AS (
        |  $sigSql),
        |bd AS (
-       |  SELECT id, simhash, band, (simhash >> (band * 16)) & 65535 AS slice
+       |  SELECT id, simhash, band, (simhash >> (band * 15)) & 32767 AS slice
        |  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band) bands),
+       |st AS (
+       |  SELECT band, slice, COUNT(*) AS occ, MIN(id) AS rep
+       |  FROM bd GROUP BY band, slice),
+       |bd2 AS (
+       |  SELECT bd.id, bd.simhash, bd.band, bd.slice, st.occ, st.rep
+       |  FROM bd JOIN st USING (band, slice)),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |  FROM bd a JOIN bd b
-       |  ON a.band = b.band AND a.slice = b.slice AND a.id < b.id)
+       |  FROM bd2 a JOIN bd2 b
+       |  ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+       |  AND (a.occ <= 64 OR a.id = a.rep))
        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
   }
 

@@ -181,17 +181,68 @@ object Dedup {
   private def minHashAggs(k: Int, fam: HashFamily): Seq[Column] =
     (0 until k).map(seed => min(fam.seeded(col("s"), seed)).as(s"h$seed"))
 
+  /** Bounded same-bucket candidate pairs over a banded signature table
+    * (columns: `id` + `bucketKeys`). The naive form — self-join on the
+    * bucket key with `a.id < b.id` — is quadratic in bucket occupancy: a
+    * cluster of k near-identical docs (the common case in web-scale dedup:
+    * boilerplate, mirrors) lands in one bucket and emits O(k²) candidate
+    * rows before any verify filter runs.
+    *
+    * This helper bounds that. Per-bucket occupancy and min id come from one
+    * hash aggregate (map-side combinable — no window sort) joined back on
+    * the same key the candidate join shuffles on. Buckets at or under
+    * `maxBucket` keep exact all-pairs semantics; buckets over it switch to
+    * a REPRESENTATIVE STAR — each member pairs with the bucket's smallest
+    * id only, O(k) rows. Both branches filter BEFORE their join, so neither
+    * the all-pairs join (≤ maxBucket² per bucket) nor the star join (build
+    * side = one row per hot bucket) ever iterates a quadratic stream.
+    *
+    * Contract under the cap: a hot bucket emits only representative pairs,
+    * so downstream union-find/grouping still recovers the cluster through
+    * the representative, but non-representative pairs inside a hot bucket
+    * are not enumerated (and a verify filter may drop a member whose
+    * distance to the representative exceeds the threshold even though some
+    * other in-bucket pair would have passed). That is the documented trade:
+    * candidate volume stays linear exactly on the near-dup-heavy inputs
+    * dedup exists for.
+    *
+    * `project` is evaluated against the pair join aliased `a` (smaller id) /
+    * `b` — e.g. `Seq(col("a.id").as("id_a"), col("b.id").as("id_b"))`.
+    */
+  private[operators] def boundedBucketPairs(banded: DataFrame,
+                                            bucketKeys: Seq[String],
+                                            maxBucket: Int,
+                                            project: Seq[Column]): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val stats = banded.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("__occ"), min(col("id")).as("__rep"))
+    val marked = banded.join(stats, bucketKeys)
+    val cond = bucketKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val small = marked.filter(col("__occ") <= maxBucket)
+    val hotRep = marked.filter(col("__occ") > maxBucket && col("id") === col("__rep"))
+    val hotRest = marked.filter(col("__occ") > maxBucket && col("id") =!= col("__rep"))
+    val smallPairs = small.alias("a")
+      .join(small.alias("b"), cond && col("a.id") < col("b.id"))
+      .select(project: _*)
+    // representative id is the bucket min, so a.id < b.id holds by construction
+    val starPairs = hotRep.alias("a").join(hotRest.alias("b"), cond)
+      .select(project: _*)
+    smallPairs.unionByName(starPairs)
+  }
+
   /** MinHash LSH candidate pairs: split the k-signature into `bands` bands of
     * k/bands rows, bucket docs by (band index, hash of band slice), emit
     * pairs sharing any bucket, dedup pairs, then verify with exact Jaccard.
     * The only shuffles are the bucket groupBy and the final distinct — no
-    * cross join at any point.
+    * cross join at any point. Candidate volume per bucket is bounded by
+    * `maxBucket` (see [[boundedBucketPairs]] for the hot-bucket contract).
     */
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
                       verifyThreshold: Double = 0.7,
                       materialize: Boolean = true,
-                      fam: HashFamily = XxHash): DataFrame = {
+                      fam: HashFamily = XxHash,
+                      maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
     // one PRE-HASHED shingle table (fixed-width longs) shared by the
     // signature explode and both verify joins (see ngramJaccardPairs on
@@ -208,11 +259,9 @@ object Dedup {
         fam.hash(concat_ws(",",
           (0 until rows).map(r => col("minhash").getItem(b * rows + r)): _*))
       }: _*)).as(Seq("band", "bucket")))
-    val a = banded.alias("a"); val b = banded.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val cand = boundedBucketPairs(banded, Seq("band", "bucket"), maxBucket,
+        Seq(col("a.id").as("id_a"), col("b.id").as("id_b")))
+      .distinct()
     // verify candidates with exact Jaccard on shingles
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -249,22 +298,38 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup retrieval (the Manku et al. WWW'07 design): pairs of
-    * docs whose 64-bit simhashes differ in at most `maxHamming` bits.
-    * Candidates come from banding the signature into `bands` equal bit
-    * slices — by pigeonhole, any pair with hamming distance < `bands`
-    * matches exactly on at least one slice, so the (band, slice) equi-join
-    * has NO false negatives for maxHamming < bands; exact hamming filters
-    * the candidates. One shuffle on the slice values, no cross join —
-    * the same scale shape as `minHashLshPairs` with a 64-bit signature
-    * instead of a k-value sketch.
+    * docs whose simhashes differ in at most `maxHamming` bits.
+    * Candidates come from banding the signature's `sigBits` low bits into
+    * `bands` equal slices — by pigeonhole, any pair with hamming distance
+    * < `bands` matches exactly on at least one slice, so the (band, slice)
+    * equi-join has NO false negatives for maxHamming < bands; exact hamming
+    * filters the candidates. One shuffle on the slice values, no cross
+    * join — the same scale shape as `minHashLshPairs` with a packed
+    * signature instead of a k-value sketch.
+    *
+    * `sigBits` is the signature's effective width: 64 for `XxHash`, 60 for
+    * `CrossEngineHash` (its md5-derived values occupy bits 0–59, so every
+    * simhash bit 60–63 is constant-zero — banding over 64 bits would give
+    * the top band only sigBits-48 informative bits and a collision rate
+    * 2^(64-sigBits)× the others, exactly where hot buckets are born).
+    * Slicing bits 0 to sigBits-1 keeps every band equally selective, and
+    * the pigeonhole guarantee is unaffected: the constant-zero high bits
+    * never differ, so all differing bits live inside the banded range.
+    *
+    * Hot buckets are bounded by `maxBucket` via [[boundedBucketPairs]];
+    * see its scaladoc for the representative-star contract above the cap.
     */
   def simHashNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
                           n: Int = 2, maxHamming: Int = 3, bands: Int = 4,
                           fam: HashFamily = XxHash,
-                          materialize: Boolean = true): DataFrame = {
+                          materialize: Boolean = true,
+                          sigBits: Int = 64,
+                          maxBucket: Int = 64): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
-    val bandBits = 64 / bands
+    require(sigBits > 0 && sigBits <= 64 && sigBits % bands == 0,
+      s"sigBits must be in (0, 64] and divisible by bands, got $sigBits/$bands")
+    val bandBits = sigBits / bands
     val mask = (1L << bandBits) - 1
     // both sides of the banded self-join consume the signature table —
     // materialize it once or the full shingle+hash+bit-sum pipeline runs
@@ -275,12 +340,9 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
       }: _*)).as(Seq("band", "slice")))
-    banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+    boundedBucketPairs(banded, Seq("band", "slice"), maxBucket,
+        Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming")))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

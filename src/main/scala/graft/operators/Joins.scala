@@ -93,7 +93,10 @@ object Joins {
       v - pmod(v, lit(bucketWidth))
     }
     val f = fact.withColumn("__bucket", bucketOf(factVal))
-    val r = ranges.withColumn("__bucket",
+    // malformed ranges (hi < lo) must match nothing, as BETWEEN would —
+    // an unguarded sequence(lo, hi) throws on a descending bound and
+    // fails the whole job on one bad row
+    val r = ranges.filter(lo <= hi).withColumn("__bucket",
       explode(sequence(bucketOf(lo), bucketOf(hi), lit(bucketWidth))))
     f.join(r, f("__bucket") === r("__bucket") && factVal.between(lo, hi))
       .drop("__bucket")

@@ -62,17 +62,18 @@ object Similarity {
     */
   def lshCosinePairs(corpus: DataFrame, idCol: Column, vecCol: Column,
                      threshold: Double, bits: Int = 64, bands: Int = 8,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, maxBucket: Int = 64): DataFrame = {
     val bandBits = bits / bands
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
     val banded = base
       .select(col("id"),
         explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
           .as("bucket"))
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // hot buckets (an embedding cluster of near-identical vectors — the
+    // very thing near-dup detection targets) are bounded at `maxBucket`
+    // via the representative-star reduce; see Dedup.boundedBucketPairs.
+    val cand = Dedup.boundedBucketPairs(banded, Seq("bucket"), maxBucket,
+        Seq(col("a.id").as("id_a"), col("b.id").as("id_b")))
       .distinct()
     cand
       .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
@@ -165,18 +166,31 @@ object Similarity {
     * Scale shape: candidate generation is ids-only (bucket join never
     * shuffles vectors); vectors are fetched by id join *after* pair dedup,
     * so the expensive cosine runs once per distinct candidate pair.
+    *
+    * Bucket occupancy is bounded: each query pairs with at most `maxBucket`
+    * bucket-mates per band — the smallest ids, a deterministic truncation —
+    * so a hot bucket of size m costs O(m·maxBucket) candidates, not O(m²).
+    * (Unlike the pair operators' representative star, top-k needs every
+    * member to KEEP candidates, so the bound caps the probe side only.)
     */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
               k: Int = 10, bits: Int = 64, bands: Int = 8,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, maxBucket: Int = 64): DataFrame = {
     val bandBits = bits / bands
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
     val banded = base
       .select(col("id"),
         explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
           .as("bucket"))
+    // probe-side rank within bucket: rows ≤ maxBucket of every bucket keep
+    // all-pairs semantics (rn <= occupancy <= maxBucket covers the whole
+    // bucket), hot buckets are truncated to their maxBucket smallest ids
+    val wRank = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val probeSide = banded.withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
     val cand = banded.alias("a")
-      .join(banded.alias("b"),
+      .join(probeSide.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("corpus_id"))
       .distinct()

@@ -125,9 +125,15 @@ object JdbcSink {
             s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
         st.executeUpdate(
           mergeSql(table, staging, keys, valueCols, strategies, default))
-        st.executeUpdate(s"DROP TABLE $staging")
         n
-      } finally st.close()
+      } finally {
+        // staging cleanup must happen on the failure path too — a leaked
+        // staging table breaks the next run's Overwrite; ignore drop errors
+        // (the original exception is the one worth surfacing)
+        try st.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => }
+        st.close()
+      }
     } finally conn.close()
   }
 

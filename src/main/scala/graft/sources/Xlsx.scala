@@ -71,13 +71,17 @@ object Xlsx {
     * duplicates get a numeric suffix.
     */
   def uniqueHeaders(raw: Seq[String]): Seq[String] = {
-    val seen = mutable.Map.empty[String, Int]
+    // track every EMITTED name, not just base counts — headers like
+    // [a, a, a_1] must yield [a, a_1, a_1_1], never a duplicate (the
+    // suffix candidate itself can collide with a later raw header)
+    val emitted = mutable.Set.empty[String]
     raw.zipWithIndex.map { case (h0, i) =>
-      val h = if (h0.trim.isEmpty) s"col$i" else h0.trim
-      seen.get(h) match {
-        case None => seen(h) = 1; h
-        case Some(n) => seen(h) = n + 1; s"${h}_$n"
-      }
+      val base = if (h0.trim.isEmpty) s"col$i" else h0.trim
+      var cand = base
+      var n = 0
+      while (emitted(cand)) { n += 1; cand = s"${base}_$n" }
+      emitted += cand
+      cand
     }
   }
 

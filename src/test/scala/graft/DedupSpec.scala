@@ -58,6 +58,43 @@ class DedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "banded join must be equi")
   }
 
+  test("hot-bucket bound: 1k-doc identical cluster emits a linear star, not k² pairs") {
+    // the adversarial dedup input: one giant near-dup cluster (mirrors/
+    // boilerplate). All 1000 docs share every (band, slice) bucket; the
+    // unbounded join would emit 999*1000/2 = 499,500 candidate pairs.
+    val cluster = (1L to 1000L)
+      .map(i => (i, "identical boilerplate text repeated across mirrored pages"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupPairs(cluster, col("doc_id"), col("text"),
+      maxBucket = 16).collect()
+    assert(pairs.length == 999, s"star reduce must emit k-1 pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 1L), "every pair anchors at the representative")
+    // connectivity: every cluster member reaches the representative
+    assert((pairs.map(_.getLong(1)).toSet + 1L).size == 1000)
+
+    val lsh = Dedup.minHashLshPairs(cluster, col("doc_id"), col("text"),
+      maxBucket = 16).collect()
+    assert(lsh.length == 999, s"minhash star reduce must emit k-1 pairs, got ${lsh.length}")
+    assert(lsh.forall(r => r.getLong(0) == 1L && r.getDouble(2) == 1.0))
+  }
+
+  test("buckets at or under maxBucket keep exact all-pairs semantics") {
+    val cluster = (1L to 20L)
+      .map(i => (i, "identical boilerplate text repeated across mirrored pages"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupPairs(cluster, col("doc_id"), col("text"))
+    assert(pairs.count() == 190, "20 identical docs under the cap -> C(20,2) pairs")
+  }
+
+  test("simHashNearDupPairs sigBits=60 bands cover the 60-bit cross-engine hash") {
+    // same retrieval result as the 64-bit banding (banding changes candidate
+    // generation, never the verified output) on the mixed doc set
+    val got = Dedup.simHashNearDupPairs(docs, col("doc_id"), col("text"),
+        fam = Dedup.CrossEngineHash, sigBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 5L)))
+  }
+
   test("simhash: identical docs share signature, near dups are close") {
     val sig = Dedup.simHash(docs, col("doc_id"), col("text"), n = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed near-dup must equi-join")
   }
 
+  test("hot-bucket bound: identical-vector cluster stays linear") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // 500 copies of one vector: every copy lands in the same bucket in all
+    // 8 bands — the unbounded pair join would emit 124,750 candidates
+    val clones = e.filter(col("vec_id") === 1)
+      .select(explode(sequence(lit(10001L), lit(10500L))).as("vec_id"), col("vec"))
+    val pairs = Similarity.lshCosinePairs(clones, col("vec_id"), col("vec"),
+      threshold = 0.9, maxBucket = 16).collect()
+    assert(pairs.length == 499, s"star reduce must emit k-1 pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 10001L))
+
+    // top-k: every member must still GET results — probe side is capped at
+    // the bucket's 16 smallest ids, so each of the 500 queries re-ranks
+    // <= 16 candidates instead of 499
+    val topk = Similarity.lshTopK(clones, col("vec_id"), col("vec"),
+      k = 5, maxBucket = 16)
+    val got = topk.groupBy(col("query_id")).agg(count(lit(1)).as("n")).collect()
+    assert(got.length == 500, "every query keeps candidates under the cap")
+    assert(got.forall(_.getAs[Long]("n") == 5L))
+  }
+
   test("ivfTopK results are real neighbors (precision vs brute force)") {
     val e = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
