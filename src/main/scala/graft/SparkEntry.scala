@@ -1402,7 +1402,17 @@ object SparkEntry {
            |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
            |    END""".stripMargin
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+         |asg0 AS (
+         |  SELECT e.id, e.v, c0.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.id
+         |      ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cid) AS rn
+         |  FROM e CROSS JOIN c0),
+         |m AS (
+         |  SELECT cid, t.i AS pos, ROUND(AVG(v[t.i]), 6) AS mx
+         |  FROM asg0, (SELECT UNNEST(range(1, 65)) AS i) t
+         |  WHERE rn = 1 GROUP BY cid, t.i),
+         |c AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m GROUP BY cid),
          |asg AS (
          |  SELECT e.id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.id

@@ -218,21 +218,28 @@ object F {
     * anywhere). Output values are identical to `Window.orderBy(order)` but
     * the sort is distributed across `buckets` tasks.
     *
-    * RangePartitioner's sampling is deterministic for a given input, so the
-    * assignment is stable across retries and re-evaluation.
+    * The ranked frame feeds BOTH the output rows and the offsets table, and
+    * its `__bucket` comes from `spark_partition_id()` over RangePartitioner
+    * sampling — so the two consumers MUST read one materialized evaluation.
+    * A `persist()` is not a guarantee: under memory pressure + executor
+    * loss the cache silently drops and each consumer recomputes under a
+    * freshly sampled partitioner — `__bucket` values from one partitioning
+    * meeting `__offset`s from another is silently-wrong ranks. An eager
+    * reliable CHECKPOINT is: both consumers read the checkpointed files,
+    * and a lost file is an error, never a recompute. (If no checkpoint dir
+    * is configured — production clusters point it at durable storage — a
+    * local temp dir is used, which matches local/test deployments.)
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
                       buckets: Int = 32): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__bucket", spark_partition_id())
     val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)
-    // persist: the ranked frame feeds BOTH the output rows and the offsets
-    // table. Without it the two consumers may execute the range exchange
-    // twice (e.g. spark.sql.exchange.reuse=false), and RangePartitioner
-    // re-samples per execution — __bucket values from one partitioning
-    // would meet __offsets from another. One evaluation → one partitioner
-    // (retried tasks reuse the same partitioner instance via lineage).
-    val ranked = ranged.withColumn("__rn", row_number().over(w)).persist()
+    val ranked = ranged.withColumn("__rn", row_number().over(w)).checkpoint()
     val counts = ranked.groupBy(col("__bucket")).agg(count(lit(1)).as("__cnt"))
     val offsets = counts.alias("a")
       .join(counts.alias("b"), col("b.__bucket") < col("a.__bucket"), "left")

@@ -207,34 +207,55 @@ object Similarity {
   }
 
   /** IVF-style ANN: an inverted-file index over `nCentroids` centroids.
-    * Centroids are the corpus vectors with the smallest ids — deterministic
-    * and data-adaptive (a k-means refinement would slot in here without
-    * changing the query shape). Every corpus vector is assigned to its
-    * nearest centroid (the inverted list); each query probes its `nProbe`
-    * nearest centroids and re-ranks EXACTLY within those lists only.
+    * Seed centroids are the corpus vectors with the smallest ids
+    * (deterministic), then `lloydIters` k-means (Lloyd) iterations refine
+    * them: assign every vector to its nearest seed, recompute each centroid
+    * as the element-wise mean of its members. Refined centroids are rounded
+    * to 6 dp so the refinement replays bit-for-bit in an external SQL
+    * oracle (mean-of-doubles last-ULP noise from summation order would
+    * otherwise leak into assignment ranks). A centroid that captures no
+    * members drops out (standard Lloyd degeneracy; the remaining lists
+    * absorb its region). Every corpus vector is then assigned to its
+    * nearest refined centroid (the inverted list); each query probes its
+    * `nProbe` nearest centroids and re-ranks EXACTLY within those lists.
     *
-    * Scale shape: assignment is corpus × broadcast(nCentroids rows) — a
-    * bounded broadcast nested loop that IS the IVF algorithm's n·k distance
-    * computations (compute, not shuffle); list membership and candidate
+    * Scale shape: each assignment pass is corpus × broadcast(nCentroids
+    * rows) — a bounded broadcast nested loop that IS the IVF algorithm's
+    * n·k distance computations (compute, not shuffle); the mean recompute
+    * is one explode + two hash aggregates; list membership and candidate
     * generation are hash joins on centroid id; the exact re-rank touches
     * only probed-list vectors. Complements `lshTopK`: IVF adapts to data
     * distribution, LSH needs no training pass.
+    *
+    * The ranked-assignment table is persisted (it feeds both the inverted
+    * lists and the probe sets); in a long-lived session pass
+    * `materialize = false` and manage caching at the call site.
     */
   def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
-              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 2,
+              lloydIters: Int = 1, materialize: Boolean = true): DataFrame = {
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    val cents = broadcast(base.filter(col("id") < nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec")))
-    // ONE assignment pass (the n·k distance computations are the expensive
-    // stage): rank centroids per vector once, persist, then slice — the
-    // inverted list is rank 1 and the probe set is rank <= nProbe
+    val seed = base.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
     val wAsg = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
-    val asg = base.crossJoin(cents)
-      .withColumn("__sim", cosine(col("vec"), col("cvec")))
-      .withColumn("__cr", row_number().over(wAsg))
-      .filter(col("__cr") <= nProbe)
-      .select(col("id"), col("cid"), col("__cr"))
-      .persist()
+    def assign(cents: DataFrame, maxRank: Int): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine(col("vec"), col("cvec")))
+        .withColumn("__cr", row_number().over(wAsg))
+        .filter(col("__cr") <= maxRank)
+    val cents = (0 until lloydIters).foldLeft(seed) { (c, _) =>
+      assign(c, 1)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), s => round(s.getField("m"), 6)).as("cvec"))
+    }
+    // ONE final assignment pass: rank centroids per vector once, persist,
+    // then slice — the inverted list is rank 1, the probe set rank <= nProbe
+    val asg0 = assign(cents, nProbe).select(col("id"), col("cid"), col("__cr"))
+    val asg = if (materialize) asg0.persist() else asg0
     val lists = asg.filter(col("__cr") === 1).select(col("id"), col("cid"))
     val probes = asg.select(col("id").as("query_id"), col("cid"))
     val cand = probes.join(lists, "cid")

@@ -36,6 +36,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sql.contains("BETWEEN") || sql.contains(">="), sql)
   }
 
+  test("globalRowNumber equals the single-partition window and survives cache loss") {
+    val df = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("p"))
+    val order = Seq(col("p").desc, col("o_orderkey").asc)
+    val expected = df.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+          .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gr = F.globalRowNumber(df, order, "rk", buckets = 8)
+    val first = gr.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first == expected, "distributed rank must equal the global window")
+    // the round-2 hazard: cache eviction between the two consumers of the
+    // ranked frame re-sampled the RangePartitioner → mixed bucket/offset
+    // pairings. The checkpointed form must re-read materialized buckets —
+    // wiping every cache and re-collecting must yield identical ranks.
+    spark.catalog.clearCache()
+    val second = gr.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(second == expected, "ranks must be stable after cache loss")
+  }
+
   test("optEquals folds away when param absent") {
     val df = Seq(1, 2).toDF("x")
     assert(df.filter(F.optEquals(col("x"), None)).count() == 2)
