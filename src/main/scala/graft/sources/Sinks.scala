@@ -92,15 +92,22 @@ object Sinks {
     // pointer BEFORE the swap must finish within keepGenerations-1 further
     // upserts — the same grace-period contract a transactional format's
     // VACUUM retention gives. Note: each generation is still a full table
-    // rewrite; at scale, partition-scoped merges (or a transactional
-    // format) replace this — the MERGE semantics and shuffle shape carry
-    // over unchanged.
+    // rewrite — this form is for small/dimension tables; fact tables use
+    // [[upsertParquetPartitioned]], which rewrites only the partitions
+    // present in the batch.
+    vacuumGenerations(root, nextNum, keepGenerations)
+  }
+
+  private def vacuumGenerations(root: java.nio.file.Path, newestNum: Long,
+                                keepGenerations: Int): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
     val expired = {
       val ls = Files.list(root)
       try ls.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("gen-"))
         .filter(p => p.getFileName.toString.stripPrefix("gen-").toLong
-          <= nextNum - keepGenerations)
+          <= newestNum - keepGenerations)
         .toSeq
       finally ls.close()
     }
@@ -109,6 +116,106 @@ object Sinks {
       try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally walk.close()
     }
+  }
+
+  /** Partition-scoped [[upsertParquet]] — the 100 TB form of the persistent
+    * MERGE. Layout: `tablePath/p=<value>/gen-N/` with a per-partition
+    * `_CURRENT` pointer. A MERGE batch:
+    * 1. collects the batch's distinct partition values (metadata-scale — a
+    *    daily load touches a handful of dates),
+    * 2. reads the current generation of ONLY those partitions as the merge
+    *    target — untouched partitions are never read, never rewritten, and
+    *    their files stay byte-identical,
+    * 3. MERGEs and writes one new generation per affected partition (one
+    *    partitioned staging write, then per-partition directory moves +
+    *    atomic pointer swaps),
+    * 4. vacuums each affected partition beyond `keepGenerations`.
+    *
+    * This is `replaceWhere`-style scoping with MERGE semantics: the
+    * rewrite cost is proportional to the affected partitions, not the
+    * table. Contract: `partitionCol` must be stable for a given key (a key
+    * whose partition value changes would leave its old row in the old
+    * partition — the same caveat every partition-scoped MERGE carries),
+    * non-null, and render to a filesystem-safe string.
+    */
+  def upsertParquetPartitioned(spark: SparkSession, tablePath: String,
+      source: DataFrame, keys: Seq[String], partitionCol: String,
+      strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
+      keepGenerations: Int = 3): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(keepGenerations >= 1,
+      "keepGenerations must keep at least the generation being written")
+    require(keys.nonEmpty, "keys must be non-empty")
+    if (source.isEmpty) return
+    val root = Paths.get(tablePath)
+    Files.createDirectories(root)
+    val affected = source
+      .select(col(partitionCol).cast("string").as("__v")).distinct()
+      .collect().map(_.getString(0))
+    require(!affected.contains(null), s"$partitionCol must be non-null")
+    val safe = "^[A-Za-z0-9._-]+$".r
+    affected.foreach(v => require(safe.matches(v),
+      s"partition value '$v' is not filesystem-safe"))
+    def partDir(v: String) = root.resolve(s"p=$v")
+    def currentGen(v: String): Option[String] = {
+      val ptr = partDir(v).resolve("_CURRENT")
+      if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
+    }
+    val existing = affected.flatMap(v => currentGen(v).map(g =>
+      partDir(v).resolve(g).toString))
+    val merged =
+      if (existing.isEmpty) source.dropDuplicates(keys)
+      else graft.operators.MergeOps.upsert(
+        spark.read.parquet(existing.toIndexedSeq: _*), source, keys, strategies)
+    // one staged partitioned write; `__p` duplicates the partition column so
+    // the data files keep the original column (partitionBy drops its column)
+    val stage = root.resolve(s"_stage-${System.nanoTime()}")
+    merged.withColumn("__p", col(partitionCol).cast("string"))
+      .write.partitionBy("__p").parquet(stage.toString)
+    affected.foreach { v =>
+      val staged = stage.resolve(s"__p=$v")
+      if (Files.exists(staged)) {
+        val dir = partDir(v)
+        Files.createDirectories(dir)
+        val nextNum = currentGen(v).map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+        Files.move(staged, dir.resolve(s"gen-$nextNum"),
+          StandardCopyOption.ATOMIC_MOVE)
+        val tmp = dir.resolve("_CURRENT.tmp")
+        Files.writeString(tmp, s"gen-$nextNum")
+        Files.move(tmp, dir.resolve("_CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        vacuumGenerations(dir, nextNum, keepGenerations)
+      }
+    }
+    // remove the staging skeleton (_SUCCESS + emptied dirs)
+    if (Files.exists(stage)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(stage)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+  }
+
+  /** Read the current state of an [[upsertParquetPartitioned]] table: the
+    * union of every partition's current generation. Partition discovery is
+    * a directory listing (metadata-scale); per-partition pointers mean a
+    * concurrent upsert of partition A never tears a read of partition B.
+    */
+  def readUpsertPartitionedTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    val gens = {
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("p=") &&
+          Files.exists(p.resolve("_CURRENT")))
+        .map(p => p.resolve(Files.readString(p.resolve("_CURRENT")).trim).toString)
+        .toSeq
+      finally ls.close()
+    }
+    require(gens.nonEmpty, s"no partitions under $tablePath")
+    spark.read.parquet(gens: _*)
   }
 
   /** S8 — catalog CTAS (reference: common/load.py:522-585 `create_table` —

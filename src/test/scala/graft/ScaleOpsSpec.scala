@@ -71,6 +71,54 @@ class ScaleOpsSpec extends SparkSpec {
     assert(files.contains("gen-0") && files.contains("gen-1") && files.contains("_CURRENT"))
   }
 
+  test("upsertParquetPartitioned: only batch partitions are rewritten, rest byte-identical") {
+    import java.nio.file.{Files => NF, Paths}
+    val dir = NF.createTempDirectory("graft_pupsert").toString
+    val batch1 = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("k", "ymd", "v")
+    Sinks.upsertParquetPartitioned(spark, dir, batch1, Seq("k"), "ymd")
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).count() == 3)
+    // fingerprint every file of the untouched partition
+    def fileBytes(part: String): Map[String, Seq[Byte]] = {
+      val walk = NF.walk(Paths.get(dir, part))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(NF.isRegularFile(_))
+          .map(p => p.toString -> NF.readAllBytes(p).toSeq).toMap
+      } finally walk.close()
+    }
+    val before = fileBytes("p=2024-01-01")
+    // batch 2 touches ONLY 2024-01-02: update k=3, insert k=4
+    val batch2 = Seq((3L, "2024-01-02", 35.0), (4L, "2024-01-02", 40.0))
+      .toDF("k", "ymd", "v")
+    Sinks.upsertParquetPartitioned(spark, dir, batch2, Seq("k"), "ymd")
+    assert(fileBytes("p=2024-01-01") == before,
+      "untouched partition files must be byte-identical (never rewritten)")
+    assert(NF.readString(Paths.get(dir, "p=2024-01-01", "_CURRENT")).trim == "gen-0")
+    assert(NF.readString(Paths.get(dir, "p=2024-01-02", "_CURRENT")).trim == "gen-1")
+    val out = Sinks.readUpsertPartitionedTable(spark, dir)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+        (3L, "2024-01-02", 35.0), (4L, "2024-01-02", 40.0)))
+    // no staging residue
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_stage")))
+  }
+
+  test("upsertParquetPartitioned vacuums per-partition generations") {
+    val dir = Files.createTempDirectory("graft_pvac").toString
+    (0 to 3).foreach { i =>
+      val b = Seq((i.toLong, "2024-01-01", i.toDouble)).toDF("k", "ymd", "v")
+      Sinks.upsertParquetPartitioned(spark, dir, b, Seq("k"), "ymd",
+        keepGenerations = 2)
+    }
+    val gens = new java.io.File(dir, "p=2024-01-01").listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).sorted
+    assert(gens.toSeq == Seq("gen-2", "gen-3"), s"got ${gens.toSeq}")
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).count() == 4)
+  }
+
   test("upsertParquet vacuums generations beyond the retention window") {
     val dir = Files.createTempDirectory("graft_vac").toString
     (0 to 4).foreach { i =>
