@@ -756,6 +756,206 @@ object SparkEntry {
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"), col("media_type"),
           col("n_bytes").cast("long").as("n_bytes"))
+    }),
+
+    // ---- sabangnet invoice staging: Korean raw headers, 6-arm + 18-arm
+    // recode ladders, reject-unparseable guard (the reference's widest
+    // download domain). Raw rows synthesized deterministically from orders;
+    // the oracle recomputes from the base columns, so the header handling
+    // and ladders are what's verified. ----
+    "q69_sabangnet_invoice" -> ((s, d) => {
+      val divArr = array(
+        (graft.staging.SabangnetOrder.orderStatusDiv.map(_._1) :+ "기타")
+          .map(lit): _*)
+      val stArr = array(
+        (graft.staging.SabangnetOrder.orderStatus.map(_._1) :+ "알수없음")
+          .map(lit): _*)
+      val raw = Tables.orders(s, d).select(
+        col("o_orderkey").cast("string").as("주문번호(사방넷)"),
+        pmod(col("o_custkey"), lit(10)).cast("string").as("계정등록순번"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("INV"), col("o_orderkey"))).as("송장번호"),
+        element_at(array(lit("CJ대한통운"), lit("한진"), lit("롯데")),
+          (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")).as("택배사"),
+        element_at(divArr, (pmod(col("o_orderkey"), lit(7)) + 1).cast("int"))
+          .as("주문구분"),
+        element_at(stArr, (pmod(col("o_orderkey"), lit(19)) + 1).cast("int"))
+          .as("주문상태"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null).cast("string"))
+          .otherwise(concat(to_date(col("o_orderdate")).cast("string"),
+            lit(" 12:34"))).as("주문일시(YYYY-MM-DD HH:MM)"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null).cast("string"))
+          .otherwise(date_add(to_date(col("o_orderdate")), 2).cast("string"))
+          .as("송장등록일자(YYYY-MM-DD)"))
+      graft.staging.SabangnetOrder.stageInvoice(raw)
+    }),
+
+    // ---- sabangnet option dim: QUALIFY latest-first dedup + coalescing
+    // MERGE (COALESCE attributes, LEAST/GREATEST validity window) ----
+    "q70_sabangnet_option" -> ((s, d) => {
+      def raw(df: DataFrame) = df.select(
+        concat(lit("O"), pmod(col("l_partkey"), lit(300))).as("상품코드(사방넷)"),
+        concat(lit("S"), pmod(col("l_partkey"), lit(300))).as("상품코드(쇼핑몰)"),
+        pmod(col("l_suppkey"), lit(5)).cast("string").as("계정등록순번"),
+        when(pmod(col("l_linenumber"), lit(4)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("M"), pmod(col("l_partkey"), lit(300))))
+          .as("모델명"),
+        when(pmod(col("l_linenumber"), lit(3)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("P"), pmod(col("l_partkey"), lit(300))))
+          .as("상품명(확정)"),
+        when(pmod(col("l_orderkey"), lit(7)) === 0, lit("n/a"))
+          .otherwise(floor(col("l_extendedprice")).cast("string"))
+          .as("판매가(상품)"),
+        col("l_orderkey").cast("string").as("주문번호(쇼핑몰)"),
+        when(pmod(col("l_orderkey"), lit(9)) === 0, lit(null).cast("string"))
+          .otherwise(concat(to_date(col("l_shipdate")).cast("string"),
+            lit(" 12:00"))).as("주문일시(YYYY-MM-DD HH:MM)"))
+      val li = Tables.lineitem(s, d)
+      val target = F.qualifyTopN(
+        graft.staging.SabangnetOrder.stageOption(
+          raw(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))),
+        Seq(col("account_no"), col("product_id_shop"), col("option_id")),
+        graft.staging.SabangnetOrder.optionDedupOrder)
+      graft.staging.SabangnetOrder.upsertOption(target,
+        raw(li.filter(pmod(col("l_orderkey"), lit(3)) === 0)))
+    }),
+
+    // ---- coupang rocket option staging: deeply nested payload, level-5..1
+    // display-category COALESCE, struct-presence-gated status ----
+    "q71_coupang_rocket" -> ((s, d) => {
+      def b(c: Column) = when(c, lit("true")).otherwise(lit("false"))
+      val pk = col("p_partkey")
+      val cc = concat(
+        lit(""","creturnConfigViewDto":{"vendorId":"""),
+        when(pmod(pk, lit(4)) === 0, lit("null"))
+          .otherwise(concat(lit("\"V"), pmod(pk, lit(3)), lit("\""))),
+        lit(""","productName":"""),
+        when(pmod(pk, lit(6)) === 0, lit("null"))
+          .otherwise(concat(lit("\"CP "), col("p_name"), lit("\""))),
+        lit(""","itemName":""""), col("p_brand"), lit("\""),
+        lit(""","onSale":"""), b(pmod(pk, lit(3)) =!= 0),
+        lit(""","displayCategoryCodeLevel1":"""),
+        (pmod(pk, lit(90)) + 100).cast("string"),
+        lit(""","displayCategoryCodeLevel3":"""),
+        when(pmod(pk, lit(3)) === 0, lit("null"))
+          .otherwise((pmod(pk, lit(90)) + 300).cast("string")),
+        lit(""","displayCategoryCodeLevel5":"""),
+        when(pmod(pk, lit(2)) === 0, lit("null"))
+          .otherwise((pmod(pk, lit(90)) + 500).cast("string")),
+        lit("}"))
+      val payload = concat(
+        lit("""{"vendorItemId":"""), pk,
+        lit(""","unitsSoldForLast30Days":"""), pmod(pk, lit(50)),
+        lit(""","listingDetails":{"vendorInventoryId":"""), pmod(pk, lit(1000)),
+        lit(""","productId":"""), pk + 100000,
+        lit(""","vendorInventoryName":""""), col("p_name"), lit("\"}"),
+        when(pmod(pk, lit(5)) =!= 0, cc).otherwise(lit("")),
+        lit(""","inventoryDetails":{"isHiddenByVendor":"""),
+        b(pmod(pk, lit(7)) === 0),
+        lit(""","orderableQuantity":"""), col("p_size"),
+        lit("}}"))
+      graft.staging.CoupangProduct.stageRocketOption(
+        Tables.part(s, d).select(payload.as("payload")),
+        col("payload"), vendorId = "VC99")
+    }),
+
+    // ---- smartstore settlement staging: 7-arm settle-type ladder + inline
+    // literal dim join + ISO try-parse reject guard ----
+    "q72_smartstore_settlement" -> ((s, d) => {
+      val stArr = array(
+        (graft.staging.SmartstoreSettlement.settleType.map(_._1) :+ "UNKNOWN")
+          .map(lit): _*)
+      val potArr = array(Seq("PROD_ORDER", "DELIVERY", "REFUND", "REVIEW")
+        .map(lit): _*)
+      val ok = col("o_orderkey")
+      val raw = Tables.orders(s, d).select(
+        (ok * 100000 + 7).cast("string").as("productOrderId"),
+        ok.cast("string").as("orderId"),
+        when(pmod(ok, lit(11)) === 0, lit("bad"))
+          .otherwise(pmod(col("o_custkey"), lit(2000)).cast("string"))
+          .as("productId"),
+        element_at(potArr, (pmod(ok, lit(4)) + 1).cast("int"))
+          .as("productOrderType"),
+        element_at(stArr, (pmod(ok, lit(8)) + 1).cast("int")).as("settleType"),
+        floor(col("o_totalprice")).cast("long").as("paySettleAmount"),
+        floor(col("o_totalprice") * 0.03).cast("long")
+          .as("totalPayCommissionAmount"),
+        floor(col("o_totalprice") * 0.01).cast("long").as("benefitSettleAmount"),
+        floor(col("o_totalprice") * 0.96).cast("long").as("settleExpectAmount"),
+        when(pmod(ok, lit(13)) === 0, lit("not-a-date"))
+          .otherwise(to_date(col("o_orderdate")).cast("string")).as("payDate"),
+        when(pmod(ok, lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(date_add(to_date(col("o_orderdate")), 14).cast("string"))
+          .as("settleCompleteDate"))
+      val staged = graft.staging.SmartstoreSettlement.stage(raw, channelSeq = 123L)
+      staged.join(
+          broadcast(graft.staging.SmartstoreSettlement.settleTypeDim(s)
+            .select(col("seq").as("settle_type"),
+              col("name").as("settle_type_name"))),
+          Seq("settle_type"), "left")
+        .select(
+          // synthesized ids fit BIGINT; the staged DECIMAL(38,0) (HUGEINT
+          // fidelity) must not reach the typed-value compare
+          col("product_order_id").cast("bigint").as("product_order_id"),
+          col("order_id"), col("channel_seq"), col("product_id"),
+          col("product_order_type"), col("settle_type"),
+          col("settle_type_name"), col("payment_amount"),
+          col("pay_commision_amount"), col("benefit_settle_amount"),
+          col("settle_expect_amount"), col("payment_date"),
+          col("settlement_date"))
+    }),
+
+    // ---- cj eflexs stock staging: yyyyMMdd integer-date parse, TRY_CAST
+    // numerics, caller-bound updated_at ----
+    "q73_cj_stock" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val raw = Tables.part(s, d).select(
+        concat(lit("I"), pk).as("itemCd"),
+        when(pmod(pk, lit(6)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("B"), pk)).as("itemVarcode"),
+        (pmod(pk, lit(40)) + 1).cast("string").as("strrId"),
+        col("p_name").as("itemNm"),
+        concat(lit("W"), pmod(pk, lit(3))).as("whCd"),
+        concat(lit("Warehouse "), pmod(pk, lit(3))).as("whNm"),
+        concat(lit("Z"), pmod(pk, lit(5))).as("zoneCd"),
+        col("p_brand").as("wcellNm"),
+        when(pmod(pk, lit(9)) === 0, lit("n/a"))
+          .otherwise(pmod(pk, lit(100000)).cast("string")).as("lotNo"),
+        pmod(pk, lit(500)).as("invnQty"),
+        (pmod(pk, lit(500)) - pmod(pk, lit(7))).as("avlbQty"),
+        pmod(pk, lit(7)).as("hldQty"),
+        when(pmod(pk, lit(8)) === 0, lit("many"))
+          .otherwise(pmod(pk, lit(365)).cast("string")).as("remainInvnDays"),
+        date_add(to_date(lit("2025-01-01")), pmod(pk, lit(300)).cast("int"))
+          .cast("string").as("validDatetime"),
+        (pmod(pk, lit(28)) + 20240101).as("inbDate"))
+      graft.staging.CjStock.stage(raw,
+        java.time.LocalDateTime.of(2026, 1, 2, 3, 4, 5))
+    }),
+
+    // ---- ecount product staging: CONT-slot naming + the NULLIF('0')
+    // expiration coalesce ----
+    "q74_ecount_product" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val raw = Tables.part(s, d).select(
+        concat(lit("E"), pk).as("PROD_CD"),
+        when(pmod(pk, lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("OPT"), pmod(pk, lit(7)))).as("CONT4"),
+        col("p_name").as("PROD_DES"),
+        col("p_type").as("CONT6"),
+        col("p_brand").as("CONT1"),
+        concat(lit("rem-"), pmod(pk, lit(13))).as("REMARKS_WIN"),
+        when(pmod(pk, lit(6)) === 0, lit("big"))
+          .otherwise(pmod(pk, lit(24)).cast("string")).as("SIZE_DES"),
+        concat(lit("U"), pmod(col("p_partkey"), lit(4))).as("UNIT"),
+        when(pmod(pk, lit(7)) === 0, lit("n/a"))
+          .otherwise(floor(col("p_retailprice")).cast("string")).as("IN_PRICE"),
+        when(pmod(pk, lit(3)) === 0, lit("0"))
+          .otherwise(concat(lit("26-"), pmod(pk, lit(12)) + 1)).as("CONT2"),
+        when(pmod(pk, lit(4)) === 0, lit("0"))
+          .otherwise(concat(lit("27-"), pmod(pk, lit(12)) + 1)).as("CONT3"))
+      graft.staging.Ecount.stageProduct(raw,
+        java.time.LocalDateTime.of(2026, 2, 3, 4, 5, 6))
     })
   )
 
@@ -941,7 +1141,207 @@ object SparkEntry {
        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
   }
 
+  /** CASE ladder over a (key → code) mapping, generated from the same Seq
+    * the Spark-side `F.recode` consumes — one source of truth per ladder.
+    */
+  private def dkCaseLadder(e: String, mapping: Seq[(String, Int)]): String =
+    s"CASE $e " +
+      mapping.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+      " ELSE NULL END"
+
+  private def dkList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  private def q69Oracle: String = {
+    val divs = dkList(graft.staging.SabangnetOrder.orderStatusDiv.map(_._1) :+ "기타")
+    val sts = dkList(graft.staging.SabangnetOrder.orderStatus.map(_._1) :+ "알수없음")
+    val divCase = dkCaseLadder("div_s", graft.staging.SabangnetOrder.orderStatusDiv)
+    val stCase = dkCaseLadder("st_s", graft.staging.SabangnetOrder.orderStatus)
+    s"""WITH raw AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+       |      ELSE 'INV' || CAST(o_orderkey AS VARCHAR) END AS invoice_no,
+       |    (['CJ대한통운', '한진', '롯데'])[o_orderkey % 3 + 1] AS delivery_company,
+       |    ($divs)[o_orderkey % 7 + 1] AS div_s,
+       |    ($sts)[o_orderkey % 19 + 1] AS st_s,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+       |      ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' 12:34' END AS odt_s,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+       |      ELSE CAST(CAST(o_orderdate AS DATE) + 2 AS VARCHAR) END AS invd_s
+       |  FROM orders)
+       |SELECT o_orderkey AS order_seq,
+       |  CAST(o_custkey % 10 AS INTEGER) AS account_no,
+       |  invoice_no, delivery_company,
+       |  $divCase AS order_status_div,
+       |  $stCase AS order_status,
+       |  TRY_CAST(TRY_STRPTIME(odt_s, '%Y-%m-%d %H:%M') AS TIMESTAMP) AS order_dt,
+       |  TRY_CAST(invd_s AS DATE) AS invoice_date
+       |FROM raw
+       |WHERE invoice_no IS NOT NULL
+       |  AND TRY_STRPTIME(odt_s, '%Y-%m-%d %H:%M') IS NOT NULL""".stripMargin
+  }
+
+  private def q70Oracle: String = {
+    val dedupOrd = "first_order_dt DESC NULLS LAST, order_id DESC NULLS LAST, " +
+      "product_name DESC NULLS LAST, model_code DESC NULLS LAST, " +
+      "sales_price DESC NULLS LAST"
+    def mergeCol(c: String, fn: String): String = {
+      val onMatch = fn match {
+        case "COALESCE" => s"COALESCE(s.$c, t.$c)"
+        case other => s"$other(s.$c, t.$c)"
+      }
+      s"CASE WHEN t.option_id IS NOT NULL AND s.option_id IS NOT NULL THEN $onMatch\n" +
+        s"       WHEN t.option_id IS NULL THEN s.$c ELSE t.$c END AS $c"
+    }
+    s"""WITH st0 AS (
+       |  SELECT l_orderkey AS ok,
+       |    'O' || CAST(l_partkey % 300 AS VARCHAR) AS option_id,
+       |    'S' || CAST(l_partkey % 300 AS VARCHAR) AS product_id_shop,
+       |    CAST(l_suppkey % 5 AS INTEGER) AS account_no,
+       |    CASE WHEN l_linenumber % 4 = 0 THEN NULL
+       |      ELSE 'M' || CAST(l_partkey % 300 AS VARCHAR) END AS model_code,
+       |    CASE WHEN l_linenumber % 3 = 0 THEN NULL
+       |      ELSE 'P' || CAST(l_partkey % 300 AS VARCHAR) END AS product_name,
+       |    TRY_CAST(CASE WHEN l_orderkey % 7 = 0 THEN 'n/a'
+       |      ELSE CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR) END
+       |      AS INTEGER) AS sales_price,
+       |    CAST(l_orderkey AS VARCHAR) AS order_id,
+       |    TRY_CAST(TRY_STRPTIME(CASE WHEN l_orderkey % 9 = 0 THEN NULL
+       |      ELSE CAST(CAST(l_shipdate AS DATE) AS VARCHAR) || ' 12:00' END,
+       |      '%Y-%m-%d %H:%M') AS TIMESTAMP) AS first_order_dt
+       |  FROM lineitem),
+       |st AS (SELECT *, first_order_dt AS last_order_dt FROM st0),
+       |tq AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY account_no, product_id_shop, option_id
+       |    ORDER BY $dedupOrd) AS rn FROM st WHERE ok % 2 = 0),
+       |t AS (SELECT * FROM tq WHERE rn = 1),
+       |sq AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY account_no, product_id_shop, option_id
+       |    ORDER BY $dedupOrd) AS rn FROM st WHERE ok % 3 = 0),
+       |s AS (SELECT * FROM sq WHERE rn = 1)
+       |SELECT
+       |  COALESCE(t.account_no, s.account_no) AS account_no,
+       |  COALESCE(t.product_id_shop, s.product_id_shop) AS product_id_shop,
+       |  COALESCE(t.option_id, s.option_id) AS option_id,
+       |  ${mergeCol("model_code", "COALESCE")},
+       |  ${mergeCol("product_name", "COALESCE")},
+       |  ${mergeCol("sales_price", "COALESCE")},
+       |  ${mergeCol("order_id", "COALESCE")},
+       |  ${mergeCol("first_order_dt", "LEAST")},
+       |  ${mergeCol("last_order_dt", "GREATEST")}
+       |FROM t FULL JOIN s
+       |  ON t.account_no = s.account_no
+       |  AND t.product_id_shop = s.product_id_shop
+       |  AND t.option_id = s.option_id""".stripMargin
+  }
+
+  private def q72Oracle: String = {
+    val rows = graft.staging.SmartstoreSettlement.settleTypeRows
+    val stList = dkList(rows.map(_._2) :+ "UNKNOWN")
+    val stCase = dkCaseLadder("st_code", rows.map(r => r._2 -> r._1))
+    val nameCase = "CASE st_code " +
+      rows.map(r => s"WHEN '${r._2}' THEN '${r._3}'").mkString(" ") +
+      " ELSE NULL END"
+    s"""WITH raw AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice,
+       |    ($stList)[o_orderkey % 8 + 1] AS st_code,
+       |    (['PROD_ORDER', 'DELIVERY', 'REFUND', 'REVIEW'])[o_orderkey % 4 + 1] AS pot,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN 'not-a-date'
+       |      ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS pay_s,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+       |      ELSE CAST(CAST(o_orderdate AS DATE) + 14 AS VARCHAR) END AS scd_s
+       |  FROM orders)
+       |SELECT CAST(o_orderkey * 100000 + 7 AS BIGINT) AS product_order_id,
+       |  o_orderkey AS order_id,
+       |  CAST(123 AS BIGINT) AS channel_seq,
+       |  TRY_CAST(CASE WHEN o_orderkey % 11 = 0 THEN 'bad'
+       |    ELSE CAST(o_custkey % 2000 AS VARCHAR) END AS BIGINT) AS product_id,
+       |  pot AS product_order_type,
+       |  $stCase AS settle_type,
+       |  $nameCase AS settle_type_name,
+       |  CAST(FLOOR(o_totalprice) AS INTEGER) AS payment_amount,
+       |  CAST(FLOOR(o_totalprice * 0.03) AS INTEGER) AS pay_commision_amount,
+       |  CAST(FLOOR(o_totalprice * 0.01) AS INTEGER) AS benefit_settle_amount,
+       |  CAST(FLOOR(o_totalprice * 0.96) AS INTEGER) AS settle_expect_amount,
+       |  TRY_CAST(pay_s AS DATE) AS payment_date,
+       |  TRY_CAST(scd_s AS DATE) AS settlement_date
+       |FROM raw WHERE TRY_CAST(pay_s AS DATE) IS NOT NULL""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q69_sabangnet_invoice" -> q69Oracle,
+    "q70_sabangnet_option" -> q70Oracle,
+    "q72_smartstore_settlement" -> q72Oracle,
+
+    "q71_coupang_rocket" ->
+      """SELECT CAST(p_partkey % 1000 AS BIGINT) AS vendor_inventory_id,
+        |  CAST(p_partkey + 100000 AS BIGINT) AS product_id,
+        |  p_partkey AS option_id,
+        |  CASE WHEN p_partkey % 5 <> 0 AND p_partkey % 4 <> 0
+        |    THEN 'V' || CAST(p_partkey % 3 AS VARCHAR) ELSE 'VC99' END AS vendor_id,
+        |  CASE WHEN p_partkey % 5 <> 0 AND p_partkey % 6 <> 0
+        |    THEN 'CP ' || p_name ELSE p_name END AS product_name,
+        |  CASE WHEN p_partkey % 5 <> 0 THEN p_brand ELSE NULL END AS option_name,
+        |  CASE WHEN p_partkey % 5 <> 0 THEN
+        |    CASE WHEN p_partkey % 2 <> 0 THEN CAST(p_partkey % 90 + 500 AS INTEGER)
+        |         WHEN p_partkey % 3 <> 0 THEN CAST(p_partkey % 90 + 300 AS INTEGER)
+        |         ELSE CAST(p_partkey % 90 + 100 AS INTEGER) END
+        |    ELSE NULL END AS display_category_id,
+        |  CASE WHEN p_partkey % 7 = 0 THEN 2
+        |       WHEN p_partkey % 5 <> 0 THEN
+        |         (CASE WHEN p_partkey % 3 <> 0 THEN 0 ELSE 1 END)
+        |       ELSE NULL END AS product_status,
+        |  CAST(p_partkey % 50 AS INTEGER) AS order_quantity,
+        |  CAST(p_size AS INTEGER) AS stock_quantity
+        |FROM part""".stripMargin,
+
+    "q73_cj_stock" ->
+      """SELECT 'I' || CAST(p_partkey AS VARCHAR) AS item_code,
+        |  CASE WHEN p_partkey % 6 = 0 THEN NULL
+        |    ELSE 'B' || CAST(p_partkey AS VARCHAR) END AS barcode,
+        |  CAST(p_partkey % 40 + 1 AS BIGINT) AS customer_id,
+        |  p_name AS item_name,
+        |  'W' || CAST(p_partkey % 3 AS VARCHAR) AS warehouse_code,
+        |  'Warehouse ' || CAST(p_partkey % 3 AS VARCHAR) AS warehouse_name,
+        |  'Z' || CAST(p_partkey % 5 AS VARCHAR) AS zone_code,
+        |  p_brand AS location_name,
+        |  TRY_CAST(CASE WHEN p_partkey % 9 = 0 THEN 'n/a'
+        |    ELSE CAST(p_partkey % 100000 AS VARCHAR) END AS BIGINT) AS lot_no,
+        |  CAST(p_partkey % 500 AS INTEGER) AS total_quantity,
+        |  CAST(p_partkey % 500 - p_partkey % 7 AS INTEGER) AS usable_quantity,
+        |  CAST(p_partkey % 7 AS INTEGER) AS hold_quantity,
+        |  TRY_CAST(CASE WHEN p_partkey % 8 = 0 THEN 'many'
+        |    ELSE CAST(p_partkey % 365 AS VARCHAR) END AS INTEGER) AS remain_days,
+        |  TRY_CAST(CAST(DATE '2025-01-01' + CAST(p_partkey % 300 AS INTEGER)
+        |    AS VARCHAR) AS DATE) AS validate_date,
+        |  TRY_CAST(STRPTIME(CAST(p_partkey % 28 + 20240101 AS VARCHAR),
+        |    '%Y%m%d') AS DATE) AS inbound_date,
+        |  TIMESTAMP '2026-01-02 03:04:05' AS updated_at
+        |FROM part""".stripMargin,
+
+    "q74_ecount_product" ->
+      """SELECT 'E' || CAST(p_partkey AS VARCHAR) AS product_code,
+        |  CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |    ELSE 'OPT' || CAST(p_partkey % 7 AS VARCHAR) END AS option_id,
+        |  p_name AS product_name,
+        |  p_type AS product_keyword,
+        |  p_brand AS brand_name,
+        |  'rem-' || CAST(p_partkey % 13 AS VARCHAR) AS remarks,
+        |  TRY_CAST(CASE WHEN p_partkey % 6 = 0 THEN 'big'
+        |    ELSE CAST(p_partkey % 24 AS VARCHAR) END AS INTEGER) AS unit_quantity,
+        |  'U' || CAST(p_partkey % 4 AS VARCHAR) AS unit_name,
+        |  TRY_CAST(CASE WHEN p_partkey % 7 = 0 THEN 'n/a'
+        |    ELSE CAST(CAST(FLOOR(p_retailprice) AS BIGINT) AS VARCHAR) END
+        |    AS INTEGER) AS org_price,
+        |  COALESCE(
+        |    NULLIF(CASE WHEN p_partkey % 3 = 0 THEN '0'
+        |      ELSE '26-' || CAST(p_partkey % 12 + 1 AS VARCHAR) END, '0'),
+        |    NULLIF(CASE WHEN p_partkey % 4 = 0 THEN '0'
+        |      ELSE '27-' || CAST(p_partkey % 12 + 1 AS VARCHAR) END, '0'))
+        |    AS expiration_date,
+        |  TIMESTAMP '2026-02-03 04:05:06' AS updated_at
+        |FROM part""".stripMargin,
+
     "q28_minhash_lsh" -> q28Oracle,
     "q29_simhash" -> q29Oracle,
     "q57_simhash_neardup" -> q57Oracle,
