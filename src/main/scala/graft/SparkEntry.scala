@@ -956,6 +956,37 @@ object SparkEntry {
           .otherwise(concat(lit("27-"), pmod(pk, lit(12)) + 1)).as("CONT3"))
       graft.staging.Ecount.stageProduct(raw,
         java.time.LocalDateTime.of(2026, 2, 3, 4, 5, 6))
+    }),
+
+    // ---- order_count_mom mart: distinct-countable grain — TVF invoked for
+    // the request range + a 2-month lookback, unioned without aggregation,
+    // per-month validity windows + formatted date-range label ----
+    "q75_order_count_mom" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("order_count_mom", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-03-01", "ds_end_date" -> "1996-03-15",
+          "ds_interval_month" -> "2")))
+    }),
+
+    // ---- searchad report mart: two-channel UNION ALL with layered
+    // COALESCE fallbacks through campaign/ad/product masters ----
+    "q76_searchad_report" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("searchad_report_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+
+    // ---- relation ranges feeding a big-big range join inside the DAG ----
+    "q77_sbn_range_orders" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("orders_by_sbn_range", s)
+    }),
+
+    // ---- MAX(batch) freshness probe: report_batch=99 forces the
+    // correlated-scalar path (batch 10/20 would pin directly) ----
+    "q78_stock_batch_probe" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_report_batch", s,
+        graft.models.Params(Map(
+          "report_date" -> "1996-06-14", "report_batch" -> "99")))
     })
   )
 
@@ -1269,6 +1300,147 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q75_order_count_mom" ->
+      """WITH oc AS (
+        |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
+        |    o_orderkey % 5 + 1 AS order_quantity,
+        |    CAST(o_orderdate AS DATE) AS order_date
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT order_id, order_status, order_quantity, order_date,
+        |    DATE '1996-03-01' AS order_ym,
+        |    MIN(order_date) OVER () AS order_start_date,
+        |    MAX(order_date) OVER () AS order_end_date
+        |  FROM oc WHERE order_date BETWEEN DATE '1996-03-01' AND DATE '1996-03-15'),
+        |lb AS (
+        |  SELECT order_id, order_status, order_quantity, order_date,
+        |    CAST(DATE_TRUNC('month', order_date) AS DATE) AS order_ym
+        |  FROM oc WHERE order_date BETWEEN DATE '1996-01-01' AND DATE '1996-02-29'),
+        |s2 AS (
+        |  SELECT *, MIN(order_date) OVER (PARTITION BY order_ym) AS order_start_date,
+        |    MAX(order_date) OVER (PARTITION BY order_ym) AS order_end_date
+        |  FROM lb),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |dow(dw, name) AS (VALUES (1, '(일)'), (2, '(월)'), (3, '(화)'),
+        |  (4, '(수)'), (5, '(목)'), (6, '(금)'), (7, '(토)'))
+        |SELECT order_id, order_status, order_quantity, order_date, order_ym,
+        |  order_start_date, order_end_date,
+        |  '[ ' || strftime(order_end_date, '%y') || '년 ' ||
+        |  strftime(order_end_date, '%m') || '월 ]' || chr(10) ||
+        |  CASE WHEN order_start_date <> order_end_date
+        |    THEN strftime(order_start_date, '%y/%m/%d') || sd.name || chr(10) || '~ '
+        |    ELSE chr(10) END ||
+        |  strftime(order_end_date, '%y/%m/%d') || ed.name AS order_date_range
+        |FROM u
+        |LEFT JOIN dow sd ON dayofweek(u.order_start_date) + 1 = sd.dw
+        |LEFT JOIN dow ed ON dayofweek(u.order_end_date) + 1 = ed.dw""".stripMargin,
+
+    "q76_searchad_report" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey AS ad_id, o_custkey % 500 AS campaign_id,
+        |    o_orderkey % 2000 + 1 AS product_id,
+        |    (['P', 'M', 'X'])[o_orderkey % 3 + 1] AS device_code,
+        |    (o_orderkey % 1000) * 7 AS impression_count,
+        |    o_orderkey % 50 AS click_count,
+        |    CAST(FLOOR(o_totalprice * 0.01) AS BIGINT) AS ad_cost,
+        |    CAST(o_orderdate AS DATE) AS ymd
+        |  FROM orders),
+        |cmp AS (
+        |  SELECT c_custkey AS campaign_id, CAST(c_nationkey AS BIGINT) AS customer_id,
+        |    'CMP' || CAST(c_custkey AS VARCHAR) AS campaign_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS campaign_type,
+        |    c_mktsegment AS account_type,
+        |    CASE WHEN c_custkey % 2 = 0 THEN '쇼핑검색' ELSE NULL END AS ad_type
+        |  FROM customer WHERE c_custkey < 400),
+        |ad AS (
+        |  SELECT o_orderkey AS ad_id, CAST(o_custkey AS BIGINT) AS customer_id,
+        |    o_orderkey % 100 AS adgroup_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE 'AG' || CAST(o_orderkey % 4 AS VARCHAR) END AS adgroup_type,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE '파워링크' END AS ad_type,
+        |    'ADCMP' || CAST(o_custkey % 500 AS VARCHAR) AS campaign_name,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE '파워' END AS campaign_type
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |prod AS (
+        |  SELECT p_partkey AS product_id,
+        |    CASE WHEN p_partkey % 6 = 0 THEN NULL
+        |      ELSE 'T' || CAST(p_partkey % 5 AS VARCHAR) END AS team_name
+        |  FROM part),
+        |dev(code, label) AS (VALUES ('P', 'PC'), ('M', '모바일')),
+        |side1 AS (
+        |  SELECT COALESCE(ad.customer_id, cmp.customer_id) AS customer_id,
+        |    i.campaign_id,
+        |    COALESCE(ad.campaign_name, cmp.campaign_name) AS campaign_name,
+        |    COALESCE(ad.campaign_type, cmp.campaign_type, '캠페인 없음') AS campaign_type,
+        |    ad.adgroup_id,
+        |    COALESCE(ad.adgroup_type, cmp.account_type || '-기타', '그룹 없음') AS adgroup_type,
+        |    i.ad_id,
+        |    COALESCE(ad.ad_type, cmp.ad_type, '유형 없음') AS ad_type,
+        |    COALESCE(prod.team_name, '담당팀 없음') AS team_name,
+        |    COALESCE(dev.label, '-') AS device_type,
+        |    i.impression_count, i.click_count, i.ad_cost, i.ymd
+        |  FROM ins i
+        |  LEFT JOIN dev ON i.device_code = dev.code
+        |  LEFT JOIN cmp ON i.campaign_id = cmp.campaign_id
+        |  LEFT JOIN ad ON i.ad_id = ad.ad_id
+        |  LEFT JOIN prod ON i.product_id = prod.product_id
+        |  WHERE i.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+        |cd AS (
+        |  SELECT o_orderkey + 9000000 AS contract_id, o_orderkey % 100 AS adgroup_id,
+        |    o_orderkey % 2000 + 1 AS product_id,
+        |    CAST(FLOOR(o_totalprice * 0.05) AS BIGINT) AS ad_cost,
+        |    CAST(o_orderdate AS DATE) AS ymd
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |cm AS (
+        |  SELECT o_orderkey + 9000000 AS contract_id,
+        |    CAST(o_custkey AS BIGINT) AS customer_id,
+        |    o_custkey % 500 AS campaign_id,
+        |    'CTCMP' || CAST(o_custkey % 500 AS VARCHAR) AS campaign_name,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN '브랜드검색' ELSE NULL END AS contract_type
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 2 = 0),
+        |side2 AS (
+        |  SELECT cm.customer_id, cm.campaign_id, cm.campaign_name,
+        |    '캠페인 없음' AS campaign_type, cd.adgroup_id,
+        |    '그룹 없음' AS adgroup_type,
+        |    cd.contract_id AS ad_id,
+        |    COALESCE(cm.contract_type, '유형 없음') AS ad_type,
+        |    COALESCE(prod.team_name, '담당팀 없음') AS team_name,
+        |    '계약' AS device_type,
+        |    CAST(NULL AS BIGINT) AS impression_count,
+        |    CAST(NULL AS BIGINT) AS click_count,
+        |    cd.ad_cost, cd.ymd
+        |  FROM cd
+        |  LEFT JOIN cm ON cd.contract_id = cm.contract_id
+        |  LEFT JOIN prod ON cd.product_id = prod.product_id
+        |  WHERE cd.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
+        |SELECT * FROM side1 UNION ALL SELECT * FROM side2""".stripMargin,
+
+    "q77_sbn_range_orders" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    c_custkey - ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_custkey) AS grp
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_mktsegment, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
+        |  FROM g GROUP BY c_mktsegment, grp)
+        |SELECT r.c_mktsegment, r.lo, r.hi, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM r JOIN orders o ON o.o_custkey BETWEEN r.lo AND r.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q78_stock_batch_probe" ->
+      """WITH b AS (
+        |  SELECT l_partkey AS product_code, CAST(l_shipdate AS DATE) AS ymd,
+        |    ([10, 20, 30])[CAST(l_orderkey % 3 AS INTEGER) + 1] AS batch,
+        |    CAST(l_quantity AS BIGINT) AS stock_qty
+        |  FROM lineitem),
+        |d AS (SELECT * FROM b WHERE ymd = DATE '1996-06-14'),
+        |chosen AS (SELECT * FROM d WHERE batch = (SELECT MAX(batch) FROM d))
+        |SELECT product_code, batch, CAST(SUM(stock_qty) AS BIGINT) AS stock_qty,
+        |  COUNT(*) AS n_rows
+        |FROM chosen GROUP BY 1, 2""".stripMargin,
+
     "q69_sabangnet_invoice" -> q69Oracle,
     "q70_sabangnet_option" -> q70Oracle,
     "q72_smartstore_settlement" -> q72Oracle,

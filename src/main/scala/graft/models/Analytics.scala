@@ -223,6 +223,267 @@ object Analytics {
               .as("attributed_value_e4"))
       }))
 
+    // ---- order_count_mom (reference: dbt_bigquery/models/marts/sales/
+    // analytics__order_count_mom.sql): the distinct-countable-grain
+    // pattern — a parameterized order-grain TVF invoked twice (the request
+    // range + a monthly lookback), unioned WITHOUT aggregation so order_id
+    // stays distinct-countable downstream, with per-month validity windows
+    // and a formatted date-range label joined from the day-of-week dim.
+    r.register(Model("order_count", Nil, View, ctx => {
+      orderCountSlice(ctx.session, sfDir,
+        lit(ctx.params("ds_start_date")).cast("date"),
+        lit(ctx.params("ds_end_date")).cast("date"))
+    }))
+
+    r.register(Model("order_count_mom", Seq("order_count"), View, ctx => {
+      val w = org.apache.spark.sql.expressions.Window
+      val endD = java.time.LocalDate.parse(ctx.params("ds_end_date"))
+      val startD = java.time.LocalDate.parse(ctx.params("ds_start_date"))
+      val months = ctx.params("ds_interval_month").toInt
+      val endMonth = endD.withDayOfMonth(1)
+      def d(x: java.time.LocalDate) = lit(java.sql.Date.valueOf(x))
+      // min/max order_date per month computed PER SLICE (the reference's
+      // per-CTE windows), before the union
+      def withWindows(df: DataFrame) = {
+        val wYm = w.partitionBy(col("order_ym"))
+        df.withColumn("order_start_date", min(col("order_date")).over(wYm))
+          .withColumn("order_end_date", max(col("order_date")).over(wYm))
+      }
+      val slice = withWindows(
+        orderCountSlice(ctx.session, sfDir, d(startD), d(endD))
+          .withColumn("order_ym", d(endMonth)))
+      val lookback = withWindows(
+        orderCountSlice(ctx.session, sfDir,
+            d(endMonth.minusMonths(months)), d(endMonth.minusDays(1)))
+          .withColumn("order_ym", date_trunc("month", col("order_date")).cast("date")))
+      val dow = graft.functions.F.inlineDim(ctx.session, Seq("dw", "name"),
+        Seq("(일)", "(월)", "(화)", "(수)", "(목)", "(금)", "(토)")
+          .zipWithIndex.map { case (n, i) => Seq(i + 1, n) })
+      val fact = slice.unionByName(lookback)
+      fact
+        .join(broadcast(dow.select(col("dw").as("__sd"), col("name").as("__sn"))),
+          dayofweek(col("order_start_date")) === col("__sd"), "left")
+        .join(broadcast(dow.select(col("dw").as("__ed"), col("name").as("__en"))),
+          dayofweek(col("order_end_date")) === col("__ed"), "left")
+        .select(col("order_id"), col("order_status"), col("order_quantity"),
+          col("order_date"), col("order_ym"), col("order_start_date"),
+          col("order_end_date"),
+          concat(
+            lit("[ "), date_format(col("order_end_date"), "yy"), lit("년 "),
+            date_format(col("order_end_date"), "MM"), lit("월 ]\n"),
+            when(col("order_start_date") =!= col("order_end_date"),
+              concat(date_format(col("order_start_date"), "yy/MM/dd"),
+                col("__sn"), lit("\n~ ")))
+              .otherwise(lit("\n")),
+            date_format(col("order_end_date"), "yy/MM/dd"), col("__en"))
+            .as("order_date_range"))
+    }))
+
+    // ---- searchad report (reference: dbt_bigquery/models/marts/ads/
+    // searchad__report_daily.sql): the wide two-channel union mart —
+    // insight rows enriched through campaign/ad/product masters + device
+    // dim with layered COALESCE fallbacks, UNION ALL the contract channel
+    // with its literal device type and null counter columns.
+    r.register(Model("searchad_insight", Nil, Incremental("ymd"), ctx => {
+      Tables.orders(ctx.session, sfDir).select(
+        col("o_orderkey").as("ad_id"),
+        pmod(col("o_custkey"), lit(500)).as("campaign_id"),
+        (pmod(col("o_orderkey"), lit(2000)) + 1).as("product_id"),
+        element_at(array(lit("P"), lit("M"), lit("X")),
+          (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")).as("device_code"),
+        (pmod(col("o_orderkey"), lit(1000)) * 7).as("impression_count"),
+        pmod(col("o_orderkey"), lit(50)).as("click_count"),
+        floor(col("o_totalprice") * 0.01).cast("long").as("ad_cost"),
+        to_date(col("o_orderdate")).as("ymd"))
+    }))
+
+    r.register(Model("searchad_campaign_master", Nil, View, ctx => {
+      Tables.customer(ctx.session, sfDir)
+        .filter(col("c_custkey") < 400)
+        .select(col("c_custkey").as("campaign_id"),
+          col("c_nationkey").cast("long").as("customer_id"),
+          concat(lit("CMP"), col("c_custkey")).as("campaign_name"),
+          when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("campaign_type"),
+          col("c_mktsegment").as("account_type"),
+          when(pmod(col("c_custkey"), lit(2)) === 0, lit("쇼핑검색"))
+            .otherwise(lit(null).cast("string")).as("ad_type"))
+    }))
+
+    r.register(Model("searchad_ad_master", Nil, View, ctx => {
+      Tables.orders(ctx.session, sfDir)
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey").as("ad_id"),
+          col("o_custkey").cast("long").as("customer_id"),
+          pmod(col("o_orderkey"), lit(100)).as("adgroup_id"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("AG"), pmod(col("o_orderkey"), lit(4))))
+            .as("adgroup_type"),
+          when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("string"))
+            .otherwise(lit("파워링크")).as("ad_type"),
+          concat(lit("ADCMP"), pmod(col("o_custkey"), lit(500))).as("campaign_name"),
+          when(pmod(col("o_orderkey"), lit(2)) === 0, lit(null).cast("string"))
+            .otherwise(lit("파워")).as("campaign_type"))
+    }))
+
+    r.register(Model("core_product_master", Nil, View, ctx => {
+      Tables.part(ctx.session, sfDir).select(
+        col("p_partkey").as("product_id"),
+        when(pmod(col("p_partkey"), lit(6)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("T"), pmod(col("p_partkey"), lit(5))))
+          .as("team_name"))
+    }))
+
+    r.register(Model("searchad_contract_daily", Nil, Incremental("ymd"), ctx => {
+      Tables.orders(ctx.session, sfDir)
+        .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + 9000000).as("contract_id"),
+          pmod(col("o_orderkey"), lit(100)).as("adgroup_id"),
+          (pmod(col("o_orderkey"), lit(2000)) + 1).as("product_id"),
+          floor(col("o_totalprice") * 0.05).cast("long").as("ad_cost"),
+          to_date(col("o_orderdate")).as("ymd"))
+    }))
+
+    r.register(Model("searchad_contract_master", Nil, View, ctx => {
+      Tables.orders(ctx.session, sfDir)
+        .filter(pmod(col("o_orderkey"), lit(11)) === 0 &&
+          pmod(col("o_orderkey"), lit(2)) === 0)
+        .select((col("o_orderkey") + 9000000).as("contract_id"),
+          col("o_custkey").cast("long").as("customer_id"),
+          pmod(col("o_custkey"), lit(500)).as("campaign_id"),
+          concat(lit("CTCMP"), pmod(col("o_custkey"), lit(500))).as("campaign_name"),
+          when(pmod(col("o_orderkey"), lit(4)) === 0, lit("브랜드검색"))
+            .otherwise(lit(null).cast("string")).as("contract_type"))
+    }))
+
+    r.register(Model("searchad_report_daily",
+      Seq("searchad_insight", "searchad_campaign_master", "searchad_ad_master",
+        "core_product_master", "searchad_contract_daily",
+        "searchad_contract_master"), View, ctx => {
+      val start = lit(ctx.params("ds_start_date")).cast("date")
+      val end = lit(ctx.params("ds_end_date")).cast("date")
+      val device = graft.functions.F.inlineDim(ctx.session,
+        Seq("code", "label"), Seq(Seq("P", "PC"), Seq("M", "모바일")))
+      val ins = ctx.ref("searchad_insight")
+        .filter(col("ymd").between(start, end)).alias("i")
+      val cmp = ctx.ref("searchad_campaign_master").alias("c")
+      val ad = ctx.ref("searchad_ad_master").alias("a")
+      val prod = ctx.ref("core_product_master").alias("p")
+      val side1 = ins
+        .join(broadcast(device.alias("d")),
+          col("i.device_code") === col("d.code"), "left")
+        .join(broadcast(cmp), col("i.campaign_id") === col("c.campaign_id"), "left")
+        .join(ad, col("i.ad_id") === col("a.ad_id"), "left")
+        .join(prod, col("i.product_id") === col("p.product_id"), "left")
+        .select(
+          coalesce(col("a.customer_id"), col("c.customer_id")).as("customer_id"),
+          col("i.campaign_id").as("campaign_id"),
+          coalesce(col("a.campaign_name"), col("c.campaign_name")).as("campaign_name"),
+          coalesce(col("a.campaign_type"), col("c.campaign_type"),
+            lit("캠페인 없음")).as("campaign_type"),
+          col("a.adgroup_id").as("adgroup_id"),
+          coalesce(col("a.adgroup_type"),
+            concat(col("c.account_type"), lit("-기타")),
+            lit("그룹 없음")).as("adgroup_type"),
+          col("i.ad_id").as("ad_id"),
+          coalesce(col("a.ad_type"), col("c.ad_type"), lit("유형 없음")).as("ad_type"),
+          coalesce(col("p.team_name"), lit("담당팀 없음")).as("team_name"),
+          coalesce(col("d.label"), lit("-")).as("device_type"),
+          col("i.impression_count").as("impression_count"),
+          col("i.click_count").as("click_count"),
+          col("i.ad_cost").as("ad_cost"), col("i.ymd").as("ymd"))
+      val con = ctx.ref("searchad_contract_daily")
+        .filter(col("ymd").between(start, end)).alias("cd")
+      val cm = ctx.ref("searchad_contract_master").alias("cm")
+      val side2 = con
+        .join(cm, col("cd.contract_id") === col("cm.contract_id"), "left")
+        .join(prod, col("cd.product_id") === col("p.product_id"), "left")
+        .select(
+          col("cm.customer_id").as("customer_id"),
+          col("cm.campaign_id").as("campaign_id"),
+          col("cm.campaign_name").as("campaign_name"),
+          lit("캠페인 없음").as("campaign_type"),
+          col("cd.adgroup_id").as("adgroup_id"),
+          lit("그룹 없음").as("adgroup_type"),
+          col("cd.contract_id").as("ad_id"),
+          coalesce(col("cm.contract_type"), lit("유형 없음")).as("ad_type"),
+          coalesce(col("p.team_name"), lit("담당팀 없음")).as("team_name"),
+          lit("계약").as("device_type"),
+          lit(null).cast("long").as("impression_count"),
+          lit(null).cast("long").as("click_count"),
+          col("cd.ad_cost").as("ad_cost"), col("cd.ymd").as("ymd"))
+      side1.unionByName(side2)
+    }))
+
+    // ---- relation ranges as a DAG citizen (reference: relation__ad_id_to_
+    // ranged_sbn_ids.sql:17-96 feeding the insight join — its real role,
+    // vs q53 which exercises only the islands/format shape): gap-islands
+    // ranges model → big-big bucketed range join → per-range rollup.
+    r.register(Model("ad_sbn_ranges", Nil, View, ctx => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      Tables.customer(ctx.session, sfDir)
+        .select(col("c_mktsegment"), col("c_custkey"))
+        .withColumn("__grp", col("c_custkey") - row_number().over(w))
+        .groupBy(col("c_mktsegment"), col("__grp"))
+        .agg(min(col("c_custkey")).as("lo"), max(col("c_custkey")).as("hi"))
+        .drop("__grp")
+    }))
+
+    r.register(Model("orders_by_sbn_range", Seq("ad_sbn_ranges"), View, ctx => {
+      val o = Tables.orders(ctx.session, sfDir).select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("__total"))
+      graft.operators.Joins.bucketedRangeJoin(
+          o, col("o_custkey"),
+          ctx.ref("ad_sbn_ranges"), col("lo"), col("hi"), bucketWidth = 64)
+        .groupBy(col("c_mktsegment"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("__total")).cast("double").as("revenue"))
+    }))
+
+    // ---- batch freshness probe (reference: marts/stock/
+    // analytics__stock_report.sql:53-62 — `batch = (SELECT MAX(batch) …
+    // WHERE ymd = REPORT_DATE)` unless the caller pinned batch 10/20):
+    // correlated scalar via single-row aggregate + broadcast, no collect.
+    r.register(Model("stock_qty_batch", Nil, Incremental("ymd"), ctx => {
+      Tables.lineitem(ctx.session, sfDir).select(
+        col("l_partkey").as("product_code"),
+        to_date(col("l_shipdate")).as("ymd"),
+        element_at(array(lit(10), lit(20), lit(30)),
+          (pmod(col("l_orderkey"), lit(3)) + 1).cast("int")).as("batch"),
+        col("l_quantity").cast("long").as("stock_qty"))
+    }))
+
+    r.register(Model("stock_report_batch", Seq("stock_qty_batch"), View, ctx => {
+      val day = ctx.ref("stock_qty_batch")
+        .filter(col("ymd") === lit(ctx.params("report_date")).cast("date"))
+      val rb = ctx.params("report_batch").toInt
+      val chosen =
+        if (rb == 10 || rb == 20) day.filter(col("batch") === rb)
+        else {
+          val mx = day.agg(max(col("batch")).as("__max_batch"))
+          day.crossJoin(broadcast(mx))
+            .filter(col("batch") === col("__max_batch")).drop("__max_batch")
+        }
+      chosen.groupBy(col("product_code"), col("batch"))
+        .agg(sum(col("stock_qty")).as("stock_qty"), count(lit(1)).as("n_rows"))
+    }))
+
     r
   }
+
+  /** Order-grain slice of the orders fact bounded by [start, end] — the
+    * `analytics__order_count` TVF the mom mart invokes twice. No
+    * aggregation: order_id stays distinct-countable (the pattern's point).
+    */
+  private def orderCountSlice(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String,
+                              start: org.apache.spark.sql.Column,
+                              end: org.apache.spark.sql.Column): DataFrame =
+    Tables.orders(spark, sfDir).select(
+        col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("order_status"),
+        (pmod(col("o_orderkey"), lit(5)) + 1).as("order_quantity"),
+        to_date(col("o_orderdate")).as("order_date"))
+      .filter(col("order_date").between(start, end))
 }

@@ -14,11 +14,14 @@ class PlanAuditSpec extends SparkSpec {
     *   exact baseline (the scale paths are q35/q63);
     * - q38: fact streams past the broadcast quarter-validity relation
     *   (tens of rows) on a BETWEEN — `Joins.temporalJoin`'s contract;
-    * - q61: cross join with the broadcast single-row corpus count.
+    * - q61: cross join with the broadcast single-row corpus count;
+    * - q78: the MAX(batch) freshness probe — one-day slice streams past a
+    *   broadcast SINGLE-ROW aggregate (the correlated scalar, A7 pattern).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
-    "q14_band_join", "q34_ann_bruteforce", "q38_temporal_join", "q61_tfidf")
+    "q14_band_join", "q34_ann_bruteforce", "q38_temporal_join", "q61_tfidf",
+    "q78_stock_batch_probe")
 
   test("no query plan contains an unbounded cartesian product") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
