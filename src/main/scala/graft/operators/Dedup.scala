@@ -276,19 +276,32 @@ object Dedup {
     * shingle-hash bit, take sign. Near-identical docs get identical
     * signatures; bucket-join on the signature for near-dup candidates.
     * Pure aggregate expressions (explode + groupBy) — scales as one shuffle.
+    *
+    * The 64 per-bit counters are PACKED into 32 lane-sum aggregates: each
+    * aggregate `p_j = SUM((h >> j) & 0x0000000100000001)` accumulates bit
+    * j in its low 32-bit lane and bit j+32 in its high lane, halving the
+    * aggregation width. 32-bit lanes (not 16) keep the packed sum inside a
+    * signed long for up to 2^30 shingles per doc — a 16-bit-lane packing
+    * would hit Spark's ANSI sum-overflow error at ~32k shingles, a size
+    * real documents reach. The unpacked signature is bit-identical to the
+    * naive 64-aggregate form (the DuckDB oracles replay that form).
     */
   def simHash(df: DataFrame, idCol: Column, textCol: Column,
               n: Int = 2, fam: HashFamily = XxHash): DataFrame = {
     val exploded = df.select(idCol.as("id"),
         explode(array_distinct(shingles(textCol, n))).as("sh"))
       .withColumn("h", fam.hash(col("sh")))
-    // branch-free: ones_b = SUM((h >> b) & 1); bit set iff 2*ones > count
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")
+    // branch-free: ones_b = lane b of SUM((h >> (b%32)) & laneMask);
+    // bit set iff 2*ones > count
+    val laneMask = lit(0x0000000100000001L)
+    val laneSums = (0 until 32).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(laneMask)).as(s"p$j")
     } :+ count(lit(1)).as("cnt")
-    val agg = exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val agg = exploded.groupBy(col("id")).agg(laneSums.head, laneSums.tail: _*)
     val sig = (0 until 64).map { b =>
-      when(col(s"b$b") * 2 > col("cnt"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val ones = shiftrightunsigned(col(s"p${b % 32}"), 32 * (b / 32))
+        .bitwiseAND(lit(0xFFFFFFFFL))
+      when(ones * 2 > col("cnt"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("id"), sig.as("simhash"))
   }
