@@ -987,6 +987,88 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("stock_report_batch", s,
         graft.models.Params(Map(
           "report_date" -> "1996-06-14", "report_batch" -> "99")))
+    }),
+
+    // ---- smartstore bizdata marketing channel: IFNULL('-') barrier on
+    // the five PK channel dims + TRY_CAST metrics ----
+    "q79_bizdata_channel" -> ((s, d) => {
+      val ck = col("c_custkey")
+      val raw = Tables.customer(s, d).select(
+        when(pmod(ck, lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(element_at(array(lit("PC"), lit("MOBILE")),
+            (pmod(ck, lit(2)) + 1).cast("int"))).as("deviceCategory"),
+        when(pmod(ck, lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("src"), pmod(ck, lit(4)))).as("ntSource"),
+        when(pmod(ck, lit(3)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("med"), pmod(ck, lit(3)))).as("ntMedium"),
+        when(pmod(ck, lit(11)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("det"), pmod(ck, lit(2)))).as("ntDetail"),
+        when(pmod(ck, lit(2)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("kw"), pmod(ck, lit(50)))).as("ntKeyword"),
+        when(pmod(ck, lit(13)) === 0, lit("x"))
+          .otherwise(pmod(ck, lit(1000)).cast("string")).as("numUsers"),
+        pmod(ck, lit(500)).cast("string").as("numInteractions"),
+        pmod(ck, lit(2000)).cast("string").as("pv"),
+        pmod(ck, lit(30)).cast("string").as("numPurchases"),
+        floor(col("c_acctbal")).cast("string").as("payAmount"))
+      graft.staging.SmartstoreBizdata.stageMarketingChannel(raw,
+        channelSeq = 42L, ymd = java.time.LocalDate.of(2024, 3, 1))
+    }),
+
+    // ---- searchad keyword tool: '< 10' censored counts, Korean
+    // competition index, DECIMAL(18,1) click averages (cast DOUBLE at the
+    // output boundary per the cross-engine rule) ----
+    "q80_searchad_keyword" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val raw = Tables.part(s, d).select(
+        concat(lit("kw-"), pk).as("relKeyword"),
+        when(pmod(pk, lit(7)) === 0, lit("< 10"))
+          .when(pmod(pk, lit(11)) === 0, lit("NA"))
+          .otherwise(pmod(pk, lit(10000)).cast("string")).as("monthlyPcQcCnt"),
+        when(pmod(pk, lit(5)) === 0, lit("< 10"))
+          .otherwise(pmod(pk, lit(20000)).cast("string")).as("monthlyMobileQcCnt"),
+        (pmod(pk, lit(1000)).cast("double") / 10.0).as("monthlyAvePcClkCnt"),
+        (pmod(pk, lit(500)).cast("double") / 10.0).as("monthlyAveMobileClkCnt"),
+        element_at(array(lit("낮음"), lit("중간"), lit("높음"), lit("?")),
+          (pmod(pk, lit(4)) + 1).cast("int")).as("compIdx"),
+        pmod(pk, lit(15)).as("plAvgDepth"))
+      graft.staging.SearchadKeyword.stage(raw,
+          today = java.time.LocalDate.of(2026, 3, 1))
+        .withColumn("monthly_avg_click_cnt_pc",
+          col("monthly_avg_click_cnt_pc").cast("double"))
+        .withColumn("monthly_avg_click_cnt_mo",
+          col("monthly_avg_click_cnt_mo").cast("double"))
+    }),
+
+    // ---- coupang product-ad report: comma-grouped numerics, ELSE-2
+    // placement recode, conv-option COALESCE-to-0, yyyyMMdd integer date,
+    // re-aggregation to the PK grain ----
+    "q81_coupang_ads" -> ((s, d) => {
+      def commas(x: Column) = when(x >= 1000,
+          concat(floor(x / 1000).cast("long").cast("string"), lit(","),
+            lpad(pmod(x, lit(1000)).cast("string"), 3, "0")))
+        .otherwise(x.cast("string"))
+      val okey = col("l_orderkey"); val pkey = col("l_partkey")
+      val d8 = (year(to_date(col("l_shipdate"))) * 10000 +
+        month(to_date(col("l_shipdate"))) * 100 +
+        dayofmonth(to_date(col("l_shipdate")))).cast("long")
+      val raw = Tables.lineitem(s, d).select(
+        pmod(okey, lit(200)).cast("string").as("캠페인 ID"),
+        pmod(pkey, lit(100)).cast("string").as("광고집행 옵션ID"),
+        when(pmod(pkey, lit(6)) === 0, lit(null).cast("string"))
+          .otherwise((pmod(pkey, lit(100)) + 1000).cast("string"))
+          .as("광고전환매출발생 옵션ID"),
+        element_at(array(lit("검색 영역"), lit("비검색 영역"),
+            lit("로켓채널"), lit("외부채널")),
+          (pmod(col("l_linenumber"), lit(4)) + 1).cast("int"))
+          .as("광고 노출 지면"),
+        commas(pmod(okey * 7, lit(5000))).as("노출수"),
+        commas(pmod(okey, lit(97))).as("클릭수"),
+        commas(pmod(pkey * 13, lit(300000))).as("광고비"),
+        commas(pmod(okey, lit(9))).as("총 주문수(1일)"),
+        commas(pmod(okey * 31, lit(2000000))).as("총 전환매출액(1일)"),
+        d8.as("날짜"))
+      graft.staging.CoupangAdsReport.stageProductAdReport(raw, vendorId = "VND1")
     })
   )
 
@@ -1440,6 +1522,100 @@ object SparkEntry {
         |SELECT product_code, batch, CAST(SUM(stock_qty) AS BIGINT) AS stock_qty,
         |  COUNT(*) AS n_rows
         |FROM chosen GROUP BY 1, 2""".stripMargin,
+
+    "q79_bizdata_channel" ->
+      """SELECT CAST(42 AS BIGINT) AS channel_seq,
+        |  COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |    ELSE (['PC', 'MOBILE'])[c_custkey % 2 + 1] END, '-') AS device_category,
+        |  COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |    ELSE 'src' || CAST(c_custkey % 4 AS VARCHAR) END, '-') AS nt_source,
+        |  COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |    ELSE 'med' || CAST(c_custkey % 3 AS VARCHAR) END, '-') AS nt_medium,
+        |  COALESCE(CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |    ELSE 'det' || CAST(c_custkey % 2 AS VARCHAR) END, '-') AS nt_detail,
+        |  COALESCE(CASE WHEN c_custkey % 2 = 0 THEN NULL
+        |    ELSE 'kw' || CAST(c_custkey % 50 AS VARCHAR) END, '-') AS nt_keyword,
+        |  TRY_CAST(CASE WHEN c_custkey % 13 = 0 THEN 'x'
+        |    ELSE CAST(c_custkey % 1000 AS VARCHAR) END AS INTEGER) AS num_users,
+        |  CAST(c_custkey % 500 AS INTEGER) AS num_interactions,
+        |  CAST(c_custkey % 2000 AS INTEGER) AS page_view,
+        |  CAST(c_custkey % 30 AS INTEGER) AS num_purchases,
+        |  CAST(FLOOR(c_acctbal) AS INTEGER) AS payment_amount,
+        |  DATE '2024-03-01' AS ymd
+        |FROM customer""".stripMargin,
+
+    "q80_searchad_keyword" ->
+      """SELECT 'kw-' || CAST(p_partkey AS VARCHAR) AS keyword,
+        |  CASE WHEN p_partkey % 7 = 0 THEN 10
+        |    WHEN p_partkey % 11 = 0 THEN 0
+        |    ELSE CAST(p_partkey % 10000 AS INTEGER) END AS monthly_qc_cnt_pc,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 10
+        |    ELSE CAST(p_partkey % 20000 AS INTEGER) END AS monthly_qc_cnt_mo,
+        |  CAST(CAST(CAST(p_partkey % 1000 AS DOUBLE) / 10.0 AS DECIMAL(18,1))
+        |    AS DOUBLE) AS monthly_avg_click_cnt_pc,
+        |  CAST(CAST(CAST(p_partkey % 500 AS DOUBLE) / 10.0 AS DECIMAL(18,1))
+        |    AS DOUBLE) AS monthly_avg_click_cnt_mo,
+        |  CASE (['낮음', '중간', '높음', '?'])[p_partkey % 4 + 1]
+        |    WHEN '낮음' THEN 0 WHEN '중간' THEN 1 WHEN '높음' THEN 2
+        |    ELSE NULL END AS comp_idx,
+        |  CAST(p_partkey % 15 AS INTEGER) AS avg_depth_pc,
+        |  DATE '2026-03-01' - 31 AS start_date,
+        |  DATE '2026-03-01' - 1 AS end_date
+        |FROM part""".stripMargin,
+
+    "q81_coupang_ads" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey % 200 AS cmp, l_partkey % 100 AS opt,
+        |    CASE WHEN l_partkey % 6 = 0 THEN NULL
+        |      ELSE CAST(l_partkey % 100 + 1000 AS VARCHAR) END AS conv_s,
+        |    (['검색 영역', '비검색 영역', '로켓채널', '외부채널'])[l_linenumber % 4 + 1] AS placement,
+        |    (l_orderkey * 7) % 5000 AS imp, l_orderkey % 97 AS clk,
+        |    (l_partkey * 13) % 300000 AS cost, l_orderkey % 9 AS cnv,
+        |    (l_orderkey * 31) % 2000000 AS cva,
+        |    CAST(YEAR(CAST(l_shipdate AS DATE)) * 10000 +
+        |      MONTH(CAST(l_shipdate AS DATE)) * 100 +
+        |      DAY(CAST(l_shipdate AS DATE)) AS BIGINT) AS d8
+        |  FROM lineitem),
+        |fmt AS (
+        |  SELECT cmp, opt, conv_s, placement, d8,
+        |    CASE WHEN imp >= 1000 THEN CAST(imp // 1000 AS VARCHAR) || ',' ||
+        |      lpad(CAST(imp % 1000 AS VARCHAR), 3, '0')
+        |      ELSE CAST(imp AS VARCHAR) END AS imp_s,
+        |    CASE WHEN clk >= 1000 THEN CAST(clk // 1000 AS VARCHAR) || ',' ||
+        |      lpad(CAST(clk % 1000 AS VARCHAR), 3, '0')
+        |      ELSE CAST(clk AS VARCHAR) END AS clk_s,
+        |    CASE WHEN cost >= 1000 THEN CAST(cost // 1000 AS VARCHAR) || ',' ||
+        |      lpad(CAST(cost % 1000 AS VARCHAR), 3, '0')
+        |      ELSE CAST(cost AS VARCHAR) END AS cost_s,
+        |    CASE WHEN cnv >= 1000 THEN CAST(cnv // 1000 AS VARCHAR) || ',' ||
+        |      lpad(CAST(cnv % 1000 AS VARCHAR), 3, '0')
+        |      ELSE CAST(cnv AS VARCHAR) END AS cnv_s,
+        |    CASE WHEN cva >= 1000 THEN CAST(cva // 1000 AS VARCHAR) || ',' ||
+        |      lpad(CAST(cva % 1000 AS VARCHAR), 3, '0')
+        |      ELSE CAST(cva AS VARCHAR) END AS cva_s
+        |  FROM raw),
+        |parsed AS (
+        |  SELECT CAST(cmp AS BIGINT) AS campaign_id,
+        |    CAST(opt AS BIGINT) AS option_id,
+        |    COALESCE(CAST(conv_s AS BIGINT), 0) AS option_conv_id,
+        |    CASE WHEN placement = '검색 영역' THEN 0
+        |      WHEN placement = '비검색 영역' THEN 1 ELSE 2 END AS placement_group,
+        |    TRY_CAST(REPLACE(imp_s, ',', '') AS INTEGER) AS impression_count,
+        |    TRY_CAST(REPLACE(clk_s, ',', '') AS INTEGER) AS click_count,
+        |    TRY_CAST(REPLACE(cost_s, ',', '') AS INTEGER) AS ad_cost,
+        |    TRY_CAST(REPLACE(cnv_s, ',', '') AS INTEGER) AS conv_count,
+        |    TRY_CAST(REPLACE(cva_s, ',', '') AS INTEGER) AS conv_amount,
+        |    CAST(STRPTIME(CAST(d8 AS VARCHAR), '%Y%m%d') AS DATE) AS ymd
+        |  FROM fmt)
+        |SELECT campaign_id, 'VND1' AS vendor_id, option_id, option_conv_id,
+        |  placement_group,
+        |  CAST(SUM(impression_count) AS INTEGER) AS impression_count,
+        |  CAST(SUM(click_count) AS INTEGER) AS click_count,
+        |  CAST(SUM(ad_cost) AS INTEGER) AS ad_cost,
+        |  CAST(SUM(conv_count) AS INTEGER) AS conv_count,
+        |  CAST(SUM(conv_amount) AS INTEGER) AS conv_amount, ymd
+        |FROM parsed
+        |GROUP BY ymd, campaign_id, option_id, option_conv_id, placement_group""".stripMargin,
 
     "q69_sabangnet_invoice" -> q69Oracle,
     "q70_sabangnet_option" -> q70Oracle,

@@ -86,6 +86,60 @@ class Staging6Spec extends SparkSpec {
     assert(named.head.getAs[String]("name") == "빠른정산")
   }
 
+  test("searchad keyword: censored '< 10' counts and comp index") {
+    val out = graft.staging.SearchadKeyword.stage(Seq(
+        ("a", "< 10", "123", 1.25, 2.0, "낮음", 3L),
+        ("b", "junk", "< 10", 0.0, 0.0, "높음", 1L),
+        ("c", "456", "7", 9.9, 0.1, "??", 0L)
+      ).toDF("relKeyword", "monthlyPcQcCnt", "monthlyMobileQcCnt",
+        "monthlyAvePcClkCnt", "monthlyAveMobileClkCnt", "compIdx", "plAvgDepth"),
+      today = java.time.LocalDate.of(2026, 3, 1)).orderBy("keyword").collect()
+    assert(out(0).getAs[Int]("monthly_qc_cnt_pc") == 10, "'< 10' recodes to 10")
+    assert(out(1).getAs[Int]("monthly_qc_cnt_pc") == 0, "other junk recodes to 0")
+    assert(out(1).getAs[Int]("monthly_qc_cnt_mo") == 10)
+    assert(out(0).getAs[java.math.BigDecimal]("monthly_avg_click_cnt_pc")
+      .compareTo(new java.math.BigDecimal("1.3")) == 0, "DECIMAL(18,1) rounding")
+    assert(out(0).getAs[Int]("comp_idx") == 0 && out(1).getAs[Int]("comp_idx") == 2)
+    assert(out(2).isNullAt(out(2).fieldIndex("comp_idx")))
+    assert(out(0).getAs[java.sql.Date]("start_date").toString == "2026-01-29")
+    assert(out(0).getAs[java.sql.Date]("end_date").toString == "2026-02-28")
+  }
+
+  test("coupang ads report: comma-grouped numerics parse, re-agg to PK grain") {
+    val raw = Seq(
+      ("7", "55", "1055", "검색 영역", "1,234", "12", "45,678", "3", "1,000,000", 19960614L),
+      ("7", "55", "1055", "검색 영역", "766", "8", "4,322", "1", "500,000", 19960614L),  // same PK -> re-agg
+      ("7", "55", null, "로켓채널", "10", "1", "100", "0", "0", 19960614L)
+    ).toDF("캠페인 ID", "광고집행 옵션ID", "광고전환매출발생 옵션ID",
+      "광고 노출 지면", "노출수", "클릭수", "광고비", "총 주문수(1일)",
+      "총 전환매출액(1일)", "날짜")
+    val out = graft.staging.CoupangAdsReport.stageProductAdReport(raw, "V1")
+      .orderBy("option_conv_id").collect()
+    assert(out.length == 2, "duplicate PK rows re-aggregate")
+    val rocket = out(0)
+    assert(rocket.getAs[Long]("option_conv_id") == 0L, "null conv id coalesces to 0")
+    assert(rocket.getAs[Int]("placement_group") == 2, "unknown placement -> ELSE 2")
+    val agg = out(1)
+    assert(agg.getAs[Int]("impression_count") == 2000, "'1,234' + '766' = 2000")
+    assert(agg.getAs[Int]("ad_cost") == 50000)
+    assert(agg.getAs[Int]("conv_amount") == 1500000, "million-scale double-comma parses")
+    assert(agg.getAs[java.sql.Date]("ymd").toString == "1996-06-14")
+  }
+
+  test("bizdata marketing channel: IFNULL('-') barrier on PK dims") {
+    val out = graft.staging.SmartstoreBizdata.stageMarketingChannel(
+      Seq((null.asInstanceOf[String], "s", null.asInstanceOf[String], "d", "k", "5", "x", "2", "1", "99"))
+        .toDF("deviceCategory", "ntSource", "ntMedium", "ntDetail",
+          "ntKeyword", "numUsers", "numInteractions", "pv", "numPurchases",
+          "payAmount"),
+      channelSeq = 7L, ymd = java.time.LocalDate.of(2024, 3, 1)).collect().head
+    assert(out.getAs[String]("device_category") == "-")
+    assert(out.getAs[String]("nt_medium") == "-")
+    assert(out.getAs[String]("nt_source") == "s")
+    assert(out.getAs[Int]("num_users") == 5)
+    assert(out.isNullAt(out.fieldIndex("num_interactions")), "junk metric -> null")
+  }
+
   test("cj stock: yyyyMMdd int parse; ecount: expiration coalesces through '0'") {
     val cj = CjStock.stage(Seq(
         ("I1", "B1", "7", "n", "W0", "w", "Z1", "c", "12", 5L, 5L, 0L, "30", "2025-06-01", 20240229L),
