@@ -58,6 +58,31 @@ object Readers {
     stringFrame(spark, headers, rows)
   }
 
+  /** S16 — Google Sheets value range: the `values: [[...]]` payload the
+    * Sheets API returns (reference extensions/gsheets.py:44-394 — its
+    * gspread fetch is L1/out of engine scope; THIS is the in-engine
+    * transform: header-row keying, duplicate-header dedup, ragged-row
+    * padding — the same contract as the Excel reader). The payload is a
+    * JSON document: `{"values": [["h1","h2"], ["a","1"], …]}`.
+    */
+  def sheetValues(spark: SparkSession, payload: String,
+                  header: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("values",
+      ArrayType(ArrayType(StringType)))))
+    import spark.implicits._
+    val parsed = spark.read.schema(schema).json(Seq(payload).toDS())
+      .collect().headOption
+      .flatMap(r => Option(r.getSeq[scala.collection.Seq[String]](0)))
+      .getOrElse(throw new IllegalArgumentException(
+        "payload has no 'values' array"))
+      .map(_.toSeq)
+    require(parsed.size >= header,
+      s"sheet has ${parsed.size} rows, header row $header requested")
+    stringFrame(spark, Xlsx.uniqueHeaders(parsed(header - 1)),
+      parsed.drop(header))
+  }
+
   private def stringFrame(spark: SparkSession, headers: Seq[String],
                           rows: Seq[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.Row

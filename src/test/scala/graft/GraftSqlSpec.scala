@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftSql
+
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("QUALIFY rewrites to window filter (top-1 per key)") {
+    Seq(("a", 1, 10), ("a", 2, 20), ("b", 3, 5), ("b", 4, 1))
+      .toDF("k", "id", "v").createOrReplaceTempView("t_qual")
+    val out = GraftSql.sql(spark,
+      """SELECT k, id, v FROM t_qual
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1""".stripMargin)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 2), ("b", 3)))
+  }
+
+  test("QUALIFY with trailing ORDER BY/LIMIT; nested QUALIFY-free SQL untouched") {
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("k", "v")
+      .createOrReplaceTempView("t_qual2")
+    val out = GraftSql.sql(spark,
+      """SELECT k, v FROM t_qual2
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) <= 2
+        |ORDER BY v DESC LIMIT 2""".stripMargin).collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(9, 3))
+    // plain SQL (even with 'qualify' inside a string literal) passes through
+    val plain = GraftSql.sql(spark,
+      "SELECT 'no qualify here' AS s, count(*) AS n FROM t_qual2").collect()
+    assert(plain.head.getLong(1) == 4L)
+  }
+
+  test("INSERT ON CONFLICT DO NOTHING lowers to insertIgnore") {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .createOrReplaceTempView("t_conflict")
+    Seq((2L, "B2"), (3L, "c")).toDF("k", "name")
+      .createOrReplaceTempView("s_conflict")
+    val out = GraftSql.insertOnConflict(spark,
+      "INSERT INTO t_conflict SELECT * FROM s_conflict ON CONFLICT (k) DO NOTHING")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")), "existing key 2 untouched")
+  }
+
+  test("INSERT ON CONFLICT DO UPDATE maps SET forms onto merge strategies") {
+    Seq((1L, "a", 10, 100), (2L, "b", 20, 200)).toDF("k", "name", "lo", "hi")
+      .createOrReplaceTempView("t_merge")
+    Seq((2L, null.asInstanceOf[String], 5, 500), (3L, "c", 30, 300))
+      .toDF("k", "name", "lo", "hi").createOrReplaceTempView("s_merge")
+    val out = GraftSql.insertOnConflict(spark,
+      """INSERT INTO t_merge SELECT * FROM s_merge
+        |ON CONFLICT (k) DO UPDATE SET
+        |  name = COALESCE(EXCLUDED.name, name),
+        |  lo = LEAST(EXCLUDED.lo, lo),
+        |  hi = GREATEST(EXCLUDED.hi, hi)""".stripMargin)
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    val r2 = out(1)
+    assert(r2.getString(1) == "b", "null source name coalesces to target")
+    assert(r2.getInt(2) == 5 && r2.getInt(3) == 500, "LEAST/GREATEST applied")
+  }
+
+  test("unsupported SET form fails loudly") {
+    intercept[IllegalArgumentException] {
+      GraftSql.strategyOf("c", "c + EXCLUDED.c")
+    }
+  }
+}

@@ -141,6 +141,22 @@ class ReadersSpec extends SparkSpec {
     assert(out.head.getString(0) == "1" && out.head.getString(1) == "2")
   }
 
+  test("sheetValues: header keying, dup-header dedup, ragged-row padding") {
+    val payload =
+      """{"values": [["name", "amt", "name"],
+        |            ["a", "10", "x"],
+        |            ["b", "20"]]}""".stripMargin
+    val df = Readers.sheetValues(spark, payload)
+    assert(df.columns.toSeq == Seq("name", "amt", "name_1"))
+    val rows = df.orderBy("name").collect()
+    assert(rows(0).getString(0) == "a" && rows(0).getString(2) == "x")
+    assert(rows(1).getString(0) == "b" && rows(1).getString(2) == "",
+      "ragged row padded like the excel reader")
+    intercept[IllegalArgumentException] {
+      Readers.sheetValues(spark, """{"other": 1}""")
+    }
+  }
+
   test("ctas registers catalog table and temp view") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Sinks.ctas(df, "graft_ctas_tbl")
