@@ -1069,6 +1069,99 @@ object SparkEntry {
         commas(pmod(okey * 31, lit(2000000))).as("총 전환매출액(1일)"),
         d8.as("날짜"))
       graft.staging.CoupangAdsReport.stageProductAdReport(raw, vendorId = "VND1")
+    }),
+
+    // ---- hcenter pageview by product: URL-shape classifier — product
+    // URLs extract their trailing id, main pages get sentinel 10, other
+    // shapes drop ----
+    "q82_pageview_product" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val url = when(pmod(pk, lit(4)) === 0,
+          concat(lit("\"/shop7/products/"), pk, lit("\"")))
+        .when(pmod(pk, lit(4)) === 1,
+          concat(lit("\"/shop"), pmod(pk, lit(9)), lit("\"")))
+        .when(pmod(pk, lit(4)) === 2, lit("\"/shop/x/y\""))
+        .otherwise(lit("null"))
+      val payload = concat(
+        lit("""{"measuredThrough":{"device":"Pc","url":"""), url,
+        lit("""},"visit":{"pageClick":"""), pmod(pk, lit(100)),
+        lit(""","userClick":"""), pmod(pk, lit(50)),
+        lit(""","timeOnSite":"""), pmod(pk, lit(10000)),
+        lit("""},"ymd":"2024-02-03"}"""))
+      graft.staging.HcenterPageview.stageByProduct(
+        Tables.part(s, d).select(payload.as("payload")),
+        col("payload"), mallSeq = 55L)
+    }),
+
+    // ---- dable daily report: '-' campaign bucket, zero-impression
+    // guard, yyyyMMdd string date ----
+    "q83_dable_report" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val raw = Tables.orders(s, d).select(
+        when(pmod(ok, lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("C"), pmod(col("o_custkey"), lit(100))))
+          .as("campaign_id"),
+        concat(lit("Campaign "), pmod(col("o_custkey"), lit(100)))
+          .as("campaign_name"),
+        pmod(ok, lit(1000)).as("exposes"),
+        pmod(ok, lit(500)).as("impressions"),
+        pmod(ok, lit(50)).as("clicks"),
+        floor(col("o_totalprice") * 0.01).as("cost_spent"),
+        pmod(ok, lit(9)).as("convertion_cnt"),
+        date_format(to_date(col("o_orderdate")), "yyyyMMdd").as("ymd"))
+      graft.staging.DableReport.stageDailyReport(raw)
+    }),
+
+    // ---- google ads campaign master: nested GAQL resources, micros →
+    // currency normalization, try-parsed start time ----
+    "q84_google_campaign" -> ((s, d) => {
+      val ck = col("c_custkey")
+      def opt(cond: Column, v: Column) = when(cond, lit("null")).otherwise(v)
+      val payload = concat(
+        lit("""{"campaign":{"id":"GC"""), ck,
+        lit("""","name":""""), col("c_name"),
+        lit("""","advertisingChannelType":""""),
+        element_at(array(lit("SEARCH"), lit("SHOPPING"), lit("VIDEO")),
+          (pmod(ck, lit(3)) + 1).cast("int")),
+        lit("""","status":""""),
+        element_at(array(lit("ENABLED"), lit("PAUSED"), lit("REMOVED")),
+          (pmod(ck, lit(3)) + 1).cast("int")),
+        lit("""","biddingStrategyType":"TARGET_ROAS","startDateTime":""""),
+        when(pmod(ck, lit(17)) === 0, lit("bad"))
+          .otherwise(concat(
+            date_add(to_date(lit("2024-01-01")), pmod(ck, lit(300)).cast("int"))
+              .cast("string"),
+            lit(" 10:30:00"))),
+        lit(""""},"campaignBudget":{"amountMicros":"""),
+        opt(pmod(ck, lit(6)) === 0,
+          when(pmod(ck, lit(13)) === 0, lit("\"x\""))
+            .otherwise(concat(lit("\""), pmod(ck, lit(1000)) * 1000003, lit("\"")))),
+        lit("""},"metrics":{"impressions":"""),
+        opt(pmod(ck, lit(9)) === 0,
+          concat(lit("\""), pmod(ck, lit(90000)), lit("\""))),
+        lit(""","clicks":""""), pmod(ck, lit(4000)),
+        lit("""","costMicros":""""), pmod(ck, lit(500)) * 2000003,
+        lit(""""}}"""))
+      graft.staging.GoogleAds.stageCampaign(
+        Tables.customer(s, d).select(payload.as("payload")),
+        col("payload"), customerId = 991L)
+    }),
+
+    // ---- meta ads insights: metrics fan-out + ISO-T date parse ----
+    "q85_meta_insights" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val raw = Tables.orders(s, d).select(
+        concat(lit("MC"), pmod(col("o_custkey"), lit(50))).as("campaign_id"),
+        concat(lit("AS"), pmod(ok, lit(200))).as("adset_id"),
+        concat(lit("AD"), ok).as("ad_id"),
+        pmod(ok, lit(3000)).as("impressions"),
+        pmod(ok, lit(1500)).as("reach"),
+        pmod(ok, lit(80)).as("clicks"),
+        pmod(ok, lit(40)).as("inline_link_clicks"),
+        floor(col("o_totalprice") * 0.02).as("spend"),
+        when(pmod(ok, lit(19)) === 0, lit("oops"))
+          .otherwise(to_date(col("o_orderdate")).cast("string")).as("date_start"))
+      graft.staging.MetaAds.stageInsights(raw, accountId = "ACC1")
     })
   )
 
@@ -1522,6 +1615,82 @@ object SparkEntry {
         |SELECT product_code, batch, CAST(SUM(stock_qty) AS BIGINT) AS stock_qty,
         |  COUNT(*) AS n_rows
         |FROM chosen GROUP BY 1, 2""".stripMargin,
+
+    "q82_pageview_product" ->
+      """WITH u AS (
+        |  SELECT p_partkey AS pk,
+        |    CASE CAST(p_partkey % 4 AS INTEGER)
+        |      WHEN 0 THEN '/shop7/products/' || CAST(p_partkey AS VARCHAR)
+        |      WHEN 1 THEN '/shop' || CAST(p_partkey % 9 AS VARCHAR)
+        |      WHEN 2 THEN '/shop/x/y' ELSE NULL END AS url
+        |  FROM part),
+        |c AS (
+        |  SELECT CAST(55 AS BIGINT) AS mall_seq,
+        |    CASE WHEN REGEXP_MATCHES(url, '^/[^/]+/products/\d+$')
+        |        THEN CAST(REGEXP_EXTRACT(url, '(\d+)$') AS BIGINT)
+        |      WHEN REGEXP_MATCHES(url, '^/[^/]+$') THEN 10
+        |      ELSE NULL END AS product_id,
+        |    pk % 100 AS page_click, pk % 50 AS user_click,
+        |    pk % 10000 AS time_on_site, DATE '2024-02-03' AS ymd
+        |  FROM u WHERE url IS NOT NULL)
+        |SELECT * FROM c WHERE product_id IS NOT NULL""".stripMargin,
+
+    "q83_dable_report" ->
+      """WITH raw AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE 'C' || CAST(o_custkey % 100 AS VARCHAR) END AS campaign_id,
+        |    o_orderkey % 1000 AS exposes, o_orderkey % 500 AS impressions,
+        |    o_orderkey % 50 AS clicks,
+        |    FLOOR(o_totalprice * 0.01) AS cost_spent,
+        |    o_orderkey % 9 AS convertion_cnt,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS ymd
+        |  FROM orders)
+        |SELECT COALESCE(campaign_id, '-') AS campaign_id,
+        |  CAST(exposes AS INTEGER) AS expose_count,
+        |  CAST(impressions AS INTEGER) AS impression_count,
+        |  CAST(clicks AS INTEGER) AS click_count,
+        |  CAST(cost_spent AS INTEGER) AS ad_cost,
+        |  CAST(convertion_cnt AS INTEGER) AS conv_count,
+        |  CAST(STRPTIME(ymd, '%Y%m%d') AS DATE) AS ymd
+        |FROM raw WHERE impressions > 0""".stripMargin,
+
+    "q84_google_campaign" ->
+      """SELECT 'GC' || CAST(c_custkey AS VARCHAR) AS campaign_id,
+        |  c_name AS campaign_name,
+        |  CAST(991 AS BIGINT) AS customer_id,
+        |  (['SEARCH', 'SHOPPING', 'VIDEO'])[c_custkey % 3 + 1] AS campaign_type,
+        |  (['ENABLED', 'PAUSED', 'REMOVED'])[c_custkey % 3 + 1] AS campaign_status,
+        |  'TARGET_ROAS' AS bidding_strategy,
+        |  CAST(ROUND(COALESCE(TRY_CAST(
+        |    CASE WHEN c_custkey % 6 = 0 THEN NULL
+        |      WHEN c_custkey % 13 = 0 THEN 'x'
+        |      ELSE CAST(c_custkey % 1000 * 1000003 AS VARCHAR) END
+        |    AS BIGINT), 0) / 1000000) AS INTEGER) AS campaign_budget,
+        |  COALESCE(TRY_CAST(CASE WHEN c_custkey % 9 = 0 THEN NULL
+        |    ELSE CAST(c_custkey % 90000 AS VARCHAR) END AS INTEGER), 0)
+        |    AS impression_count_30d,
+        |  CAST(c_custkey % 4000 AS INTEGER) AS click_count_30d,
+        |  CAST(ROUND(CAST(c_custkey % 500 * 2000003 AS BIGINT) / 1000000)
+        |    AS INTEGER) AS ad_cost_30d,
+        |  TRY_STRPTIME(CASE WHEN c_custkey % 17 = 0 THEN 'bad'
+        |    ELSE CAST(DATE '2024-01-01' + CAST(c_custkey % 300 AS INTEGER)
+        |      AS VARCHAR) || ' 10:30:00' END,
+        |    '%Y-%m-%d %H:%M:%S') AS created_at
+        |FROM customer""".stripMargin,
+
+    "q85_meta_insights" ->
+      """SELECT 'ACC1' AS account_id,
+        |  'MC' || CAST(o_custkey % 50 AS VARCHAR) AS campaign_id,
+        |  'AS' || CAST(o_orderkey % 200 AS VARCHAR) AS adset_id,
+        |  'AD' || CAST(o_orderkey AS VARCHAR) AS ad_id,
+        |  CAST(o_orderkey % 3000 AS INTEGER) AS impression_count,
+        |  CAST(o_orderkey % 1500 AS INTEGER) AS reach_count,
+        |  CAST(o_orderkey % 80 AS INTEGER) AS click_count,
+        |  CAST(o_orderkey % 40 AS INTEGER) AS link_click_count,
+        |  CAST(FLOOR(o_totalprice * 0.02) AS INTEGER) AS ad_cost,
+        |  TRY_CAST(CASE WHEN o_orderkey % 19 = 0 THEN 'oops'
+        |    ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS DATE) AS ymd
+        |FROM orders""".stripMargin,
 
     "q79_bizdata_channel" ->
       """SELECT CAST(42 AS BIGINT) AS channel_seq,
