@@ -1162,6 +1162,166 @@ object SparkEntry {
         when(pmod(ok, lit(19)) === 0, lit("oops"))
           .otherwise(to_date(col("o_orderdate")).cast("string")).as("date_start"))
       graft.staging.MetaAds.stageInsights(raw, accountId = "ACC1")
+    }),
+
+    // ---- searchad center report: '(삭제)' tombstone strip, ELSE-2
+    // device/network recodes, DECIMAL quality metrics ----
+    "q86_center_report" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      val raw = Tables.orders(s, d).select(
+        concat(lit("nad-"), pmod(ok, lit(5000)),
+          when(pmod(ok, lit(9)) === 0, lit("(삭제)")).otherwise(lit("")))
+          .as("nccAdId"),
+        element_at(array(lit("네이버"), lit("파트너")),
+          (pmod(ok, lit(2)) + 1).cast("int")).as("mediaNm"),
+        element_at(array(lit("PC"), lit("모바일"), lit("기타채널")),
+          (pmod(ok, lit(3)) + 1).cast("int")).as("pcMblTp"),
+        element_at(array(lit("검색"), lit("콘텐츠"), lit("믹스")),
+          (pmod(col("o_custkey"), lit(3)) + 1).cast("int")).as("ntwkTp"),
+        pmod(ok, lit(10000)).as("impCnt"),
+        pmod(ok, lit(300)).as("clkCnt"),
+        floor(col("o_totalprice") * 0.05).as("salesAmt"),
+        pmod(ok, lit(20)).as("ccnt"),
+        floor(col("o_totalprice") * 0.3).as("convAmt"),
+        (pmod(ok, lit(70)).cast("double") / 10.0).as("avgRnk"),
+        (pmod(ok, lit(800)).cast("double") / 100.0).as("pv"),
+        (pmod(ok, lit(30000)).cast("double") / 100.0).as("stayTm"),
+        to_date(col("o_orderdate")).cast("string").as("ymd"))
+      graft.staging.SearchadCenterReport.stageDailyReport(raw, customerId = 777)
+        .withColumn("avg_rank", col("avg_rank").cast("double"))
+        .withColumn("page_view_per_visit",
+          col("page_view_per_visit").cast("double"))
+        .withColumn("stay_time_per_visit",
+          col("stay_time_per_visit").cast("double"))
+    }),
+
+    // ---- gfa campaign master: numbered-objective ladder (101-108),
+    // boolean derivations ----
+    "q87_gfa_campaign" -> ((s, d) => {
+      val ck = col("c_custkey")
+      val raw = Tables.customer(s, d).select(
+        ck.as("no"),
+        col("c_name").as("name"),
+        element_at(array(
+          (graft.staging.GfaReport.campaignType.map(_._1) :+ "OTHER")
+            .map(lit): _*),
+          (pmod(ck, lit(9)) + 1).cast("int")).as("objective"),
+        pmod(ck, lit(97)).as("adAccountNo"),
+        (pmod(ck, lit(2)) === 0).as("activated"),
+        (pmod(ck, lit(5)) === 0).as("deleted"))
+      graft.staging.GfaReport.stageCampaign(raw)
+    }),
+
+    // ---- naver openapi blog search: page-relative display rank, HTML
+    // tag strip, yyyyMMdd post date ----
+    "q88_blog_search" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val raw = Tables.part(s, d).select(
+        pk.as("__ord"),
+        concat(lit("<b>"), col("p_name"), lit("</b> 리뷰")).as("title"),
+        concat(lit("https://blog.example/"), pk).as("link"),
+        concat(lit("great <i>"), col("p_brand"), lit("</i> product"))
+          .as("description"),
+        concat(lit("blogger"), pmod(pk, lit(50))).as("bloggername"),
+        concat(lit("https://b.example/u"), pmod(pk, lit(50))).as("bloggerlink"),
+        when(pmod(pk, lit(11)) === 0, lit("20240230"))
+          .otherwise(date_format(
+            date_add(to_date(lit("2024-01-01")), pmod(pk, lit(300)).cast("int")),
+            "yyyyMMdd")).as("postdate"))
+      graft.staging.NaverOpenapiSearch.stageBlogSearch(raw,
+        keyword = "스파크", start = 11, orderCol = col("__ord"))
+    }),
+
+    // ---- smartstore product master: 12-arm delivery ladder, ISO-T
+    // timestamps, TRY_CAST ids ----
+    "q89_smartstore_product" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val dlv = array(
+        (graft.staging.SmartstoreProduct.deliveryType.map(_._1) :+ "OTHER")
+          .map(lit): _*)
+      val raw = Tables.part(s, d).select(
+        (pk + 5000000).cast("string").as("channelProductNo"),
+        (pk + 4000000).cast("string").as("originProductNo"),
+        when(pmod(pk, lit(7)) === 0, lit("x"))
+          .otherwise(pmod(pk, lit(90000)).cast("string")).as("modelId"),
+        col("p_name").as("name"),
+        concat(lit("MG"), pmod(pk, lit(1000))).as("sellerManagementCode"),
+        concat(lit("MD"), pmod(pk, lit(500))).as("modelName"),
+        col("p_brand").as("brandName"),
+        when(pmod(pk, lit(13)) === 0, lit("?"))
+          .otherwise(pmod(pk, lit(800)).cast("string")).as("categoryId"),
+        element_at(array(lit("SALE"), lit("WAIT"), lit("OUTOFSTOCK")),
+          (pmod(pk, lit(3)) + 1).cast("int")).as("statusType"),
+        element_at(array(lit("ON"), lit("WAIT"), lit("SUSPENSION")),
+          (pmod(pk, lit(2)) + 1).cast("int"))
+          .as("channelProductDisplayStatusType"),
+        concat(lit("tag"), pmod(pk, lit(20))).as("sellerTags"),
+        pmod(pk, lit(100000)).as("salePrice"),
+        floor(col("p_retailprice")).as("discountedPrice"),
+        element_at(dlv, (pmod(pk, lit(13)) + 1).cast("int"))
+          .as("deliveryAttributeType"),
+        pmod(pk, lit(5000)).as("deliveryFee"),
+        when(pmod(pk, lit(17)) === 0, lit("nope"))
+          .otherwise(concat(
+            date_add(to_date(lit("2023-06-01")), pmod(pk, lit(200)).cast("int"))
+              .cast("string"),
+            lit("T10:11:12+09:00"))).as("regDate"),
+        concat(
+          date_add(to_date(lit("2024-02-01")), pmod(pk, lit(100)).cast("int"))
+            .cast("string"),
+          lit("T23:59:59")).as("modifiedDate"))
+      graft.staging.SmartstoreProduct.stageProduct(raw, channelSeq = 31L)
+    }),
+
+    // ---- sabangnet account master: rename projection over the admin
+    // account feed ----
+    "q90_sabangnet_account" -> ((s, d) => {
+      val ck = col("c_custkey")
+      val raw = Tables.customer(s, d).select(
+        ck.cast("string").as("acntRegsSrno"),
+        concat(lit("SHOP"), pmod(ck, lit(200))).as("shmaId"),
+        col("c_name").as("shmaNm"),
+        element_at(array(lit("오픈마켓"), lit("종합몰"), lit("전문몰")),
+          (pmod(ck, lit(3)) + 1).cast("int")).as("olMktTydvsDivNm"),
+        concat(lit("user"), pmod(ck, lit(50))).as("shmaCnctnLoginId"),
+        pmod(ck, lit(30)).cast("string").as("sortSrno"),
+        concat(lit("https://shop.example/"), pmod(ck, lit(200)))
+          .as("shmaUrlAddr"),
+        col("c_mktsegment").as("corpNm"),
+        element_at(array(lit("Y"), lit("N")),
+          (pmod(ck, lit(2)) + 1).cast("int")).as("useYn"))
+      graft.staging.SabangnetAccount.stageAccount(raw)
+    }),
+
+    // ---- hcenter brand catalog: '>'-path category levels, NULLIF(0)
+    // maker, nested payload ----
+    "q91_brand_catalog" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val fid = element_at(array(lit("10"), lit("10>21"), lit("10>21>32"),
+        lit("10>21>32>4x")), (pmod(pk, lit(4)) + 1).cast("int"))
+      val fnm = element_at(array(lit("가전"), lit("가전>주방"),
+        lit("가전>주방>소형"), lit("가전>주방>소형>기타")),
+        (pmod(pk, lit(4)) + 1).cast("int"))
+      val payload = concat(
+        lit("""{"identifier":"""), pk,
+        lit(""","prodName":""""), col("p_name"),
+        lit("""","makerSeq":"""),
+        when(pmod(pk, lit(6)) === 0, lit(0)).otherwise(pmod(pk, lit(400))),
+        lit(""","makerName":"MK"""), pmod(pk, lit(400)),
+        lit("""","brandSeq":"""), pmod(pk, lit(300)),
+        lit(""","brandName":""""), col("p_brand"),
+        lit("""","category":{"identifier":""""), pmod(pk, lit(800)),
+        lit("""","name":"소형","fullId":""""), fid,
+        lit("""","fullName":""""), fnm,
+        lit(""""},"lowestPrice":"""), pmod(pk, lit(100000)),
+        lit(""","productCount":"""), pmod(pk, lit(500)),
+        lit(""","totalReviewCount":"""), pmod(pk, lit(10000)),
+        lit(""","registerDate":""""),
+        date_add(to_date(lit("2022-01-01")), pmod(pk, lit(400)).cast("int"))
+          .cast("string"),
+        lit("""T08:09:10+09:00"}"""))
+      graft.staging.HcenterCatalog.stageBrandCatalog(
+        Tables.part(s, d).select(payload.as("payload")), col("payload"))
     })
   )
 
@@ -1615,6 +1775,160 @@ object SparkEntry {
         |SELECT product_code, batch, CAST(SUM(stock_qty) AS BIGINT) AS stock_qty,
         |  COUNT(*) AS n_rows
         |FROM chosen GROUP BY 1, 2""".stripMargin,
+
+    "q86_center_report" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice,
+        |    'nad-' || CAST(o_orderkey % 5000 AS VARCHAR) ||
+        |      CASE WHEN o_orderkey % 9 = 0 THEN '(삭제)' ELSE '' END AS nccAdId,
+        |    (['네이버', '파트너'])[o_orderkey % 2 + 1] AS mediaNm,
+        |    (['PC', '모바일', '기타채널'])[o_orderkey % 3 + 1] AS pcMblTp,
+        |    (['검색', '콘텐츠', '믹스'])[o_custkey % 3 + 1] AS ntwkTp,
+        |    CAST(o_orderdate AS DATE) AS ymd
+        |  FROM orders)
+        |SELECT REPLACE(nccAdId, '(삭제)', '') AS ad_id,
+        |  CAST(777 AS INTEGER) AS customer_id,
+        |  mediaNm AS media_name,
+        |  CASE WHEN pcMblTp = 'PC' THEN 0 WHEN pcMblTp = '모바일' THEN 1
+        |    ELSE 2 END AS pc_mobile_type,
+        |  CASE WHEN ntwkTp = '검색' THEN 0 WHEN ntwkTp = '콘텐츠' THEN 1
+        |    ELSE 2 END AS network_type,
+        |  CAST(ok % 10000 AS INTEGER) AS impression_count,
+        |  CAST(ok % 300 AS INTEGER) AS click_count,
+        |  CAST(FLOOR(o_totalprice * 0.05) AS INTEGER) AS ad_cost,
+        |  CAST(ok % 20 AS INTEGER) AS conv_count,
+        |  CAST(FLOOR(o_totalprice * 0.3) AS INTEGER) AS conv_amount,
+        |  CAST(CAST(CAST(ok % 70 AS DOUBLE) / 10.0 AS DECIMAL(18,1))
+        |    AS DOUBLE) AS avg_rank,
+        |  CAST(CAST(CAST(ok % 800 AS DOUBLE) / 100.0 AS DECIMAL(18,2))
+        |    AS DOUBLE) AS page_view_per_visit,
+        |  CAST(CAST(CAST(ok % 30000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))
+        |    AS DOUBLE) AS stay_time_per_visit,
+        |  ymd
+        |FROM raw""".stripMargin,
+
+    "q87_gfa_campaign" -> {
+      val ladder = "CASE objective " +
+        graft.staging.GfaReport.campaignType
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+        " ELSE NULL END"
+      val objs = (graft.staging.GfaReport.campaignType.map(_._1) :+ "OTHER")
+        .map(o => s"'$o'").mkString("[", ", ", "]")
+      s"""WITH raw AS (
+         |  SELECT c_custkey, c_name,
+         |    ($objs)[c_custkey % 9 + 1] AS objective
+         |  FROM customer)
+         |SELECT CAST(c_custkey AS VARCHAR) AS campaign_id,
+         |  c_name AS campaign_name,
+         |  $ladder AS campaign_type,
+         |  c_custkey % 97 AS customer_id,
+         |  (c_custkey % 2 = 0) AS is_enabled,
+         |  (c_custkey % 5 = 0) AS is_deleted
+         |FROM raw""".stripMargin
+    },
+
+    "q88_blog_search" ->
+      """SELECT '스파크' AS keyword,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) + 11 - 1 AS INTEGER)
+        |    AS display_rank,
+        |  REGEXP_REPLACE('<b>' || p_name || '</b> 리뷰', '<[^>]+>', '', 'g')
+        |    AS title,
+        |  'https://blog.example/' || CAST(p_partkey AS VARCHAR) AS url,
+        |  REGEXP_REPLACE('great <i>' || p_brand || '</i> product',
+        |    '<[^>]+>', '', 'g') AS description,
+        |  'blogger' || CAST(p_partkey % 50 AS VARCHAR) AS address,
+        |  'https://b.example/u' || CAST(p_partkey % 50 AS VARCHAR)
+        |    AS blogger_url,
+        |  TRY_CAST(TRY_STRPTIME(
+        |    CASE WHEN p_partkey % 11 = 0 THEN '20240230'
+        |      ELSE strftime(DATE '2024-01-01' +
+        |        CAST(p_partkey % 300 AS INTEGER), '%Y%m%d') END,
+        |    '%Y%m%d') AS DATE) AS post_date
+        |FROM part""".stripMargin,
+
+    "q89_smartstore_product" -> {
+      val ladder = "CASE dlv " +
+        graft.staging.SmartstoreProduct.deliveryType
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+        " ELSE NULL END"
+      val dlvs = (graft.staging.SmartstoreProduct.deliveryType.map(_._1) :+ "OTHER")
+        .map(o => s"'$o'").mkString("[", ", ", "]")
+      s"""WITH raw AS (
+         |  SELECT p_partkey AS pk, p_name, p_brand, p_retailprice,
+         |    ($dlvs)[p_partkey % 13 + 1] AS dlv
+         |  FROM part)
+         |SELECT CAST(pk + 5000000 AS BIGINT) AS product_id,
+         |  CAST(pk + 4000000 AS BIGINT) AS product_no,
+         |  TRY_CAST(CASE WHEN pk % 7 = 0 THEN 'x'
+         |    ELSE CAST(pk % 90000 AS VARCHAR) END AS BIGINT) AS catalog_id,
+         |  CAST(31 AS BIGINT) AS channel_seq,
+         |  p_name AS product_name,
+         |  'MG' || CAST(pk % 1000 AS VARCHAR) AS management_code,
+         |  'MD' || CAST(pk % 500 AS VARCHAR) AS model_name,
+         |  p_brand AS brand_name,
+         |  TRY_CAST(CASE WHEN pk % 13 = 0 THEN '?'
+         |    ELSE CAST(pk % 800 AS VARCHAR) END AS INTEGER) AS category_id,
+         |  (['SALE', 'WAIT', 'OUTOFSTOCK'])[pk % 3 + 1] AS status_type,
+         |  (['ON', 'WAIT', 'SUSPENSION'])[pk % 2 + 1] AS display_type,
+         |  'tag' || CAST(pk % 20 AS VARCHAR) AS tags,
+         |  CAST(pk % 100000 AS INTEGER) AS price,
+         |  CAST(FLOOR(p_retailprice) AS INTEGER) AS sales_price,
+         |  $ladder AS delivery_type,
+         |  CAST(pk % 5000 AS INTEGER) AS delivery_fee,
+         |  TRY_STRPTIME(SUBSTR(
+         |    CASE WHEN pk % 17 = 0 THEN 'nope'
+         |      ELSE CAST(DATE '2023-06-01' + CAST(pk % 200 AS INTEGER)
+         |        AS VARCHAR) || 'T10:11:12+09:00' END, 1, 19),
+         |    '%Y-%m-%dT%H:%M:%S') AS register_dt,
+         |  TRY_STRPTIME(SUBSTR(
+         |    CAST(DATE '2024-02-01' + CAST(pk % 100 AS INTEGER) AS VARCHAR)
+         |      || 'T23:59:59', 1, 19),
+         |    '%Y-%m-%dT%H:%M:%S') AS modify_dt
+         |FROM raw""".stripMargin
+    },
+
+    "q90_sabangnet_account" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS account_no,
+        |  'SHOP' || CAST(c_custkey % 200 AS VARCHAR) AS shop_id,
+        |  c_name AS shop_name,
+        |  (['오픈마켓', '종합몰', '전문몰'])[c_custkey % 3 + 1] AS shop_group,
+        |  'user' || CAST(c_custkey % 50 AS VARCHAR) AS userid,
+        |  CAST(c_custkey % 30 AS INTEGER) AS shop_seq,
+        |  'https://shop.example/' || CAST(c_custkey % 200 AS VARCHAR)
+        |    AS shop_url,
+        |  c_mktsegment AS corp_name,
+        |  (['Y', 'N'])[c_custkey % 2 + 1] AS use_yn
+        |FROM customer""".stripMargin,
+
+    "q91_brand_catalog" ->
+      """WITH raw AS (
+        |  SELECT p_partkey AS pk, p_name, p_brand,
+        |    (['10', '10>21', '10>21>32', '10>21>32>4x'])[p_partkey % 4 + 1] AS fid,
+        |    (['가전', '가전>주방', '가전>주방>소형',
+        |      '가전>주방>소형>기타'])[p_partkey % 4 + 1] AS fnm
+        |  FROM part)
+        |SELECT pk AS product_id, p_name AS catalog_name,
+        |  NULLIF(CASE WHEN pk % 6 = 0 THEN 0 ELSE pk % 400 END, 0) AS maker_id,
+        |  'MK' || CAST(pk % 400 AS VARCHAR) AS maker_name,
+        |  pk % 300 AS brand_id, p_brand AS brand_name,
+        |  CAST(pk % 800 AS INTEGER) AS category_id,
+        |  '소형' AS category_name,
+        |  TRY_CAST(SPLIT_PART(fid, '>', 1) AS INTEGER) AS category_id1,
+        |  NULLIF(SPLIT_PART(fnm, '>', 1), '') AS category_name1,
+        |  TRY_CAST(SPLIT_PART(fid, '>', 2) AS INTEGER) AS category_id2,
+        |  NULLIF(SPLIT_PART(fnm, '>', 2), '') AS category_name2,
+        |  TRY_CAST(SPLIT_PART(fid, '>', 3) AS INTEGER) AS category_id3,
+        |  NULLIF(SPLIT_PART(fnm, '>', 3), '') AS category_name3,
+        |  TRY_CAST(SPLIT_PART(fid, '>', 4) AS INTEGER) AS category_id4,
+        |  NULLIF(SPLIT_PART(fnm, '>', 4), '') AS category_name4,
+        |  CAST(pk % 100000 AS INTEGER) AS lowest_price,
+        |  CAST(pk % 500 AS INTEGER) AS product_count,
+        |  CAST(pk % 10000 AS INTEGER) AS review_count,
+        |  TRY_STRPTIME(SUBSTR(
+        |    CAST(DATE '2022-01-01' + CAST(pk % 400 AS INTEGER) AS VARCHAR)
+        |      || 'T08:09:10+09:00', 1, 19),
+        |    '%Y-%m-%dT%H:%M:%S') AS register_dt
+        |FROM raw""".stripMargin,
 
     "q82_pageview_product" ->
       """WITH u AS (
