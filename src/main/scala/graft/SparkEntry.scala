@@ -1322,6 +1322,27 @@ object SparkEntry {
         lit("""T08:09:10+09:00"}"""))
       graft.staging.HcenterCatalog.stageBrandCatalog(
         Tables.part(s, d).select(payload.as("payload")), col("payload"))
+    }),
+
+    // ---- opex daily spread: date-range expense over a generated day
+    // scaffold, remainder to the first day ----
+    "q92_opex_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("opex_daily", s)
+    }),
+
+    // ---- cj invoice/order: two carrier feeds normalized + unioned +
+    // re-aggregated to order grain ----
+    "q93_cj_invoice_order" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cj_invoice_order", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-06-30")))
+    }),
+
+    // ---- sales target vs actual: month pivot + FULL OUTER against the
+    // target table + broadcast single-row period struct ----
+    "q94_sales_target" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sales_target", s,
+        graft.models.Params(Map("pivot_month" -> "1996-03-01")))
     })
   )
 
@@ -1775,6 +1796,112 @@ object SparkEntry {
         |SELECT product_code, batch, CAST(SUM(stock_qty) AS BIGINT) AS stock_qty,
         |  COUNT(*) AS n_rows
         |FROM chosen GROUP BY 1, 2""".stripMargin,
+
+    "q92_opex_daily" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS expense_id,
+        |    'EXP' || CAST(o_orderkey % 40 AS VARCHAR) AS expense_name,
+        |    o_custkey % 12 AS dept_id, o_orderkey % 25 AS brand_id,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amount,
+        |    COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |        ELSE CAST(o_orderdate AS DATE) END,
+        |      CAST(o_orderdate AS DATE) + CAST(o_orderkey % 9 AS INTEGER))
+        |      AS start_date,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 9 AS INTEGER)
+        |      AS end_date
+        |  FROM orders),
+        |d AS (SELECT *,
+        |    CAST(DATEDIFF('day', start_date, end_date) + 1 AS BIGINT)
+        |      AS date_count
+        |  FROM src)
+        |SELECT expense_id, expense_name, dept_id, brand_id,
+        |  (amount // date_count +
+        |    CASE WHEN o.off = 0 THEN amount % date_count ELSE 0 END) AS amount,
+        |  start_date + CAST(o.off AS INTEGER) AS ymd
+        |FROM d, (SELECT UNNEST(range(0, 9)) AS off) o
+        |WHERE o.off < date_count""".stripMargin,
+
+    "q93_cj_invoice_order" ->
+      """WITH lois AS (
+        |  SELECT REPLACE('LP-' || CAST(o_orderkey AS VARCHAR), '-', '')
+        |      AS invoice_no,
+        |    COALESCE(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE 'ORD' || CAST(o_orderkey AS VARCHAR) END, 'none')
+        |      AS order_id,
+        |    o_orderkey % 5000 AS delivery_fee, 0 AS box_cost
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'),
+        |ef AS (
+        |  SELECT 'EF' || CAST(o_orderkey AS VARCHAR) AS invoice_no,
+        |    'ORD' || CAST(o_orderkey AS VARCHAR) AS order_id,
+        |    o_orderkey % 3000 AS delivery_fee, o_orderkey % 700 AS box_cost
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'),
+        |pi AS (
+        |  SELECT invoice_no, order_id,
+        |    CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee,
+        |    CAST(SUM(box_cost) AS BIGINT) AS box_cost
+        |  FROM (SELECT * FROM lois UNION ALL SELECT * FROM ef)
+        |  GROUP BY invoice_no, order_id)
+        |SELECT order_id, CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee,
+        |  CAST(SUM(box_cost) AS BIGINT) AS box_cost
+        |FROM pi WHERE order_id <> 'none'
+        |GROUP BY order_id""".stripMargin,
+
+    "q94_sales_target" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey % 2000 + 1 AS product_id,
+        |    'S' || CAST(o_custkey % 20 AS VARCHAR) AS shop_id,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS payment_amount,
+        |    CAST(o_orderdate AS DATE) AS order_date
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1996-02-01' AND DATE '1996-03-31'
+        |    AND o_orderkey % 4 = 0),
+        |fb AS (
+        |  SELECT COALESCE(p.p_brand, '200000') AS brand_id, f.shop_id,
+        |    f.payment_amount, f.order_date,
+        |    CASE WHEN DATE_TRUNC('month', f.order_date) = DATE '1996-03-01'
+        |      THEN 1 ELSE 0 END AS group_id
+        |  FROM fact f LEFT JOIN part p ON f.product_id = p.p_partkey),
+        |period AS (
+        |  SELECT MIN(CASE WHEN group_id = 0 THEN order_date END)
+        |      AS previous_start_date,
+        |    MAX(CASE WHEN group_id = 0 THEN order_date END)
+        |      AS previous_end_date,
+        |    MIN(CASE WHEN group_id = 1 THEN order_date END)
+        |      AS current_start_date,
+        |    MAX(CASE WHEN group_id = 1 THEN order_date END)
+        |      AS current_end_date
+        |  FROM fb),
+        |sales AS (
+        |  SELECT brand_id, shop_id,
+        |    CAST(SUM(CASE WHEN group_id = 0 THEN payment_amount ELSE 0 END)
+        |      AS BIGINT) AS previous_sales,
+        |    CAST(SUM(CASE WHEN group_id = 1 THEN payment_amount ELSE 0 END)
+        |      AS BIGINT) AS current_sales
+        |  FROM fb WHERE payment_amount <> 0
+        |  GROUP BY brand_id, shop_id),
+        |targets AS (
+        |  SELECT p_brand AS brand_id,
+        |    'S' || CAST(p_partkey % 20 AS VARCHAR) AS shop_id,
+        |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS monthly_amount,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_partkey % 20
+        |      ORDER BY p_partkey) AS rn
+        |  FROM part)
+        |SELECT COALESCE(f.brand_id, t.brand_id) AS brand_id,
+        |  COALESCE(f.shop_id, t.shop_id) AS shop_id,
+        |  COALESCE(f.previous_sales, 0) AS previous_sales,
+        |  COALESCE(f.current_sales, 0) AS current_sales,
+        |  NULLIF(t.monthly_amount, 0) AS target_sales,
+        |  p.previous_start_date, p.previous_end_date,
+        |  p.current_start_date, p.current_end_date
+        |FROM sales f
+        |FULL JOIN (SELECT * FROM targets WHERE rn = 1) t
+        |  ON f.brand_id = t.brand_id AND f.shop_id = t.shop_id
+        |CROSS JOIN period p""".stripMargin,
 
     "q86_center_report" ->
       """WITH raw AS (

@@ -469,6 +469,137 @@ object Analytics {
         .agg(sum(col("stock_qty")).as("stock_qty"), count(lit(1)).as("n_rows"))
     }))
 
+    // ---- opex daily spread (reference: intermediate/ads/core__opex_daily
+    // .sql): a date-range expense divided equally over its days via a
+    // generated day scaffold, integer remainder to the FIRST day (A9's
+    // div/mod allocation against a date axis instead of slots).
+    r.register(Model("opex_daily", Nil, Incremental("ymd"), ctx => {
+      val o = Tables.orders(ctx.session, sfDir).select(
+        col("o_orderkey").as("expense_id"),
+        concat(lit("EXP"), pmod(col("o_orderkey"), lit(40))).as("expense_name"),
+        pmod(col("o_custkey"), lit(12)).as("dept_id"),
+        pmod(col("o_orderkey"), lit(25)).as("brand_id"),
+        floor(col("o_totalprice") * 100).cast("long").as("amount"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("date"))
+          .otherwise(to_date(col("o_orderdate"))).as("__start0"),
+        date_add(to_date(col("o_orderdate")),
+          pmod(col("o_orderkey"), lit(9)).cast("int")).as("end_date"))
+      val src = o
+        .withColumn("start_date", coalesce(col("__start0"), col("end_date")))
+        .withColumn("date_count",
+          (datediff(col("end_date"), col("start_date")) + 1).cast("long"))
+      src.select(col("expense_id"), col("expense_name"), col("dept_id"),
+          col("brand_id"), col("amount"), col("date_count"), col("start_date"),
+          posexplode(sequence(lit(0), col("date_count") - 1))
+            .as(Seq("date_offset", "__v")))
+        .select(col("expense_id"), col("expense_name"), col("dept_id"),
+          col("brand_id"),
+          graft.operators.Allocation.divModAllocate(col("amount"),
+            col("date_count"), col("date_offset")).as("amount"),
+          expr("date_add(start_date, date_offset)").as("ymd"))
+    }))
+
+    // ---- cj invoice/order delivery costs (reference: intermediate/
+    // delivery/cj__invoice_order.sql): two carrier feeds normalized
+    // (dashes stripped from invoice numbers, missing order ids to the
+    // 'none' sentinel), unioned, sentinel rows dropped, re-aggregated to
+    // order grain.
+    r.register(Model("cj_invoice_order", Nil, View, ctx => {
+      val start = lit(ctx.params("ds_start_date")).cast("date")
+      val end = lit(ctx.params("ds_end_date")).cast("date")
+      val o = Tables.orders(ctx.session, sfDir)
+      val lois = o.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+          to_date(col("o_orderdate")).between(start, end))
+        .select(
+          regexp_replace(concat(lit("LP-"), col("o_orderkey")), "-", "")
+            .as("invoice_no"),
+          coalesce(when(pmod(col("o_orderkey"), lit(11)) === 0,
+              lit(null).cast("string"))
+            .otherwise(concat(lit("ORD"), col("o_orderkey"))), lit("none"))
+            .as("order_id"),
+          pmod(col("o_orderkey"), lit(5000)).as("delivery_fee"),
+          lit(0L).as("box_cost"))
+      val eflexs = o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+          to_date(col("o_orderdate")).between(start, end))
+        .select(concat(lit("EF"), col("o_orderkey")).as("invoice_no"),
+          concat(lit("ORD"), col("o_orderkey")).as("order_id"),
+          pmod(col("o_orderkey"), lit(3000)).as("delivery_fee"),
+          pmod(col("o_orderkey"), lit(700)).as("box_cost"))
+      def perInvoice(df: DataFrame) = df
+        .groupBy(col("invoice_no"), col("order_id"))
+        .agg(sum(col("delivery_fee")).as("delivery_fee"),
+          sum(col("box_cost")).as("box_cost"))
+      perInvoice(lois).unionByName(perInvoice(eflexs))
+        .filter(col("order_id") =!= "none")
+        .groupBy(col("order_id"))
+        .agg(sum(col("delivery_fee")).as("delivery_fee"),
+          sum(col("box_cost")).as("box_cost"))
+    }))
+
+    // ---- sales target vs actual (reference: marts/sales/
+    // analytics__sales_target.sql): previous/current-month conditional
+    // pivot over the order fact, FULL OUTER join against the target table
+    // (targets with no sales and sales with no target both survive), and
+    // the single-row period-boundary struct cross-joined onto every row.
+    // The reference pivots on CURRENT_DATE; here the pivot month is a
+    // param so runs replay.
+    r.register(Model("sales_target", Nil, View, ctx => {
+      val pivotMonth = java.time.LocalDate.parse(ctx.params("pivot_month"))
+      def d(x: java.time.LocalDate) = lit(java.sql.Date.valueOf(x))
+      val prevStart = pivotMonth.minusMonths(1)
+      val monthEnd = pivotMonth.plusMonths(1).minusDays(1)
+      val prod = Tables.part(ctx.session, sfDir)
+        .select(col("p_partkey").as("product_id"), col("p_brand"))
+      val fact = Tables.orders(ctx.session, sfDir)
+        .filter(to_date(col("o_orderdate")).between(d(prevStart), d(monthEnd)) &&
+          pmod(col("o_orderkey"), lit(4)) === 0)
+        .select((pmod(col("o_orderkey"), lit(2000)) + 1).as("product_id"),
+          concat(lit("S"), pmod(col("o_custkey"), lit(20))).as("shop_id"),
+          floor(col("o_totalprice")).cast("long").as("payment_amount"),
+          to_date(col("o_orderdate")).as("order_date"))
+        .join(prod, Seq("product_id"), "left")
+        .withColumn("brand_id", coalesce(col("p_brand"), lit("200000")))
+        .withColumn("group_id",
+          when(date_trunc("month", col("order_date")).cast("date") ===
+            d(pivotMonth), lit(1)).otherwise(lit(0)))
+      val period = fact.agg(
+        min(when(col("group_id") === 0, col("order_date")))
+          .as("previous_start_date"),
+        max(when(col("group_id") === 0, col("order_date")))
+          .as("previous_end_date"),
+        min(when(col("group_id") === 1, col("order_date")))
+          .as("current_start_date"),
+        max(when(col("group_id") === 1, col("order_date")))
+          .as("current_end_date"))
+      val sales = fact.filter(col("payment_amount") =!= 0)
+        .groupBy(col("brand_id"), col("shop_id"))
+        .agg(sum(when(col("group_id") === 0, col("payment_amount"))
+            .otherwise(lit(0L))).as("previous_sales"),
+          sum(when(col("group_id") === 1, col("payment_amount"))
+            .otherwise(lit(0L))).as("current_sales"))
+      // smallest-partkey row wins per (brand, shop) — dropDuplicates keeps
+      // an arbitrary row, which no oracle can replay
+      val targets = graft.functions.F.qualifyTopN(
+        Tables.part(ctx.session, sfDir)
+          .select(col("p_brand").as("brand_id"),
+            concat(lit("S"), pmod(col("p_partkey"), lit(20))).as("shop_id"),
+            floor(col("p_retailprice") * 100).cast("long").as("monthly_amount"),
+            col("p_partkey")),
+        Seq(col("brand_id"), col("shop_id")), Seq(col("p_partkey")))
+        .drop("p_partkey")
+      sales.alias("f")
+        .join(targets.alias("t"),
+          col("f.brand_id") === col("t.brand_id") &&
+            col("f.shop_id") === col("t.shop_id"), "full_outer")
+        .select(
+          coalesce(col("f.brand_id"), col("t.brand_id")).as("brand_id"),
+          coalesce(col("f.shop_id"), col("t.shop_id")).as("shop_id"),
+          coalesce(col("f.previous_sales"), lit(0L)).as("previous_sales"),
+          coalesce(col("f.current_sales"), lit(0L)).as("current_sales"),
+          nullif(col("t.monthly_amount"), lit(0L)).as("target_sales"))
+        .crossJoin(broadcast(period))
+    }))
+
     r
   }
 

@@ -16,12 +16,15 @@ class PlanAuditSpec extends SparkSpec {
     *   (tens of rows) on a BETWEEN — `Joins.temporalJoin`'s contract;
     * - q61: cross join with the broadcast single-row corpus count;
     * - q78: the MAX(batch) freshness probe — one-day slice streams past a
-    *   broadcast SINGLE-ROW aggregate (the correlated scalar, A7 pattern).
+    *   broadcast SINGLE-ROW aggregate (the correlated scalar, A7 pattern);
+    * - q94: the period-boundary struct — every output row carries the
+    *   four MIN/MAX boundary dates from a broadcast SINGLE-ROW aggregate
+    *   (the reference's `CROSS JOIN pivot_period`).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
     "q14_band_join", "q34_ann_bruteforce", "q38_temporal_join", "q61_tfidf",
-    "q78_stock_batch_probe")
+    "q78_stock_batch_probe", "q94_sales_target")
 
   test("no query plan contains an unbounded cartesian product") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
