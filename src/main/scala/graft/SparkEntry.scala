@@ -1343,6 +1343,14 @@ object SparkEntry {
     "q94_sales_target" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("sales_target", s,
         graft.models.Params(Map("pivot_month" -> "1996-03-01")))
+    }),
+
+    // ---- cross-platform ad report: four channel dailies harmonized and
+    // unioned under platform labels ----
+    "q95_adreport_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("adreport_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
     })
   )
 
@@ -1655,44 +1663,8 @@ object SparkEntry {
        |FROM raw WHERE TRY_CAST(pay_s AS DATE) IS NOT NULL""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "q75_order_count_mom" ->
-      """WITH oc AS (
-        |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
-        |    o_orderkey % 5 + 1 AS order_quantity,
-        |    CAST(o_orderdate AS DATE) AS order_date
-        |  FROM orders),
-        |s1 AS (
-        |  SELECT order_id, order_status, order_quantity, order_date,
-        |    DATE '1996-03-01' AS order_ym,
-        |    MIN(order_date) OVER () AS order_start_date,
-        |    MAX(order_date) OVER () AS order_end_date
-        |  FROM oc WHERE order_date BETWEEN DATE '1996-03-01' AND DATE '1996-03-15'),
-        |lb AS (
-        |  SELECT order_id, order_status, order_quantity, order_date,
-        |    CAST(DATE_TRUNC('month', order_date) AS DATE) AS order_ym
-        |  FROM oc WHERE order_date BETWEEN DATE '1996-01-01' AND DATE '1996-02-29'),
-        |s2 AS (
-        |  SELECT *, MIN(order_date) OVER (PARTITION BY order_ym) AS order_start_date,
-        |    MAX(order_date) OVER (PARTITION BY order_ym) AS order_end_date
-        |  FROM lb),
-        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
-        |dow(dw, name) AS (VALUES (1, '(일)'), (2, '(월)'), (3, '(화)'),
-        |  (4, '(수)'), (5, '(목)'), (6, '(금)'), (7, '(토)'))
-        |SELECT order_id, order_status, order_quantity, order_date, order_ym,
-        |  order_start_date, order_end_date,
-        |  '[ ' || strftime(order_end_date, '%y') || '년 ' ||
-        |  strftime(order_end_date, '%m') || '월 ]' || chr(10) ||
-        |  CASE WHEN order_start_date <> order_end_date
-        |    THEN strftime(order_start_date, '%y/%m/%d') || sd.name || chr(10) || '~ '
-        |    ELSE chr(10) END ||
-        |  strftime(order_end_date, '%y/%m/%d') || ed.name AS order_date_range
-        |FROM u
-        |LEFT JOIN dow sd ON dayofweek(u.order_start_date) + 1 = sd.dw
-        |LEFT JOIN dow ed ON dayofweek(u.order_end_date) + 1 = ed.dw""".stripMargin,
-
-    "q76_searchad_report" ->
-      """WITH ins AS (
+  private def q76Oracle: String =
+    """WITH ins AS (
         |  SELECT o_orderkey AS ad_id, o_custkey % 500 AS campaign_id,
         |    o_orderkey % 2000 + 1 AS product_id,
         |    (['P', 'M', 'X'])[o_orderkey % 3 + 1] AS device_code,
@@ -1769,7 +1741,88 @@ object SparkEntry {
         |  LEFT JOIN cm ON cd.contract_id = cm.contract_id
         |  LEFT JOIN prod ON cd.product_id = prod.product_id
         |  WHERE cd.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
-        |SELECT * FROM side1 UNION ALL SELECT * FROM side2""".stripMargin,
+        |SELECT * FROM side1 UNION ALL SELECT * FROM side2""".stripMargin
+
+  /** The 4-channel ad-report union: the naver branch is the whole q76
+    * pipeline as a CTE; the other channels replay their slice models.
+    */
+  private def q95Oracle: String = {
+    def channel(label: String, prefix: String, slice: Int, pct: String,
+                conv: Boolean) = {
+      val convSql =
+        if (conv) "CAST(FLOOR(o_totalprice * 0.5) AS BIGINT)"
+        else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$label' AS platform_name,
+         |  '$prefix' || CAST(o_custkey % 100 AS VARCHAR) AS campaign_name,
+         |  '${prefix}G' || CAST(o_orderkey % 40 AS VARCHAR) AS adgroup_name,
+         |  '${prefix}A' || CAST(o_orderkey % 500 AS VARCHAR) AS ad_name,
+         |  (['SALES', 'NCA', 'REACH'])[o_orderkey % 3 + 1] AS ad_type,
+         |  CAST(FLOOR(o_totalprice * $pct) AS BIGINT) AS ad_cost,
+         |  $convSql AS conv_amount,
+         |  COALESCE(CASE WHEN o_custkey % 6 = 0 THEN NULL
+         |    ELSE 'T' || CAST(o_custkey % 5 AS VARCHAR) END,
+         |    '담당팀 없음') AS team_name,
+         |  CAST(o_orderdate AS DATE) AS ymd
+         |FROM orders
+         |WHERE o_orderkey % 5 = $slice AND CAST(o_orderdate AS DATE)
+         |  BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin
+    }
+    val nv = q76Oracle.replace("\n", "\n  ")
+    s"""WITH nv AS (
+       |  $nv)
+       |SELECT '네이버' AS platform_name, campaign_name,
+       |  '-' AS adgroup_name, CAST(ad_id AS VARCHAR) AS ad_name, ad_type,
+       |  ad_cost, CAST(NULL AS BIGINT) AS conv_amount, team_name, ymd
+       |FROM nv
+       |UNION ALL
+       |${channel("쿠팡", "CP", 1, "0.04", conv = true)}
+       |UNION ALL
+       |${channel("구글", "GG", 2, "0.03", conv = false)}
+       |UNION ALL
+       |${channel("메타", "MT", 3, "0.02", conv = false)}""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q95_adreport_daily" -> q95Oracle,
+
+    "q75_order_count_mom" ->
+      """WITH oc AS (
+        |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
+        |    o_orderkey % 5 + 1 AS order_quantity,
+        |    CAST(o_orderdate AS DATE) AS order_date
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT order_id, order_status, order_quantity, order_date,
+        |    DATE '1996-03-01' AS order_ym,
+        |    MIN(order_date) OVER () AS order_start_date,
+        |    MAX(order_date) OVER () AS order_end_date
+        |  FROM oc WHERE order_date BETWEEN DATE '1996-03-01' AND DATE '1996-03-15'),
+        |lb AS (
+        |  SELECT order_id, order_status, order_quantity, order_date,
+        |    CAST(DATE_TRUNC('month', order_date) AS DATE) AS order_ym
+        |  FROM oc WHERE order_date BETWEEN DATE '1996-01-01' AND DATE '1996-02-29'),
+        |s2 AS (
+        |  SELECT *, MIN(order_date) OVER (PARTITION BY order_ym) AS order_start_date,
+        |    MAX(order_date) OVER (PARTITION BY order_ym) AS order_end_date
+        |  FROM lb),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |dow(dw, name) AS (VALUES (1, '(일)'), (2, '(월)'), (3, '(화)'),
+        |  (4, '(수)'), (5, '(목)'), (6, '(금)'), (7, '(토)'))
+        |SELECT order_id, order_status, order_quantity, order_date, order_ym,
+        |  order_start_date, order_end_date,
+        |  '[ ' || strftime(order_end_date, '%y') || '년 ' ||
+        |  strftime(order_end_date, '%m') || '월 ]' || chr(10) ||
+        |  CASE WHEN order_start_date <> order_end_date
+        |    THEN strftime(order_start_date, '%y/%m/%d') || sd.name || chr(10) || '~ '
+        |    ELSE chr(10) END ||
+        |  strftime(order_end_date, '%y/%m/%d') || ed.name AS order_date_range
+        |FROM u
+        |LEFT JOIN dow sd ON dayofweek(u.order_start_date) + 1 = sd.dw
+        |LEFT JOIN dow ed ON dayofweek(u.order_end_date) + 1 = ed.dw""".stripMargin,
+
+    "q76_searchad_report" -> q76Oracle,
+
+
 
     "q77_sbn_range_orders" ->
       """WITH g AS (

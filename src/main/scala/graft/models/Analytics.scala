@@ -415,6 +415,68 @@ object Analytics {
       side1.unionByName(side2)
     }))
 
+    // ---- cross-platform ad report (reference: marts/ads/
+    // analytics__adreport_daily.sql): per-channel daily models harmonized
+    // onto one column set and UNION ALLed under a platform label — '-'
+    // fillers where a channel lacks the dimension, NULL conversion columns
+    // where it lacks the metric.
+    def channelDaily(slice: Int, prefix: String, costPct: Double,
+                     withConv: Boolean): ModelContext => DataFrame = ctx => {
+      val o = Tables.orders(ctx.session, sfDir)
+        .filter(pmod(col("o_orderkey"), lit(5)) === slice)
+      o.select(
+        concat(lit(prefix), pmod(col("o_custkey"), lit(100)))
+          .as("campaign_name"),
+        concat(lit(prefix), lit("G"), pmod(col("o_orderkey"), lit(40)))
+          .as("adgroup_name"),
+        concat(lit(prefix), lit("A"), pmod(col("o_orderkey"), lit(500)))
+          .as("ad_name"),
+        element_at(array(lit("SALES"), lit("NCA"), lit("REACH")),
+          (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")).as("ad_type"),
+        floor(col("o_totalprice") * costPct).cast("long").as("ad_cost"),
+        (if (withConv) floor(col("o_totalprice") * 0.5).cast("long")
+         else lit(null).cast("long")).as("conv_amount"),
+        when(pmod(col("o_custkey"), lit(6)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("T"), pmod(col("o_custkey"), lit(5))))
+          .as("team_name"),
+        to_date(col("o_orderdate")).as("ymd"))
+    }
+    r.register(Model("coupang_ads_daily", Nil, Incremental("ymd"),
+      channelDaily(1, "CP", 0.04, withConv = true)))
+    r.register(Model("google_ads_daily", Nil, Incremental("ymd"),
+      channelDaily(2, "GG", 0.03, withConv = false)))
+    r.register(Model("meta_ads_daily", Nil, Incremental("ymd"),
+      channelDaily(3, "MT", 0.02, withConv = false)))
+
+    r.register(Model("adreport_daily",
+      Seq("searchad_report_daily", "coupang_ads_daily", "google_ads_daily",
+        "meta_ads_daily"), View, ctx => {
+      val start = lit(ctx.params("ds_start_date")).cast("date")
+      val end = lit(ctx.params("ds_end_date")).cast("date")
+      // the naver channel IS the searchad mart, harmonized: it carries no
+      // adgroup_name ('-' filler) and no conversion metric (NULL)
+      val naver = ctx.ref("searchad_report_daily").select(
+        lit("네이버").as("platform_name"),
+        col("campaign_name"),
+        lit("-").as("adgroup_name"),
+        col("ad_id").cast("string").as("ad_name"),
+        col("ad_type"),
+        col("ad_cost"),
+        lit(null).cast("long").as("conv_amount"),
+        col("team_name"), col("ymd"))
+      def channel(name: String, label: String) =
+        ctx.ref(name).filter(col("ymd").between(start, end)).select(
+          lit(label).as("platform_name"), col("campaign_name"),
+          col("adgroup_name"), col("ad_name"), col("ad_type"),
+          col("ad_cost"), col("conv_amount"),
+          coalesce(col("team_name"), lit("담당팀 없음")).as("team_name"),
+          col("ymd"))
+      naver
+        .unionByName(channel("coupang_ads_daily", "쿠팡"))
+        .unionByName(channel("google_ads_daily", "구글"))
+        .unionByName(channel("meta_ads_daily", "메타"))
+    }))
+
     // ---- relation ranges as a DAG citizen (reference: relation__ad_id_to_
     // ranged_sbn_ids.sql:17-96 feeding the insight join — its real role,
     // vs q53 which exercises only the islands/format shape): gap-islands
