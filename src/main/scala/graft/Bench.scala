@@ -56,7 +56,12 @@ object Bench {
       (name, best, spread)
     }
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      kv.map { case (k, v) =>
+        // Locale.ROOT: a de_DE/fr_FR default locale would format "1,234"
+        // and break the JSON consumer
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +

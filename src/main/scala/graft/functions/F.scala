@@ -233,9 +233,25 @@ object F {
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
                       buckets: Int = 32): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    if (sc.getCheckpointDir.isEmpty) {
+      // checkpoint files otherwise accumulate per call for the JVM's
+      // lifetime: the temp dir is removed on shutdown. (ContextCleaner GC
+      // of individual checkpoints needs spark.cleaner.referenceTracking.
+      // cleanCheckpoints=true AT context build — it cannot be enabled
+      // retroactively; production deployments set their own durable
+      // checkpoint dir + that flag and own retention.)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      sc.setCheckpointDir(dir.toString)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case _: Exception => }
+      }
+    }
     val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__bucket", spark_partition_id())
     val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)

@@ -53,12 +53,15 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
-    * bucket candidates → exact cosine verify. Output = all pairs that share
-    * at least one band bucket AND have cosine >= threshold; true near-dups
-    * (cosine near 1) collide in some band with probability ~1, and recall
-    * for a given cosine rises with `bands`. The plan is bucket equi-join →
-    * pair dedup → id-join verify — no cross join at any corpus size
-    * (contrast `cosinePairs`, the exact quadratic verification form).
+    * bucket candidates → exact cosine verify. Output = band-colliding pairs
+    * verified at the threshold, BOUNDED per bucket: buckets at or under
+    * `maxBucket` keep exact all-pairs semantics; hotter buckets emit only
+    * representative-star pairs (each member vs the bucket's smallest id —
+    * see [[Dedup.boundedBucketPairs]] for the full contract). True
+    * near-dups (cosine near 1) collide in some band with probability ~1,
+    * and recall for a given cosine rises with `bands`. The plan is bucket
+    * equi-join → pair dedup → id-join verify — no cross join at any corpus
+    * size (contrast `cosinePairs`, the exact quadratic verification form).
     */
   def lshCosinePairs(corpus: DataFrame, idCol: Column, vecCol: Column,
                      threshold: Double, bits: Int = 64, bands: Int = 8,

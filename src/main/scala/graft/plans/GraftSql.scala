@@ -44,11 +44,13 @@ object GraftSql {
         else {
           // ORDER BY / LIMIT written after QUALIFY apply to the filtered
           // result — re-attach them over a temp view of the rewrite
-          // (session-scoped; unique name so concurrent calls never collide)
+          // (unique name so concurrent calls never collide; dropped after
+          // analysis so repeated calls don't grow the session catalog)
           val v = "__graft_qualify_" +
             java.util.UUID.randomUUID().toString.replace("-", "")
           inner.createOrReplaceTempView(v)
-          spark.sql(s"SELECT * FROM $v $tail")
+          try spark.sql(s"SELECT * FROM $v $tail")
+          finally spark.catalog.dropTempView(v)
         }
     }
 
@@ -66,12 +68,27 @@ object GraftSql {
     }
   }
 
-  /** Offsets of top-level (depth-0, unquoted) keywords of interest. */
+  /** Offsets of top-level (depth-0, unquoted, uncommented) keywords of
+    * interest. `--` line comments and nested `/* */` block comments are
+    * skipped — a QUALIFY inside a comment must not trigger the rewrite
+    * (the fallthrough contract: valid Spark SQL never regresses).
+    */
   private def topLevelKeywordOffsets(text: String): Seq[(String, Int, Int)] = {
     val out = Seq.newBuilder[(String, Int, Int)]
     var i = 0; var depth = 0
     while (i < text.length) {
-      text.charAt(i) match {
+      if (i + 1 < text.length && text.charAt(i) == '-' && text.charAt(i + 1) == '-') {
+        while (i < text.length && text.charAt(i) != '\n') i += 1
+      } else if (i + 1 < text.length && text.charAt(i) == '/' && text.charAt(i + 1) == '*') {
+        var nest = 1; i += 2
+        while (i < text.length && nest > 0) {
+          if (i + 1 < text.length && text.charAt(i) == '/' && text.charAt(i + 1) == '*') {
+            nest += 1; i += 2
+          } else if (i + 1 < text.length && text.charAt(i) == '*' && text.charAt(i + 1) == '/') {
+            nest -= 1; i += 2
+          } else i += 1
+        }
+      } else text.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case '\'' | '"' | '`' =>
@@ -103,7 +120,9 @@ object GraftSql {
   def insertOnConflict(spark: SparkSession, text: String,
                        defaultKeys: Seq[String] = Nil): DataFrame = {
     import graft.operators.MergeOps
-    text match {
+    // strip the statement terminator up front: the DO UPDATE arm's greedy
+    // tail would otherwise carry ';' into the last SET clause's rhs
+    text.trim.stripSuffix(";") match {
       case InsertRe(table, select, keysOpt, action) =>
         val target = spark.table(table.replace("`", ""))
         val source = sql(spark, select)

@@ -149,6 +149,22 @@ object Sinks {
     if (source.isEmpty) return
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
+    // crash recovery: any _stage-* under the root is a previous run that
+    // died before its pointer swaps — its data was never referenced by any
+    // _CURRENT, so it is safe (and necessary) to remove
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(root)
+      val orphans =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("_stage-")).toSeq
+        finally ls.close()
+      orphans.foreach { p =>
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
+      }
+    }
     val affected = source
       .select(col(partitionCol).cast("string").as("__v")).distinct()
       .collect().map(_.getString(0))
@@ -178,8 +194,18 @@ object Sinks {
         val dir = partDir(v)
         Files.createDirectories(dir)
         val nextNum = currentGen(v).map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
-        Files.move(staged, dir.resolve(s"gen-$nextNum"),
-          StandardCopyOption.ATOMIC_MOVE)
+        val genDir = dir.resolve(s"gen-$nextNum")
+        // crash recovery: a gen-N left by a run that died between its
+        // directory move and its pointer swap is unreferenced (the pointer
+        // still names gen-N-1) — remove it or this partition wedges on
+        // FileAlreadyExists forever
+        if (Files.exists(genDir)) {
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(genDir)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally walk.close()
+        }
+        Files.move(staged, genDir, StandardCopyOption.ATOMIC_MOVE)
         val tmp = dir.resolve("_CURRENT.tmp")
         Files.writeString(tmp, s"gen-$nextNum")
         Files.move(tmp, dir.resolve("_CURRENT"), StandardCopyOption.ATOMIC_MOVE,

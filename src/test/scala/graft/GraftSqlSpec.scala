@@ -66,4 +66,28 @@ class GraftSqlSpec extends SparkSpec {
       GraftSql.strategyOf("c", "c + EXCLUDED.c")
     }
   }
+
+  test("QUALIFY inside comments is NOT a clause; trailing semicolons parse") {
+    Seq(("a", 1), ("a", 2)).toDF("k", "rn").createOrReplaceTempView("t_cmt")
+    // line + block comments naming QUALIFY/ORDER/LIMIT must not trigger
+    // the rewrite — the query is valid Spark SQL and passes through whole
+    val out = GraftSql.sql(spark,
+      """SELECT k, rn FROM t_cmt -- QUALIFY rn = 1
+        |/* ORDER BY nothing LIMIT 0 */""".stripMargin).collect()
+    assert(out.length == 2, "commented-out QUALIFY must not filter rows")
+    // a real QUALIFY after a comment still works
+    val real = GraftSql.sql(spark,
+      """SELECT k, rn FROM t_cmt -- dedup below
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY rn DESC) = 1""".stripMargin)
+      .collect()
+    assert(real.length == 1 && real.head.getInt(1) == 2)
+
+    // reference load statements end with ';' — DO UPDATE must still parse
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("t_semi")
+    Seq((1L, "b")).toDF("k", "v").createOrReplaceTempView("s_semi")
+    val merged = GraftSql.insertOnConflict(spark,
+      "INSERT INTO t_semi SELECT * FROM s_semi ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v;")
+      .collect()
+    assert(merged.head.getString(1) == "b")
+  }
 }

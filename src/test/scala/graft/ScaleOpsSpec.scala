@@ -106,6 +106,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_stage")))
   }
 
+  test("upsertParquetPartitioned self-heals after a crash between move and pointer swap") {
+    import java.nio.file.{Files => NF, Paths}
+    val dir = NF.createTempDirectory("graft_crash").toString
+    Sinks.upsertParquetPartitioned(spark,
+      dir, Seq((1L, "2024-01-01", 1.0)).toDF("k", "ymd", "v"), Seq("k"), "ymd")
+    // simulate a run that died AFTER moving gen-1 into place but BEFORE
+    // the pointer swap (plus its orphaned staging skeleton)
+    NF.createDirectories(Paths.get(dir, "p=2024-01-01", "gen-1"))
+    NF.writeString(Paths.get(dir, "p=2024-01-01", "gen-1", "part-junk"), "junk")
+    NF.createDirectories(Paths.get(dir, "_stage-999", "__p=2024-01-01"))
+    Sinks.upsertParquetPartitioned(spark,
+      dir, Seq((2L, "2024-01-01", 2.0)).toDF("k", "ymd", "v"), Seq("k"), "ymd")
+    assert(NF.readString(Paths.get(dir, "p=2024-01-01", "_CURRENT")).trim == "gen-1")
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).count() == 2,
+      "wedged gen dir replaced, merge applied")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_stage")),
+      "orphaned staging removed")
+  }
+
   test("upsertParquetPartitioned vacuums per-partition generations") {
     val dir = Files.createTempDirectory("graft_pvac").toString
     (0 to 3).foreach { i =>
