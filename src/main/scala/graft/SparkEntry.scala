@@ -1351,6 +1351,26 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("adreport_daily", s,
         graft.models.Params(Map(
           "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+
+    // ---- stock batch times: 17:00-cutoff batch assignment over three
+    // channel feeds, conditional per-channel MAX update times ----
+    "q96_stock_time_batch" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_time_batch", s)
+    }),
+
+    // ---- option master: enrichment joins + the REPEAT('9') sentinel
+    // sort key one digit wider than the largest real key ----
+    "q97_option_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("option_master", s)
+    }),
+
+    // ---- enriched order-grain profit view: fact through product/status
+    // dims with declared COALESCE fallbacks + conditional unit-name ----
+    "q98_order_profit_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("order_profit_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
     })
   )
 
@@ -1784,6 +1804,85 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q95_adreport_daily" -> q95Oracle,
+
+    "q96_stock_time_batch" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS ymd,
+        |    CASE WHEN hour(ts) < 17 THEN 10 ELSE 20 END AS batch,
+        |    CAST(user_id % 3 AS INTEGER) AS group_id, ts AS updated_at
+        |  FROM events)
+        |SELECT ymd, batch, MAX(updated_at) AS max_updated_at,
+        |  MAX(CASE WHEN group_id = 0 THEN updated_at END)
+        |    AS ecount_max_updated_at,
+        |  MAX(CASE WHEN group_id = 1 THEN updated_at END)
+        |    AS cj_eflexs_max_updated_at,
+        |  MAX(CASE WHEN group_id = 2 THEN updated_at END)
+        |    AS coupang_rfm_max_updated_at
+        |FROM f GROUP BY ymd, batch""".stripMargin,
+
+    "q97_option_master" ->
+      """WITH opt0 AS (
+        |  SELECT l_partkey AS product_id,
+        |    l_partkey * 10 + l_linenumber % 3 AS option_id,
+        |    l_suppkey % 7 AS channel_seq,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS sales_price,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY l_partkey * 10 + l_linenumber % 3
+        |      ORDER BY l_suppkey % 7,
+        |        CAST(FLOOR(l_extendedprice) AS BIGINT) DESC) AS rn
+        |  FROM lineitem),
+        |opt AS (SELECT * FROM opt0 WHERE rn = 1),
+        |chl0 AS (
+        |  SELECT CAST(n_nationkey % 7 AS BIGINT) AS channel_seq,
+        |    'T' || CAST(n_nationkey % 5 AS VARCHAR) AS team_name,
+        |    n_name AS brand_name,
+        |    ROW_NUMBER() OVER (PARTITION BY n_nationkey % 7
+        |      ORDER BY n_name) AS rn
+        |  FROM nation),
+        |chl AS (SELECT * FROM chl0 WHERE rn = 1),
+        |prd AS (
+        |  SELECT p_partkey AS product_id, p_name AS product_name,
+        |    (p_partkey * 7) % 997 AS sort_key
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |mx AS (SELECT MAX(sort_key) AS m FROM prd)
+        |SELECT o.product_id, o.option_id, c.team_name, c.brand_name,
+        |  p.product_name, o.sales_price,
+        |  COALESCE(p.sort_key,
+        |    CAST(repeat('9', length(CAST(mx.m AS VARCHAR))) AS BIGINT))
+        |    AS sort_key1
+        |FROM opt o
+        |LEFT JOIN chl c ON o.channel_seq = c.channel_seq
+        |LEFT JOIN prd p ON o.product_id = p.product_id
+        |CROSS JOIN mx""".stripMargin,
+
+    "q98_order_profit_daily" ->
+      """WITH oc AS (
+        |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
+        |    o_orderkey % 5 + 1 AS order_quantity,
+        |    CAST(o_orderdate AS DATE) AS order_date
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+        |f AS (SELECT *, order_id % 2000 + 1 AS product_id,
+        |    'S' || CAST(order_id % 20 AS VARCHAR) AS shop_id FROM oc),
+        |item AS (
+        |  SELECT p_partkey AS product_id, p_name AS product_name,
+        |    CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE p_type END
+        |      AS category_name3,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |      ELSE 'EA' || CAST(p_partkey % 4 AS VARCHAR) END AS unit_name
+        |  FROM part),
+        |st(code, label) AS (VALUES ('O', '주문'), ('F', '완료'), ('P', '대기'))
+        |SELECT f.order_id, f.product_id, f.shop_id,
+        |  COALESCE(i.product_name, '매칭 불가 상품') AS product_name,
+        |  COALESCE(CASE WHEN i.unit_name IS NULL THEN i.category_name3
+        |    ELSE i.category_name3 || ' (' || i.unit_name || ')' END, '-')
+        |    AS category_unit_name,
+        |  COALESCE(st.label, '알 수 없음') AS order_status,
+        |  f.order_quantity, f.order_date
+        |FROM f
+        |LEFT JOIN item i ON f.product_id = i.product_id
+        |LEFT JOIN st ON f.order_status = st.code""".stripMargin,
 
     "q75_order_count_mom" ->
       """WITH oc AS (

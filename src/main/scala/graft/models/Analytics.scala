@@ -662,6 +662,110 @@ object Analytics {
         .crossJoin(broadcast(period))
     }))
 
+    // ---- stock batch times (reference: intermediate/stock/
+    // core__stock_time_batch.sql): three inventory feeds tagged by
+    // channel, batch = the 17:00 cutoff (updates before 5pm are the
+    // morning batch 10, after are batch 20), MAX update time overall and
+    // per channel via conditional aggregates.
+    r.register(Model("stock_time_batch", Nil, Incremental("ymd"), ctx => {
+      val e = Tables.events(ctx.session, sfDir)
+        .select(col("ts"), col("user_id"))
+      def feed(group: Int) = e
+        .filter(pmod(col("user_id"), lit(3)) === group)
+        .select(col("ts").cast("date").as("ymd"),
+          when(hour(col("ts")) < 17, lit(10)).otherwise(lit(20)).as("batch"),
+          lit(group).as("group_id"),
+          col("ts").as("updated_at"))
+      feed(0).unionByName(feed(1)).unionByName(feed(2))
+        .groupBy(col("ymd"), col("batch"))
+        .agg(max(col("updated_at")).as("max_updated_at"),
+          max(when(col("group_id") === 0, col("updated_at")))
+            .as("ecount_max_updated_at"),
+          max(when(col("group_id") === 1, col("updated_at")))
+            .as("cj_eflexs_max_updated_at"),
+          max(when(col("group_id") === 2, col("updated_at")))
+            .as("coupang_rfm_max_updated_at"))
+    }))
+
+    // ---- option master (reference: marts/product/smartstore__option_
+    // master.sql): channel/product-master enrichment joins plus the
+    // sentinel SORT KEY — unmatched products sort after every real key
+    // via REPEAT('9', LENGTH(MAX(sort_key))): one digit-9 wider than the
+    // largest real key. The reference computes the max with a global
+    // `MAX() OVER ()` window; here it is a single-row aggregate broadcast
+    // (same value, no single-partition window over the fact).
+    r.register(Model("option_master", Nil, View, ctx => {
+      // deterministic dedups (dropDuplicates keeps an arbitrary row that
+      // no oracle can replay): smallest channel + highest price win
+      val opt = graft.functions.F.qualifyTopN(
+        Tables.lineitem(ctx.session, sfDir).select(
+          col("l_partkey").as("product_id"),
+          (col("l_partkey") * 10 + pmod(col("l_linenumber"), lit(3)))
+            .as("option_id"),
+          pmod(col("l_suppkey"), lit(7)).as("channel_seq"),
+          floor(col("l_extendedprice")).cast("long").as("sales_price")),
+        Seq(col("option_id")),
+        Seq(col("channel_seq"), col("sales_price").desc))
+      val chl = graft.functions.F.qualifyTopN(
+        Tables.nation(ctx.session, sfDir).select(
+          pmod(col("n_nationkey"), lit(7)).as("channel_seq"),
+          concat(lit("T"), pmod(col("n_nationkey"), lit(5))).as("team_name"),
+          col("n_name").as("brand_name")),
+        Seq(col("channel_seq")), Seq(col("brand_name")))
+      val prd = Tables.part(ctx.session, sfDir)
+        .filter(pmod(col("p_partkey"), lit(3)) === 0)
+        .select(col("p_partkey").as("product_id"),
+          col("p_name").as("product_name"),
+          pmod(col("p_partkey") * 7, lit(997)).as("sort_key"))
+      val mx = prd.agg(max(col("sort_key")).as("__mx"))
+      opt
+        .join(broadcast(chl), Seq("channel_seq"), "left")
+        .join(prd, Seq("product_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("product_id"), col("option_id"), col("team_name"),
+          col("brand_name"), col("product_name"), col("sales_price"),
+          coalesce(col("sort_key"),
+            expr("cast(repeat('9', length(cast(__mx AS STRING))) AS BIGINT)"))
+            .as("sort_key1"))
+    }))
+
+    // ---- enriched order-grain profit view (reference: marts/sales/
+    // analytics__profit_daily.sql — the TVF fact LEFT JOINed through the
+    // product/shop masters and status dim, every dimension COALESCEd to
+    // its declared fallback, and the conditional unit-name concat).
+    r.register(Model("order_profit_daily", Seq("order_count",
+      "core_product_master"), View, ctx => {
+      val fact = ctx.ref("order_count")
+        .withColumn("product_id", pmod(col("order_id"), lit(2000)) + 1)
+        .withColumn("shop_id",
+          concat(lit("S"), pmod(col("order_id"), lit(20))))
+      val item = Tables.part(ctx.session, sfDir).select(
+        col("p_partkey").as("product_id"),
+        col("p_name").as("product_name"),
+        when(pmod(col("p_partkey"), lit(4)) === 0, lit(null).cast("string"))
+          .otherwise(col("p_type")).as("category_name3"),
+        when(pmod(col("p_partkey"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("EA"), pmod(col("p_partkey"), lit(4))))
+          .as("unit_name"))
+      val status = graft.functions.F.inlineDim(ctx.session,
+        Seq("code", "label"),
+        Seq(Seq("O", "주문"), Seq("F", "완료"), Seq("P", "대기")))
+      fact
+        .join(item, Seq("product_id"), "left")
+        .join(broadcast(status),
+          col("order_status") === col("code"), "left")
+        .select(col("order_id"), col("product_id"), col("shop_id"),
+          coalesce(col("product_name"), lit("매칭 불가 상품"))
+            .as("product_name"),
+          coalesce(
+            when(col("unit_name").isNull, col("category_name3"))
+              .otherwise(concat(col("category_name3"), lit(" ("),
+                col("unit_name"), lit(")"))),
+            lit("-")).as("category_unit_name"),
+          coalesce(col("label"), lit("알 수 없음")).as("order_status"),
+          col("order_quantity"), col("order_date"))
+    }))
+
     r
   }
 

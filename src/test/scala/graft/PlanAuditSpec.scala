@@ -19,12 +19,14 @@ class PlanAuditSpec extends SparkSpec {
     *   broadcast SINGLE-ROW aggregate (the correlated scalar, A7 pattern);
     * - q94: the period-boundary struct — every output row carries the
     *   four MIN/MAX boundary dates from a broadcast SINGLE-ROW aggregate
-    *   (the reference's `CROSS JOIN pivot_period`).
+    *   (the reference's `CROSS JOIN pivot_period`);
+    * - q97: the sentinel sort key — a broadcast SINGLE-ROW MAX(sort_key)
+    *   aggregate replaces the reference's global `MAX() OVER ()` window.
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
     "q14_band_join", "q34_ann_bruteforce", "q38_temporal_join", "q61_tfidf",
-    "q78_stock_batch_probe", "q94_sales_target")
+    "q78_stock_batch_probe", "q94_sales_target", "q97_option_master")
 
   test("no query plan contains an unbounded cartesian product") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
