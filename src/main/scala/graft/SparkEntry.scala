@@ -1371,6 +1371,13 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("order_profit_daily", s,
         graft.models.Params(Map(
           "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+
+    // ---- total order: bundle explosion + payment concentration +
+    // cost-weighted order reallocation + daily rollup (the reference's
+    // largest mart, channel steps 2-5 + 10) ----
+    "q99_total_order" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("total_order", s)
     })
   )
 
@@ -1804,6 +1811,75 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q95_adreport_daily" -> q95Oracle,
+
+    "q99_total_order" ->
+      """WITH det AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS order_seq,
+        |    l_orderkey AS order_id, l_suppkey % 5 AS account_no,
+        |    'P' || CAST(l_partkey % 300 AS VARCHAR) AS product_id,
+        |    CASE WHEN l_partkey % 10 = 0 THEN
+        |      'C' || CAST(l_partkey % 300 AS VARCHAR) || 'a:2,C' ||
+        |      CAST(l_partkey % 300 AS VARCHAR) || 'b:1' END AS bundle_option_ids,
+        |    CAST(l_quantity AS BIGINT) AS order_quantity,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS payment_amount,
+        |    CAST(o_orderdate AS DATE) AS order_dt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nb AS (
+        |  SELECT order_seq, order_id, account_no, product_id,
+        |    order_quantity AS sku_quantity, payment_amount, order_dt
+        |  FROM det WHERE bundle_option_ids IS NULL),
+        |exp0 AS (
+        |  SELECT order_seq, order_id, account_no, order_quantity,
+        |    payment_amount, order_dt,
+        |    UNNEST(string_split(bundle_option_ids, ',')) AS bundle_option
+        |  FROM det WHERE bundle_option_ids IS NOT NULL),
+        |expl AS (
+        |  SELECT order_seq, order_id, account_no,
+        |    string_split(bundle_option, ':')[1] AS product_id,
+        |    COALESCE(TRY_CAST(string_split(bundle_option, ':')[2] AS BIGINT), 1)
+        |      * order_quantity AS sku_quantity,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
+        |        ORDER BY order_seq, bundle_option) = 1
+        |      THEN MAX(payment_amount) OVER (PARTITION BY account_no, order_id)
+        |      ELSE 0 END AS payment_amount,
+        |    order_dt
+        |  FROM exp0),
+        |comb AS (SELECT * FROM nb UNION ALL SELECT * FROM expl),
+        |wc AS (
+        |  SELECT *,
+        |    TRY_CAST(regexp_extract(product_id, '([0-9]+)', 1) AS BIGINT)
+        |      % 97 + 3 AS org_price
+        |  FROM comb),
+        |wc2 AS (
+        |  SELECT *, org_price * sku_quantity AS cost_amount,
+        |    COUNT(*) OVER (PARTITION BY account_no, order_id) AS cnt,
+        |    CAST(SUM(payment_amount) OVER (PARTITION BY account_no, order_id)
+        |      AS BIGINT) AS total_pay
+        |  FROM wc),
+        |split AS (
+        |  SELECT *,
+        |    ROUND(CAST(CAST(total_pay * cost_amount AS DOUBLE) /
+        |      CAST(SUM(cost_amount) OVER (PARTITION BY account_no, order_id)
+        |        AS DOUBLE) AS DECIMAL(38,10)), 0) AS raw,
+        |    ROW_NUMBER() OVER (PARTITION BY account_no, order_id
+        |      ORDER BY product_id, order_seq) AS rn
+        |  FROM wc2 WHERE cnt > 1),
+        |rep AS (
+        |  SELECT order_id, order_dt, sku_quantity,
+        |    CAST(CASE WHEN rn = 1
+        |      THEN CAST(total_pay AS DECIMAL(38,0)) -
+        |        SUM(raw) OVER (PARTITION BY account_no, order_id) + raw
+        |      ELSE raw END AS BIGINT) AS pay
+        |  FROM split),
+        |singles AS (
+        |  SELECT order_id, order_dt, sku_quantity, payment_amount AS pay
+        |  FROM wc2 WHERE cnt = 1),
+        |final AS (SELECT * FROM rep UNION ALL SELECT * FROM singles)
+        |SELECT order_dt, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT order_id) AS n_orders,
+        |  CAST(SUM(sku_quantity) AS BIGINT) AS sku_quantity,
+        |  CAST(SUM(pay) AS BIGINT) AS payment_amount
+        |FROM final GROUP BY order_dt""".stripMargin,
 
     "q96_stock_time_batch" ->
       """WITH f AS (

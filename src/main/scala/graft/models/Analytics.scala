@@ -766,6 +766,80 @@ object Analytics {
           col("order_quantity"), col("order_date"))
     }))
 
+    // ---- total order (reference: marts/sales/analytics__total_order.sql
+    // — the reference's largest mart; this model is its sabangnet channel
+    // steps 2-5 + 10): bundle products explode into components via the
+    // 'pid:qty,pid:qty' bundle-option string (component sku = component
+    // qty × order qty), the order's payment CONCENTRATES on the first
+    // exploded row (`IF(rn=1, MAX(payment) OVER order, 0)` — the
+    // reference's dedup of the repeated order-level amount), costs attach,
+    // and multi-product orders re-allocate the order total by cost weight
+    // with exact remainder repair (A8), then aggregate daily.
+    r.register(Model("total_order", Nil, Incremental("order_dt"), ctx => {
+      val w = org.apache.spark.sql.expressions.Window
+      val k = pmod(col("l_partkey"), lit(300))
+      val detail = Tables.lineitem(ctx.session, sfDir)
+        .join(Tables.orders(ctx.session, sfDir).select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_dt")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("order_seq"),
+          col("l_orderkey").as("order_id"),
+          pmod(col("l_suppkey"), lit(5)).as("account_no"),
+          concat(lit("P"), k).as("product_id"),
+          when(pmod(col("l_partkey"), lit(10)) === 0,
+              concat(lit("C"), k, lit("a:2,C"), k, lit("b:1")))
+            .otherwise(lit(null).cast("string")).as("bundle_option_ids"),
+          col("l_quantity").cast("long").as("order_quantity"),
+          floor(col("l_extendedprice")).cast("long").as("payment_amount"),
+          col("order_dt"))
+      val nonBundle = detail.filter(col("bundle_option_ids").isNull)
+        .select(col("order_seq"), col("order_id"), col("account_no"),
+          col("product_id"), col("order_quantity").as("sku_quantity"),
+          col("payment_amount"), col("order_dt"))
+      val wOrd = w.partitionBy(col("account_no"), col("order_id"))
+      val exploded = detail.filter(col("bundle_option_ids").isNotNull)
+        .select(col("order_seq"), col("order_id"), col("account_no"),
+          col("order_quantity"), col("payment_amount"), col("order_dt"),
+          explode(split(col("bundle_option_ids"), ",")).as("bundle_option"))
+        .select(col("order_seq"), col("order_id"), col("account_no"),
+          split(col("bundle_option"), ":").getItem(0).as("product_id"),
+          (coalesce(expr("try_cast(split(bundle_option, ':')[1] AS BIGINT)"),
+            lit(1L)) * col("order_quantity")).as("sku_quantity"),
+          col("payment_amount"), col("order_dt"),
+          row_number().over(wOrd.orderBy(col("order_seq"), col("bundle_option")))
+            .as("__rn"),
+          max(col("payment_amount")).over(wOrd).as("__maxpay"))
+        .select(col("order_seq"), col("order_id"), col("account_no"),
+          col("product_id"), col("sku_quantity"),
+          when(col("__rn") === 1, col("__maxpay")).otherwise(lit(0L))
+            .as("payment_amount"),
+          col("order_dt"))
+      val withCost = nonBundle.unionByName(exploded)
+        .withColumn("org_price",
+          expr("try_cast(regexp_extract(product_id, '([0-9]+)', 1) AS BIGINT)" +
+            " % 97 + 3"))
+        .withColumn("cost_amount", col("org_price") * col("sku_quantity"))
+        .withColumn("__cnt", count(lit(1)).over(wOrd))
+        .withColumn("__total", sum(col("payment_amount")).over(wOrd))
+      val alloc = graft.operators.Allocation.weightedAllocate(
+          withCost.filter(col("__cnt") > 1),
+          Seq(col("account_no"), col("order_id")),
+          Seq(col("product_id"), col("order_seq")),
+          col("__total"), col("cost_amount"), "payment_alloc", scale = 0)
+        .select(col("order_id"), col("order_dt"), col("sku_quantity"),
+          col("payment_alloc").cast("long").as("pay"))
+      val singles = withCost.filter(col("__cnt") === 1)
+        .select(col("order_id"), col("order_dt"), col("sku_quantity"),
+          col("payment_amount").as("pay"))
+      alloc.unionByName(singles)
+        .groupBy(col("order_dt"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("order_id")).as("n_orders"),
+          sum(col("sku_quantity")).cast("long").as("sku_quantity"),
+          sum(col("pay")).cast("long").as("payment_amount"))
+    }))
+
     r
   }
 
