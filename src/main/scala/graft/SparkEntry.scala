@@ -1360,7 +1360,7 @@ object SparkEntry {
     }),
 
     // ---- option master: enrichment joins + the REPEAT('9') sentinel
-    // sort key one digit wider than the largest real key ----
+    // sort key (all-9s at the max key's width, >= every real key) ----
     "q97_option_master" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("option_master", s)
     }),

@@ -668,15 +668,14 @@ object Analytics {
     // morning batch 10, after are batch 20), MAX update time overall and
     // per channel via conditional aggregates.
     r.register(Model("stock_time_batch", Nil, Incremental("ymd"), ctx => {
-      val e = Tables.events(ctx.session, sfDir)
-        .select(col("ts"), col("user_id"))
-      def feed(group: Int) = e
-        .filter(pmod(col("user_id"), lit(3)) === group)
+      // one scan with a derived channel tag — a filter-per-channel union
+      // would read events three times AND silently drop NULL-user rows
+      // the conditional aggregates are defined over
+      Tables.events(ctx.session, sfDir)
         .select(col("ts").cast("date").as("ymd"),
           when(hour(col("ts")) < 17, lit(10)).otherwise(lit(20)).as("batch"),
-          lit(group).as("group_id"),
+          pmod(col("user_id"), lit(3)).cast("int").as("group_id"),
           col("ts").as("updated_at"))
-      feed(0).unionByName(feed(1)).unionByName(feed(2))
         .groupBy(col("ymd"), col("batch"))
         .agg(max(col("updated_at")).as("max_updated_at"),
           max(when(col("group_id") === 0, col("updated_at")))
@@ -689,11 +688,12 @@ object Analytics {
 
     // ---- option master (reference: marts/product/smartstore__option_
     // master.sql): channel/product-master enrichment joins plus the
-    // sentinel SORT KEY — unmatched products sort after every real key
-    // via REPEAT('9', LENGTH(MAX(sort_key))): one digit-9 wider than the
-    // largest real key. The reference computes the max with a global
-    // `MAX() OVER ()` window; here it is a single-row aggregate broadcast
-    // (same value, no single-partition window over the fact).
+    // sentinel SORT KEY — unmatched products get REPEAT('9',
+    // LENGTH(MAX(sort_key))): the all-9s value of the max key's width,
+    // >= every real key (strictly after unless the realized max is itself
+    // all 9s — the reference's own edge). The reference computes the max
+    // with a global `MAX() OVER ()` window; here it is a single-row
+    // aggregate broadcast (same value, no single-partition window).
     r.register(Model("option_master", Nil, View, ctx => {
       // deterministic dedups (dropDuplicates keeps an arbitrary row that
       // no oracle can replay): smallest channel + highest price win
@@ -733,8 +733,7 @@ object Analytics {
     // analytics__profit_daily.sql — the TVF fact LEFT JOINed through the
     // product/shop masters and status dim, every dimension COALESCEd to
     // its declared fallback, and the conditional unit-name concat).
-    r.register(Model("order_profit_daily", Seq("order_count",
-      "core_product_master"), View, ctx => {
+    r.register(Model("order_profit_daily", Seq("order_count"), View, ctx => {
       val fact = ctx.ref("order_count")
         .withColumn("product_id", pmod(col("order_id"), lit(2000)) + 1)
         .withColumn("shop_id",
