@@ -243,19 +243,24 @@ object Analytics {
       val endMonth = endD.withDayOfMonth(1)
       def d(x: java.time.LocalDate) = lit(java.sql.Date.valueOf(x))
       // min/max order_date per month computed PER SLICE (the reference's
-      // per-CTE windows), before the union
-      def withWindows(df: DataFrame) = {
-        val wYm = w.partitionBy(col("order_ym"))
-        df.withColumn("order_start_date", min(col("order_date")).over(wYm))
-          .withColumn("order_end_date", max(col("order_date")).over(wYm))
-      }
-      val slice = withWindows(
-        orderCountSlice(ctx.session, sfDir, d(startD), d(endD))
-          .withColumn("order_ym", d(endMonth)))
-      val lookback = withWindows(
-        orderCountSlice(ctx.session, sfDir,
-            d(endMonth.minusMonths(months)), d(endMonth.minusDays(1)))
-          .withColumn("order_ym", date_trunc("month", col("order_date")).cast("date")))
+      // per-CTE windows), before the union. The lookback slice partitions
+      // by real months; the REQUEST slice's order_ym is a constant — the
+      // reference's `PARTITION BY DATE_TRUNC(DS_END_DATE, MONTH)` window
+      // would funnel the whole slice through one partition, so its min/max
+      // come from a single-row aggregate broadcast instead (same values,
+      // distributed computation).
+      val slice0 = orderCountSlice(ctx.session, sfDir, d(startD), d(endD))
+        .withColumn("order_ym", d(endMonth))
+      val sliceBounds = slice0.agg(
+        min(col("order_date")).as("order_start_date"),
+        max(col("order_date")).as("order_end_date"))
+      val slice = slice0.crossJoin(broadcast(sliceBounds))
+      val wYm = w.partitionBy(col("order_ym"))
+      val lookback = orderCountSlice(ctx.session, sfDir,
+          d(endMonth.minusMonths(months)), d(endMonth.minusDays(1)))
+        .withColumn("order_ym", date_trunc("month", col("order_date")).cast("date"))
+        .withColumn("order_start_date", min(col("order_date")).over(wYm))
+        .withColumn("order_end_date", max(col("order_date")).over(wYm))
       val dow = graft.functions.F.inlineDim(ctx.session, Seq("dw", "name"),
         Seq("(일)", "(월)", "(화)", "(수)", "(목)", "(금)", "(토)")
           .zipWithIndex.map { case (n, i) => Seq(i + 1, n) })

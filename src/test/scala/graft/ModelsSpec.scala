@@ -19,6 +19,16 @@ class ModelsSpec extends SparkSpec {
     intercept[IllegalStateException](bad.topo("x"))
   }
 
+  test("every registered model has a resolvable dependency closure") {
+    val r = graft.models.Analytics.registry(sf001)
+    // topo throws on a cycle or a declared-but-unregistered dependency;
+    // this pins the WHOLE registry, including models no declared query
+    // exercises, and catches misdeclared edges (a dep the body never
+    // refs still costs a build in materialize-the-DAG drivers)
+    r.names.foreach(n => r.topo(n))
+    assert(r.names.size >= 40, s"registry shrank to ${r.names.size} models")
+  }
+
   test("shared dependency is built once per run") {
     var builds = 0
     val r = new ModelRegistry

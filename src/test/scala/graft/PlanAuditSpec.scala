@@ -21,22 +21,56 @@ class PlanAuditSpec extends SparkSpec {
     *   four MIN/MAX boundary dates from a broadcast SINGLE-ROW aggregate
     *   (the reference's `CROSS JOIN pivot_period`);
     * - q97: the sentinel sort key — a broadcast SINGLE-ROW MAX(sort_key)
-    *   aggregate replaces the reference's global `MAX() OVER ()` window.
+    *   aggregate replaces the reference's global `MAX() OVER ()` window;
+    * - q75: the request slice's month bounds — a broadcast SINGLE-ROW
+    *   min/max aggregate replaces the reference's constant-key window
+    *   (which would funnel the slice through one partition).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
     "q14_band_join", "q34_ann_bruteforce", "q38_temporal_join", "q61_tfidf",
-    "q78_stock_batch_probe", "q94_sales_target", "q97_option_master")
+    "q78_stock_batch_probe", "q94_sales_target", "q97_option_master",
+    "q75_order_count_mom")
+
+  /** Queries whose plans legitimately contain a SinglePartition exchange.
+    * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
+    * row — one output row by definition, the partial aggregation is still
+    * distributed; Spark plans the final merge as SinglePartition):
+    * q05/q14/q61/q78/q94/q97 scalar probes and thresholds, q22's min/max
+    * scaffold bounds, q49's funnel row, q67's profile row, q75's slice
+    * bounds. The exception is q88: the blog-search display rank is a
+    * global ROW_NUMBER over ONE API page (≤ 1000 rows by the upstream
+    * pagination contract — the reference's `ROW_NUMBER() OVER ()`).
+    * Anything else with a single-partition exchange is an unbounded global
+    * sort/window — the round-1 q44 failure mode this test pins down.
+    */
+  private val singlePartitionAllowed = Set(
+    "q05_scalar_subquery", "q14_band_join", "q22_date_scaffold", "q49_funnel",
+    "q61_tfidf", "q67_profile", "q75_order_count_mom",
+    "q78_stock_batch_probe", "q88_blog_search", "q94_sales_target",
+    "q97_option_master")
+
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf001).queryExecution.executedPlan.toString
+    }
 
   test("no query plan contains an unbounded cartesian product") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf001).queryExecution.executedPlan.toString
-        val cartesian = plan.contains("CartesianProduct")
-        val bnlj = plan.contains("BroadcastNestedLoopJoin")
-        if (cartesian) Some(s"$name: CartesianProduct")
-        else if (bnlj && !boundedNlAllowed(name)) Some(s"$name: unexpected BNLJ")
-        else None
+    val failures = plans.flatMap { case (name, plan) =>
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin")
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (bnlj && !boundedNlAllowed(name)) Some(s"$name: unexpected BNLJ")
+      else None
+    }
+    assert(failures.isEmpty, s"scale-unsafe plans:\n${failures.mkString("\n")}")
+  }
+
+  test("no query plan funnels unbounded data through a single partition") {
+    val failures = plans.flatMap { case (name, plan) =>
+      if (plan.contains("SinglePartition") && !singlePartitionAllowed(name))
+        Some(s"$name: unexpected SinglePartition exchange")
+      else None
     }
     assert(failures.isEmpty, s"scale-unsafe plans:\n${failures.mkString("\n")}")
   }
