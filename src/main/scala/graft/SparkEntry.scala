@@ -1378,6 +1378,37 @@ object SparkEntry {
     // largest mart, channel steps 2-5 + 10) ----
     "q99_total_order" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("total_order", s)
+    }),
+
+    // ---- ad-platform master marts (intermediate/ads dbt family): literal
+    // mapping dims as codegen map-lookups, GREATEST worst-status ladders,
+    // level-COALESCE bundle relation, arithmetic sort keys ----
+    "q100_gads_campaign_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("google_campaign_master", s)
+    }),
+    "q101_gads_adgroup_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("google_adgroup_master", s)
+    }),
+    "q102_gads_ad_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("google_ad_master", s)
+    }),
+    "q103_meta_campaign_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("meta_campaign_master", s)
+    }),
+    "q104_meta_adset_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("meta_adset_master", s)
+    }),
+    "q105_meta_ad_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("meta_ad_master", s)
+    }),
+    "q106_cads_campaign_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cads_campaign_master", s)
+    }),
+    "q107_cads_adgroup_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cads_adgroup_master", s)
+    }),
+    "q108_nsa_adgroup_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("nsa_adgroup_master", s)
     })
   )
 
@@ -3301,5 +3332,15 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
         |WHERE rn <= 10""".stripMargin
+  ) ++ Map(
+    "q100_gads_campaign_master" -> MastersOracles.q100,
+    "q101_gads_adgroup_master" -> MastersOracles.q101,
+    "q102_gads_ad_master" -> MastersOracles.q102,
+    "q103_meta_campaign_master" -> MastersOracles.q103,
+    "q104_meta_adset_master" -> MastersOracles.q104,
+    "q105_meta_ad_master" -> MastersOracles.q105,
+    "q106_cads_campaign_master" -> MastersOracles.q106,
+    "q107_cads_adgroup_master" -> MastersOracles.q107,
+    "q108_nsa_adgroup_master" -> MastersOracles.q108
   )
 }

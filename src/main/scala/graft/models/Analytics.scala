@@ -844,6 +844,8 @@ object Analytics {
           sum(col("pay")).cast("long").as("payment_amount"))
     }))
 
+    AdsMasters.install(r, sfDir)
+
     r
   }
 
