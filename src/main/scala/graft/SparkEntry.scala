@@ -1409,6 +1409,26 @@ object SparkEntry {
     }),
     "q108_nsa_adgroup_master" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("nsa_adgroup_master", s)
+    }),
+
+    // ---- product-mart family (marts/product dbt family + core__brand_
+    // master): double-QUALIFY brand dedup + distributed global brand_seq,
+    // bundle-exploded primary options, the POWER(10, MAX(LENGTH)) scale
+    // scalar, ordered STRING_AGG bundle names, REPEAT('9') sentinel keys ----
+    "q109_brand_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("core_brand_master", s)
+    }),
+    "q110_smartstore_product_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("smartstore_product_master", s)
+    }),
+    "q111_sabangnet_product_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sabangnet_product_master", s)
+    }),
+    "q112_sabangnet_option_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sabangnet_option_master", s)
+    }),
+    "q113_coupang_option_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("coupang_option_master", s)
     })
   )
 
@@ -3341,6 +3361,11 @@ object SparkEntry {
     "q105_meta_ad_master" -> MastersOracles.q105,
     "q106_cads_campaign_master" -> MastersOracles.q106,
     "q107_cads_adgroup_master" -> MastersOracles.q107,
-    "q108_nsa_adgroup_master" -> MastersOracles.q108
+    "q108_nsa_adgroup_master" -> MastersOracles.q108,
+    "q109_brand_master" -> ProductOracles.q109,
+    "q110_smartstore_product_master" -> ProductOracles.q110,
+    "q111_sabangnet_product_master" -> ProductOracles.q111,
+    "q112_sabangnet_option_master" -> ProductOracles.q112,
+    "q113_coupang_option_master" -> ProductOracles.q113
   )
 }

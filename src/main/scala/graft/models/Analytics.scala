@@ -845,6 +845,7 @@ object Analytics {
     }))
 
     AdsMasters.install(r, sfDir)
+    ProductMarts.install(r, sfDir)
 
     r
   }
