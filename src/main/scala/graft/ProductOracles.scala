@@ -57,7 +57,7 @@ private[graft] object ProductOracles {
       |    WHERE rp = 1 AND rb = 1) d)""".stripMargin
 
   /** source('sabangnet','option') — mirrors ProductMarts.sbnOption. */
-  private val sbnOptCte =
+  private[graft] val sbnOptCte =
     """optraw AS (
       |  SELECT
       |    CAST(200000 + (l_partkey * 7 + 3) % 500 AS VARCHAR) || '-' ||

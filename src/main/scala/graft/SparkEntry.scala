@@ -1429,6 +1429,111 @@ object SparkEntry {
     }),
     "q113_coupang_option_master" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("coupang_option_master", s)
+    }),
+
+    // ---- report/relation marts: monthly profit rollup, latest-batch-per-
+    // month stock cost with zero-cost fallbacks, gated primary/fallback ds
+    // marts, the 4-depth category relation ladder, the sentinel-rewrite
+    // ranged relation, the renewal-aware dable explode, invoice-grain cj ----
+    "q114_profit_monthly" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("profit_monthly", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q115_stock_cost_mom" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_cost_mom", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-04-01", "ds_end_date" -> "1996-06-30",
+          "ds_interval_month" -> "3")))
+    }),
+    // report_date 2024-01-31 has no events → the fallback (01-30) must
+    // survive the emptiness gate: this query exercises the fallback path
+    "q116_stock_time_ds" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_time_ds", s,
+        graft.models.Params(Map(
+          "report_date" -> "2024-01-31", "report_batch" -> "30")))
+    }),
+    "q117_nsh_grp_relation" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("nsh_prd_to_grp_id", s)
+    }),
+    "q118_smt_ranged_relation" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("smt_prd_ranged_relation", s)
+    }),
+    "q119_dable_report" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("dable_report_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q120_cj_invoice" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cj_invoice", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-06-30")))
+    }),
+    // 1996-06-15 has stock rows → the primary survives and the fallback is
+    // gated out: this query exercises the primary path
+    "q121_stock_report_ds" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("stock_report_ds", s,
+        graft.models.Params(Map(
+          "report_date" -> "1996-06-15", "report_batch" -> "30")))
+    }),
+
+    // ---- per-channel order counts: status-priority ladders (core feed
+    // overrides channel codes), bundle fallback chains, explode + the
+    // '9'-prefix downgrade, channel rule quirks (shop rewrite/exclusion,
+    // quantity-conditioned bundle rewrite, week-widened prefilter) ----
+    "q122_smartstore_order_count" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("smartstore_order_count", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-06-30")))
+    }),
+    "q123_sabangnet_order_count" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sabangnet_order_count", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-06-30")))
+    }),
+    // mid-week bounds on purpose: the pre-aggregation window widens to
+    // whole weeks (01-01..06-30), so late-arriving same-order rows outside
+    // the exact range fold into the MAX/SUM before the exact filter
+    "q124_coupang_order_count" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("coupang_order_count", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-03", "ds_end_date" -> "1996-06-26")))
+    }),
+
+    // ---- coupang rocket sales daily: FULL OUTER sales⋈shipping merge,
+    // LEAD-banded delivery tiers + BETWEEN band join, per-option MAX
+    // window extra, 3-metric cost-weighted split with remainder repair ----
+    "q125_coupang_sales_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("coupang_sales_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-03", "ds_end_date" -> "1996-06-26")))
+    }),
+
+    // ---- stock-delta inferred sales: LEAD snapshots, option/product
+    // anti-join disambiguation, ±window quartile self-join, tiered
+    // correction fence (Q3 + 5·IQR floored at 100) ----
+    "q126_nsh_stock_sales" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("nsh_stock_sales", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-03-01", "ds_end_date" -> "1996-03-31")))
+    }),
+
+    // ---- smartstore→sabangnet option matcher: 3-strategy auto-match
+    // (id / runtime-built quantity-placeholder regex / bracket-group +
+    // space-stripped OR join), best-bundle QUALIFY, curated passthrough ----
+    "q127_smt_opt_relation" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("smt_opt_to_sbn_ids", s)
+    }),
+
+    // ---- sabangnet sales daily (the reference's largest sales mart):
+    // payment concentration with the shop0666 threshold wart, DECIMAL-free
+    // integer net-rate rounding, CJ delivery fallback chain (±7d widened
+    // model invocations), banded max-fee resolution by |fee|, and TWO
+    // cost-weighted allocation stages ----
+    "q128_sabangnet_sales_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sabangnet_sales_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-02-01", "ds_end_date" -> "1996-04-30")))
     })
   )
 
@@ -3366,6 +3471,21 @@ object SparkEntry {
     "q110_smartstore_product_master" -> ProductOracles.q110,
     "q111_sabangnet_product_master" -> ProductOracles.q111,
     "q112_sabangnet_option_master" -> ProductOracles.q112,
-    "q113_coupang_option_master" -> ProductOracles.q113
+    "q113_coupang_option_master" -> ProductOracles.q113,
+    "q114_profit_monthly" -> ReportOracles.q114,
+    "q115_stock_cost_mom" -> ReportOracles.q115,
+    "q116_stock_time_ds" -> ReportOracles.q116,
+    "q117_nsh_grp_relation" -> ReportOracles.q117,
+    "q118_smt_ranged_relation" -> ReportOracles.q118,
+    "q119_dable_report" -> ReportOracles.q119,
+    "q120_cj_invoice" -> ReportOracles.q120,
+    "q121_stock_report_ds" -> ReportOracles.q121,
+    "q122_smartstore_order_count" -> OrderCountOracles.q122,
+    "q123_sabangnet_order_count" -> OrderCountOracles.q123,
+    "q124_coupang_order_count" -> OrderCountOracles.q124,
+    "q125_coupang_sales_daily" -> SalesDailyOracle.q125,
+    "q126_nsh_stock_sales" -> SalesDailyOracle.q126,
+    "q127_smt_opt_relation" -> SmtOptOracle.q127,
+    "q128_sabangnet_sales_daily" -> SbnSalesOracle.q128
   )
 }

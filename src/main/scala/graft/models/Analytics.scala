@@ -846,6 +846,11 @@ object Analytics {
 
     AdsMasters.install(r, sfDir)
     ProductMarts.install(r, sfDir)
+    ReportMarts.install(r, sfDir)
+    OrderCounts.install(r, sfDir)
+    SalesDaily.install(r, sfDir)
+    SmtOptRelation.install(r, sfDir)
+    SbnSales.install(r, sfDir)
 
     r
   }

@@ -43,8 +43,13 @@ object Allocation {
     // engine-dependent at shortest-repr ties (x.xx5); the 10-dp decimal
     // snapshot is identical across engines, and decimal→2dp rounding is
     // well-defined HALF_UP everywhere.
-    val raw = round((total * weight / weightSum).cast(s"decimal($p,10)"), scale)
-      .cast(s"decimal($p,$scale)")
+    // NULLIF + COALESCE: an all-zero-weight group (reference: coupang_rfm__
+    // sales_daily.sql:225 `cost_amount / NULLIF(SUM(cost_amount) OVER …, 0)`)
+    // splits to 0 everywhere and the first row absorbs the full total
+    val raw = coalesce(
+      round((total * weight / nullif(weightSum, lit(0)))
+        .cast(s"decimal($p,10)"), scale).cast(s"decimal($p,$scale)"),
+      lit(0).cast(s"decimal($p,$scale)"))
     val withRaw = df.withColumn("__raw", raw)
       .withColumn("__rn", row_number().over(wOrd))
     // remainder = total - sum(rounded) ; absorbed by row 1

@@ -24,13 +24,27 @@ class PlanAuditSpec extends SparkSpec {
     *   aggregate replaces the reference's global `MAX() OVER ()` window;
     * - q75: the request slice's month bounds — a broadcast SINGLE-ROW
     *   min/max aggregate replaces the reference's constant-key window
-    *   (which would funnel the slice through one partition).
+    *   (which would funnel the slice through one partition);
+    * - q109: `F.globalRowNumber`'s triangular offsets join over the ≤32-row
+    *   bucket-count table (q44's helper, same bound);
+    * - q111: the POWER(10, MAX(LENGTH)) sort-key scale — a broadcast
+    *   SINGLE-ROW aggregate (the reference's `CROSS JOIN max_quantity`);
+    * - q112: the all-9s sentinel sort key — broadcast SINGLE-ROW
+    *   MAX(sort_key), q97's pattern;
+    * - q116/q121: the ds marts' MAX(batch) probe and the primary-emptiness
+    *   gate — both broadcast SINGLE-ROW aggregates (`NOT EXISTS (SELECT 1
+    *   FROM primary)` as a count scalar);
+    * - q127: the add-product OR join — (group AND name) OR space-stripped
+    *   equality over a broadcast 20-row literal dim (the reference's own
+    *   join shape, relation__smt_opt_to_sbn_ids.sql:76-84).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
     "q14_band_join", "q34_ann_bruteforce", "q38_temporal_join", "q61_tfidf",
     "q78_stock_batch_probe", "q94_sales_target", "q97_option_master",
-    "q75_order_count_mom")
+    "q75_order_count_mom", "q109_brand_master",
+    "q111_sabangnet_product_master", "q112_sabangnet_option_master",
+    "q116_stock_time_ds", "q121_stock_report_ds", "q127_smt_opt_relation")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -48,7 +62,11 @@ class PlanAuditSpec extends SparkSpec {
     "q05_scalar_subquery", "q14_band_join", "q22_date_scaffold", "q49_funnel",
     "q61_tfidf", "q67_profile", "q75_order_count_mom",
     "q78_stock_batch_probe", "q88_blog_search", "q94_sales_target",
-    "q97_option_master")
+    "q97_option_master",
+    // global single-row aggregates (scale scalar / sentinel / batch probe
+    // + emptiness gate) — one output row by definition
+    "q111_sabangnet_product_master", "q112_sabangnet_option_master",
+    "q116_stock_time_ds", "q121_stock_report_ds")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
