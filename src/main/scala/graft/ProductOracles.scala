@@ -77,12 +77,14 @@ private[graft] object ProductOracles {
       |    l_orderkey % 3 + 1 AS option_quantity,
       |    CAST(FLOOR(l_extendedprice / 10) AS BIGINT) AS option_price,
       |    CAST(l_shipdate AS DATE) AS register_dt,
-      |    l_orderkey * 10 + l_linenumber AS src_seq
+      |    l_orderkey * 10 + l_linenumber AS src_seq,
+      |    l_partkey AS tb1, l_suppkey AS tb2,
+      |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS tb3
       |  FROM lineitem),
       |opt AS (
-      |  SELECT * EXCLUDE (rn, src_seq) FROM (
+      |  SELECT * EXCLUDE (rn, src_seq, tb1, tb2, tb3) FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY option_id
-      |      ORDER BY src_seq) AS rn FROM optraw)
+      |      ORDER BY src_seq, tb1, tb2, tb3, register_dt) AS rn FROM optraw)
       |  WHERE rn = 1)""".stripMargin
 
   /** source('sabangnet','product') — mirrors ProductMarts.sbnProduct. */
@@ -341,12 +343,14 @@ private[graft] object ProductOracles {
        |    CAST(l_shipdate AS DATE) AS register_dt,
        |    CAST(l_shipdate AS DATE) + CAST(l_orderkey % 14 AS INTEGER)
        |      AS modify_dt,
-       |    l_orderkey * 10 + l_linenumber AS src_seq
+       |    l_orderkey * 10 + l_linenumber AS src_seq,
+       |    l_suppkey AS tb1
        |  FROM lineitem),
        |copt AS (
-       |  SELECT * EXCLUDE (rn, src_seq) FROM (
+       |  SELECT * EXCLUDE (rn, src_seq, tb1) FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY option_id
-       |      ORDER BY src_seq) AS rn FROM coptraw)
+       |      ORDER BY src_seq, tb1, sales_price, register_dt, modify_dt)
+       |      AS rn FROM coptraw)
        |  WHERE rn = 1),
        |vdr AS (
        |  SELECT * EXCLUDE (rn) FROM (

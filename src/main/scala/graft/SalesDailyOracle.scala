@@ -279,7 +279,8 @@ private[graft] object SalesDailyOracle {
       |base AS (
       |  SELECT product_id, sales_price, stock_quantity, payment_date FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY product_id, payment_date
-      |      ORDER BY created_sec, src_seq) AS rn FROM li)
+      |      ORDER BY created_sec, src_seq, l_partkey, l_suppkey) AS rn
+      |    FROM li)
       |  WHERE rn = 1),
       |det AS (
       |  SELECT product_id, option_id, COALESCE(option_price, 0)
@@ -287,14 +288,14 @@ private[graft] object SalesDailyOracle {
       |  FROM (
       |    SELECT *, ROW_NUMBER() OVER (
       |      PARTITION BY product_id, option_id, payment_date
-      |      ORDER BY created_sec, src_seq) AS rn
+      |      ORDER BY created_sec, src_seq, l_suppkey, stock_quantity) AS rn
       |    FROM (
       |      SELECT product_id, product_id * 10 + l_suppkey % 2 AS option_id,
       |        CASE WHEN l_suppkey % 7 = 0 THEN NULL
       |          ELSE l_suppkey % 30 * 10 END AS option_price,
       |        4000 - (l_orderkey * 11 + l_suppkey) % 3500
       |          AS stock_quantity,
-      |        payment_date, created_sec, src_seq
+      |        payment_date, created_sec, src_seq, l_suppkey
       |      FROM li WHERE l_partkey % 3 <> 0))
       |  WHERE rn = 1),
       |ost AS (

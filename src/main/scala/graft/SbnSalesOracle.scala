@@ -148,7 +148,8 @@ private[graft] object SbnSalesOracle {
        |        THEN SUM(payment_amount)
        |          OVER (PARTITION BY account_no, order_id) + 3000
        |        WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
-       |            ORDER BY order_seq) = 1
+       |            ORDER BY order_seq, option_id, product_id_shop,
+       |              sku_quantity_raw, payment_amount) = 1
        |        THEN COALESCE(SUM(payment_amount)
        |          OVER (PARTITION BY account_no, order_id), 0)
        |        ELSE 0 END AS payment_amount,
@@ -182,12 +183,14 @@ private[graft] object SbnSalesOracle {
        |    COALESCE(TRY_CAST(string_split(bundle_option, ':')[2] AS BIGINT),
        |      1) * order_quantity AS sku_quantity,
        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
-       |        ORDER BY order_seq, bundle_option) = 1
+       |        ORDER BY order_seq, bundle_option, order_quantity,
+       |          payment_amount, supply_amount) = 1
        |      THEN MAX(payment_amount)
        |        OVER (PARTITION BY account_no, order_id)
        |      ELSE 0 END AS payment_amount,
        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
-       |        ORDER BY order_seq, bundle_option) = 1
+       |        ORDER BY order_seq, bundle_option, order_quantity,
+       |          payment_amount, supply_amount) = 1
        |      THEN MAX(supply_amount)
        |        OVER (PARTITION BY account_no, order_id)
        |      ELSE 0 END AS supply_amount,
@@ -220,7 +223,8 @@ private[graft] object SbnSalesOracle {
        |    CAST(SUM(cost_amount) OVER (PARTITION BY account_no, order_id)
        |      AS BIGINT) AS cs,
        |    ROW_NUMBER() OVER (PARTITION BY account_no, order_id
-       |      ORDER BY product_id, option_id, sku_quantity) AS rn
+       |      ORDER BY product_id, option_id, sku_quantity, order_status,
+       |        invoice_no) AS rn
        |  FROM costed2 WHERE bundle_product_count > 1),
        |m51 AS (
        |  SELECT *,
@@ -332,7 +336,8 @@ private[graft] object SbnSalesOracle {
        |    CAST(SUM(cost_amount) OVER (PARTITION BY order_id, invoice_no)
        |      AS BIGINT) AS cs9,
        |    ROW_NUMBER() OVER (PARTITION BY order_id, invoice_no
-       |      ORDER BY product_id, sku_quantity, payment_amount) AS rn9
+       |      ORDER BY product_id, sku_quantity, payment_amount,
+       |        supply_amount, order_status) AS rn9
        |  FROM attached WHERE bundle_invoice_count > 1),
        |m91 AS (
        |  SELECT *,

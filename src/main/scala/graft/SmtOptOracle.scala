@@ -37,12 +37,13 @@ private[graft] object SmtOptOracle {
        |          '개입'
        |      ELSE '단일 ' || CAST(l_suppkey % 6 AS VARCHAR) END
        |      AS option_name,
-       |    l_orderkey * 10 + l_linenumber AS src_seq
+       |    l_orderkey * 10 + l_linenumber AS src_seq,
+       |    l_suppkey AS tb1
        |  FROM lineitem),
        |sopt AS (
-       |  SELECT * EXCLUDE (rn, src_seq) FROM (
+       |  SELECT * EXCLUDE (rn, src_seq, tb1) FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY option_id
-       |      ORDER BY src_seq) AS rn FROM optraw0)
+       |      ORDER BY src_seq, tb1, option_name) AS rn FROM optraw0)
        |  WHERE rn = 1),
        |exist AS (
        |  SELECT option_id,

@@ -1995,7 +1995,8 @@ object SparkEntry {
         |    COALESCE(TRY_CAST(string_split(bundle_option, ':')[2] AS BIGINT), 1)
         |      * order_quantity AS sku_quantity,
         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
-        |        ORDER BY order_seq, bundle_option) = 1
+        |        ORDER BY order_seq, bundle_option, order_quantity,
+        |          payment_amount) = 1
         |      THEN MAX(payment_amount) OVER (PARTITION BY account_no, order_id)
         |      ELSE 0 END AS payment_amount,
         |    order_dt
@@ -2018,7 +2019,8 @@ object SparkEntry {
         |      CAST(SUM(cost_amount) OVER (PARTITION BY account_no, order_id)
         |        AS DOUBLE) AS DECIMAL(38,10)), 0) AS raw,
         |    ROW_NUMBER() OVER (PARTITION BY account_no, order_id
-        |      ORDER BY product_id, order_seq) AS rn
+        |      ORDER BY product_id, order_seq, sku_quantity, payment_amount)
+        |      AS rn
         |  FROM wc2 WHERE cnt > 1),
         |rep AS (
         |  SELECT order_id, order_dt, sku_quantity,

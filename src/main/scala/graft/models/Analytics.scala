@@ -811,8 +811,12 @@ object Analytics {
           (coalesce(expr("try_cast(split(bundle_option, ':')[1] AS BIGINT)"),
             lit(1L)) * col("order_quantity")).as("sku_quantity"),
           col("payment_amount"), col("order_dt"),
-          row_number().over(wOrd.orderBy(col("order_seq"), col("bundle_option")))
-            .as("__rn"),
+          // order_seq collides ((l_orderkey, l_linenumber) is NOT unique in
+          // the fixture); quantity + payment make the order total over
+          // row content
+          row_number().over(wOrd.orderBy(col("order_seq"),
+            col("bundle_option"), col("order_quantity"),
+            col("payment_amount"))).as("__rn"),
           max(col("payment_amount")).over(wOrd).as("__maxpay"))
         .select(col("order_seq"), col("order_id"), col("account_no"),
           col("product_id"), col("sku_quantity"),
@@ -829,7 +833,8 @@ object Analytics {
       val alloc = graft.operators.Allocation.weightedAllocate(
           withCost.filter(col("__cnt") > 1),
           Seq(col("account_no"), col("order_id")),
-          Seq(col("product_id"), col("order_seq")),
+          Seq(col("product_id"), col("order_seq"), col("sku_quantity"),
+            col("payment_amount")),
           col("__total"), col("cost_amount"), "payment_alloc", scale = 0)
         .select(col("order_id"), col("order_dt"), col("sku_quantity"),
           col("payment_alloc").cast("long").as("pay"))

@@ -117,11 +117,20 @@ object ProductMarts {
       (pmod(col("l_orderkey"), lit(3)) + 1).as("option_quantity"),
       floor(col("l_extendedprice") / 10).cast("long").as("option_price"),
       to_date(col("l_shipdate")).as("register_dt"),
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("__src_seq"))
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("__src_seq"),
+      col("l_partkey").as("__tb1"), col("l_suppkey").as("__tb2"),
+      floor(col("l_extendedprice")).cast("long").as("__tb3"))
     // option_id is the table's PK; the synthesized feed has collisions, so
-    // dedup on a fully deterministic order (both engines replay it)
+    // dedup on a fully deterministic order. (l_orderkey, l_linenumber) is
+    // NOT unique in the fixture — duplicate pairs differ in every other
+    // column — so __src_seq alone ties whenever a duplicate pair lands in
+    // the same option_id; the source-column tie-breaks make the order
+    // total over row CONTENT (fully-tied rows are identical, so either
+    // one is the same row).
     graft.functions.F.qualifyTopN(raw, Seq(col("option_id")),
-      Seq(col("__src_seq"))).drop("__src_seq")
+      Seq(col("__src_seq"), col("__tb1"), col("__tb2"), col("__tb3"),
+        col("register_dt")))
+      .drop("__src_seq", "__tb1", "__tb2", "__tb3")
   }
 
   /** Reference source('sabangnet','product'): one row per product_id. */
@@ -470,8 +479,15 @@ object ProductMarts {
           to_date(col("l_shipdate")).as("register_dt"),
           date_add(to_date(col("l_shipdate")),
             pmod(col("l_orderkey"), lit(14)).cast("int")).as("modify_dt"),
-          (col("l_orderkey") * 10 + col("l_linenumber")).as("__src_seq")),
-        Seq(col("option_id")), Seq(col("__src_seq"))).drop("__src_seq")
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("__src_seq"),
+          col("l_suppkey").as("__tb1")),
+        // duplicate (l_orderkey, l_linenumber) pairs exist — content
+        // tie-breaks make the dedup deterministic (partkey is fixed by the
+        // option_id partition; suppkey + price + dates cover the rest)
+        Seq(col("option_id")),
+        Seq(col("__src_seq"), col("__tb1"), col("sales_price"),
+          col("register_dt"), col("modify_dt")))
+        .drop("__src_seq", "__tb1")
       val vdr = graft.functions.F.qualifyTopN(
         Tables.supplier(s, sfDir).select(
           pmod(col("s_suppkey"), lit(20)).as("vendor_id"),

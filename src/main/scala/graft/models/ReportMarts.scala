@@ -487,6 +487,9 @@ object ReportMarts {
           col("expose_count"), col("impression_count"), col("click_count"),
           col("ad_cost"), col("conv_count"), col("ymd"))
       val reagg = daily.groupBy(col("ymd"), col("campaign_id"))
+        // ANY_VALUE is deterministic here: the relation has exactly one row
+        // per campaign (3k mod 40 is injective for the 25 nation keys), so
+        // every row in a (ymd, campaign) group carries the same bundle
         .agg(first(col("bundle_product_ids")).as("bundle_product_ids"),
           sum(col("expose_count")).as("expose_count"),
           sum(col("impression_count")).as("impression_count"),

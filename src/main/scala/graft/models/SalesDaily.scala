@@ -197,8 +197,14 @@ object SalesDaily {
             sum(coalesce(col("delivery_fee"), lit(0L))).as("delivery_fee"))
 
         // relation: 2-component bundles (distinct id ranges so the split
-        // has real multi-row groups), 9-prefixed singles for %9 options
-        val rel = merged.select(col("option_id")).distinct()
+        // has real multi-row groups), 9-prefixed singles for %9 options.
+        // The option universe comes from the raw lineitem scan, NOT from
+        // `merged` — every lineitem row feeds the sales side, so the sets
+        // are identical, and re-deriving from `merged` would recompute the
+        // whole FULL OUTER subtree a second time
+        val rel = Tables.lineitem(s, sfDir)
+          .select(concat(lit("CP"), col("l_partkey"), lit("-"),
+            pmod(col("l_linenumber"), lit(3))).as("option_id")).distinct()
           .withColumn("__p", expr(
             "cast(regexp_extract(option_id, 'CP([0-9]+)-', 1) AS BIGINT)"))
           .filter(pmod(col("__p"), lit(3)) === 0)
@@ -334,11 +340,14 @@ object SalesDaily {
             lit(4000))).as("stock_quantity"),
           col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
           .filter(col("payment_date").between(winLo, winHi))
-        // first snapshot of each day wins (reference ORDER BY created_at;
-        // src_seq is the deterministic tie-break)
+        // first snapshot of each day wins (reference ORDER BY created_at).
+        // (l_orderkey, l_linenumber) duplicates exist, so created_sec +
+        // src_seq can tie for rows that differ in partkey/suppkey-derived
+        // content — those columns join the order to make it total
         val baseStock = graft.functions.F.qualifyTopN(li,
           Seq(col("product_id"), col("payment_date")),
-          Seq(col("created_sec"), col("src_seq")))
+          Seq(col("created_sec"), col("src_seq"), col("l_partkey"),
+            col("l_suppkey")))
           .select(col("product_id"), col("sales_price"),
             col("stock_quantity"), col("payment_date"))
         val detail = graft.functions.F.qualifyTopN(
@@ -352,9 +361,11 @@ object SalesDaily {
                 .as("option_price"),
               (lit(4000) - pmod(col("l_orderkey") * 11 + col("l_suppkey"),
                 lit(3500))).as("stock_quantity"),
-              col("payment_date"), col("created_sec"), col("src_seq")),
+              col("payment_date"), col("created_sec"), col("src_seq"),
+              col("l_suppkey")),
           Seq(col("product_id"), col("option_id"), col("payment_date")),
-          Seq(col("created_sec"), col("src_seq")))
+          Seq(col("created_sec"), col("src_seq"), col("l_suppkey"),
+            col("stock_quantity")))
           .select(col("product_id"), col("option_id"),
             coalesce(col("option_price"), lit(0L)).as("option_price"),
             col("stock_quantity"), col("payment_date"))

@@ -218,7 +218,9 @@ object SbnSales {
             when(col("shop_id") === "shop0666" &&
                 sum(col("payment_amount")).over(wAO) < 19800,
               sum(col("payment_amount")).over(wAO) + 3000)
-              .when(row_number().over(wAO.orderBy(col("order_seq"))) === 1,
+              .when(row_number().over(wAO.orderBy(col("order_seq"),
+                  col("option_id"), col("product_id_shop"),
+                  col("sku_quantity_raw"), col("payment_amount"))) === 1,
                 coalesce(sum(col("payment_amount")).over(wAO), lit(0L)))
               .otherwise(lit(0L)).as("payment_amount"),
             when(col("shop_id") === "shop0200" &&
@@ -249,7 +251,10 @@ object SbnSales {
             col("order_quantity"), col("payment_amount"),
             col("supply_amount"), col("order_date"),
             explode(split(col("bundle_option_ids"), ",")).as("bundle_option"))
-        val rnW = wAO2.orderBy(col("order_seq"), col("bundle_option"))
+        // (l_orderkey, l_linenumber) duplicates make order_seq non-unique;
+        // the remaining columns order ties by row content
+        val rnW = wAO2.orderBy(col("order_seq"), col("bundle_option"),
+          col("order_quantity"), col("payment_amount"), col("supply_amount"))
         val exploded = exploded0.select(
           col("order_seq"), col("order_id"), col("invoice_no"),
           col("account_no"), col("shop_id"),
@@ -289,7 +294,7 @@ object SbnSales {
         // step 5: payment + supply split by cost weight over the order
         val part5 = Seq(col("account_no"), col("order_id"))
         val ord5 = Seq(col("product_id"), col("option_id"),
-          col("sku_quantity"))
+          col("sku_quantity"), col("order_status"), col("invoice_no"))
         val multi5 = Seq("payment_amount", "supply_amount")
           .foldLeft(costed.filter(col("bundle_product_count") > 1)
             .withColumn("__tp", sum(col("payment_amount")).over(wAO3))
@@ -373,7 +378,8 @@ object SbnSales {
         val multi9b = graft.operators.Allocation.weightedAllocate(
           attached.filter(col("bundle_invoice_count") > 1),
           Seq(col("order_id"), col("invoice_no")),
-          Seq(col("product_id"), col("sku_quantity"), col("payment_amount")),
+          Seq(col("product_id"), col("sku_quantity"), col("payment_amount"),
+            col("supply_amount"), col("order_status")),
           col("order_delivery_fee"), col("cost_amount"),
           "__dlv_split", scale = 0)
           .select(col("order_id"), col("shop_id"), col("product_id"),

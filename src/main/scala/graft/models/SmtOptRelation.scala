@@ -57,9 +57,14 @@ object SmtOptRelation {
               lit("개입")))
           .otherwise(concat(lit("단일 "), pmod(col("l_suppkey"), lit(6))))
           .as("option_name"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("__src_seq"))
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("__src_seq"),
+        col("l_suppkey").as("__tb1"))
+      // duplicate (l_orderkey, l_linenumber) pairs exist in the fixture;
+      // option_name is the only column suppkey (not the partition key)
+      // drives, so it joins the dedup order
       val opt = graft.functions.F.qualifyTopN(optRaw, Seq(col("option_id")),
-        Seq(col("__src_seq"))).drop("__src_seq")
+        Seq(col("__src_seq"), col("__tb1"), col("option_name")))
+        .drop("__src_seq", "__tb1")
 
       // curated relation rows pass through untouched
       val optNum = expr(
