@@ -1534,6 +1534,44 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("sabangnet_sales_daily", s,
         graft.models.Params(Map(
           "ds_start_date" -> "1996-02-01", "ds_end_date" -> "1996-04-30")))
+    }),
+
+    // ---- per-channel insight dailies (intermediate/ads dbt family):
+    // ranged 3-level bundle ladder + account fallback, ad-day ANY_VALUE
+    // re-aggregation, renewal-mapped div/mod bundle explode ----
+    "q129_gads_insight_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("google_insight_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q130_meta_insight_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("meta_insight_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q131_cads_insight_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cads_insight_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+
+    // ---- per-channel report-daily marts (marts/ads dbt family): insight
+    // enriched through ad/campaign masters + product master + mapping
+    // dims, COALESCE fallbacks on every dimension ----
+    "q132_gads_report_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("google_report_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q133_meta_report_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("meta_report_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q134_cads_report_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cads_report_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
     })
   )
 
@@ -3488,6 +3526,12 @@ object SparkEntry {
     "q125_coupang_sales_daily" -> SalesDailyOracle.q125,
     "q126_nsh_stock_sales" -> SalesDailyOracle.q126,
     "q127_smt_opt_relation" -> SmtOptOracle.q127,
-    "q128_sabangnet_sales_daily" -> SbnSalesOracle.q128
+    "q128_sabangnet_sales_daily" -> SbnSalesOracle.q128,
+    "q129_gads_insight_daily" -> InsightOracles.q129,
+    "q130_meta_insight_daily" -> InsightOracles.q130,
+    "q131_cads_insight_daily" -> InsightOracles.q131,
+    "q132_gads_report_daily" -> InsightOracles.q132,
+    "q133_meta_report_daily" -> InsightOracles.q133,
+    "q134_cads_report_daily" -> InsightOracles.q134
   )
 }
