@@ -1572,6 +1572,26 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("cads_report_daily", s,
         graft.models.Params(Map(
           "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+
+    // ---- full searchad masters (intermediate/ads/searchad dbt family):
+    // dual label maps off one code column, product-relation-first bundle
+    // COALESCE, 3-input Kleene enable, 5-level sort ladders ----
+    "q135_sa_campaign_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sa_campaign_master", s)
+    }),
+    "q136_sa_ad_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sa_ad_master", s)
+    }),
+    "q137_sa_contract_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sa_contract_master", s)
+    }),
+
+    // ---- contract day-expansion fact (searchad__contract_daily.sql):
+    // bounded day explode + equal-split, adgroup daily bundle rules with
+    // sorted-distinct aggregation, 6-level bundle COALESCE ----
+    "q138_sa_contract_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("sa_contract_daily", s)
     })
   )
 
@@ -3532,6 +3552,10 @@ object SparkEntry {
     "q131_cads_insight_daily" -> InsightOracles.q131,
     "q132_gads_report_daily" -> InsightOracles.q132,
     "q133_meta_report_daily" -> InsightOracles.q133,
-    "q134_cads_report_daily" -> InsightOracles.q134
+    "q134_cads_report_daily" -> InsightOracles.q134,
+    "q135_sa_campaign_master" -> SearchadOracles.q135,
+    "q136_sa_ad_master" -> SearchadOracles.q136,
+    "q137_sa_contract_master" -> SearchadOracles.q137,
+    "q138_sa_contract_daily" -> SearchadOracles.q138
   )
 }

@@ -638,7 +638,13 @@ object AdsMasters {
           element_at(array(lit("일반"), lit("대행")),
             (pmod(col("n_nationkey"), lit(2)) + 1).cast("int"))
             .as("account_type"),
-          pmod(col("n_nationkey"), lit(7)).cast("int").as("account_seq"))))
+          pmod(col("n_nationkey"), lit(7)).cast("int").as("account_seq"),
+          // brand fallback for the contract-daily bundle ladder (q138)
+          when(pmod(col("n_nationkey"), lit(3)) === 0,
+            lit(null).cast("string"))
+            .otherwise(concat(lit("200000"),
+              pmod(col("n_nationkey"), lit(9)) + 1))
+            .as("bundle_brand_ids"))))
 
     r.register(Model("nsa_campaign", Nil, View, ctx => {
       val c = col("c_custkey")
@@ -652,7 +658,15 @@ object AdsMasters {
           .as("campaign_type"),
         // NULL when c%9==0 exercises COALESCE(c AND g, g) passthrough
         when(pmod(c, lit(9)) === 0, lit(null).cast("boolean"))
-          .otherwise(pmod(c, lit(3)) > 0).as("is_enabled"))
+          .otherwise(pmod(c, lit(3)) > 0).as("is_enabled"),
+        // q135 campaign-master columns (searchad__campaign_master.sql)
+        (pmod(c, lit(21)) === 0).as("is_deleted"),
+        date_add(lit("1995-02-01").cast("date"),
+          pmod(c, lit(650)).cast("int")).as("created_at"),
+        when(pmod(c, lit(21)) === 0,
+          date_add(lit("1996-03-01").cast("date"),
+            pmod(c, lit(250)).cast("int")))
+          .otherwise(lit(null).cast("date")).as("deleted_at"))
     }))
 
     r.register(Model("nsa_adgroup", Nil, View, ctx => {

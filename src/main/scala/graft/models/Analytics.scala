@@ -857,6 +857,7 @@ object Analytics {
     SmtOptRelation.install(r, sfDir)
     SbnSales.install(r, sfDir)
     InsightDaily.install(r, sfDir)
+    SearchadFull.install(r, sfDir)
 
     r
   }
