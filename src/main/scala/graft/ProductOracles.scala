@@ -382,4 +382,69 @@ private[graft] object ProductOracles {
        |LEFT JOIN rel r ON o.option_id = r.option_id
        |LEFT JOIN itm i ON substr(r.bundle_product_ids, 1, 6) = i.product_id"""
       .stripMargin
+
+  /** q139: smartstore option master — embeds the full q110 product-master
+    * replay; the REPEAT('9') sentinel is sized by MAX(sort_key) over the
+    * option↔master join result.
+    */
+  def q139: String = {
+    val pm = q110.replace("\n", "\n  ")
+    s"""WITH opt AS (
+       |  SELECT CASE WHEN p_partkey % 10 = 0 THEN -p_partkey
+       |      ELSE p_partkey END AS product_id,
+       |    p_partkey * 10 + i AS option_id,
+       |    (p_partkey + i) % 7 AS channel_seq,
+       |    p_name AS product_name,
+       |    CASE WHEN (p_partkey + i) % 11 = 0 THEN NULL
+       |      ELSE 'OPT' || CAST((p_partkey + i) % 5 AS VARCHAR) END
+       |      AS option_name,
+       |    CAST((p_partkey + i) % 4 AS INTEGER) AS product_type,
+       |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+       |      ELSE 'SPC' || CAST(p_partkey % 500 AS VARCHAR) END
+       |      AS seller_product_code,
+       |    'SOC' || CAST((p_partkey * 10 + i) % 700 AS VARCHAR)
+       |      AS seller_option_code,
+       |    CAST(FLOOR(p_retailprice) AS BIGINT) AS sales_price,
+       |    p_partkey % 20 * 100 AS option_price,
+       |    DATE '1995-01-01' + CAST(p_partkey % 700 AS INTEGER)
+       |      AS first_payment_dt,
+       |    DATE '1995-01-01'
+       |      + CAST(p_partkey % 700 + (p_partkey + i) % 60 AS INTEGER)
+       |      AS last_payment_dt
+       |  FROM part, (SELECT UNNEST([0, 1]) AS i) ii),
+       |chl AS (
+       |  SELECT * EXCLUDE (rn) FROM (
+       |    SELECT n_nationkey % 7 AS channel_seq,
+       |      'T' || CAST(n_nationkey % 5 AS VARCHAR) AS team_name,
+       |      n_name AS brand_name,
+       |      ROW_NUMBER() OVER (PARTITION BY n_nationkey % 7
+       |        ORDER BY n_name) AS rn
+       |    FROM nation)
+       |  WHERE rn = 1),
+       |pm AS (
+       |  $pm),
+       |prd AS (
+       |  SELECT product_id AS m_product_id, sort_key AS m_sort_key
+       |  FROM pm),
+       |pt(code, label) AS (VALUES
+       |  (0, '단품상품'), (1, '옵션상품'), (2, '추가상품')),
+       |mx AS (
+       |  SELECT MAX(prd.m_sort_key) AS mxv
+       |  FROM opt LEFT JOIN prd ON opt.product_id = prd.m_product_id)
+       |SELECT o.product_id, o.option_id, c.team_name, c.brand_name,
+       |  o.product_name, o.option_name,
+       |  pt.label AS product_type,
+       |  o.seller_product_code, o.seller_option_code,
+       |  o.sales_price, o.option_price,
+       |  o.first_payment_dt, o.last_payment_dt,
+       |  COALESCE(prd.m_sort_key,
+       |    CAST(repeat('9', length(CAST(mx.mxv AS VARCHAR))) AS BIGINT))
+       |    AS sort_key1,
+       |  o.product_type AS sort_key2
+       |FROM opt o
+       |LEFT JOIN chl c ON o.channel_seq = c.channel_seq
+       |LEFT JOIN prd ON o.product_id = prd.m_product_id
+       |LEFT JOIN pt ON o.product_type = pt.code
+       |CROSS JOIN mx""".stripMargin
+  }
 }

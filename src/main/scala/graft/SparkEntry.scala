@@ -1592,6 +1592,34 @@ object SparkEntry {
     // sorted-distinct aggregation, 6-level bundle COALESCE ----
     "q138_sa_contract_daily" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("sa_contract_daily", s)
+    }),
+
+    // ---- smartstore option master (marts/product dbt family): channel +
+    // full product-master DAG enrichment, REPEAT('9') sentinel sized by a
+    // MAX over the join result (broadcast single-row agg, no global
+    // window) ----
+    "q139_smt_option_master" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("smartstore_option_master", s)
+    }),
+
+    // ---- batch stock-quantity family (intermediate/stock dbt family):
+    // 17:00-cutoff batch stamps, csv item-code mapping, timestamp-validity
+    // expiration join + ':qty' bundle multipliers, and the three-channel
+    // core union with the sku→ecount QUALIFY repair map ----
+    "q140_cj_stock_batch" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("cj_eflexs_stock_qty_batch", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q141_cpg_stock_batch" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("coupang_rfm_stock_qty_batch",
+        s, graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+    "q142_core_stock_batch" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("core_stock_qty_batch", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
     })
   )
 
@@ -3556,6 +3584,10 @@ object SparkEntry {
     "q135_sa_campaign_master" -> SearchadOracles.q135,
     "q136_sa_ad_master" -> SearchadOracles.q136,
     "q137_sa_contract_master" -> SearchadOracles.q137,
-    "q138_sa_contract_daily" -> SearchadOracles.q138
+    "q138_sa_contract_daily" -> SearchadOracles.q138,
+    "q139_smt_option_master" -> ProductOracles.q139,
+    "q140_cj_stock_batch" -> StockBatchOracles.q140,
+    "q141_cpg_stock_batch" -> StockBatchOracles.q141,
+    "q142_core_stock_batch" -> StockBatchOracles.q142
   )
 }

@@ -858,6 +858,7 @@ object Analytics {
     SbnSales.install(r, sfDir)
     InsightDaily.install(r, sfDir)
     SearchadFull.install(r, sfDir)
+    StockBatch.install(r, sfDir)
 
     r
   }

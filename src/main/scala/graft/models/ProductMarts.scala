@@ -525,5 +525,76 @@ object ProductMarts {
             + coalesce(col("vendor_seq"), lit(99))).as("sort_key1"),
           coalesce(col("product_status_code"), lit(9)).as("sort_key2"))
     }))
+
+    // ---- smartstore option master (reference: marts/product/
+    // smartstore__option_master.sql:16-44): option rows enriched through
+    // the channel dim, the FULL smartstore product-master DAG model, and
+    // the product-type map; sort_key1 falls back to the REPEAT('9')
+    // sentinel sized by MAX(prd.sort_key) over the JOIN RESULT — spelled
+    // as a broadcast single-row aggregate over the ids-only join (same
+    // value as the reference's MAX() OVER (), no global window).
+    r.register(Model("smartstore_option_master",
+      Seq("smartstore_product_master"), View, ctx => {
+        val s = ctx.session
+        val p = col("p_partkey")
+        // two options per part row — every column a function of (p, i), so
+        // the feed is deterministic without a dedup window
+        val opt = Tables.part(s, sfDir)
+          .select(p, col("p_name"), col("p_retailprice"),
+            explode(array(lit(0), lit(1))).as("i"))
+          .select(
+            when(pmod(p, lit(10)) === 0, -p).otherwise(p).as("product_id"),
+            (p * 10 + col("i")).as("option_id"),
+            pmod(p + col("i"), lit(7)).as("channel_seq"),
+            col("p_name").as("product_name"),
+            when(pmod(p + col("i"), lit(11)) === 0, nullStr)
+              .otherwise(concat(lit("OPT"), pmod(p + col("i"), lit(5))))
+              .as("option_name"),
+            pmod(p + col("i"), lit(4)).cast("int").as("product_type"),
+            when(pmod(p, lit(13)) === 0, nullStr)
+              .otherwise(concat(lit("SPC"), pmod(p, lit(500))))
+              .as("seller_product_code"),
+            concat(lit("SOC"), pmod(p * 10 + col("i"), lit(700)))
+              .as("seller_option_code"),
+            floor(col("p_retailprice")).cast("long").as("sales_price"),
+            (pmod(p, lit(20)) * 100).as("option_price"),
+            expr("date_add(DATE '1995-01-01', cast(p_partkey % 700 AS INT))")
+              .as("first_payment_dt"),
+            expr("date_add(DATE '1995-01-01', cast(p_partkey % 700 " +
+              "+ (p_partkey + i) % 60 AS INT))").as("last_payment_dt"))
+        val chl = graft.functions.F.qualifyTopN(
+          Tables.nation(s, sfDir).select(
+            pmod(col("n_nationkey"), lit(7)).as("channel_seq"),
+            concat(lit("T"), pmod(col("n_nationkey"), lit(5)))
+              .as("team_name"),
+            col("n_name").as("brand_name")),
+          Seq(col("channel_seq")), Seq(col("brand_name")))
+        val prd = ctx.ref("smartstore_product_master")
+          .select(col("product_id").as("m_product_id"),
+            col("sort_key").as("m_sort_key"))
+        val ptype = graft.functions.F.inlineDim(s, Seq("code", "label"),
+          Seq(Seq(0, "단품상품"), Seq(1, "옵션상품"), Seq(2, "추가상품")))
+        // MAX over the join result, without a global window: the ids-only
+        // left join carries exactly the sort_keys the full join would
+        val mx = opt.select(col("product_id"))
+          .join(prd, col("product_id") === col("m_product_id"), "left")
+          .agg(max(col("m_sort_key")).as("__mx"))
+        opt
+          .join(broadcast(chl), Seq("channel_seq"), "left")
+          .join(prd, col("product_id") === col("m_product_id"), "left")
+          .join(broadcast(ptype.withColumnRenamed("label", "ptype_label")),
+            col("product_type") === col("code"), "left")
+          .crossJoin(broadcast(mx))
+          .select(col("product_id"), col("option_id"), col("team_name"),
+            col("brand_name"), col("product_name"), col("option_name"),
+            col("ptype_label").as("product_type"),
+            col("seller_product_code"), col("seller_option_code"),
+            col("sales_price"), col("option_price"),
+            col("first_payment_dt"), col("last_payment_dt"),
+            coalesce(col("m_sort_key"),
+              expr("cast(repeat('9', length(cast(__mx AS STRING)))" +
+                " AS BIGINT)")).as("sort_key1"),
+            col("product_type").as("sort_key2"))
+      }))
   }
 }

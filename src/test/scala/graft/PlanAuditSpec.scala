@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     *   FROM primary)` as a count scalar);
     * - q127: the add-product OR join — (group AND name) OR space-stripped
     *   equality over a broadcast 20-row literal dim (the reference's own
-    *   join shape, relation__smt_opt_to_sbn_ids.sql:76-84).
+    *   join shape, relation__smt_opt_to_sbn_ids.sql:76-84);
+    * - q139: the all-9s sentinel sort key — a broadcast SINGLE-ROW
+    *   MAX(sort_key) over the option↔master join (q97/q112's pattern,
+    *   spelling the reference's `MAX() OVER ()` without a global window).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
@@ -44,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "q78_stock_batch_probe", "q94_sales_target", "q97_option_master",
     "q75_order_count_mom", "q109_brand_master",
     "q111_sabangnet_product_master", "q112_sabangnet_option_master",
-    "q116_stock_time_ds", "q121_stock_report_ds", "q127_smt_opt_relation")
+    "q116_stock_time_ds", "q121_stock_report_ds", "q127_smt_opt_relation",
+    "q139_smt_option_master")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -66,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     // global single-row aggregates (scale scalar / sentinel / batch probe
     // + emptiness gate) — one output row by definition
     "q111_sabangnet_product_master", "q112_sabangnet_option_master",
-    "q116_stock_time_ds", "q121_stock_report_ds")
+    "q116_stock_time_ds", "q121_stock_report_ds",
+    "q139_smt_option_master")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
