@@ -404,4 +404,117 @@ private[graft] object SearchadOracles {
        |LEFT JOIN ren ON e.component = ren.pnew AND e.ymd < ren.rdate"""
       .stripMargin
   }
+
+  // ---- q143 searchad contract staging ----
+
+  private def statusCase(pairs: Seq[(String, Int)]): String =
+    "CASE status" +
+      pairs.map { case (c, v) => s" WHEN '$c' THEN $v" }.mkString + " END"
+
+  def q143: String = {
+    val timePairs = graft.staging.SearchadContract.timeStatus
+    val bnPairs = graft.staging.SearchadContract.brandNewStatus
+    def sList(vals: Seq[String]): String =
+      vals.map(v => s"'$v'").mkString("[", ", ", "]")
+    def ts(days: Int, hours: String) =
+      s"strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL ($days) DAY" +
+        s" + INTERVAL ($hours) HOUR, '%Y-%m-%d %H:%M:%S')"
+    s"""WITH traw AS (
+       |  SELECT 'TC' || CAST(o_orderkey AS VARCHAR) AS contract_id,
+       |    'grp-' || CAST(o_orderkey % 500 AS VARCHAR) AS adgroup_id,
+       |    CAST(o_custkey % 1000 AS INTEGER) AS customer_id,
+       |    'CT' || CAST(o_orderkey AS VARCHAR) AS contract_name,
+       |    (${sList(timePairs.map(_._1) :+ "ODD")})[o_orderkey % 7 + 1]
+       |      AS status,
+       |    CAST(FLOOR(o_totalprice) AS BIGINT) AS payment_amt,
+       |    CASE WHEN o_orderkey % 4 = 0
+       |      THEN CAST(FLOOR(o_totalprice * 0.05) AS BIGINT) END
+       |      AS refund_amt,
+       |    CAST(o_orderkey % 50 AS INTEGER) AS contract_qc,
+       |    CAST(o_orderkey % 200 AS INTEGER) AS keyword_qc,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN '-'
+       |      ELSE ${ts(0, "o_orderkey % 24")} END AS reg_tm,
+       |    ${ts(0, "o_custkey % 24")} AS edit_tm,
+       |    ${ts(0, "o_orderkey % 24")} AS start_dt,
+       |    ${ts(30, "o_orderkey % 24")} AS end_dt,
+       |    CASE WHEN o_orderkey % 9 = 0 THEN 'bad'
+       |      ELSE ${ts(2, "o_orderkey % 24")} END AS expo_start,
+       |    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+       |      ELSE ${ts(12, "o_orderkey % 24")} END AS expo_end,
+       |    CASE WHEN o_orderkey % 11 = 0
+       |      THEN ${ts(5, "o_orderkey % 24")} END AS cancel_tm
+       |  FROM orders WHERE o_orderkey % 3 = 0),
+       |bnraw AS (
+       |  SELECT CASE WHEN o_orderkey % 17 = 0
+       |      THEN 'TC' || CAST(o_orderkey + 2 AS VARCHAR)
+       |      ELSE 'BC' || CAST(o_orderkey AS VARCHAR) END AS contract_id,
+       |    'grp-' || CAST(o_orderkey % 500 AS VARCHAR) AS adgroup_id,
+       |    CAST(o_custkey % 1000 AS INTEGER) AS customer_id,
+       |    'BN' || CAST(o_orderkey AS VARCHAR) AS contract_name,
+       |    (${sList(bnPairs.map(_._1) :+ "ODD")})[o_orderkey % 13 + 1]
+       |      AS status,
+       |    CAST(FLOOR(o_totalprice) AS BIGINT) AS payment_amt,
+       |    CASE WHEN o_orderkey % 5 = 0
+       |      THEN CAST(FLOOR(o_totalprice * 0.03) AS BIGINT) END
+       |      AS refund_amt,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN '-'
+       |      ELSE ${ts(0, "o_orderkey % 24")} END AS reg_tm,
+       |    ${ts(0, "o_custkey % 24")} AS edit_tm,
+       |    ${ts(0, "o_orderkey % 24")} AS start_dt,
+       |    ${ts(45, "o_orderkey % 24")} AS end_dt,
+       |    CASE WHEN o_orderkey % 9 = 0 THEN 'bad'
+       |      ELSE ${ts(3, "o_orderkey % 24")} END AS expo_start,
+       |    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+       |      ELSE ${ts(15, "o_orderkey % 24")} END AS expo_end,
+       |    CASE WHEN o_orderkey % 7 = 0
+       |      THEN ${ts(6, "o_orderkey % 24")} END AS cancel_tm
+       |  FROM orders WHERE o_orderkey % 3 = 1),
+       |tstage AS (
+       |  SELECT contract_id, adgroup_id, customer_id, contract_name,
+       |    0 AS contract_type,
+       |    ${statusCase(timePairs)} AS contract_status,
+       |    CAST(ROUND(CAST(payment_amt AS DECIMAL(18, 0)) * 1.1, 0)
+       |      AS INTEGER) AS contract_amount,
+       |    CAST(refund_amt AS INTEGER) AS refund_amount,
+       |    contract_qc, keyword_qc,
+       |    TRY_CAST(reg_tm AS TIMESTAMP) + INTERVAL 9 HOUR AS register_dt,
+       |    TRY_CAST(edit_tm AS TIMESTAMP) + INTERVAL 9 HOUR AS edit_dt,
+       |    CAST(CAST(start_dt AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE)
+       |      AS contract_start_date,
+       |    CAST(CAST(end_dt AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE)
+       |      AS contract_end_date,
+       |    CAST(TRY_CAST(expo_start AS TIMESTAMP) + INTERVAL 9 HOUR
+       |      AS DATE) AS exposure_start_date,
+       |    CAST(TRY_CAST(expo_end AS TIMESTAMP) + INTERVAL 9 HOUR
+       |      AS DATE) AS exposure_end_date,
+       |    CAST(TRY_CAST(cancel_tm AS TIMESTAMP) + INTERVAL 9 HOUR
+       |      AS DATE) AS cancel_date
+       |  FROM traw),
+       |bnstage AS (
+       |  SELECT contract_id, adgroup_id, customer_id, contract_name,
+       |    1 AS contract_type,
+       |    ${statusCase(bnPairs)} AS contract_status,
+       |    CAST(payment_amt AS INTEGER) AS contract_amount,
+       |    CAST(refund_amt AS INTEGER) AS refund_amount,
+       |    CAST(NULL AS INTEGER) AS contract_qc,
+       |    CAST(NULL AS INTEGER) AS keyword_qc,
+       |    TRY_CAST(reg_tm AS TIMESTAMP) + INTERVAL 9 HOUR AS register_dt,
+       |    TRY_CAST(edit_tm AS TIMESTAMP) + INTERVAL 9 HOUR AS edit_dt,
+       |    CAST(CAST(start_dt AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE)
+       |      AS contract_start_date,
+       |    CAST(CAST(end_dt AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE)
+       |      AS contract_end_date,
+       |    CAST(TRY_CAST(expo_start AS TIMESTAMP) + INTERVAL 9 HOUR
+       |      AS DATE) AS exposure_start_date,
+       |    CAST(TRY_CAST(expo_end AS TIMESTAMP) + INTERVAL 9 HOUR
+       |      AS DATE) AS exposure_end_date,
+       |    CAST(TRY_CAST(cancel_tm AS TIMESTAMP) + INTERVAL 9 HOUR
+       |      AS DATE) AS cancel_date
+       |  FROM bnraw)
+       |SELECT * EXCLUDE (rn) FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY contract_id
+       |    ORDER BY contract_type) AS rn
+       |  FROM (SELECT * FROM tstage UNION ALL SELECT * FROM bnstage) u_)
+       |WHERE rn = 1""".stripMargin
+  }
 }

@@ -1620,6 +1620,75 @@ object SparkEntry {
       graft.models.Analytics.registry(d).run("core_stock_qty_batch", s,
         graft.models.Params(Map(
           "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-12-31")))
+    }),
+
+    // ---- searchad contract staging (core/searchad/api/contract/models
+    // .sql): two payload shapes → one PK'd table, per-payload status
+    // ladders, the +9h KST date shift, TRY_CAST tolerance, DECIMAL VAT
+    // uplift, and the second load's ON CONFLICT DO NOTHING ----
+    "q143_searchad_contract" -> ((s, d) => {
+      val ok = col("o_orderkey")
+      def fmt(days: Int, hoursSql: String) = date_format(
+        expr(s"cast(o_orderdate AS timestamp) + make_interval(0, 0, 0, " +
+          s"$days, cast($hoursSql AS INT), 0, 0)"),
+        "yyyy-MM-dd HH:mm:ss")
+      val nullS = lit(null).cast("string")
+      val timeRaw = Tables.orders(s, d).filter(pmod(ok, lit(3)) === 0)
+        .select(
+          concat(lit("TC"), ok).as("nccTimeContractId"),
+          concat(lit("grp-"), pmod(ok, lit(500))).as("nccAdgroupId"),
+          pmod(col("o_custkey"), lit(1000)).as("customerId"),
+          concat(lit("CT"), ok).as("contractName"),
+          element_at(array((graft.staging.SearchadContract.timeStatus
+              .map(_._1) :+ "ODD").map(lit): _*),
+            (pmod(ok, lit(7)) + 1).cast("int")).as("contractStatus"),
+          floor(col("o_totalprice")).cast("long").as("paymentAmt"),
+          when(pmod(ok, lit(4)) === 0,
+            floor(col("o_totalprice") * 0.05).cast("long"))
+            .otherwise(lit(null).cast("long")).as("refundAmt"),
+          pmod(ok, lit(50)).as("contractQc"),
+          pmod(ok, lit(200)).as("totalKeywordQc"),
+          when(pmod(ok, lit(13)) === 0, lit("-"))
+            .otherwise(fmt(0, "o_orderkey % 24")).as("regTm"),
+          fmt(0, "o_custkey % 24").as("editTm"),
+          fmt(0, "o_orderkey % 24").as("contractStartDt"),
+          fmt(30, "o_orderkey % 24").as("contractEndDt"),
+          when(pmod(ok, lit(9)) === 0, lit("bad"))
+            .otherwise(fmt(2, "o_orderkey % 24"))
+            .as("exposureStartDt"),
+          when(pmod(ok, lit(9)) === 0, nullS)
+            .otherwise(fmt(12, "o_orderkey % 24"))
+            .as("exposureEndDt"),
+          when(pmod(ok, lit(11)) === 0, fmt(5, "o_orderkey % 24"))
+            .otherwise(nullS).as("cancelTm"))
+      val bnRaw = Tables.orders(s, d).filter(pmod(ok, lit(3)) === 1)
+        .select(
+          when(pmod(ok, lit(17)) === 0, concat(lit("TC"), ok + 2))
+            .otherwise(concat(lit("BC"), ok)).as("brandNewContractId"),
+          concat(lit("grp-"), pmod(ok, lit(500))).as("nccAdgroupId"),
+          pmod(col("o_custkey"), lit(1000)).as("customerId"),
+          concat(lit("BN"), ok).as("contractName"),
+          element_at(array((graft.staging.SearchadContract.brandNewStatus
+              .map(_._1) :+ "ODD").map(lit): _*),
+            (pmod(ok, lit(13)) + 1).cast("int")).as("contractStatus"),
+          floor(col("o_totalprice")).cast("long").as("paymentAmt"),
+          when(pmod(ok, lit(5)) === 0,
+            floor(col("o_totalprice") * 0.03).cast("long"))
+            .otherwise(lit(null).cast("long")).as("refundAmt"),
+          when(pmod(ok, lit(13)) === 0, lit("-"))
+            .otherwise(fmt(0, "o_orderkey % 24")).as("regTm"),
+          fmt(0, "o_custkey % 24").as("editTm"),
+          fmt(0, "o_orderkey % 24").as("contractStartDt"),
+          fmt(45, "o_orderkey % 24").as("contractEndDt"),
+          when(pmod(ok, lit(9)) === 0, lit("bad"))
+            .otherwise(fmt(3, "o_orderkey % 24"))
+            .as("exposureStartDt"),
+          when(pmod(ok, lit(9)) === 0, nullS)
+            .otherwise(fmt(15, "o_orderkey % 24"))
+            .as("exposureEndDt"),
+          when(pmod(ok, lit(7)) === 0, fmt(6, "o_orderkey % 24"))
+            .otherwise(nullS).as("cancelTm"))
+      graft.staging.SearchadContract.stageAll(timeRaw, bnRaw)
     })
   )
 
@@ -3588,6 +3657,7 @@ object SparkEntry {
     "q139_smt_option_master" -> ProductOracles.q139,
     "q140_cj_stock_batch" -> StockBatchOracles.q140,
     "q141_cpg_stock_batch" -> StockBatchOracles.q141,
-    "q142_core_stock_batch" -> StockBatchOracles.q142
+    "q142_core_stock_batch" -> StockBatchOracles.q142,
+    "q143_searchad_contract" -> SearchadOracles.q143
   )
 }
