@@ -413,18 +413,20 @@ object SearchadFull {
             expr("nullif(trim(raw), '')").as("bundle_product_id"))
           .filter(col("bundle_product_id") =!= "200000")
 
-        // sorted distinct STRING_AGG: deterministic in both engines
-        def dailyAgg(brd: Boolean) = dailyIds
-          .filter(if (brd) col("bundle_product_id").startsWith("2")
-            else !col("bundle_product_id").startsWith("2"))
-          .groupBy(col("adgroup_id"), col("ymd"))
+        // sorted distinct STRING_AGG: deterministic in both engines. The
+        // prd/brd split happens AFTER one shared aggregation (prefix flag
+        // as a group key), so the expensive rules⨝dates subtree is built
+        // once and Spark's ReuseExchange shares it between the branches.
+        val dailyAll = dailyIds
+          .withColumn("is_brd", col("bundle_product_id").startsWith("2"))
+          .groupBy(col("adgroup_id"), col("ymd"), col("is_brd"))
           .agg(array_join(array_sort(collect_set(col("bundle_product_id"))),
             ",").as("bundle_product_ids"))
-        val dailyPrd = dailyAgg(brd = false)
+        val dailyPrd = dailyAll.filter(!col("is_brd"))
           .select(col("adgroup_id").as("dp_adgroup_id"),
             col("ymd").as("dp_ymd"),
             col("bundle_product_ids").as("dp_bundle"))
-        val dailyBrd = dailyAgg(brd = true)
+        val dailyBrd = dailyAll.filter(col("is_brd"))
           .select(col("adgroup_id").as("db_adgroup_id"),
             col("ymd").as("db_ymd"),
             col("bundle_product_ids").as("db_bundle"))
