@@ -1689,6 +1689,26 @@ object SparkEntry {
           when(pmod(ok, lit(7)) === 0, fmt(6, "o_orderkey % 24"))
             .otherwise(nullS).as("cancelTm"))
       graft.staging.SearchadContract.stageAll(timeRaw, bnRaw)
+    }),
+
+    // ---- deterministic sketches (the 100 TB profiling path): KMV
+    // distinct estimate and hash-sampled heavy hitters, both driven by
+    // the cross-engine md5 hash family so the estimates are pure
+    // functions of the corpus — same answer in Spark and DuckDB ----
+    // order keys: n_orders distinct values (15k at sf0.01, 150k at
+    // sf0.1), so k=1024 « distinct exercises the true estimation path —
+    // the classic "how many distinct ids" profiling question (every
+    // synthetic STRING column here has < 100 distinct values, degenerate
+    // for a sketch); the heavy-hitter pass profiles event traffic by
+    // user, each kept user's count exact and scaled by the sample rate
+    "q144_kmv_distinct" -> ((s, d) => {
+      val keys = Tables.orders(s, d).select(col("o_orderkey").as("key"))
+      graft.operators.Sketches.kmvDistinct(keys, col("key"), k = 1024)
+    }),
+    "q145_sampled_topk" -> ((s, d) => {
+      val users = Tables.events(s, d).select(col("user_id"))
+      graft.operators.Sketches.hashSampledTopK(users, col("user_id"),
+        sampleBits = 2, topN = 20)
     })
   )
 
@@ -3658,6 +3678,37 @@ object SparkEntry {
     "q140_cj_stock_batch" -> StockBatchOracles.q140,
     "q141_cpg_stock_batch" -> StockBatchOracles.q141,
     "q142_core_stock_batch" -> StockBatchOracles.q142,
-    "q143_searchad_contract" -> SearchadOracles.q143
+    "q143_searchad_contract" -> SearchadOracles.q143,
+
+    "q144_kmv_distinct" ->
+      """WITH w AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders),
+        |h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+        |  FROM w WHERE key IS NOT NULL),
+        |topk AS (SELECT h FROM h ORDER BY h LIMIT 1024)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+        |  MAX(h) AS kth_min_hash,
+        |  CASE WHEN COUNT(*) < 1024 THEN CAST(COUNT(*) AS DOUBLE)
+        |    ELSE CAST(COUNT(*) - 1 AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(MAX(h) AS DOUBLE) END AS n_distinct_est
+        |FROM topk""".stripMargin,
+
+    "q145_sampled_topk" ->
+      """WITH w AS (
+        |  SELECT user_id FROM events),
+        |s AS (
+        |  SELECT user_id AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS sampled_count
+        |  FROM w
+        |  WHERE user_id IS NOT NULL
+        |    AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 4 = 0
+        |  GROUP BY user_id)
+        |SELECT key, sampled_count,
+        |  CAST(sampled_count * 4 AS BIGINT) AS est_total_count
+        |FROM s ORDER BY est_total_count DESC, key LIMIT 20"""
+        .stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+
+/** Deterministic, cross-engine-replayable sketches for corpus profiling
+  * at scale. Classic probabilistic sketches (HLL, SpaceSaving) give
+  * engine-dependent answers — useless under an exact oracle gate and
+  * irreproducible across runs. Both operators here instead derive their
+  * randomness from the content itself via the md5 60-bit hash family
+  * (`F.hash64`), so the estimate is a pure function of the data: the same
+  * corpus gives the same answer in Spark, in DuckDB, and on any cluster
+  * size.
+  *
+  * The reference has no sketch layer (its profiling probes are exact
+  * COUNT(DISTINCT) passes, common/transform.py's probe helpers); these
+  * are the scale path for the same questions on corpora where an exact
+  * pass per question is too expensive.
+  */
+object Sketches {
+
+  private val HashSpace = math.pow(2.0, 60.0) // F.hash64 values are 60-bit
+
+  /** KMV (k-minimum-values) distinct-count estimate: hash every key,
+    * keep the k smallest DISTINCT hash values, estimate
+    * `(k-1) * 2^60 / h_k`. One TakeOrdered pass — no full shuffle of the
+    * key space, mergeable across partitions by construction (each
+    * partition offers its local k smallest).
+    *
+    * Returns one row: (k_used, kth_min_hash, n_distinct_est). For inputs
+    * with fewer than k distinct keys the estimate degrades to the exact
+    * distinct count (all hashes retained).
+    */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 1024): DataFrame = {
+    require(k > 1, "k must be > 1")
+    val hashes = df.select(F.hash64(key).as("__h"))
+      .filter(col("__h").isNotNull)
+      .distinct()
+      .orderBy(col("__h"))
+      .limit(k)
+    hashes.agg(
+      count(lit(1)).as("k_used"),
+      max(col("__h")).as("kth_min_hash"))
+      .select(col("k_used"), col("kth_min_hash"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise((col("k_used") - 1).cast("double") * lit(HashSpace) /
+            col("kth_min_hash").cast("double"))
+          .as("n_distinct_est"))
+  }
+
+  /** Heavy hitters over a hash-sample: keep only keys whose content hash
+    * falls in a `1/2^sampleBits` bucket (deterministic Bernoulli — the
+    * same keys are sampled on every engine and every run; sampling by KEY
+    * keeps each kept key's count EXACT), count, scale by `2^sampleBits`,
+    * and return the top n by scaled count with full content tie-breaks.
+    *
+    * The un-sampled exact form is a plain count-and-rank; this is the
+    * scale path when the key space itself is too large to shuffle.
+    */
+  def hashSampledTopK(df: DataFrame, key: Column, sampleBits: Int = 4,
+                      topN: Int = 20): DataFrame = {
+    require(sampleBits >= 0 && sampleBits < 30, "sampleBits out of range")
+    val m = 1L << sampleBits
+    df.select(key.as("key"))
+      .filter(col("key").isNotNull)
+      .filter(pmod(F.hash64(col("key")), lit(m)) === 0)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("sampled_count"))
+      .select(col("key"), col("sampled_count"),
+        (col("sampled_count") * m).as("est_total_count"))
+      .orderBy(col("est_total_count").desc, col("key"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct estimates within the 1/sqrt(k) band") {
+    val n = 50000
+    val df = (1 to n).map(i => s"key-$i").toDF("k")
+    val row = Sketches.kmvDistinct(df, col("k"), k = 1024).collect().head
+    assert(row.getAs[Long]("k_used") === 1024L)
+    val est = row.getAs[Double]("n_distinct_est")
+    // 1/sqrt(1024) ~ 3.1% standard error; 5 sigma of headroom
+    assert(math.abs(est - n) / n < 0.16, s"estimate $est vs $n")
+  }
+
+  test("kmvDistinct degrades to the exact count below k") {
+    val df = (1 to 37).map(i => s"key-$i").toDF("k")
+    val row = Sketches.kmvDistinct(df, col("k"), k = 1024).collect().head
+    assert(row.getAs[Long]("k_used") === 37L)
+    assert(row.getAs[Double]("n_distinct_est") === 37.0)
+  }
+
+  test("kmvDistinct ignores duplicate keys") {
+    val df = ((1 to 500) ++ (1 to 500)).map(i => s"key-$i").toDF("k")
+    val row = Sketches.kmvDistinct(df, col("k"), k = 1024).collect().head
+    assert(row.getAs[Double]("n_distinct_est") === 500.0)
+  }
+
+  test("hashSampledTopK keeps exact counts for sampled keys") {
+    // key i appears i times; sampling is by KEY, so every kept key's
+    // count must be exact (i), scaled by the sample modulus
+    val rows = (1 to 200).flatMap(i => Seq.fill(i)(s"u$i")).toDF("u")
+    val got = Sketches.hashSampledTopK(rows, col("u"), sampleBits = 2,
+      topN = 1000).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val i = r.getAs[String]("key").drop(1).toInt
+      assert(r.getAs[Long]("sampled_count") === i.toLong)
+      assert(r.getAs[Long]("est_total_count") === i.toLong * 4)
+    }
+    // roughly a quarter of the 200 keys survive a 1/4 sample
+    assert(got.length > 20 && got.length < 90)
+  }
+}
