@@ -1709,6 +1709,12 @@ object SparkEntry {
       val users = Tables.events(s, d).select(col("user_id"))
       graft.operators.Sketches.hashSampledTopK(users, col("user_id"),
         sampleBits = 2, topN = 20)
+    }),
+    "q146_sampled_quantiles" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"))
+      graft.operators.Sketches.hashSampledQuantiles(o, col("o_orderkey"),
+        col("o_totalprice"), probs = Seq(0.5, 0.9, 0.99), sampleBits = 4)
     })
   )
 
@@ -3709,6 +3715,23 @@ object SparkEntry {
         |SELECT key, sampled_count,
         |  CAST(sampled_count * 4 AS BIGINT) AS est_total_count
         |FROM s ORDER BY est_total_count DESC, key LIMIT 20"""
-        .stripMargin
+        .stripMargin,
+
+    "q146_sampled_quantiles" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 16 = 0)
+        |SELECT CAST(0.5 AS DOUBLE) AS quantile,
+        |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v), 4)
+        |    AS value FROM s
+        |UNION ALL
+        |SELECT CAST(0.9 AS DOUBLE),
+        |  ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY v), 4)
+        |  FROM s
+        |UNION ALL
+        |SELECT CAST(0.99 AS DOUBLE),
+        |  ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY v), 4)
+        |  FROM s""".stripMargin
   )
 }

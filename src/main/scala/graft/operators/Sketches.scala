@@ -50,6 +50,34 @@ object Sketches {
           .as("n_distinct_est"))
   }
 
+  /** Quantiles over a hash-sample: a deterministic simple-random-sample
+    * by ROW-IDENTITY hash (sampling on the identity key, not the value,
+    * keeps the sample unbiased for the value distribution), then EXACT
+    * interpolated percentiles over the sample. The un-sampled exact form
+    * is W5's grouped percentile_cont; this is the scale path when even
+    * one exact sort of the value column is too expensive.
+    *
+    * Returns one row per requested quantile: (quantile, value).
+    */
+  def hashSampledQuantiles(df: DataFrame, identityKey: Column,
+                           value: Column, probs: Seq[Double],
+                           sampleBits: Int = 4): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val m = 1L << sampleBits
+    val sampled = df
+      .filter(pmod(F.hash64(identityKey), lit(m)) === 0)
+      .select(value.as("__v"))
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY __v)"), 4)
+        .as(s"__q$i")
+    }
+    sampled.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(probs.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("quantile"), col(s"__q$i").as("value"))
+      }: _*)).as("r"))
+      .select(col("r.quantile").as("quantile"), col("r.value").as("value"))
+  }
+
   /** Heavy hitters over a hash-sample: keep only keys whose content hash
     * falls in a `1/2^sampleBits` bucket (deterministic Bernoulli — the
     * same keys are sampled on every engine and every run; sampling by KEY

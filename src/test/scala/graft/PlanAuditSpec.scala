@@ -71,7 +71,11 @@ class PlanAuditSpec extends SparkSpec {
     // + emptiness gate) — one output row by definition
     "q111_sabangnet_product_master", "q112_sabangnet_option_master",
     "q116_stock_time_ds", "q121_stock_report_ds",
-    "q139_smt_option_master")
+    "q139_smt_option_master",
+    // the sampled-quantile sketch: percentile_cont over the hash-sample —
+    // the sample is SIZED by sampleBits to fit one partition; choosing
+    // that bound is the sketch's contract (the exact grouped form is q08)
+    "q146_sampled_quantiles")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

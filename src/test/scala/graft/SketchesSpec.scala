@@ -30,6 +30,17 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Double]("n_distinct_est") === 500.0)
   }
 
+  test("hashSampledQuantiles tracks the true distribution") {
+    val df = (1 to 20000).map(i => (s"id-$i", i.toDouble)).toDF("id", "v")
+    val got = Sketches.hashSampledQuantiles(df, col("id"), col("v"),
+      probs = Seq(0.5, 0.9), sampleBits = 3).collect()
+      .map(r => r.getAs[Double]("quantile") -> r.getAs[Double]("value"))
+      .toMap
+    // ~2500-row sample of a uniform distribution: generous 10% band
+    assert(math.abs(got(0.5) - 10000) / 10000 < 0.1, got)
+    assert(math.abs(got(0.9) - 18000) / 18000 < 0.1, got)
+  }
+
   test("hashSampledTopK keeps exact counts for sampled keys") {
     // key i appears i times; sampling is by KEY, so every kept key's
     // count must be exact (i), scaled by the sample modulus
