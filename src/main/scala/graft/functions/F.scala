@@ -230,16 +230,15 @@ object F {
     * is configured — production clusters point it at durable storage — a
     * local temp dir is used, which matches local/test deployments.)
     */
-  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
-                      buckets: Int = 32): DataFrame = {
-    val sc = df.sparkSession.sparkContext
+  /** Lazily install a JVM-lifetime checkpoint dir (removed on shutdown).
+    * (ContextCleaner GC of individual checkpoints needs spark.cleaner.
+    * referenceTracking.cleanCheckpoints=true AT context build — it cannot
+    * be enabled retroactively; production deployments set their own
+    * durable checkpoint dir + that flag and own retention.)
+    */
+  private def ensureCheckpointDir(
+      sc: org.apache.spark.SparkContext): Unit =
     if (sc.getCheckpointDir.isEmpty) {
-      // checkpoint files otherwise accumulate per call for the JVM's
-      // lifetime: the temp dir is removed on shutdown. (ContextCleaner GC
-      // of individual checkpoints needs spark.cleaner.referenceTracking.
-      // cleanCheckpoints=true AT context build — it cannot be enabled
-      // retroactively; production deployments set their own durable
-      // checkpoint dir + that flag and own retention.)
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
       sc.setCheckpointDir(dir.toString)
       sys.addShutdownHook {
@@ -252,6 +251,24 @@ object F {
         } catch { case _: Exception => }
       }
     }
+
+  /** Reliable checkpoint for a frame consumed by SEVERAL plan branches.
+    * Catalyst's column pruning pushes a different projection into each
+    * consumer's copy of the subtree, so ReuseExchange never matches and
+    * an expensive shared frame (a windowed dedup, a shingle table) is
+    * recomputed once per consumer. Checkpointing materializes it once;
+    * values are unchanged (the input must be deterministic, which every
+    * graft frame is by construction).
+    */
+  def checkpointShared(df: DataFrame): DataFrame = {
+    ensureCheckpointDir(df.sparkSession.sparkContext)
+    df.checkpoint()
+  }
+
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                      buckets: Int = 32): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    ensureCheckpointDir(sc)
     val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__bucket", spark_partition_id())
     val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)

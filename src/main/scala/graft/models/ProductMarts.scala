@@ -362,7 +362,10 @@ object ProductMarts {
     r.register(Model("sabangnet_option_master",
       Seq("sabangnet_product_master"), View, ctx => {
         val s = ctx.session
-        val opt = sbnOption(s, sfDir)
+        // three consumers (primary, bundleNames, the final spine) each
+        // get a differently-pruned copy of the windowed dedup — checkpoint
+        // so the lineitem window runs once, not three times
+        val opt = graft.functions.F.checkpointShared(sbnOption(s, sfDir))
         val itm = coreMaster(s, sfDir)
         // primary item per option: explode, enrich, keep smallest item_seq
         val primary = graft.functions.F.qualifyTopN(
@@ -453,7 +456,10 @@ object ProductMarts {
     r.register(Model("coupang_option_master", Nil, View, ctx => {
       val s = ctx.session
       val itm = coreMaster(s, sfDir)
-      val opt = graft.functions.F.qualifyTopN(
+      // `rel` below re-derives from this deduped frame, so the lineitem
+      // window would run twice — checkpoint to compute it once
+      val opt = graft.functions.F.checkpointShared(
+        graft.functions.F.qualifyTopN(
         Tables.lineitem(s, sfDir).select(
           (lit(100000) + pmod(col("l_partkey"), lit(400))).cast("string")
             .as("product_id"),
@@ -487,7 +493,7 @@ object ProductMarts {
         Seq(col("option_id")),
         Seq(col("__src_seq"), col("__tb1"), col("sales_price"),
           col("register_dt"), col("modify_dt")))
-        .drop("__src_seq", "__tb1")
+        .drop("__src_seq", "__tb1"))
       val vdr = graft.functions.F.qualifyTopN(
         Tables.supplier(s, sfDir).select(
           pmod(col("s_suppkey"), lit(20)).as("vendor_id"),
