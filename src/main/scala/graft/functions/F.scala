@@ -210,26 +210,6 @@ object F {
     }._1
   }
 
-  /** W2 at scale — global ROW_NUMBER without the single-partition window:
-    * range-repartition on the order keys (a total order across partitions,
-    * since `order` must end in a unique tiebreaker), ROW_NUMBER within each
-    * range bucket, then add per-bucket cumulative offsets computed over the
-    * `buckets`-row count table (a broadcast self-join, no global window
-    * anywhere). Output values are identical to `Window.orderBy(order)` but
-    * the sort is distributed across `buckets` tasks.
-    *
-    * The ranked frame feeds BOTH the output rows and the offsets table, and
-    * its `__bucket` comes from `spark_partition_id()` over RangePartitioner
-    * sampling — so the two consumers MUST read one materialized evaluation.
-    * A `persist()` is not a guarantee: under memory pressure + executor
-    * loss the cache silently drops and each consumer recomputes under a
-    * freshly sampled partitioner — `__bucket` values from one partitioning
-    * meeting `__offset`s from another is silently-wrong ranks. An eager
-    * reliable CHECKPOINT is: both consumers read the checkpointed files,
-    * and a lost file is an error, never a recompute. (If no checkpoint dir
-    * is configured — production clusters point it at durable storage — a
-    * local temp dir is used, which matches local/test deployments.)
-    */
   /** Lazily install a JVM-lifetime checkpoint dir (removed on shutdown).
     * (ContextCleaner GC of individual checkpoints needs spark.cleaner.
     * referenceTracking.cleanCheckpoints=true AT context build — it cannot
@@ -265,6 +245,26 @@ object F {
     df.checkpoint()
   }
 
+  /** W2 at scale — global ROW_NUMBER without the single-partition window:
+    * range-repartition on the order keys (a total order across partitions,
+    * since `order` must end in a unique tiebreaker), ROW_NUMBER within each
+    * range bucket, then add per-bucket cumulative offsets computed over the
+    * `buckets`-row count table (a broadcast self-join, no global window
+    * anywhere). Output values are identical to `Window.orderBy(order)` but
+    * the sort is distributed across `buckets` tasks.
+    *
+    * The ranked frame feeds BOTH the output rows and the offsets table, and
+    * its `__bucket` comes from `spark_partition_id()` over RangePartitioner
+    * sampling — so the two consumers MUST read one materialized evaluation.
+    * A `persist()` is not a guarantee: under memory pressure + executor
+    * loss the cache silently drops and each consumer recomputes under a
+    * freshly sampled partitioner — `__bucket` values from one partitioning
+    * meeting `__offset`s from another is silently-wrong ranks. An eager
+    * reliable CHECKPOINT is: both consumers read the checkpointed files,
+    * and a lost file is an error, never a recompute. (If no checkpoint dir
+    * is configured — production clusters point it at durable storage — a
+    * local temp dir is used, which matches local/test deployments.)
+    */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
                       buckets: Int = 32): DataFrame = {
     val sc = df.sparkSession.sparkContext

@@ -49,26 +49,16 @@ object InsightDaily {
   private val nullLong = lit(null).cast("long")
 
   /** Stable product dim with STRING ids for the report marts (the insight
-    * pipelines emit string product ids — bundle components).
+    * pipelines emit string product ids — bundle components). A projection
+    * of ReportMarts.itemDim, so the synthesis has one source of truth.
     */
   private[models] def productDimStr(s: SparkSession, sfDir: String): DataFrame =
-    Tables.part(s, sfDir).select(
-      col("p_partkey").cast("string").as("product_id"),
-      concat(lit("NA-"), lpad(col("p_partkey").cast("string"), 6, "0"),
-        lit("-00")).as("item_id"),
-      pmod(col("p_partkey"), lit(97)).cast("long").as("item_seq"),
-      when(pmod(col("p_partkey"), lit(6)) === 0, nullStr)
-        .otherwise(concat(lit("T"), pmod(col("p_partkey"), lit(5))))
-        .as("team_name"),
-      when(pmod(col("p_partkey"), lit(7)) === 0, nullStr)
-        .otherwise(col("p_brand")).as("brand_name"),
-      substring_index(col("p_type"), " ", 1).as("category_name1"),
-      col("p_brand").as("category_name2"),
-      when(pmod(col("p_partkey"), lit(4)) === 0, nullStr)
-        .otherwise(col("p_type")).as("category_name3"),
-      concat(lit("CTN"), pmod(col("p_partkey"), lit(8))).as("category_name4"),
-      concat(lit("COL"), pmod(col("p_partkey"), lit(6))).as("color"),
-      col("p_name").as("product_name"))
+    ReportMarts.itemDim(s, sfDir).select(
+      col("product_id").cast("string").as("product_id"),
+      col("item_id"), col("item_seq").cast("long").as("item_seq"),
+      col("team_name"), col("brand_name"),
+      col("category_name1"), col("category_name2"), col("category_name3"),
+      col("category_name4"), col("color"), col("product_name"))
 
   /** Shared renewal mapping (reference core__product_renewal_mapping():
     * product ids renamed at a date — rows before the renewal keep the OLD

@@ -39,9 +39,10 @@ object ReportMarts {
   private val nullStr = lit(null).cast("string")
 
   /** The q98-style enriched item dim over part (int product ids, matching
-    * the order fact's derived product ids).
+    * the order fact's derived product ids). Shared with InsightDaily's
+    * string-keyed projection — one source of truth for the synthesis.
     */
-  private def itemDim(s: SparkSession, sfDir: String): DataFrame =
+  private[models] def itemDim(s: SparkSession, sfDir: String): DataFrame =
     Tables.part(s, sfDir).select(
       col("p_partkey").as("product_id"),
       concat(lit("NA-"), lpad(col("p_partkey").cast("string"), 6, "0"),

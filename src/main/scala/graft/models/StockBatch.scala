@@ -28,8 +28,11 @@ import graft.functions.F
   *
   * Scale: each channel aggregates to its (ymd, batch, key) grain before
   * the core union, so the final shuffle carries pre-combined partials;
-  * the mapping joins are equi-joins on item/option/product keys with
-  * unique (deduped) right sides — no fan-out.
+  * the sku/option mapping joins have unique (deduped) right sides. The
+  * one deliberate fan-out is the cj item mapping: an item code can map
+  * to several products (the csv explode keeps DISTINCT (item, product)
+  * PAIRS, per the reference), so a stock row's quantity is counted under
+  * each mapped product — bounded by the mapping's max products-per-item.
   */
 object StockBatch {
 

@@ -63,6 +63,7 @@ object Sketches {
                            value: Column, probs: Seq[Double],
                            sampleBits: Int = 4): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    require(sampleBits >= 0 && sampleBits < 30, "sampleBits out of range")
     val m = 1L << sampleBits
     val sampled = df
       .filter(pmod(F.hash64(identityKey), lit(m)) === 0)

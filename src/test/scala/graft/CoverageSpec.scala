@@ -16,7 +16,10 @@ class CoverageSpec extends AnyFunSuite {
 
   private def walk(p: Path): Seq[Path] =
     if (!Files.exists(p)) Seq.empty
-    else Files.walk(p).iterator.asScala.toSeq
+    else {
+      val stream = Files.walk(p)
+      try stream.iterator.asScala.toSeq finally stream.close()
+    }
 
   private lazy val sources: String = {
     val root = Paths.get("src/main/scala")
