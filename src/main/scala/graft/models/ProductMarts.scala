@@ -297,15 +297,20 @@ object ProductMarts {
           .join(itm.select(col("product_id").as("component_pid"),
             col("item_id"), col("item_seq")), Seq("component_pid"), "left")
         val wCnt = Window.partitionBy(col("product_id"))
-        val primary = graft.functions.F.qualifyTopN(
-          exploded.withColumn("option_count", count(lit(1)).over(wCnt)),
-          Seq(col("product_id")),
-          // reference order: item_seq ASC NULLS LAST, option_quantity DESC;
-          // option_id + component break remaining ties deterministically
-          Seq(col("item_seq").asc_nulls_last, col("option_quantity").desc,
-            col("option_id"), col("component")))
-          .select(col("product_id"), col("item_id"), col("item_seq"),
-            col("option_type"), col("option_count"), col("option_quantity"))
+        // consumed by BOTH the scale scalar and the spine join — checkpoint
+        // so the explode + two windows behind it compute once
+        val primary = graft.functions.F.checkpointShared(
+          graft.functions.F.qualifyTopN(
+            exploded.withColumn("option_count", count(lit(1)).over(wCnt)),
+            Seq(col("product_id")),
+            // reference order: item_seq ASC NULLS LAST, option_quantity
+            // DESC; option_id + component break remaining ties
+            Seq(col("item_seq").asc_nulls_last,
+              col("option_quantity").desc,
+              col("option_id"), col("component")))
+            .select(col("product_id"), col("item_id"), col("item_seq"),
+              col("option_type"), col("option_count"),
+              col("option_quantity")))
         // data-dependent sort-key scale: single-row aggregate, broadcast —
         // the reference's CROSS JOIN max_quantity (sql:54-58)
         val scaleRow = primary.agg(
@@ -406,10 +411,14 @@ object ProductMarts {
         // categories come from the option's PRIMARY item row (reference
         // sql:57-60 joins core.item via the primary match, not the product
         // master's own categories)
-        val prd = ctx.ref("sabangnet_product_master").select(
-          col("product_id"), col("model_code"), col("model_id"),
-          col("product_name"), col("product_keyword"), col("brand_name"),
-          col("option_type").as("prd_option_type"), col("sort_key"))
+        // the sentinel scalar and the spine both consume the FULL product
+        // master chain — checkpoint its projection so the upstream model
+        // runs once, not twice
+        val prd = graft.functions.F.checkpointShared(
+          ctx.ref("sabangnet_product_master").select(
+            col("product_id"), col("model_code"), col("model_id"),
+            col("product_name"), col("product_keyword"), col("brand_name"),
+            col("option_type").as("prd_option_type"), col("sort_key")))
         val statusDim = graft.functions.F.inlineDim(s,
           Seq("scode", "slabel"),
           Seq(Seq("SALE", "판매중"), Seq("STOP", "판매중지")))

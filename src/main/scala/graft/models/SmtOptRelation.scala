@@ -62,9 +62,13 @@ object SmtOptRelation {
       // duplicate (l_orderkey, l_linenumber) pairs exist in the fixture;
       // option_name is the only column suppkey (not the partition key)
       // drives, so it joins the dedup order
-      val opt = graft.functions.F.qualifyTopN(optRaw, Seq(col("option_id")),
-        Seq(col("__src_seq"), col("__tb1"), col("option_name")))
-        .drop("__src_seq", "__tb1")
+      // six consumers downstream (existing, the anti-join builder, and
+      // the three strategy branches) each get a differently-pruned copy
+      // of this windowed dedup — checkpoint so it computes once
+      val opt = graft.functions.F.checkpointShared(
+        graft.functions.F.qualifyTopN(optRaw, Seq(col("option_id")),
+          Seq(col("__src_seq"), col("__tb1"), col("option_name")))
+          .drop("__src_seq", "__tb1"))
 
       // curated relation rows pass through untouched
       val optNum = expr(
@@ -80,8 +84,11 @@ object SmtOptRelation {
               .cast("string"))
             .as("bundle_product_ids"))
 
-      val without = opt.join(existing.select(col("option_id")),
-        Seq("option_id"), "left_anti")
+      // likewise shared by the four strategy consumers — one anti join,
+      // not four
+      val without = graft.functions.F.checkpointShared(
+        opt.join(existing.select(col("option_id")),
+          Seq("option_id"), "left_anti"))
 
       // type 0: id mapping (the reference filters shop_id = 'shop0055';
       // the synthesized sheet is that shop's slice)
