@@ -369,9 +369,10 @@ object SearchadFull {
               col("exposure_start_date")) + 1).cast("long")
               .as("date_count"))
         // `dates` and `attached` both consume this day-exploded frame with
-        // different prunings (the checkpointShared rationale) — compute
-        // the explode + allocation once
-        val expand = graft.functions.F.checkpointShared(base
+        // different prunings; the recompute is a cheap bounded explode
+        // over the contract dim — a checkpoint write costs more than the
+        // repeat it would save (measured), so it stays lazy
+        val expand = base
           .select(col("contract_id"), col("adgroup_id"), col("customer_id"),
             col("ad_cost"), col("exposure_start_date"), col("date_count"),
             explode(sequence(lit(0),
@@ -379,7 +380,7 @@ object SearchadFull {
           .select(col("contract_id"), col("adgroup_id"), col("customer_id"),
             Allocation.divModAllocate(col("ad_cost"), col("date_count"),
               col("date_offset")).as("ad_cost"),
-            expr("date_add(exposure_start_date, date_offset)").as("ymd")))
+            expr("date_add(exposure_start_date, date_offset)").as("ymd"))
         val dates = expand.select(col("adgroup_id"), col("ymd")).distinct()
 
         // Step 3: adgroup-level ranged rules from ad-level rules

@@ -84,11 +84,11 @@ object SmtOptRelation {
               .cast("string"))
             .as("bundle_product_ids"))
 
-      // likewise shared by the four strategy consumers — one anti join,
-      // not four
-      val without = graft.functions.F.checkpointShared(
-        opt.join(existing.select(col("option_id")),
-          Seq("option_id"), "left_anti"))
+      // shared by the four strategy consumers; each re-runs the anti join
+      // over the CHECKPOINTED opt — cheap enough that a second checkpoint
+      // write costs more than the repeats it would save (measured)
+      val without = opt.join(existing.select(col("option_id")),
+        Seq("option_id"), "left_anti")
 
       // type 0: id mapping (the reference filters shop_id = 'shop0055';
       // the synthesized sheet is that shop's slice)
