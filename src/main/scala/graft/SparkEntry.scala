@@ -1715,6 +1715,16 @@ object SparkEntry {
         col("o_totalprice"))
       graft.operators.Sketches.hashSampledQuantiles(o, col("o_orderkey"),
         col("o_totalprice"), probs = Seq(0.5, 0.9, 0.99), sampleBits = 4)
+    }),
+
+    // ---- cross-split n-gram decontamination: flag eval-split docs whose
+    // shingles leak from the train split (content-stable split + one
+    // distinct-shingle join) ----
+    "q147_decontaminate" -> ((s, d) => {
+      graft.operators.TextAnalysis.crossSplitContamination(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5), "train",
+        n = 3, minShared = 3)
     })
   )
 
@@ -3732,6 +3742,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(0.99 AS DOUBLE),
         |  ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY v), 4)
-        |  FROM s""".stripMargin
+        |  FROM s""".stripMargin,
+
+    "q147_decontaminate" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    toks
+        |  FROM (
+        |    SELECT doc_id,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        ::BIGINT % 100 AS h,
+        |      string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+        |        'g')), ' ') AS toks
+        |    FROM documents) t_),
+        |ex AS (
+        |  SELECT DISTINCT doc_id, split, shingle FROM (
+        |    SELECT doc_id, split,
+        |      UNNEST(CASE WHEN len(toks) - 2 <= 0
+        |        THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
+        |    FROM base) u_),
+        |train AS (SELECT DISTINCT shingle FROM ex WHERE split = 'train')
+        |SELECT e.doc_id, e.split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(t.shingle) AS BIGINT) AS n_shared,
+        |  COUNT(t.shingle) >= 3 AS is_contaminated
+        |FROM ex e
+        |LEFT JOIN train t ON e.shingle = t.shingle
+        |WHERE e.split != 'train'
+        |GROUP BY e.doc_id, e.split""".stripMargin
   )
 }

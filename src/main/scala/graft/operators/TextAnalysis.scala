@@ -152,4 +152,37 @@ object TextAnalysis {
     passed.join(keepers, Seq("digest", "doc_id"))
       .select(col("doc_id"), col("digest"), col("n_tokens"), col("punct_ratio"))
   }
+  /** Cross-split n-gram decontamination — the standard LLM training-data
+    * check (no reference analog; flag evaluation-split documents whose
+    * n-gram shingles leak from the training split). Split assignment is
+    * the content-stable hash split (rerun-safe), shingling reuses
+    * `Dedup.shingles`, and the verdict counts DISTINCT shingles shared
+    * with the train split's distinct shingle set.
+    *
+    * Scale: one explode + distinct per side, the train side reduced to
+    * distinct shingles before a single left join (no fan-out: the right
+    * side is distinct on the join key), one aggregation per eval doc.
+    * Both shuffles key on the shingle string.
+    */
+  def crossSplitContamination(df: DataFrame, idCol: Column,
+                              textCol: Column,
+                              fractions: Seq[(String, Int)],
+                              trainName: String, n: Int = 3,
+                              minShared: Int = 3): DataFrame = {
+    val ex = df.select(idCol.as("doc_id"),
+        graft.functions.F.hashSplit(idCol, fractions).as("split"),
+        explode(Dedup.shingles(textCol, n)).as("shingle"))
+      .distinct()
+    val train = ex.filter(col("split") === trainName)
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1))
+    ex.filter(col("split") =!= trainName)
+      .join(train, Seq("shingle"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        col("n_shared"),
+        (col("n_shared") >= minShared).as("is_contaminated"))
+  }
+
 }
