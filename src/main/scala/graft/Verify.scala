@@ -16,12 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only: SPARK_GRAFT_ONLY=q109,q110 restricts the dump to queries
-    // whose name starts with one of the prefixes (driver leaves it unset)
+    // matching a selector exactly, or as the qNN id before the first
+    // underscore (q14 selects q14_band_join but NOT q140_*; driver
+    // leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = only match {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
-        ps.exists(n.startsWith) }
+        ps.exists(p => n == p || n.startsWith(p + "_")) }
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

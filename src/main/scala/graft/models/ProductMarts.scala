@@ -184,6 +184,14 @@ object ProductMarts {
         .filter(col("__rp") === 1 && col("__rb") === 1)
         .select(col("product_id").as("brand_id"), col("item_id"),
           col("item_seq"), col("team_name"), col("brand_name"))
+      // Deliberate determinization: the reference computes brand_seq's
+      // ROW_NUMBER() in the same inner SELECT as the two dedup ranks and
+      // filters afterwards, so survivors keep GAPPED sequence numbers —
+      // and which numbers they keep depends on how ties among the
+      // discarded rows broke (tie-nondeterministic in BigQuery). We rank
+      // the survivor set instead: dense 1..N, stable across engines and
+      // runs. Downstream consumers only use brand_seq for ordering, which
+      // both forms preserve.
       graft.functions.F.globalRowNumber(dedup,
         Seq(col("team_name").desc_nulls_last, col("brand_id")), "brand_seq")
     }))

@@ -25,9 +25,12 @@ object Sketches {
 
   /** KMV (k-minimum-values) distinct-count estimate: hash every key,
     * keep the k smallest DISTINCT hash values, estimate
-    * `(k-1) * 2^60 / h_k`. One TakeOrdered pass — no full shuffle of the
-    * key space, mergeable across partitions by construction (each
-    * partition offers its local k smallest).
+    * `(k-1) * 2^60 / h_k`. Two-phase, bounded-state: each input partition
+    * streams through a size-k ordered set (O(k) memory, one pass, no
+    * per-partition materialization of the distinct key space), emits its
+    * local k smallest distinct hashes, and only those ~numPartitions*k
+    * survivors are merged globally — the full key space is never
+    * shuffled, unlike an exact COUNT(DISTINCT).
     *
     * Returns one row: (k_used, kth_min_hash, n_distinct_est). For inputs
     * with fewer than k distinct keys the estimate degrades to the exact
@@ -35,8 +38,19 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 1024): DataFrame = {
     require(k > 1, "k must be > 1")
-    val hashes = df.select(F.hash64(key).as("__h"))
+    import df.sparkSession.implicits._
+    val localTopK = df.select(F.hash64(key).as("__h"))
       .filter(col("__h").isNotNull)
+      .as[Long]
+      .mapPartitions { it =>
+        val s = scala.collection.mutable.TreeSet.empty[Long]
+        it.foreach { h =>
+          if (s.size < k) s.add(h)
+          else if (h < s.last) { s.add(h); if (s.size > k) s.remove(s.last) }
+        }
+        s.iterator
+      }
+    val hashes = localTopK.toDF("__h")
       .distinct()
       .orderBy(col("__h"))
       .limit(k)
