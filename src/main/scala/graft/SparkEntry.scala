@@ -747,15 +747,24 @@ object SparkEntry {
     }),
 
     // ---- multimodal: binary columns + batched feature-extraction plumbing.
-    // The decode stub's float features are exercised end-to-end (the RDD map
-    // computes them; MultimodalSpec asserts them) but only the
-    // deterministic metadata columns are declared — float accumulation
-    // inside the stub has no stable SQL-oracle equivalent. ----
+    // Image rows carry REAL PNG payloads (deterministic gradient, dims
+    // derived from media_id) decoded by javax.imageio inside the partition
+    // loop; the oracle recomputes the dims AND the closed-form raster sum
+    // w*h*(w+h-2)/2 arithmetically — a decode that returned anything but
+    // the true pixels would hash-mismatch. PNG n_bytes is encoder-
+    // dependent (deflate), so image rows declare it NULL; A/V rows keep
+    // the text-payload byte length. The A/V decode stub's float features
+    // are exercised end-to-end (the RDD map computes them; SinksSpec
+    // asserts them) but stay undeclared — float accumulation inside the
+    // stub has no stable SQL-oracle equivalent. ----
     "q36_multimodal" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      val media = Multimodal.withImagePayloads(
+        Multimodal.fromDocuments(Tables.documents(s, d)))
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"), col("media_type"),
-          col("n_bytes").cast("long").as("n_bytes"))
+          when(col("media_type") === "image", lit(null).cast("long"))
+            .otherwise(col("n_bytes").cast("long")).as("n_bytes"),
+          col("decoded_width"), col("decoded_height"), col("pixel_sum"))
     }),
 
     // ---- sabangnet invoice staging: Korean raw headers, 6-arm + 18-arm
@@ -1725,6 +1734,39 @@ object SparkEntry {
         Tables.documents(s, d), col("doc_id"), col("text"),
         Seq("train" -> 90, "val" -> 5, "test" -> 5), "train",
         n = 3, minShared = 3)
+    }),
+
+    // ---- dbt_postgres dialect variants (SURVEY §2.7 plain UNION, A10
+    // MEDIAN): the two semantics unique to the PG project. q148 ports the
+    // stock_cost_mom fallback shape (dbt_postgres/models/marts/stock/
+    // analytics__stock_cost_mom.sql:83-97): two overlapping date-sliced
+    // projections combined with plain UNION — set-dedup, not UNION ALL —
+    // then re-aggregated. q149 is the PG grouped-median form
+    // (percentile_cont(0.5) WITHIN GROUP — PG's spelling of A10's median;
+    // DuckDB replays it as native MEDIAN). ----
+    "q148_pg_union_dedup" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("cust_id"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"))
+      // overlapping slices: ds range vs monthly lookback (1995 H1 ∪ 1995)
+      val dsRange = o.filter(col("order_ym").between("1995-01", "1995-06"))
+      val lookback = o.filter(col("order_ym").between("1995-01", "1995-12"))
+      dsRange.union(lookback).distinct()
+        .groupBy(col("order_ym"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q149_pg_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("qty"),
+          expr("cast(floor(l_extendedprice) AS BIGINT)").as("price"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY qty)")
+            .cast("double").as("median_qty"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY price)")
+            .cast("double").as("median_price"),
+          count(lit(1)).as("n_rows"))
     })
   )
 
@@ -2887,7 +2929,16 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |    ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id % 96 + 16 AS BIGINT) END AS decoded_width,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id % 64 + 16 AS BIGINT) END AS decoded_height,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST((doc_id % 96 + 16) * (doc_id % 64 + 16)
+        |      * ((doc_id % 96 + 16) + (doc_id % 64 + 16) - 2) // 2 AS BIGINT)
+        |    END AS pixel_sum
         |FROM documents""".stripMargin,
 
     "q01_agg_sum" ->
@@ -3773,6 +3824,25 @@ object SparkEntry {
         |FROM ex e
         |LEFT JOIN train t ON e.shingle = t.shingle
         |WHERE e.split != 'train'
-        |GROUP BY e.doc_id, e.split""".stripMargin
+        |GROUP BY e.doc_id, e.split""".stripMargin,
+
+    "q148_pg_union_dedup" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust_id,
+        |    strftime(o_orderdate, '%Y-%m') AS order_ym
+        |  FROM orders)
+        |SELECT order_ym, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+        |  (SELECT * FROM o WHERE order_ym BETWEEN '1995-01' AND '1995-06')
+        |  UNION
+        |  (SELECT * FROM o WHERE order_ym BETWEEN '1995-01' AND '1995-12')
+        |) t_ GROUP BY order_ym""".stripMargin,
+
+    "q149_pg_median" ->
+      """SELECT l_returnflag,
+        |  CAST(MEDIAN(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_qty,
+        |  CAST(MEDIAN(CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
+        |    AS median_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in fixed-size batches.
   *
-  * The decode step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, batching, partition-level
-  * processing shape, metadata struct — is the real scale design: decode
-  * happens inside `mapPartitions` so each task amortizes per-batch setup
-  * (model load / codec init) exactly like a Pandas-UDF `mapInPandas` would,
-  * and partitioning is by size so a 100 TB corpus splits into decode tasks
-  * bounded by `maxRecordsPerBatch`.
+  * IMAGE decode is REAL: `decodeImage` runs the JDK's `javax.imageio`
+  * PNG/BMP/GIF codecs (no external deps) inside the partition loop —
+  * per-task `ImageIO.setUseCache(false)` init, then per-row decode of
+  * width/height and an exact raster pixel sum. Audio/video decode stays
+  * STUBBED (`decodeStub` — no A/V codec libraries in this environment):
+  * a deterministic fake feature vector from the bytes. Everything around
+  * both — schema, batching, partition-level processing shape, metadata
+  * struct — is the real scale design: decode happens inside
+  * `mapPartitions` so each task amortizes per-batch setup (codec/model
+  * init) exactly like a Pandas-UDF `mapInPandas` would, and partitioning
+  * is by hash so a 100 TB corpus splits into even decode tasks.
   */
 object Multimodal {
 
@@ -48,7 +51,54 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true),
+    // real-decode columns: populated when javax.imageio recognizes the
+    // payload (image rows), null otherwise (A/V stubs, undecodable bytes)
+    StructField("decoded_width", LongType, nullable = true),
+    StructField("decoded_height", LongType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true)))
+
+  /** Deterministic grayscale PNG: pixel(x, y) = x + y (callers keep
+    * `width + height <= 257` so no value clips at 255 and the raster sum
+    * has the closed form `w*h*(w+h-2)/2` — what the DuckDB oracle
+    * recomputes arithmetically to prove the decode is real).
+    */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width + height <= 257,
+      "dims must keep x+y under the 8-bit clip")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, x + y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK codecs: (width, height, exact pixel sum
+    * over band 0). None when the bytes are not a decodable image — the
+    * honest answer for a corrupt blob, never an exception (one bad blob
+    * must not kill a 100 TB scan).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val r = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode: deterministic fake feature extraction — a dim-`dim` vector
     * of byte-histogram statistics. In production this body is the only thing
@@ -65,10 +115,31 @@ object Multimodal {
     acc
   }
 
+  /** Swap image rows' payloads for real PNG bytes with dimensions derived
+    * from media_id (w = id%96+16, h = id%64+16 — bounded, oracle-
+    * predictable). Encoding runs inside `mapPartitions` — the PNG encoder
+    * is the same per-task-init codec shape as the decode path.
+    */
+  def withImagePayloads(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val rdd = media.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-task codec init
+      it.map { r =>
+        if (r.getAs[String]("media_type") == "image") {
+          val id = r.getAs[Long]("media_id")
+          val png = syntheticPng((id % 96).toInt + 16, (id % 64).toInt + 16)
+          Row.fromSeq(r.toSeq.updated(r.fieldIndex("content"), png))
+        } else r
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Feature-extract over a media table: per-partition batched decode.
     * Decode is CPU-bound, and media blobs often arrive clustered by size
     * (one parquet file per source), so hash-repartition on media_id first —
     * expected bytes per task even out regardless of input file layout.
+    * Image rows decode for REAL (JDK codecs); A/V rows take the stub.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 8): DataFrame = {
@@ -76,12 +147,18 @@ object Multimodal {
       .repartition(col("media_id")).rdd
       .mapPartitions { it =>
         // per-task init happens once here (codec/model load in production)
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
           val nb = if (bytes == null) 0 else bytes.length
           val feat = if (bytes == null) null
                      else decodeStub(bytes, dim).toSeq
-          Row(r.getLong(0), r.getString(1), nb, feat)
+          val decoded = if (bytes == null || r.getString(1) != "image") None
+                        else decodeImage(bytes)
+          Row(r.getLong(0), r.getString(1), nb, feat,
+            decoded.map(d => Long.box(d._1.toLong)).orNull,
+            decoded.map(d => Long.box(d._2.toLong)).orNull,
+            decoded.map(d => Long.box(d._3)).orNull)
         }
       }
     spark.createDataFrame(rdd, featureSchema)

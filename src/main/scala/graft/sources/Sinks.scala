@@ -56,46 +56,161 @@ object Sinks {
 
   /** Persistent MERGE into a parquet table path (the load-path flow the
     * reference drives against BigQuery/Postgres, D4+D6): read current
-    * target, join-MERGE the source batch, write to a fresh generation
-    * directory, then swap a pointer file — readers resolve the pointer, so
-    * the swap is atomic at the pointer-write level (a transactional table
-    * format replaces this dance in production; the MERGE semantics and
-    * shuffle shape are identical).
+    * target, join-MERGE the source batch, write to a staged directory,
+    * then COMMIT under optimistic concurrency — readers resolve a pointer
+    * file, so the swap is atomic at the pointer-write level (a
+    * transactional table format replaces this dance in production; the
+    * MERGE semantics and shuffle shape are identical).
+    *
+    * Concurrent-writer protocol (the reference's load path assumes
+    * serialized MERGE with retry — extensions/bigquery.py:100-123 retries
+    * on BigQuery's concurrent-update abort; extensions/postgres.py:791-815
+    * wraps in a transaction). Here:
+    *
+    *  1. read the pointer → base generation N; compute and WRITE the merged
+    *     result to a private `_txn-<nonce>` staging dir (the expensive
+    *     Spark work, done with NO lock held);
+    *  2. take the metadata lock (`_LOCK`, atomic create-new; stolen if
+    *     older than `staleLockMs` — a crashed committer must not wedge the
+    *     table). The lock guards only directory moves and the pointer
+    *     write — milliseconds, never Spark jobs;
+    *  3. under the lock, re-read the pointer. If it still names N, move
+    *     the staging dir to `gen-N+1` (ATOMIC_MOVE) and swap the pointer;
+    *     if some other writer advanced it, release, discard the staging
+    *     dir, and RETRY the merge from the new base (bounded by
+    *     `maxRetries`) — a lost generation is impossible because a commit
+    *     only lands on the exact base it merged from.
+    *
+    * A writer that dies before step 3 leaves an unreferenced `_txn-*` dir;
+    * `cleanStagedUpserts` removes them by age (not automatically — a live
+    * writer's staging dir is indistinguishable from a dead one's except by
+    * age, and merges can legitimately run long).
+    *
+    * Readers keep the same grace contract as before: a reader that
+    * resolved the pointer must finish within `keepGenerations - 1` further
+    * upserts, or its generation may be vacuumed under it (a merge that
+    * loses its base's files to vacuum fails and retries from the new
+    * pointer — consistent, just slower).
     */
   def upsertParquet(spark: SparkSession, tablePath: String, source: DataFrame,
                     keys: Seq[String],
                     strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
-                    keepGenerations: Int = 3): Unit = {
+                    keepGenerations: Int = 3, maxRetries: Int = 5,
+                    staleLockMs: Long = 60000L): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
+    require(maxRetries >= 1, "maxRetries must allow at least one attempt")
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")
-    val current = if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
-    val merged = current match {
-      case Some(gen) =>
-        val target = spark.read.parquet(root.resolve(gen).toString)
-        graft.operators.MergeOps.upsert(target, source, keys, strategies)
-      case None => source.dropDuplicates(keys)
+    def readPointer(): Option[String] =
+      if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val base = readPointer()
+      val merged = base match {
+        case Some(gen) =>
+          val target = spark.read.parquet(root.resolve(gen).toString)
+          graft.operators.MergeOps.upsert(target, source, keys, strategies)
+        case None => source.dropDuplicates(keys)
+      }
+      val nextNum = base.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+      val stage = root.resolve(
+        s"_txn-${System.nanoTime()}-${java.util.UUID.randomUUID().toString.take(8)}")
+      merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      withMetadataLock(root, staleLockMs) {
+        if (readPointer() == base) {
+          val genDir = root.resolve(s"gen-$nextNum")
+          // an existing gen-N+1 while the pointer still names N is an
+          // orphan from a committer that died between its move and its
+          // pointer swap — unreferenced, safe to replace under the lock
+          if (Files.exists(genDir)) deleteRecursively(genDir)
+          Files.move(stage, genDir, StandardCopyOption.ATOMIC_MOVE)
+          val tmp = root.resolve("_CURRENT.tmp")
+          Files.writeString(tmp, s"gen-$nextNum")
+          Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          vacuumGenerations(root, nextNum, keepGenerations)
+          committed = true
+        }
+      }
+      if (!committed) {
+        deleteRecursively(stage)
+        if (attempt >= maxRetries)
+          throw new java.util.ConcurrentModificationException(
+            s"upsertParquet($tablePath): lost the commit race $maxRetries " +
+              "times; raise maxRetries or serialize the writers")
+      }
     }
-    val nextNum = current.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
-    val nextGen = s"gen-$nextNum"
-    merged.write.mode(SaveMode.Overwrite).parquet(root.resolve(nextGen).toString)
-    val tmp = root.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, nextGen)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // bounded retention: generations older than the newest `keepGenerations`
-    // are vacuumed after the pointer swap. A reader that resolved the
-    // pointer BEFORE the swap must finish within keepGenerations-1 further
-    // upserts — the same grace-period contract a transactional format's
-    // VACUUM retention gives. Note: each generation is still a full table
-    // rewrite — this form is for small/dimension tables; fact tables use
-    // [[upsertParquetPartitioned]], which rewrites only the partitions
-    // present in the batch.
-    vacuumGenerations(root, nextNum, keepGenerations)
+  }
+
+  /** Metadata mutex for [[upsertParquet]] commits: `_LOCK` held only
+    * around pointer reads/moves (ms-scale). Atomic create-new acquires; a
+    * lock older than `staleLockMs` is presumed crashed and stolen (the
+    * steal itself races benignly: both stealers delete, one create-new
+    * wins, the other keeps polling).
+    */
+  private def withMetadataLock[A](root: java.nio.file.Path,
+                                  staleLockMs: Long)(body: => A): A = {
+    import java.nio.file.Files
+    val lock = root.resolve("_LOCK")
+    val deadline = System.currentTimeMillis() + math.max(staleLockMs * 2, 10000L)
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        val age = try System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => 0L } // vanished: retry now
+        if (age > staleLockMs) {
+          try Files.deleteIfExists(lock)
+          catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(s"could not acquire $lock " +
+            s"(held and not stale after the ${staleLockMs}ms stale window)")
+        else Thread.sleep(25L)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Maintenance sweep for [[upsertParquet]]: remove `_txn-*` staging dirs
+    * whose last modification is older than `olderThanMs` — the leftovers
+    * of writers that died before their commit. Age-gated because a live
+    * writer's staging dir looks identical while its merge is still
+    * writing.
+    */
+  def cleanStagedUpserts(tablePath: String,
+                         olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = {
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_txn-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+      finally ls.close()
+    }
+    stale.foreach(deleteRecursively)
+    stale.size
   }
 
   private def vacuumGenerations(root: java.nio.file.Path, newestNum: Long,

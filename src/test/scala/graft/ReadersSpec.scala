@@ -157,6 +157,53 @@ class ReadersSpec extends SparkSpec {
     }
   }
 
+  test("sheets writer: py2worksheet coercion — date/timestamp serials, " +
+      "header order, includeHeader") {
+    val df = Seq(
+      (1L, "a", java.sql.Date.valueOf("1899-12-31"),
+        java.sql.Timestamp.valueOf("2020-01-02 06:00:00"), true),
+      (2L, "b", java.sql.Date.valueOf("2020-01-01"),
+        null.asInstanceOf[java.sql.Timestamp], false))
+      .toDF("id", "name", "d", "ts", "flag")
+    val values = graft.sources.Sheets.toWorksheetValues(df,
+      expectedHeaders = Seq("d", "ts", "id", "flag", "ghost"),
+      includeHeader = true)
+    // absent "ghost" skipped (py2worksheet's `if column in row`)
+    assert(values.head == Seq("d", "ts", "id", "flag"))
+    val byId = values.tail.sortBy(_(2).asInstanceOf[Long])
+    assert(byId(0)(0) == 1L, "1899-12-31 is serial day 1")
+    // 2020-01-02 = serial 43832; 06:00 = +0.25
+    assert(byId(0)(1) == 43832.25)
+    assert(byId(0)(3) == true)
+    assert(byId(1)(0) == 43831L && byId(1)(1) == null)
+  }
+
+  test("sheets writer: matchTableHeader reorders and rejects extras") {
+    val table = Seq(Seq[Any]("b", "a"), Seq[Any](2L, 1L))
+    val matched = graft.sources.Sheets.matchTableHeader(table, Seq("a", "b"))
+    // faithful _match_table_header: each table column re-indexed through
+    // the sheet header's position for that column name
+    assert(matched == Seq(Seq("a", "b"), Seq(1L, 2L)))
+    assert(graft.sources.Sheets.matchTableHeader(table, Seq("b", "a"))
+      == table, "identity when orders agree")
+    intercept[IllegalArgumentException] {
+      graft.sources.Sheets.matchTableHeader(table, Seq("a"))
+    }
+  }
+
+  test("sheets writer round-trips through the sheetValues reader") {
+    val df = Seq((1L, "al\"pha", 10.5), (2L, "beta\nline", 20.0))
+      .toDF("id", "name", "amount")
+    val payload = graft.sources.Sheets.valuesPayload(
+      graft.sources.Sheets.toWorksheetValues(df, includeHeader = true))
+    val back = Readers.sheetValues(spark, payload)
+    assert(back.columns.toSeq == Seq("id", "name", "amount"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(0) == "1" && rows(0).getString(1) == "al\"pha")
+    assert(rows(1).getString(1) == "beta\nline" &&
+      rows(1).getString(2) == "20.0")
+  }
+
   test("ctas registers catalog table and temp view") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Sinks.ctas(df, "graft_ctas_tbl")

@@ -138,6 +138,69 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Sinks.readUpsertPartitionedTable(spark, dir).count() == 4)
   }
 
+  test("upsertParquet: concurrent writers lose no generation") {
+    val dir = Files.createTempDirectory("graft_race").toString
+    // 4 writers race from the same (empty) base; every commit must land on
+    // the exact base it merged from, so all 4 keys survive regardless of
+    // the schedule — the losers re-merge from the winner's generation
+    val threads = (1 to 4).map { i =>
+      new Thread(() => Sinks.upsertParquet(spark, dir,
+        Seq((i.toLong, s"w$i")).toDF("k", "name"), Seq("k"),
+        maxRetries = 20))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val out = Sinks.readUpsertTable(spark, dir).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      "a lost update would drop a writer's key")
+    import java.nio.file.{Files => NF, Paths}
+    assert(NF.readString(Paths.get(dir, "_CURRENT")).trim == "gen-3",
+      "4 serialized commits: gen-0..gen-3")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_txn-")), "losers clean their staging")
+    assert(!NF.exists(Paths.get(dir, "_LOCK")), "lock released")
+  }
+
+  test("upsertParquet adopts over an orphan generation from a dead committer") {
+    import java.nio.file.{Files => NF, Paths}
+    val dir = NF.createTempDirectory("graft_orphan").toString
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a")).toDF("k", "name"), Seq("k"))
+    // a committer died between its gen-1 move and its pointer swap: gen-1
+    // exists but _CURRENT still names gen-0 → unreferenced, replaceable
+    NF.createDirectories(Paths.get(dir, "gen-1"))
+    NF.writeString(Paths.get(dir, "gen-1", "part-junk"), "junk")
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "b")).toDF("k", "name"), Seq("k"))
+    assert(NF.readString(Paths.get(dir, "_CURRENT")).trim == "gen-1")
+    assert(Sinks.readUpsertTable(spark, dir).count() == 2)
+  }
+
+  test("upsertParquet steals a stale lock; cleanStagedUpserts is age-gated") {
+    import java.nio.file.{Files => NF, Paths}
+    val dir = NF.createTempDirectory("graft_stale").toString
+    NF.createDirectories(Paths.get(dir))
+    // a crashed committer's lock, backdated beyond the stale window
+    val lock = Paths.get(dir, "_LOCK")
+    NF.writeString(lock, "")
+    NF.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 600000))
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a")).toDF("k", "name"), Seq("k"), staleLockMs = 1000)
+    assert(Sinks.readUpsertTable(spark, dir).count() == 1,
+      "stale lock stolen, upsert committed")
+    // staged leftovers: only old ones are swept
+    val fresh = Paths.get(dir, "_txn-fresh")
+    val dead = Paths.get(dir, "_txn-dead")
+    NF.createDirectories(fresh); NF.createDirectories(dead)
+    NF.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 600000))
+    assert(Sinks.cleanStagedUpserts(dir, olderThanMs = 60000) == 1)
+    assert(NF.exists(fresh) && !NF.exists(dead))
+  }
+
   test("upsertParquet vacuums generations beyond the retention window") {
     val dir = Files.createTempDirectory("graft_vac").toString
     (0 to 4).foreach { i =>

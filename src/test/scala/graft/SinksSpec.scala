@@ -144,5 +144,29 @@ class SinksSpec extends SparkSpec {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "decode must be deterministic")
     assert(r1.forall(_.getAs[Seq[Float]]("feature").length == 8))
     assert(r1.forall(r => r.getAs[Int]("n_bytes") > 0))
+    // text payloads are not decodable images → decode columns stay null
+    assert(r1.forall(_.isNullAt(r1.head.fieldIndex("decoded_width"))))
+  }
+
+  test("multimodal: real PNG decode via javax.imageio round-trips exactly") {
+    // unit round trip: encode a known gradient, decode, check the closed form
+    val png = Multimodal.syntheticPng(20, 10)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "real PNG magic")
+    assert(Multimodal.decodeImage(png).contains((20, 10, 20L * 10 * 28 / 2)))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // distributed: image rows get real payloads and decode to the formula
+    val media = Multimodal.withImagePayloads(
+      Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(30)))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .filter($"media_type" === "image").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h) = (id % 96 + 16, id % 64 + 16)
+      assert(r.getAs[Long]("decoded_width") == w)
+      assert(r.getAs[Long]("decoded_height") == h)
+      assert(r.getAs[Long]("pixel_sum") == w * h * (w + h - 2) / 2)
+    }
   }
 }
