@@ -52,7 +52,14 @@ object Bench {
     Seq("q47_date_predicate", "q04_distinct").foreach(materialize)
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q128,q27 times just those queries
+    // (exact name or qNN id prefix, same matching as Verify's selector);
+    // the driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+      only.forall(_.exists(p => n == p || n.startsWith(p + "_"))))
+    val results = names.map { name =>
       val times = (1 to reps).map(_ => materialize(name)).filter(_ >= 0)
       spark.catalog.clearCache()
       System.gc() // untimed: drain deferred cleanup before the next query

@@ -48,30 +48,38 @@ object SbnSales {
         val endD = lit(ctx.params("ds_end_date")).cast("date")
 
         // delivery tiers (the sabangnet variant carries a per-tier fee the
-        // coupang model ignores)
-        val dlvRaw = graft.functions.F.inlineDim(s,
-          Seq("delivery_group", "min_unit_raw", "tier_fee", "coolant_cost",
-            "label_cost", "wrap_cost", "box_cost"),
-          Seq(
-            Seq("G0", 10, 3000, 300, 200, 50, 400),
-            Seq("G0", null, 2500, 500, null, 100, 300),
-            Seq("G0", 50, 3500, 700, 100, null, null),
-            Seq("G1", 20, 4000, 300, 300, null, null),
-            Seq("G1", null, 2000, null, null, null, 1000),
-            Seq("G2", 5, 5000, null, null, 250, 250)))
-        val wg = Window.partitionBy(col("delivery_group"))
-        val dlv = dlvRaw.select(col("delivery_group"),
-          coalesce(col("min_unit_raw"), lit(1)).as("min_unit"),
-          when(max(col("min_unit_raw")).over(wg) === col("min_unit_raw"),
-            lit(9999))
-            .otherwise(lead(col("min_unit_raw"), 1).over(
-              wg.orderBy(col("min_unit_raw").asc_nulls_first)))
-            .as("max_unit"),
-          coalesce(col("tier_fee"), lit(0)).as("tier_delivery_fee"),
-          (coalesce(col("coolant_cost"), lit(0))
-            + coalesce(col("label_cost"), lit(0))
-            + coalesce(col("wrap_cost"), lit(0))
-            + coalesce(col("box_cost"), lit(0))).as("extra_cost"))
+        // coupang model ignores). The tier rule is a literal macro in the
+        // reference (macros/mapping/sabangnet.sql:35-55), so the band
+        // table is derived HERE in plain Scala — [min_unit, max_unit]
+        // bands per group, the largest raw min taking the 9999 sentinel,
+        // the others ending at the next tier's raw min (inclusive on both
+        // ends, exactly like the reference's lead() construction — a
+        // boundary quantity legitimately matches two tiers and the
+        // max-abs resolution below sees both candidates). Deriving bands
+        // in Scala lets the tier LOOKUP compile to a scalar expression
+        // ladder instead of a join, which matters because the lookup now
+        // runs at fact-row grain: a join would duplicate fact rows on
+        // boundary quantities; an expression cannot. (A genuinely
+        // table-sized tier dim would use the J5 banded broadcast join at
+        // the (order, invoice, group) aggregate grain instead.)
+        val dlvLit: Seq[(String, Option[Int], Int, Int)] = Seq(
+          ("G0", Some(10), 3000, 300 + 200 + 50 + 400),
+          ("G0", None, 2500, 500 + 0 + 100 + 300),
+          ("G0", Some(50), 3500, 700 + 100 + 0 + 0),
+          ("G1", Some(20), 4000, 300 + 300 + 0 + 0),
+          ("G1", None, 2000, 0 + 0 + 0 + 1000),
+          ("G2", Some(5), 5000, 0 + 0 + 250 + 250))
+        val tierBands: Seq[(String, Int, Int, Int, Int)] =
+          dlvLit.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+            val sorted = rows.sortBy(_._2.getOrElse(Int.MinValue))
+            val maxRaw = rows.flatMap(_._2).max
+            sorted.zipWithIndex.map { case ((_, raw, fee, extra), i) =>
+              val lo = raw.getOrElse(1)
+              val hi = if (raw.contains(maxRaw)) 9999
+                       else sorted(i + 1)._2.get
+              (g, lo, hi, fee, extra)
+            }
+          }
 
         // ecount price sheet keyed by OPTION id (earliest expiration wins)
         val eco = graft.functions.F.qualifyTopN(
@@ -166,28 +174,48 @@ object SbnSales {
               (pmod(col("l_partkey") * 3 + col("l_linenumber"), lit(13)) + 1)
                 .cast("int")).as("__inv_status_raw"),
             col("order_date"))
-        val invoice = ordRaw.groupBy(col("order_seq"))
-          .agg(first(col("invoice_no_raw")).as("invoice_no"),
-            max(col("__inv_status_raw")).as("status_sbn_raw"))
         val statusCor = OrderCounts.coreStatus(s, sfDir)
           .filter(col("order_date").between(startD, endD) &&
             col("shop_name") =!= "스마트스토어")
           .groupBy(col("order_id"))
           .agg(max(col("order_status")).as("status_cor"))
 
-        val detail = ordRaw
+        // THE fact exchange: one hash repartition on order_id carries the
+        // whole mart — every window below partitions on a superset of
+        // {order_id} (the (order, seq) invoice roll-up, the (account,
+        // order) payment/allocation stages, the (order, invoice) fee
+        // stages), every dim join broadcasts, and the (order, invoice)
+        // aggregate and self-join cluster on a superset too — so steps
+        // 1-9 plan as sort-only stages over this single shuffle plus the
+        // final daily re-aggregation.
+        //
+        // The reference's invoice CTE (groupBy order_seq + join back) is
+        // a window here: invoice_no_raw is constant per order_seq group
+        // (both derive from l_orderkey), so MAX-over-window ≡ the
+        // groupBy's FIRST, without the extra shuffle + self-join.
+        val wSeq = Window.partitionBy(col("order_id"), col("order_seq"))
+        val detail = ordRaw.repartition(col("order_id"))
+          .withColumn("invoice_no",
+            coalesce(max(col("invoice_no_raw")).over(wSeq), lit("-")))
+          .withColumn("status_sbn_raw",
+            max(col("__inv_status_raw")).over(wSeq))
           .join(broadcast(acc), Seq("account_no"), "left")
           .filter(!col("shop_id").isin("shop0055", "chop0022", "chop0027",
             "chop0028", "chop0029"))
-          .join(opt, Seq("option_id"), "left")
-          .join(invoice.select(col("order_seq"),
-            coalesce(col("invoice_no"), lit("-")).as("invoice_no"),
-            col("status_sbn_raw")), Seq("order_seq"), "left")
+          .join(broadcast(opt), Seq("option_id"), "left")
           .join(statusCor, Seq("order_id"), "left")
 
         // step 2: the rule ladders (shop / bundle / status / sku /
-        // payment / net-rate), then supply = ROUND(pay × net) in DECIMAL
-        val wAO = Window.partitionBy(col("account_no"), col("order_id"))
+        // payment / net-rate), then supply = ROUND(pay × net) in DECIMAL.
+        // The whole-order payment sum is phrased over the row_number's
+        // ordered spec with a full rows frame so both share one WindowExec
+        // and one sort (same trick as Allocation.weightedAllocate).
+        val wAOOrd = Window.partitionBy(col("account_no"), col("order_id"))
+          .orderBy(col("order_seq"), col("option_id"),
+            col("product_id_shop"), col("sku_quantity_raw"),
+            col("payment_amount"))
+        val wAO = wAOOrd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
         val ruled = detail.select(
             col("order_seq"), col("order_id"), col("invoice_no"),
             col("account_no"),
@@ -218,9 +246,7 @@ object SbnSales {
             when(col("shop_id") === "shop0666" &&
                 sum(col("payment_amount")).over(wAO) < 19800,
               sum(col("payment_amount")).over(wAO) + 3000)
-              .when(row_number().over(wAO.orderBy(col("order_seq"),
-                  col("option_id"), col("product_id_shop"),
-                  col("sku_quantity_raw"), col("payment_amount"))) === 1,
+              .when(row_number().over(wAOOrd) === 1,
                 coalesce(sum(col("payment_amount")).over(wAO), lit(0L)))
               .otherwise(lit(0L)).as("payment_amount"),
             when(col("shop_id") === "shop0200" &&
@@ -238,46 +264,64 @@ object SbnSales {
           .filter(col("shop_id") =!= "chop9022")
 
         // step 3: explode bundles (IS NOT NULL — see header) with the
-        // second payment/supply concentration over the exploded grain
-        val nonBundle = ruled.filter(col("bundle_option_ids").isNull)
-          .select(col("order_seq"), col("order_id"), col("invoice_no"),
-            col("account_no"), col("shop_id"), col("product_id"),
-            col("option_id"), col("order_status"), col("sku_quantity"),
-            col("payment_amount"), col("supply_amount"), col("order_date"))
-        val wAO2 = Window.partitionBy(col("account_no"), col("order_id"))
-        val exploded0 = ruled.filter(col("bundle_option_ids").isNotNull)
-          .select(col("order_seq"), col("order_id"), col("invoice_no"),
-            col("account_no"), col("shop_id"), col("order_status"),
-            col("order_quantity"), col("payment_amount"),
-            col("supply_amount"), col("order_date"),
-            explode(split(col("bundle_option_ids"), ",")).as("bundle_option"))
+        // second payment/supply concentration over the exploded grain.
+        // ONE Generate covers both arms — non-bundle rows explode a
+        // 1-element null array and pass through — because a union of the
+        // two filtered branches would both re-plan the ruled subtree per
+        // branch AND destroy the order_id partitioning (UnionExec
+        // concatenates child partitions), forcing a re-shuffle. The
+        // bundle-only window semantics survive as conditional aggregates:
+        // MAX(payment) over bundle rows only, and the bundle-subset
+        // ROW_NUMBER as a running count of bundle rows in the same order.
+        val exploded0 = ruled.select(
+          col("order_seq"), col("order_id"), col("invoice_no"),
+          col("account_no"), col("shop_id"), col("product_id"),
+          col("option_id"), col("order_status"), col("order_quantity"),
+          col("sku_quantity"), col("payment_amount"), col("supply_amount"),
+          col("order_date"),
+          explode(when(col("bundle_option_ids").isNull, array(nullStr))
+            .otherwise(split(col("bundle_option_ids"), ",")))
+            .as("bundle_option"))
+        val isB = col("bundle_option").isNotNull
         // (l_orderkey, l_linenumber) duplicates make order_seq non-unique;
-        // the remaining columns order ties by row content
-        val rnW = wAO2.orderBy(col("order_seq"), col("bundle_option"),
-          col("order_quantity"), col("payment_amount"), col("supply_amount"))
+        // the remaining columns order ties by row content (tied rows are
+        // fully identical, so which one takes rnB=1 is value-irrelevant)
+        val rnW = Window.partitionBy(col("account_no"), col("order_id"))
+          .orderBy(col("order_seq"), col("bundle_option"),
+            col("order_quantity"), col("payment_amount"),
+            col("supply_amount"))
+        val rnB = sum(when(isB, 1)).over(
+          rnW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        // full-frame twin of rnW: the bundle max shares rnB's sort
+        val wAO2 = rnW.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
         val exploded = exploded0.select(
           col("order_seq"), col("order_id"), col("invoice_no"),
           col("account_no"), col("shop_id"),
-          split(col("bundle_option"), "-").getItem(0).as("product_id"),
-          split(col("bundle_option"), ":").getItem(0).as("option_id"),
+          when(isB, split(col("bundle_option"), "-").getItem(0))
+            .otherwise(col("product_id")).as("product_id"),
+          when(isB, split(col("bundle_option"), ":").getItem(0))
+            .otherwise(col("option_id")).as("option_id"),
           col("order_status"),
-          (coalesce(expr("try_cast(get(split(bundle_option, ':'), 1) " +
-            "AS BIGINT)"), lit(1L)) * col("order_quantity"))
-            .as("sku_quantity"),
-          when(row_number().over(rnW) === 1,
-            max(col("payment_amount")).over(wAO2)).otherwise(lit(0L))
-            .as("payment_amount"),
-          when(row_number().over(rnW) === 1,
-            max(col("supply_amount")).over(wAO2)).otherwise(lit(0L))
-            .as("supply_amount"),
+          when(isB, coalesce(expr("try_cast(get(split(bundle_option, ':')" +
+            ", 1) AS BIGINT)"), lit(1L)) * col("order_quantity"))
+            .otherwise(col("sku_quantity")).as("sku_quantity"),
+          when(!isB, col("payment_amount"))
+            .when(rnB === 1, max(when(isB, col("payment_amount"))).over(wAO2))
+            .otherwise(lit(0L)).as("payment_amount"),
+          when(!isB, col("supply_amount"))
+            .when(rnB === 1, max(when(isB, col("supply_amount"))).over(wAO2))
+            .otherwise(lit(0L)).as("supply_amount"),
           col("order_date"))
 
-        // step 4: cost attach (option-keyed sheet → item default → 0)
-        val wAO3 = Window.partitionBy(col("account_no"), col("order_id"))
-        val costed = nonBundle.unionByName(exploded)
-          .join(eco.withColumnRenamed("org_price", "eco_org"),
+        // step 4: cost attach (option-keyed sheet → item default → 0).
+        // Both price dims are option/product-grain (bounded by the id
+        // spaces, ~thousands of rows at any SF) — broadcast, preserving
+        // the fact's order_id partitioning from the detail exchange.
+        val costed = exploded
+          .join(broadcast(eco.withColumnRenamed("org_price", "eco_org")),
             Seq("option_id"), "left")
-          .join(itm, Seq("product_id"), "left")
+          .join(broadcast(itm), Seq("product_id"), "left")
           .select(col("order_id"), col("invoice_no"), col("account_no"),
             col("shop_id"), col("product_id"), col("option_id"),
             col("order_status"),
@@ -289,32 +333,32 @@ object SbnSales {
               .as("item_delivery_fee"),
             col("order_date"))
           .withColumn("cost_amount", col("org_price") * col("sku_quantity"))
-          .withColumn("bundle_product_count", count(lit(1)).over(wAO3))
 
-        // step 5: payment + supply split by cost weight over the order
+        // step 5: payment + supply split by cost weight over the order.
+        // ONE allocation pass over every row — a 1-row (account, order)
+        // group's weighted share of its own group total is exactly the
+        // row's original amount (zero-weight included: the first row
+        // absorbs the full total), so the reference's single/multi branch
+        // split is a no-op here and the plan needn't union two copies of
+        // the upstream.
         val part5 = Seq(col("account_no"), col("order_id"))
         val ord5 = Seq(col("product_id"), col("option_id"),
           col("sku_quantity"), col("order_status"), col("invoice_no"))
-        val multi5 = Seq("payment_amount", "supply_amount")
-          .foldLeft(costed.filter(col("bundle_product_count") > 1)
+        // group totals over the allocation's own ordered spec (full rows
+        // frame) so they fuse into the allocator's sort
+        val wAO3 = Window.partitionBy(part5: _*).orderBy(ord5: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val allocated5 = graft.operators.Allocation.weightedAllocateMulti(
+          costed
             .withColumn("__tp", sum(col("payment_amount")).over(wAO3))
-            .withColumn("__ts", sum(col("supply_amount")).over(wAO3))) {
-            (df, m) =>
-              val total = if (m == "payment_amount") col("__tp")
-                else col("__ts")
-              graft.operators.Allocation.weightedAllocate(df, part5, ord5,
-                total, col("cost_amount"), s"__${m}_split", scale = 0)
-          }
+            .withColumn("__ts", sum(col("supply_amount")).over(wAO3)),
+          part5, ord5, col("cost_amount"),
+          Seq(col("__tp") -> "__payment_amount_split",
+            col("__ts") -> "__supply_amount_split"), scale = 0)
           .select(col("order_id"), col("invoice_no"), col("shop_id"),
             col("product_id"), col("order_status"), col("sku_quantity"),
             col("__payment_amount_split").cast("long").as("payment_amount"),
             col("__supply_amount_split").cast("long").as("supply_amount"),
-            col("org_price"), col("delivery_group"),
-            col("item_delivery_fee"), col("order_date"), col("cost_amount"))
-        val single5 = costed.filter(col("bundle_product_count") === 1)
-          .select(col("order_id"), col("invoice_no"), col("shop_id"),
-            col("product_id"), col("order_status"), col("sku_quantity"),
-            col("payment_amount"), col("supply_amount"),
             col("org_price"), col("delivery_group"),
             col("item_delivery_fee"), col("order_date"), col("cost_amount"))
 
@@ -327,7 +371,7 @@ object SbnSales {
           date_sub(startD, 7), date_add(endD, 7))
           .select(col("order_id"), col("delivery_fee").as("cj_ord_fee"),
             col("box_cost").as("cj_ord_box"))
-        val withCj = single5.unionByName(multi5)
+        val withCj = allocated5
           .join(cjInv, Seq("invoice_no"), "left")
           .join(cjOrd, Seq("order_id"), "left")
           .join(broadcast(unitDim), Seq("product_id"), "left")
@@ -344,39 +388,51 @@ object SbnSales {
               .as("box_cost"),
             col("order_date"), col("cost_amount"))
 
-        // step 7: resolve the order-level fee — per delivery group, the
+        // steps 7-8: resolve the order-level fee — per delivery group, the
         // banded tier rule prices missing fees, box beats extra when paid,
-        // the largest ABSOLUTE fee wins per (order, invoice)
-        val grpAgg = withCj
-          .groupBy(col("order_id"), col("invoice_no"), col("delivery_group"))
-          .agg(max(col("delivery_fee")).as("delivery_fee"),
-            sum(col("box_cost")).as("box_cost"),
-            coalesce(sum(col("delivery_quantity")), lit(0L))
-              .as("delivery_quantity"))
-        val resolved = grpAgg.join(broadcast(dlv),
-            grpAgg("delivery_group") === dlv("delivery_group") &&
-              grpAgg("delivery_quantity")
-                .between(dlv("min_unit"), dlv("max_unit")), "left")
-          .select(col("order_id"), col("invoice_no"),
-            when(dlv("delivery_group").isNull, grpAgg("delivery_fee"))
-              .when(grpAgg("delivery_fee") > 0,
-                grpAgg("delivery_fee") + when(col("box_cost") > 0,
-                  col("box_cost")).otherwise(col("extra_cost")))
-              .otherwise(col("tier_delivery_fee") + col("extra_cost"))
-              .as("delivery_fee"))
-        val maxFee = graft.functions.F.qualifyTopN(resolved,
-          Seq(col("order_id"), col("invoice_no")),
-          Seq(abs(col("delivery_fee")).desc, col("delivery_fee").desc))
-          .select(col("order_id"), col("invoice_no"),
-            col("delivery_fee").as("order_delivery_fee"))
-
-        // steps 8-9: attach + split the resolved fee over (order, invoice)
+        // the largest ABSOLUTE fee wins per (order, invoice). The
+        // reference aggregates to (order, invoice, group) grain and joins
+        // back; here the group aggregates are WINDOWS at row grain, the
+        // 6-row tier dim joins broadcast against the fact directly, and
+        // the winning fee is a FIRST_VALUE over the (order, invoice)
+        // window — no self-join, no second consumer of the fact, so the
+        // whole mart stays one linear pipeline over the detail exchange.
+        val wOIG = Window.partitionBy(col("order_id"), col("invoice_no"),
+          col("delivery_group"))
         val wOI = Window.partitionBy(col("order_id"), col("invoice_no"))
-        val attached = withCj
-          .join(maxFee, Seq("order_id", "invoice_no"), "left")
-          .withColumn("bundle_invoice_count", count(lit(1)).over(wOI))
-        val multi9b = graft.operators.Allocation.weightedAllocate(
-          attached.filter(col("bundle_invoice_count") > 1),
+        val grp = withCj
+          .withColumn("__g_fee", max(col("delivery_fee")).over(wOIG))
+          .withColumn("__g_box", sum(col("box_cost")).over(wOIG))
+          .withColumn("__g_qty",
+            coalesce(sum(col("delivery_quantity")).over(wOIG), lit(0L)))
+        // per matching tier, the candidate fee as an (|fee|, fee) struct;
+        // greatest() over the candidates is the lexicographic max — i.e.
+        // the reference's QUALIFY ORDER BY abs(fee) DESC, fee DESC — and
+        // null (no tier matched / group not in the rule) falls back to the
+        // group's own max fee, the reference's left-join-miss arm
+        val tierCands = tierBands.map { case (g, lo, hi, fee, extra) =>
+          val c = when(col("__g_fee") > 0,
+            col("__g_fee") + when(col("__g_box") > 0, col("__g_box"))
+              .otherwise(lit(extra.toLong)))
+            .otherwise(lit(fee.toLong + extra.toLong))
+          when(col("delivery_group") === lit(g) &&
+            col("__g_qty").between(lit(lo), lit(hi)),
+            struct(abs(c).as("a"), c.as("f")))
+        }
+        val bestTier = greatest(tierCands: _*)
+        val resolved = grp.withColumn("__resolved_fee",
+          when(bestTier.isNull, col("__g_fee"))
+            .otherwise(bestTier.getField("f")))
+        val attached = resolved.withColumn("order_delivery_fee",
+          first_value(col("__resolved_fee")).over(wOI.orderBy(
+            abs(col("__resolved_fee")).desc, col("__resolved_fee").desc)))
+
+        // step 9: split the resolved fee over (order, invoice). Same
+        // branch collapse as step 5: a 1-row (order, invoice) group
+        // allocates its full fee to itself, so one pass covers both the
+        // reference's single and multi arms.
+        val allocated9 = graft.operators.Allocation.weightedAllocate(
+          attached,
           Seq(col("order_id"), col("invoice_no")),
           Seq(col("product_id"), col("sku_quantity"), col("payment_amount"),
             col("supply_amount"), col("order_status")),
@@ -387,14 +443,9 @@ object SbnSales {
             col("supply_amount"), col("supply_cost"),
             col("__dlv_split").cast("long").as("delivery_fee"),
             col("order_date"))
-        val single9 = attached.filter(col("bundle_invoice_count") === 1)
-          .select(col("order_id"), col("shop_id"), col("product_id"),
-            col("order_status"), col("sku_quantity"), col("payment_amount"),
-            col("supply_amount"), col("supply_cost"),
-            col("order_delivery_fee").as("delivery_fee"), col("order_date"))
 
         // step 10: daily aggregate
-        single9.unionByName(multi9b)
+        allocated9
           .groupBy(col("order_date"), col("product_id"), col("shop_id"),
             col("order_status"))
           .agg(sum(col("sku_quantity")).as("sku_quantity"),

@@ -35,8 +35,13 @@ object Allocation {
   def weightedAllocate(df: DataFrame, partition: Seq[Column], order: Seq[Column],
                        total: Column, weight: Column,
                        out: String, scale: Int = 2): DataFrame = {
-    val w = Window.partitionBy(partition: _*)
-    val wOrd = w.orderBy(order: _*)
+    val wOrd = Window.partitionBy(partition: _*).orderBy(order: _*)
+    // whole-partition aggregates phrased over the ORDERED spec with an
+    // explicit full rows frame: same values, but every window function in
+    // the operator shares one (partitionBy, orderBy) and so one WindowExec
+    // and one sort, instead of alternating ordered/unordered specs
+    val w = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val p = 38
     val weightSum = sum(weight).over(w)
     // Round via DECIMAL(38,10): rounding the raw double directly is
@@ -60,6 +65,43 @@ object Allocation {
           (total.cast(s"decimal($p,$scale)") - rawSum + col("__raw")).cast(s"decimal($p,$scale)"))
         .otherwise(col("__raw")))
       .drop("__raw", "__rn")
+  }
+
+  /** [[weightedAllocate]] for several (total, out) measures sharing one
+    * group and one weight: all per-measure window sums land in a single
+    * WindowExec (identical unordered spec), the row_number is computed
+    * once, and the remainder repair applies per measure. Semantically
+    * identical to folding weightedAllocate per measure; physically it
+    * halves the window stages — the difference between 4 and 2 sorts on a
+    * mart that allocates payment and supply over the same order grain.
+    */
+  def weightedAllocateMulti(df: DataFrame, partition: Seq[Column],
+                            order: Seq[Column], weight: Column,
+                            measures: Seq[(Column, String)],
+                            scale: Int = 2): DataFrame = {
+    val wOrd = Window.partitionBy(partition: _*).orderBy(order: _*)
+    val w = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing) // see weightedAllocate: one shared sort
+    val p = 38
+    val weightSum = sum(weight).over(w)
+    val withRaw = measures.zipWithIndex.foldLeft(
+      df.withColumn("__rn", row_number().over(wOrd))) {
+      case (acc, ((total, _), i)) =>
+        acc.withColumn(s"__raw$i", coalesce(
+          round((total * weight / nullif(weightSum, lit(0)))
+            .cast(s"decimal($p,10)"), scale).cast(s"decimal($p,$scale)"),
+          lit(0).cast(s"decimal($p,$scale)")))
+    }
+    val repaired = measures.zipWithIndex.foldLeft(withRaw) {
+      case (acc, ((total, out), i)) =>
+        acc.withColumn(out,
+          when(col("__rn") === 1,
+            (total.cast(s"decimal($p,$scale)")
+              - sum(col(s"__raw$i")).over(w) + col(s"__raw$i"))
+              .cast(s"decimal($p,$scale)"))
+          .otherwise(col(s"__raw$i")))
+    }
+    repaired.drop("__rn" +: measures.indices.map(i => s"__raw$i"): _*)
   }
 
   /** Equal integer split of `amount` over `n` slots for a row exploded with
