@@ -138,6 +138,47 @@ object Streams {
         graft.sources.Sinks.upsertParquet(batch.sparkSession, tablePath,
           batch, keys, strategies)
 
+  /** End-to-end change-feed pipeline (the streaming form of the
+    * reference's order-status cursor loop, extract.py:170-271 +
+    * models.sql's ON CONFLICT coalescing upsert): each micro-batch is
+    * first reduced to its LATEST change per key (`tsCol` desc with the
+    * remaining columns as tie-break — a cursor feed can carry several
+    * changes for one order in one poll), then MERGEd into the persistent
+    * keyed table. Feed batches arriving in cursor order make the table
+    * converge to exactly the batch replay ([[changeFeedReplay]]); a
+    * retried micro-batch re-merges idempotently.
+    *
+    * Scale: the per-batch reduction is one window over the batch (batch-
+    * sized state only); the table MERGE shuffles on the keys. State held
+    * by the ENGINE is zero — the table is the state, which is what lets
+    * the feed run for months without watermark-bounded growth concerns.
+    */
+  def changeFeedSink(tablePath: String, keys: Seq[String], tsCol: String,
+                     strategies: Map[String, graft.operators.MergeOps.Strategy] =
+                       Map.empty): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty) {
+        val tieBreak = batch.columns.filterNot(c => keys.contains(c))
+          .sorted.map(col).toSeq
+        val latest = graft.functions.F.qualifyTopN(batch, keys.map(col),
+          col(tsCol).desc +: tieBreak.map(_.desc))
+        graft.sources.Sinks.upsertParquet(batch.sparkSession, tablePath,
+          latest, keys, strategies)
+      }
+
+  /** Batch replay of a change feed: the table [[changeFeedSink]] converges
+    * to — latest change per key over the WHOLE feed. The equivalence
+    * (stream-applied batches == one batch replay) is the pipeline's
+    * correctness contract, asserted in StreamsSpec.
+    */
+  def changeFeedReplay(feed: DataFrame, keys: Seq[String],
+                       tsCol: String): DataFrame = {
+    val tieBreak = feed.columns.filterNot(c => keys.contains(c))
+      .sorted.map(col).toSeq
+    graft.functions.F.qualifyTopN(feed, keys.map(col),
+      col(tsCol).desc +: tieBreak.map(_.desc))
+  }
+
   /** Batch sessionization — gap-based island detection with windows:
     * new session when gap to previous event > gapMinutes; session id =
     * running count of session starts (reference models time-series as

@@ -112,6 +112,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("change-feed pipeline: streamed upserts equal the batch replay") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    // order-status cursor feed: (order_id, status, changed_ts) — several
+    // changes per order, some within one poll batch, some across polls
+    val mem = MemoryStream[(Long, Int, Timestamp)]
+    val q = mem.toDF().toDF("order_id", "order_status", "changed_ts")
+      .writeStream
+      .foreachBatch(Streams.changeFeedSink(dir, Seq("order_id"),
+        "changed_ts"))
+      .outputMode(OutputMode.Append()).start()
+    val feed = Seq(
+      // poll 1: order 1 created then shipped IN THE SAME BATCH (the
+      // within-batch latest-wins reduction is what's exercised here)
+      Seq((1L, 0, ts(0)), (1L, 2, ts(5)), (2L, 0, ts(1))),
+      // poll 2: order 2 advances, order 3 appears
+      Seq((2L, 1, ts(10)), (3L, 0, ts(11))),
+      // poll 3: orders 1 and 3 reach terminal states
+      Seq((1L, 3, ts(20)), (3L, 2, ts(21))))
+    try {
+      feed.foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = graft.sources.Sinks.readUpsertTable(spark, dir)
+      .orderBy("order_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+    val replay = Streams.changeFeedReplay(
+      feed.flatten.toDF("order_id", "order_status", "changed_ts"),
+      Seq("order_id"), "changed_ts")
+      .orderBy("order_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+    assert(streamed.toSeq == replay.toSeq,
+      "stream-applied micro-batches must converge to the batch replay")
+    assert(streamed.toSeq == Seq((1L, 3, ts(20)), (2L, 1, ts(10)),
+      (3L, 2, ts(21))))
+  }
+
   test("sessionizeBatch splits on gaps and matches stream semantics") {
     val df = Seq(
       (1L, ts(0), 1L, 1.0), (1L, ts(10), 2L, 2.0),   // session 1 (gap 10 <= 30)
