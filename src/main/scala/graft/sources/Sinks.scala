@@ -252,33 +252,44 @@ object Sinks {
     * whose partition value changes would leave its old row in the old
     * partition — the same caveat every partition-scoped MERGE carries),
     * non-null, and render to a filesystem-safe string.
+    *
+    * Concurrent writers get the same optimistic protocol as
+    * [[upsertParquet]], scoped to the batch: the merge bases on a snapshot
+    * of every affected partition's pointer, the staged write happens with
+    * no lock held, and the commit (all directory moves + pointer swaps)
+    * runs under the table's metadata `_LOCK` only if EVERY affected
+    * partition's pointer is still at its snapshot — one moved pointer
+    * aborts the commit and the whole batch re-merges from the new
+    * snapshot. Writers touching disjoint partitions still serialize only
+    * on the ms-scale lock, never on each other's Spark work.
     */
   def upsertParquetPartitioned(spark: SparkSession, tablePath: String,
       source: DataFrame, keys: Seq[String], partitionCol: String,
       strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
-      keepGenerations: Int = 3): Unit = {
+      keepGenerations: Int = 3, maxRetries: Int = 5,
+      staleLockMs: Long = 60000L): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
     require(keys.nonEmpty, "keys must be non-empty")
+    require(maxRetries >= 1, "maxRetries must allow at least one attempt")
     if (source.isEmpty) return
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
-    // crash recovery: any _stage-* under the root is a previous run that
-    // died before its pointer swaps — its data was never referenced by any
-    // _CURRENT, so it is safe (and necessary) to remove
+    // crash recovery: a _stage-* older than 24h is a writer that died
+    // before its commit (never referenced by any _CURRENT). Age-gated —
+    // a YOUNG _stage-* may be a live concurrent writer mid-merge.
     locally {
       import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
       val ls = Files.list(root)
       val orphans =
         try ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("_stage-")).toSeq
+          .filter(_.getFileName.toString.startsWith("_stage-"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq
         finally ls.close()
-      orphans.foreach { p =>
-        val walk = Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        finally walk.close()
-      }
+      orphans.foreach(deleteRecursively)
     }
     val affected = source
       .select(col(partitionCol).cast("string").as("__v")).distinct()
@@ -292,48 +303,62 @@ object Sinks {
       val ptr = partDir(v).resolve("_CURRENT")
       if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
     }
-    val existing = affected.flatMap(v => currentGen(v).map(g =>
-      partDir(v).resolve(g).toString))
-    val merged =
-      if (existing.isEmpty) source.dropDuplicates(keys)
-      else graft.operators.MergeOps.upsert(
-        spark.read.parquet(existing.toIndexedSeq: _*), source, keys, strategies)
-    // one staged partitioned write; `__p` duplicates the partition column so
-    // the data files keep the original column (partitionBy drops its column)
-    val stage = root.resolve(s"_stage-${System.nanoTime()}")
-    merged.withColumn("__p", col(partitionCol).cast("string"))
-      .write.partitionBy("__p").parquet(stage.toString)
-    affected.foreach { v =>
-      val staged = stage.resolve(s"__p=$v")
-      if (Files.exists(staged)) {
-        val dir = partDir(v)
-        Files.createDirectories(dir)
-        val nextNum = currentGen(v).map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
-        val genDir = dir.resolve(s"gen-$nextNum")
-        // crash recovery: a gen-N left by a run that died between its
-        // directory move and its pointer swap is unreferenced (the pointer
-        // still names gen-N-1) — remove it or this partition wedges on
-        // FileAlreadyExists forever
-        if (Files.exists(genDir)) {
-          import scala.jdk.CollectionConverters._
-          val walk = Files.walk(genDir)
-          try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          finally walk.close()
+
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      // pointer snapshot: the merge bases on exactly these generations
+      val base: Map[String, Option[String]] =
+        affected.map(v => v -> currentGen(v)).toMap
+      val existing = affected.flatMap(v => base(v).map(g =>
+        partDir(v).resolve(g).toString))
+      val merged =
+        if (existing.isEmpty) source.dropDuplicates(keys)
+        else graft.operators.MergeOps.upsert(
+          spark.read.parquet(existing.toIndexedSeq: _*), source, keys,
+          strategies)
+      // one staged partitioned write (no lock held); `__p` duplicates the
+      // partition column so the data files keep the original column
+      // (partitionBy drops its column)
+      val stage = root.resolve(s"_stage-${System.nanoTime()}-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      merged.withColumn("__p", col(partitionCol).cast("string"))
+        .write.partitionBy("__p").parquet(stage.toString)
+      withMetadataLock(root, staleLockMs) {
+        if (affected.forall(v => currentGen(v) == base(v))) {
+          affected.foreach { v =>
+            val staged = stage.resolve(s"__p=$v")
+            if (Files.exists(staged)) {
+              val dir = partDir(v)
+              Files.createDirectories(dir)
+              val nextNum = base(v)
+                .map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+              val genDir = dir.resolve(s"gen-$nextNum")
+              // a gen-N left by a committer that died between its move and
+              // its pointer swap is unreferenced (the pointer still names
+              // gen-N-1) — replace it under the lock, or the partition
+              // wedges on FileAlreadyExists forever
+              if (Files.exists(genDir)) deleteRecursively(genDir)
+              Files.move(staged, genDir, StandardCopyOption.ATOMIC_MOVE)
+              val tmp = dir.resolve("_CURRENT.tmp")
+              Files.writeString(tmp, s"gen-$nextNum")
+              Files.move(tmp, dir.resolve("_CURRENT"),
+                StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+              vacuumGenerations(dir, nextNum, keepGenerations)
+            }
+          }
+          committed = true
         }
-        Files.move(staged, genDir, StandardCopyOption.ATOMIC_MOVE)
-        val tmp = dir.resolve("_CURRENT.tmp")
-        Files.writeString(tmp, s"gen-$nextNum")
-        Files.move(tmp, dir.resolve("_CURRENT"), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        vacuumGenerations(dir, nextNum, keepGenerations)
       }
-    }
-    // remove the staging skeleton (_SUCCESS + emptied dirs)
-    if (Files.exists(stage)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(stage)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
+      // remove the staging skeleton (committed: _SUCCESS + emptied dirs;
+      // lost the race: the whole staged merge)
+      deleteRecursively(stage)
+      if (!committed && attempt >= maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"upsertParquetPartitioned($tablePath): lost the commit race " +
+            s"$maxRetries times; raise maxRetries or serialize the writers")
     }
   }
 

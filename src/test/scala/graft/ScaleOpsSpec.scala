@@ -115,7 +115,13 @@ class ScaleOpsSpec extends SparkSpec {
     // the pointer swap (plus its orphaned staging skeleton)
     NF.createDirectories(Paths.get(dir, "p=2024-01-01", "gen-1"))
     NF.writeString(Paths.get(dir, "p=2024-01-01", "gen-1", "part-junk"), "junk")
+    // the dead run's staging skeleton must look OLD — a young _stage-* is
+    // presumed to be a live concurrent writer and is left alone
     NF.createDirectories(Paths.get(dir, "_stage-999", "__p=2024-01-01"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 25L * 3600 * 1000)
+    NF.setLastModifiedTime(Paths.get(dir, "_stage-999", "__p=2024-01-01"), old)
+    NF.setLastModifiedTime(Paths.get(dir, "_stage-999"), old)
     Sinks.upsertParquetPartitioned(spark,
       dir, Seq((2L, "2024-01-01", 2.0)).toDF("k", "ymd", "v"), Seq("k"), "ymd")
     assert(NF.readString(Paths.get(dir, "p=2024-01-01", "_CURRENT")).trim == "gen-1")
@@ -123,6 +129,32 @@ class ScaleOpsSpec extends SparkSpec {
       "wedged gen dir replaced, merge applied")
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_stage")),
       "orphaned staging removed")
+  }
+
+  test("upsertParquetPartitioned: concurrent writers lose no partition update") {
+    val dir = Files.createTempDirectory("graft_prace").toString
+    // writers 1/3 hit partition A, writers 2/4 hit partition B, and all
+    // race from an empty table: every key must survive, and each
+    // partition's generation chain must reflect exactly its two commits
+    val threads = (1 to 4).map { i =>
+      val part = if (i % 2 == 1) "2024-01-01" else "2024-01-02"
+      new Thread(() => Sinks.upsertParquetPartitioned(spark, dir,
+        Seq((i.toLong, part, i.toDouble)).toDF("k", "ymd", "v"),
+        Seq("k"), "ymd", maxRetries = 20))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val out = Sinks.readUpsertPartitionedTable(spark, dir)
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      "a lost update would drop a writer's key")
+    import java.nio.file.{Files => NF, Paths}
+    Seq("2024-01-01", "2024-01-02").foreach { p =>
+      assert(NF.readString(Paths.get(dir, s"p=$p", "_CURRENT")).trim
+        == "gen-1", s"partition $p: two serialized commits")
+    }
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_stage-")), "stages cleaned")
   }
 
   test("upsertParquetPartitioned vacuums per-partition generations") {
