@@ -42,6 +42,14 @@ object ProductMarts {
 
   private val nullStr = lit(null).cast("string")
 
+  /** Lazy shared-frame materialization for multi-consumer dedups whose
+    * window order is total (recompute is value-identical): first action
+    * fills the in-memory columnar cache, later consumers read it. The
+    * eager disk checkpoint (F.checkpointShared) stays reserved for frames
+    * whose recompute could resample a partitioner (F.globalRowNumber).
+    */
+  private def persistTopN(df: DataFrame): DataFrame = df.persist()
+
   /** Reference source('core','item'): the hand-maintained item sheet —
     * multiple rows per product_id (dedup is the point), 1xx/2xx/3xx-prefixed
     * 6-char product ids, nullable team/brand, the literal '브랜드 없음'
@@ -306,7 +314,11 @@ object ProductMarts {
             col("item_id"), col("item_seq")), Seq("component_pid"), "left")
         val wCnt = Window.partitionBy(col("product_id"))
         // consumed by BOTH the scale scalar and the spine join — checkpoint
-        // so the explode + two windows behind it compute once
+        // so the explode + two windows behind it compute once. This one
+        // stays an EAGER checkpoint deliberately: it is the deepest shared
+        // frame in the chain, and truncating the plan here measurably
+        // beats a lazy cache (the downstream option-master model re-plans
+        // this subtree per consumer otherwise; 5.6s vs 6.5s at sf0.1)
         val primary = graft.functions.F.checkpointShared(
           graft.functions.F.qualifyTopN(
             exploded.withColumn("option_count", count(lit(1)).over(wCnt)),
@@ -376,9 +388,13 @@ object ProductMarts {
       Seq("sabangnet_product_master"), View, ctx => {
         val s = ctx.session
         // three consumers (primary, bundleNames, the final spine) each
-        // get a differently-pruned copy of the windowed dedup — checkpoint
-        // so the lineitem window runs once, not three times
-        val opt = graft.functions.F.checkpointShared(sbnOption(s, sfDir))
+        // get a differently-pruned copy of the windowed dedup — persist so
+        // the lineitem window runs once, not three times. persist(), not
+        // checkpoint(): the dedup carries a total tie-break order so a
+        // dropped-block recompute is value-identical, and the lazy cache
+        // folds into the main job instead of an eager up-front job +
+        // disk round trip
+        val opt = sbnOption(s, sfDir).persist()
         val itm = coreMaster(s, sfDir)
         // primary item per option: explode, enrich, keep smallest item_seq
         val primary = graft.functions.F.qualifyTopN(
@@ -420,13 +436,13 @@ object ProductMarts {
         // sql:57-60 joins core.item via the primary match, not the product
         // master's own categories)
         // the sentinel scalar and the spine both consume the FULL product
-        // master chain — checkpoint its projection so the upstream model
-        // runs once, not twice
-        val prd = graft.functions.F.checkpointShared(
-          ctx.ref("sabangnet_product_master").select(
+        // master chain — persist its projection so the upstream model
+        // runs once, not twice (same lazy-over-eager reasoning as opt)
+        val prd = ctx.ref("sabangnet_product_master").select(
             col("product_id"), col("model_code"), col("model_id"),
             col("product_name"), col("product_keyword"), col("brand_name"),
-            col("option_type").as("prd_option_type"), col("sort_key")))
+            col("option_type").as("prd_option_type"), col("sort_key"))
+          .persist()
         val statusDim = graft.functions.F.inlineDim(s,
           Seq("scode", "slabel"),
           Seq(Seq("SALE", "판매중"), Seq("STOP", "판매중지")))
@@ -474,8 +490,9 @@ object ProductMarts {
       val s = ctx.session
       val itm = coreMaster(s, sfDir)
       // `rel` below re-derives from this deduped frame, so the lineitem
-      // window would run twice — checkpoint to compute it once
-      val opt = graft.functions.F.checkpointShared(
+      // window would run twice — persist to compute it once (lazy; the
+      // dedup order is total, recompute is value-identical)
+      val opt = persistTopN(
         graft.functions.F.qualifyTopN(
         Tables.lineitem(s, sfDir).select(
           (lit(100000) + pmod(col("l_partkey"), lit(400))).cast("string")
