@@ -1767,6 +1767,35 @@ object SparkEntry {
           expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY price)")
             .cast("double").as("median_price"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- Gopher-style within-document repetition metrics (Rae et al.
+    // 2021 §A.1.1): total/distinct/top bigram counts + duplicate-bigram
+    // fraction — the standard boilerplate/degenerate-repetition filter
+    // for a pretraining corpus ----
+    "q150_repetition" -> ((s, d) => {
+      graft.operators.TextAnalysis.repetitionMetrics(
+        Tables.documents(s, d), col("doc_id"), col("text"), n = 2)
+    }),
+
+    // ---- PII detection + redaction over a deterministically PII-
+    // augmented corpus (the raw fixture has no emails/phones, so both
+    // engines inject the same synthetic contacts — what's verified is
+    // the count + redact contract itself, incl. email-before-phone
+    // ordering so an email's digits aren't half-eaten) ----
+    "q151_pii_redact" -> ((s, d) => {
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" call 010-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit("-1234"))).otherwise(lit(""))).as("text"))
+      graft.operators.TextAnalysis.redactPii(aug, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
     })
   )
 
@@ -3843,6 +3872,49 @@ object SparkEntry {
         |  CAST(MEDIAN(CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
         |    AS median_price,
         |  COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q150_repetition" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+        |      'g')), ' ') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+        |  CAST(MAX(cnt) AS BIGINT) AS top_ngram_count,
+        |  CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+        |    AS dup_ngram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q151_pii_redact" ->
+      raw"""WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || doc_id || '@example.com'
+        |      ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |      THEN ' call 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+        |        4, '0') || '-1234'
+        |      ELSE '' END) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |      'g'),
+        |    '[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug""".stripMargin
   )
 }

@@ -185,4 +185,62 @@ object TextAnalysis {
         (col("n_shared") >= minShared).as("is_contaminated"))
   }
 
+  /** Within-document repetition metrics (the Gopher/MassiveText quality
+    * rules, Rae et al. 2021 §A.1.1): per doc, the total and distinct
+    * n-gram counts, the most-frequent n-gram's count, and the duplicate
+    * n-gram fraction — the standard filters for boilerplate and
+    * degenerate repetition in a pretraining corpus.
+    *
+    * Scale: explode + two hash aggregations, both keyed by doc (partial
+    * aggregation combines map-side); no joins, no windows.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 2): DataFrame = {
+    val toks = split(normText(textCol), " ")
+    // sliding n-grams, non-distinct (unlike Dedup.shingles — repetition is
+    // exactly what distinctness would erase); sequence() flips direction
+    // when start > stop, so short docs guard to an empty array
+    val gramArr = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(idCol.as("doc_id"),
+      explode(gramArr).as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max(col("cnt")).as("top_ngram_count"))
+      .select(col("doc_id"),
+        col("total_ngrams").cast("long").as("total_ngrams"),
+        col("distinct_ngrams"), col("top_ngram_count"),
+        ((col("total_ngrams") - col("distinct_ngrams")).cast("double")
+          / col("total_ngrams").cast("double")).as("dup_ngram_frac"))
+  }
+
+  /** PII patterns: email and dashed phone numbers (KR mobile shape). Kept
+    * simple and anchored on word-ish boundaries — the operator contract
+    * (count + redact deterministically, pure codegen regex) is the point;
+    * production swaps in its jurisdiction's pattern set.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** PII detection + redaction: per doc, match counts per category and
+    * the text with emails → `<EMAIL>`, phones → `<PHONE>` (emails first —
+    * an email's digits must not be half-eaten by the phone pass). Pure
+    * `regexp_extract_all`/`regexp_replace` — codegen, no shuffle.
+    */
+  def redactPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val noEmail = regexp_replace(textCol, emailPattern, "<EMAIL>")
+    df.select(idCol.as("doc_id"),
+      size(regexp_extract_all(textCol, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(textCol, lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(noEmail, phonePattern, "<PHONE>").as("redacted"))
+  }
+
 }

@@ -182,4 +182,34 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(out.toSeq == Seq("en", "de", "und"))
   }
+
+  test("repetitionMetrics computes Gopher-style dup-ngram stats") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      (2L, "w x y z"),          // 3 distinct bigrams, no dups
+      (3L, "solo")              // < n tokens → no bigrams → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((5L, 2L, 3L, 0.6)))
+    assert(out(2L) == ((3L, 3L, 1L, 0.0)))
+    assert(!out.contains(3L), "sub-n docs produce no n-grams")
+  }
+
+  test("redactPii counts and redacts emails before phones") {
+    val df = Seq(
+      (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),
+      (2L, "no pii here"),
+      (3L, "double x@y.io z@w.net and 02-555-1234")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "mail me at <EMAIL> or call <PHONE> today")
+    assert(out(2L) == ((0L, 0L, "no pii here")))
+    assert(out(3L)._1 == 2 && out(3L)._2 == 1)
+    assert(out(3L)._3 == "double <EMAIL> <EMAIL> and <PHONE>")
+  }
 }
