@@ -335,6 +335,16 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- dedup: end-to-end clustering — q28's LSH pairs → large-star/
+    // small-star connected components → one survivor per cluster. The
+    // keep-one shape a corpus dedup actually ships (pairs alone
+    // under-delete on transitive chains). ----
+    "q152_dedup_clusters" -> ((s, d) => {
+      Dedup.dedupClusters(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 3, k = 32, bands = 8, verifyThreshold = 0.7,
+        fam = Dedup.CrossEngineHash)
+    }),
+
     // ---- attribution DAG chain: as-of join inside the model registry ----
     "q68_attribution_daily" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("attribution_daily", s)
@@ -1860,6 +1870,26 @@ object SparkEntry {
        |WHERE $jac >= 0.7""".stripMargin
   }
 
+  /** Cluster closure over q28's pair list: DuckDB replays the whole
+    * MinHash+LSH pipeline (nested as a CTE), then a recursive CTE walks
+    * the symmetrized edges to each node's minimum reachable id — the
+    * same labeling the Spark side's large-star/small-star loop converges
+    * to. Verifies `Dedup.dedupClusters` end to end.
+    */
+  private def q152Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$q28Oracle
+       |),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e
+       |  ON e.src = reach.r)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_survivor
+       |FROM reach GROUP BY id""".stripMargin
+
   /** 64-bit SimHash in DuckDB: per-bit majority vote over 60-bit
     * cross-engine shingle hashes (bits 60-63 of a 60-bit hash are always
     * zero on both sides). Mirrors `Dedup.simHash(n=2, CrossEngineHash)`.
@@ -2949,6 +2979,7 @@ object SparkEntry {
         |FROM part""".stripMargin,
 
     "q28_minhash_lsh" -> q28Oracle,
+    "q152_dedup_clusters" -> q152Oracle,
     "q29_simhash" -> q29Oracle,
     "q57_simhash_neardup" -> q57Oracle,
     "q35_ann_lsh" -> q35Oracle,

@@ -359,4 +359,106 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the O(log n)-round formulation
+    * that scales past the O(diameter) min-label propagation loop.
+    *
+    * Each round is two hash aggregations + two joins on node id (no
+    * collect_list — a high-degree hub never materializes its neighbor
+    * set on one row). Edge counts can only shrink or stay flat, so the
+    * driver-side loop checks a one-row (count, checksum) aggregate per
+    * round and stops at the fixpoint; with min-based stars the result is
+    * deterministic regardless of partitioning.
+    *
+    * Input: (src, dst) long pairs, any direction, self-loops ignored.
+    * Output: (id, component) for every node in the edge list, where
+    * component = min node id of the cluster; roots map to themselves.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val raw = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
+
+    // large-star: link every strictly-larger neighbor of u to
+    // m(u) = min(N(u) ∪ {u}); keeps (u, m) so minima survive the round
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: canonicalize to parent pointers (src > dst), link every
+    // not-larger neighbor (and u itself) to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = canon.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      canon.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // fixpoint signature: one-row scan; XOR is order-insensitive and
+    // overflow-free, and rounds emit DISTINCT edges so set semantics hold
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.select(F.hash64(concat_ws(":", col("src"), col("dst")))
+        .as("h")).agg(count(lit(1)), expr("bit_xor(h)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // lineage MUST be cut every round: both stars reference their input
+    // several times, so without truncation the logical plan (and any
+    // recomputation) grows exponentially in the round count. Eager
+    // localCheckpoint pins the round's edges and flattens the plan to a
+    // scan; on a real cluster swap in reliable checkpointing.
+    var edges = raw.localCheckpoint(true)
+    var last = sig(edges)
+    var done = last._1 == 0
+    var it = 0
+    while (!done && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = sig(next)
+      edges = next
+      done = s == last
+      last = s
+      it += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // converged edges are (member, root); roots label themselves
+    edges.select(col("src").as("id"), col("dst").as("component"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+
+  /** End-to-end near-duplicate clustering: MinHash+LSH candidate pairs →
+    * connected components → one survivor per cluster (the min doc id —
+    * deterministic and rerun-stable). Singletons are their own cluster.
+    * This is the keep-one-per-cluster shape a pretraining-corpus dedup
+    * actually ships: the pair list alone under-deletes (A~B, B~C must
+    * drop two of three even when A~C missed the threshold).
+    *
+    * Output: (doc_id, cluster_id, is_survivor) for EVERY input doc.
+    */
+  def dedupClusters(df: DataFrame, idCol: Column, textCol: Column,
+                    n: Int = 3, k: Int = 32, bands: Int = 8,
+                    verifyThreshold: Double = 0.7,
+                    fam: HashFamily = XxHash,
+                    maxBucket: Int = 64): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, n, k, bands,
+        verifyThreshold, materialize = true, fam, maxBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = connectedComponents(pairs)
+    df.select(idCol.as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("cluster_id") === col("doc_id"))
+  }
 }

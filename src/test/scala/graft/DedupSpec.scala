@@ -105,4 +105,39 @@ class DedupSpec extends SparkSpec {
     assert(nearDist < farDist,
       s"near-dup hamming $nearDist should be < unrelated $farDist")
   }
+
+  test("connectedComponents labels every node with its cluster min") {
+    // components: {1,2,3,9} (chain 9-3, 3-1, 1-2), {5,7}, isolated 8 absent
+    val pairs = Seq((9L, 3L), (3L, 1L), (2L, 1L), (7L, 5L), (5L, 7L))
+      .toDF("src", "dst")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents handles a long chain and empty input") {
+    // path 10-9-8-...-1 forces multiple star rounds
+    val chain = (1L until 10L).map(i => (i + 1, i)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 10L).map(_ -> 1L).toMap)
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.count() == 0)
+  }
+
+  test("dedupClusters: transitive near-dups collapse to one survivor") {
+    val out = Dedup.dedupClusters(docs, col("doc_id"), col("text"),
+        n = 2, k = 16, bands = 8, verifyThreshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 1,2,5 are (normalized-)identical; 3 is a near dup above 0.5 Jaccard
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(5L) == ((1L, false)))
+    assert(out(3L)._1 == 1L && !out(3L)._2)
+    // 4 is unrelated: its own singleton cluster, survives
+    assert(out(4L) == ((4L, true)))
+  }
 }
