@@ -13,10 +13,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fact-side tables whose scans feed CPU-heavy per-row pipelines
+    * (TRY_CAST ladders, regex staging, shingling + per-shingle hashing,
+    * vector math). Dims (region/nation/supplier/customer/part) stay
+    * unspread — they broadcast, and a fan-out exchange before a
+    * broadcast build is pure overhead.
+    */
+  private val spreadNames = Set(
+    "lineitem", "orders", "events", "documents", "embeddings")
+
+  /** A parquet file is split by byte range, but rows land in the split
+    * holding their row group — a single-row-group file is ONE task no
+    * matter what maxPartitionBytes says, and everything narrow above the
+    * scan (projections, filters, explodes) runs on one core. When the
+    * planned scan has fewer splits than the session's parallelism, fan
+    * out once with an explicit-width round-robin repartition: a narrow
+    * one-pass shuffle of the raw columns, exempt from AQE coalescing
+    * (REPARTITION_BY_NUM origin). On a production-size table the scan
+    * already has >= parallelism splits and no exchange is inserted.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read nanos as long and rebuild a timestamp col.
-    if (name == "events") {
+    val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.expr
@@ -24,6 +50,7 @@ object Tables {
       // would lose microseconds
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+    if (spreadNames(name)) spread(spark, df) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
