@@ -768,13 +768,14 @@ object SparkEntry {
     // asserts them) but stay undeclared — float accumulation inside the
     // stub has no stable SQL-oracle equivalent. ----
     "q36_multimodal" -> ((s, d) => {
-      val media = Multimodal.withImagePayloads(
+      val media = Multimodal.withMediaPayloads(
         Multimodal.fromDocuments(Tables.documents(s, d)))
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"), col("media_type"),
-          when(col("media_type") === "image", lit(null).cast("long"))
-            .otherwise(col("n_bytes").cast("long")).as("n_bytes"),
-          col("decoded_width"), col("decoded_height"), col("pixel_sum"))
+          when(col("media_type") === "video", col("n_bytes").cast("long"))
+            .otherwise(lit(null).cast("long")).as("n_bytes"),
+          col("decoded_width"), col("decoded_height"), col("pixel_sum"),
+          col("sample_rate"), col("n_frames"), col("sample_sum"))
     }),
 
     // ---- sabangnet invoice staging: Korean raw headers, 6-arm + 18-arm
@@ -2989,8 +2990,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS media_type,
-        |  CASE WHEN doc_id % 3 = 0 THEN NULL
-        |    ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 2
+        |    THEN CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
         |  CASE WHEN doc_id % 3 = 0
         |    THEN CAST(doc_id % 96 + 16 AS BIGINT) END AS decoded_width,
         |  CASE WHEN doc_id % 3 = 0
@@ -2998,7 +2999,18 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0
         |    THEN CAST((doc_id % 96 + 16) * (doc_id % 64 + 16)
         |      * ((doc_id % 96 + 16) + (doc_id % 64 + 16) - 2) // 2 AS BIGINT)
-        |    END AS pixel_sum
+        |    END AS pixel_sum,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS BIGINT) END
+        |    AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 4000 + 100 AS BIGINT)
+        |    END AS n_frames,
+        |  -- sawtooth closed form: sample(i) = (i % 200) - 100 over
+        |  -- n = doc_id % 4000 + 100 frames; each full period sums to -100
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(
+        |    -100 * ((doc_id % 4000 + 100) // 200)
+        |    + ((doc_id % 4000 + 100) % 200) * ((doc_id % 4000 + 100) % 200 - 1) // 2
+        |    - 100 * ((doc_id % 4000 + 100) % 200) AS BIGINT)
+        |    END AS sample_sum
         |FROM documents""".stripMargin,
 
     "q01_agg_sum" ->

@@ -156,7 +156,7 @@ class SinksSpec extends SparkSpec {
     assert(Multimodal.decodeImage(png).contains((20, 10, 20L * 10 * 28 / 2)))
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
     // distributed: image rows get real payloads and decode to the formula
-    val media = Multimodal.withImagePayloads(
+    val media = Multimodal.withMediaPayloads(
       Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(30)))
     val feats = Multimodal.extractFeatures(spark, media)
       .filter($"media_type" === "image").collect()
@@ -167,6 +167,36 @@ class SinksSpec extends SparkSpec {
       assert(r.getAs[Long]("decoded_width") == w)
       assert(r.getAs[Long]("decoded_height") == h)
       assert(r.getAs[Long]("pixel_sum") == w * h * (w + h - 2) / 2)
+    }
+  }
+
+  test("multimodal: real WAV decode via javax.sound round-trips exactly") {
+    def sawSum(n: Long): Long = {
+      val (p, r) = (n / 200, n % 200)
+      -100 * p + r * (r - 1) / 2 - 100 * r
+    }
+    // unit round trip: RIFF magic, then decode matches the closed form
+    val wav = Multimodal.syntheticWav(450)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF", "real WAV header")
+    assert(Multimodal.decodeAudio(wav).contains((8000L, 450L, sawSum(450))))
+    // exact one-period check: sums to -100 per full period
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(400))
+      .contains((8000L, 400L, -200L)))
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    // distributed: audio rows get real payloads and decode to the formula
+    val media = Multimodal.withMediaPayloads(
+      Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(30)))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .filter($"media_type" === "audio").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = id % 4000 + 100
+      assert(r.getAs[Long]("sample_rate") == 8000L)
+      assert(r.getAs[Long]("n_frames") == n)
+      assert(r.getAs[Long]("sample_sum") == sawSum(n))
+      // image columns stay null on audio rows
+      assert(r.isNullAt(r.fieldIndex("decoded_width")))
     }
   }
 }
