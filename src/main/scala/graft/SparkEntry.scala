@@ -1807,6 +1807,31 @@ object SparkEntry {
       graft.operators.TextAnalysis.redactPii(aug, col("doc_id"), col("text"))
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           md5(col("redacted")).as("redacted_md5"))
+    }),
+
+    // ---- corpus curation: deterministic stratified sample (content-hash
+    // acceptance — rerun-stable, partitioning-independent, no RNG) ----
+    "q153_stratified_sample" -> ((s, d) => {
+      val doc = Tables.documents(s, d).withColumn("stratum",
+        when(col("n_chars") < 250, "short")
+          .when(col("n_chars") < 350, "mid").otherwise("long"))
+      graft.operators.Sampling.stratifiedSample(doc, col("doc_id"),
+          col("stratum"),
+          Seq("short" -> 0.25, "mid" -> 0.5, "long" -> 1.0))
+        .select(col("doc_id"), col("stratum"))
+    }),
+
+    // ---- corpus curation: weighted mix — per-corpus epoch counts with a
+    // deterministic fractional copy (the data-mixing step that assembles
+    // a training set from source corpora) ----
+    "q154_corpus_mix" -> ((s, d) => {
+      val doc = Tables.documents(s, d).withColumn("corpus",
+        when(col("n_chars") < 250, "short")
+          .when(col("n_chars") < 350, "mid").otherwise("long"))
+      graft.operators.Sampling.corpusMix(doc, col("doc_id"),
+          col("corpus"), Seq("short" -> 2.5, "mid" -> 1.0, "long" -> 0.25))
+        .select(col("doc_id"), col("corpus"),
+          col("epoch").cast("long").as("epoch"))
     })
   )
 
@@ -3936,6 +3961,36 @@ object SparkEntry {
         |  CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
         |    AS dup_ngram_frac
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q153_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 250 THEN 'short'
+        |         WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS stratum
+        |  FROM documents)
+        |SELECT doc_id, stratum FROM d
+        |WHERE ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000
+        |  < (CASE stratum WHEN 'short' THEN 0.25 WHEN 'mid' THEN 0.5
+        |     ELSE 1.0 END) * 1000000""".stripMargin,
+
+    "q154_corpus_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 250 THEN 'short'
+        |         WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS corpus,
+        |    CASE WHEN n_chars < 250 THEN 2.5
+        |         WHEN n_chars < 350 THEN 1.0 ELSE 0.25 END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, corpus,
+        |    CAST(FLOOR(w) AS BIGINT) +
+        |    (CASE WHEN CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 AS DOUBLE) / 1000000.0 < w - FLOOR(w)
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM d)
+        |SELECT doc_id, corpus, CAST(UNNEST(range(1, copies + 1)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
 
     "q151_pii_redact" ->
       raw"""WITH aug AS (

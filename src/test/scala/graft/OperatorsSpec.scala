@@ -197,6 +197,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.contains(3L), "sub-n docs produce no n-grams")
   }
 
+  test("stratifiedSample: deterministic, allowlist strata, rate-shaped") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, col("id"), col("s"),
+      Seq("a" -> 0.3))
+    val rows = out.collect()
+    assert(rows.forall(_.getString(1) == "a"), "stratum b not in rates → dropped")
+    val frac = rows.length / 1000.0
+    assert(frac > 0.2 && frac < 0.4, s"~30% of stratum a, got $frac")
+    // deterministic: same membership on rerun
+    val again = Sampling.stratifiedSample(df, col("id"), col("s"),
+      Seq("a" -> 0.3)).collect()
+    assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
+
+  test("corpusMix: integer weights exact, fractional deterministic") {
+    import graft.operators.Sampling
+    val df = (1L to 600L).map(i =>
+      (i, Seq("x", "y", "z")((i % 3).toInt))).toDF("id", "c")
+    val out = Sampling.corpusMix(df, col("id"), col("c"),
+      Seq("x" -> 2.0, "y" -> 0.5, "z" -> 0.0))
+    val byCorpus = out.groupBy("c").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCorpus("x") == 400L, "weight 2 → exactly two epochs of 200")
+    assert(!byCorpus.contains("z"), "weight 0 → dropped")
+    val y = byCorpus("y") / 200.0
+    assert(y > 0.35 && y < 0.65, s"~half of corpus y, got $y")
+    // epochs are 1..copies per surviving row
+    val epochs = out.filter(col("c") === "x").groupBy("id")
+      .agg(sort_array(collect_list(col("epoch"))).as("e"))
+      .select("e").distinct().collect()
+    assert(epochs.length == 1 && epochs.head.getSeq[Int](0) == Seq(1, 2))
+  }
+
   test("redactPii counts and redacts emails before phones") {
     val df = Seq(
       (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),
