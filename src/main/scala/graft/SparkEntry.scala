@@ -345,6 +345,18 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- dedup: incremental batch admission — even doc_ids play the
+    // stored corpus, odd ones the incoming batch; batch bands probe the
+    // corpus band index (no corpus self-join) ----
+    "q155_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"), n = 3, k = 32, bands = 8,
+        verifyThreshold = 0.7, fam = Dedup.CrossEngineHash)
+    }),
+
     // ---- attribution DAG chain: as-of join inside the model registry ----
     "q68_attribution_daily" -> ((s, d) => {
       graft.models.Analytics.registry(d).run("attribution_daily", s)
@@ -1832,6 +1844,48 @@ object SparkEntry {
           col("corpus"), Seq("short" -> 2.5, "mid" -> 1.0, "long" -> 0.25))
         .select(col("doc_id"), col("corpus"),
           col("epoch").cast("long").as("epoch"))
+    }),
+
+    // ---- sequence packing: concat-and-split the id-ordered token stream
+    // into 512-token training packs (docs may span pack boundaries); the
+    // global token prefix sum is computed bucketed, never one partition ----
+    "q156_pack_sequences" -> ((s, d) => {
+      graft.operators.Packing.packSequences(Tables.documents(s, d),
+        col("doc_id"), col("text"), budget = 512)
+    }),
+
+    // ---- corpus-trained bigram-LM scoring (CCNet perplexity-filter
+    // shape): add-one-smoothed bigram NLL averaged per doc ----
+    "q157_ngram_lm_score" -> ((s, d) => {
+      graft.operators.TextAnalysis.ngramLmScore(Tables.documents(s, d),
+        col("doc_id"), col("text"))
+    }),
+
+    // ---- semantic dedup (SemDeDup): q40's LSH-bucketed cosine pairs →
+    // connected components → one survivor per embedding cluster ----
+    "q158_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Dedup.semanticDedup(e, col("vec_id"), col("vec"), threshold = 0.45)
+    }),
+
+    // ---- deterministic training-order shuffle: hash-assigned shard +
+    // dense in-shard position; no global sort, no RNG ----
+    "q159_shuffle_shard" -> ((s, d) => {
+      graft.operators.Sampling.shuffleShard(
+        Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // ---- int8 embedding quantization: per-vector symmetric scalar
+    // quantization, codes replay bit-for-bit cross-engine ----
+    "q160_quantize_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Similarity.quantizeInt8(e, col("vec_id"), col("vec"))
     })
   )
 
@@ -1915,6 +1969,74 @@ object SparkEntry {
        |  ON e.src = reach.r)
        |SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_survivor
        |FROM reach GROUP BY id""".stripMargin
+
+  /** Incremental dedup in DuckDB: the q28 signature/band CTEs over ALL
+    * docs, then even ids (corpus) form a rank-capped band index probed
+    * by odd ids (batch), batch-batch candidates replay the bounded
+    * all-pairs rule, and a recursive closure labels each batch doc with
+    * admission + its duplicate target. Mirrors `Dedup.incrementalDedup`.
+    */
+  private def q155Oracle: String = {
+    val k = 32; val bands = 8; val rows = k / bands
+    val P = Dedup.CrossEngineHash.P
+    val sigCols = (0 until k)
+      .map(s => s"MIN((${Dedup.CrossEngineHash.a(s)} * (hb % $P) + " +
+        s"${Dedup.CrossEngineHash.b(s)}) % $P) AS h$s")
+      .mkString(",\n    ")
+    val bandBranches = (0 until bands).map { b =>
+      val cat = (0 until rows)
+        .map(r => s"CAST(h${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, ${dkHash(cat)} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val jac = """ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                |    / len(list_distinct(list_concat(da.sh, db.sh))), 4)""".stripMargin
+    s"""WITH RECURSIVE t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
+       |d AS (SELECT id, list_distinct(list_transform(${dkShingles(3)},
+       |    s -> ${dkHash("s")})) AS sh FROM t),
+       |hb AS (SELECT id, UNNEST(sh) AS hb FROM d),
+       |sig AS (SELECT id,
+       |    $sigCols
+       |  FROM hb GROUP BY id),
+       |bd AS (
+       |  $bandBranches),
+       |bdc AS (SELECT id, band, bucket,
+       |          ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+       |        FROM bd WHERE id % 2 = 0),
+       |bdb AS (SELECT id, band, bucket FROM bd WHERE id % 2 = 1),
+       |candbc AS (SELECT DISTINCT b.id AS id_b, c.id AS id_c
+       |           FROM bdb b JOIN bdc c
+       |           ON b.band = c.band AND b.bucket = c.bucket AND c.rn <= 64),
+       |stb AS (SELECT band, bucket, COUNT(*) AS occ, MIN(id) AS rep
+       |        FROM bdb GROUP BY band, bucket),
+       |bdb2 AS (SELECT bdb.id, bdb.band, bdb.bucket, stb.occ, stb.rep
+       |         FROM bdb JOIN stb USING (band, bucket)),
+       |candbb AS (SELECT DISTINCT a.id AS id_b, b.id AS id_c
+       |           FROM bdb2 a JOIN bdb2 b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |           AND (a.occ <= 64 OR a.id = a.rep)),
+       |vpairs AS (
+       |  SELECT c.id_b, c.id_c
+       |  FROM (SELECT * FROM candbc UNION SELECT * FROM candbb) c
+       |  JOIN d da ON da.id = c.id_b JOIN d db ON db.id = c.id_c
+       |  WHERE $jac >= 0.7),
+       |edges AS (SELECT id_b AS src, id_c AS dst FROM vpairs
+       |          UNION SELECT id_c AS src, id_b AS dst FROM vpairs),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION SELECT reach.id, e.dst AS r FROM reach
+       |          JOIN edges e ON e.src = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component,
+       |           MIN(CASE WHEN r % 2 = 0 THEN r END) AS corpus_min,
+       |           COUNT(*) AS n_reach
+       |         FROM reach GROUP BY id)
+       |SELECT id AS doc_id,
+       |  (n_reach = 1 OR (corpus_min IS NULL AND component = id))
+       |    AS is_admitted,
+       |  CASE WHEN corpus_min IS NOT NULL THEN corpus_min
+       |       WHEN n_reach > 1 AND component <> id THEN component
+       |  END AS dup_of
+       |FROM comp WHERE id % 2 = 1""".stripMargin
+  }
 
   /** 64-bit SimHash in DuckDB: per-bit majority vote over 60-bit
     * cross-engine shingle hashes (bits 60-63 of a 60-bit hash are always
@@ -2006,6 +2128,24 @@ object SparkEntry {
        |FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
        |WHERE ROUND($cos, 4) >= 0.45""".stripMargin
   }
+
+  /** Semantic-dedup closure over q40's pair list: the recursive
+    * min-reachable-id walk of q152, on the embedding near-dup graph.
+    * Mirrors `Dedup.semanticDedup(threshold = 0.45)`.
+    */
+  private def q158Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$q40Oracle
+       |),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e
+       |  ON e.src = reach.r)
+       |SELECT id AS vec_id, MIN(r) AS cluster_id, MIN(r) = id AS is_survivor
+       |FROM reach GROUP BY id""".stripMargin
 
   /** SimHash banded near-dup in DuckDB: the q29 signature pipeline as a
     * CTE, 4×15-bit slice banding over bits 0-59 (the 60-bit cross-engine
@@ -3006,6 +3146,7 @@ object SparkEntry {
 
     "q28_minhash_lsh" -> q28Oracle,
     "q152_dedup_clusters" -> q152Oracle,
+    "q155_incremental_dedup" -> q155Oracle,
     "q29_simhash" -> q29Oracle,
     "q57_simhash_neardup" -> q57Oracle,
     "q35_ann_lsh" -> q35Oracle,
@@ -4013,6 +4154,93 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
         |      'g'),
         |    '[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
-        |FROM aug""".stripMargin
+        |FROM aug""".stripMargin,
+
+    // concat-and-split packing: DuckDB's global window IS the oracle for
+    // the bucketed two-phase prefix sum (value-identical by construction)
+    "q156_pack_sequences" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+        |      AS BIGINT) AS strt
+        |  FROM t WHERE tok > 0),
+        |e AS (
+        |  SELECT doc_id, n_tokens, strt,
+        |    UNNEST(range(strt // 512, (strt + n_tokens - 1) // 512 + 1))
+        |      AS pack_id
+        |  FROM p)
+        |SELECT doc_id, n_tokens, CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(GREATEST(strt, pack_id * 512) - strt AS BIGINT) AS seg_start,
+        |  CAST(LEAST(strt + n_tokens, (pack_id + 1) * 512)
+        |    - GREATEST(strt, pack_id * 512) AS BIGINT) AS seg_tokens,
+        |  CAST(GREATEST(strt, pack_id * 512) - pack_id * 512 AS BIGINT)
+        |    AS pack_off
+        |FROM e""".stripMargin,
+
+    // bigram-LM scoring: same add-one model, same DECIMAL(18,4) per-bigram
+    // snapshot before the exact decimal sum, same 38,10-snapshot final round
+    "q157_ngram_lm_score" ->
+      raw"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+        |i AS (SELECT doc_id, toks,
+        |        UNNEST(range(1, len(toks))) AS ix
+        |      FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT doc_id, toks[ix] AS w1, toks[ix + 1] AS w2 FROM i),
+        |g AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+        |      FROM b GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2
+        |       FROM g GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT UNNEST(toks) AS tok FROM t) WHERE tok <> ''),
+        |s AS (
+        |  SELECT g.doc_id, CAST(SUM(g.k) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(g.k AS DECIMAL(9,0)) *
+        |        CAST(ln(CAST(c1.c1 + v.v AS DOUBLE))
+        |          - ln(CAST(c2.c2 + 1 AS DOUBLE)) AS DECIMAL(18,4)))
+        |      AS sum_nll
+        |  FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  CAST(ROUND(CAST(CAST(s.sum_nll AS DOUBLE) / s.n_bigrams
+        |    AS DECIMAL(38,10)), 4) AS DOUBLE) AS avg_nll
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
+
+    "q158_semantic_dedup" -> q158Oracle,
+
+    // deterministic shuffle-shard: same content hash, same per-shard
+    // dense position (ROW_NUMBER is 1-based on both sides; -1 here, the
+    // cast-long -1 in Sampling.shuffleShard)
+    "q159_shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+        |    ${dkHash("'shuffle|' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |    AS pos
+        |FROM h""".stripMargin,
+
+    // int8 quantization: floor(x*127/amax + 0.5) over identical IEEE
+    // doubles — codes and scale replay bit-for-bit
+    "q160_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        |  FROM e)
+        |SELECT vec_id, amax / 127.0 AS scale,
+        |  CASE WHEN amax = 0
+        |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v,
+        |      x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+        |  END AS qvec
+        |FROM a""".stripMargin
   )
 }

@@ -216,7 +216,7 @@ object F {
     * be enabled retroactively; production deployments set their own
     * durable checkpoint dir + that flag and own retention.)
     */
-  private def ensureCheckpointDir(
+  private[graft] def ensureCheckpointDir(
       sc: org.apache.spark.SparkContext): Unit =
     if (sc.getCheckpointDir.isEmpty) {
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")

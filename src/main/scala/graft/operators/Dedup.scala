@@ -237,17 +237,17 @@ object Dedup {
     * cross join at any point. Candidate volume per bucket is bounded by
     * `maxBucket` (see [[boundedBucketPairs]] for the hot-bucket contract).
     */
-  def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
-                      n: Int = 3, k: Int = 32, bands: Int = 8,
-                      verifyThreshold: Double = 0.7,
-                      materialize: Boolean = true,
-                      fam: HashFamily = XxHash,
-                      maxBucket: Int = 64): DataFrame = {
+  /** LSH index for one document set: the pre-hashed shingle table
+    * `(id, sh)` (fixed-width longs — Jaccard over hashed sets is
+    * identical modulo negligible 64-bit collisions) and the banded
+    * bucket table `(id, band, bucket)`. The shingle table is shared by
+    * the signature explode and the verify joins, so `materialize`
+    * persists it once (see ngramJaccardPairs on the tradeoff).
+    */
+  private[operators] def lshIndex(df: DataFrame, idCol: Column,
+      textCol: Column, n: Int, k: Int, bands: Int, fam: HashFamily,
+      materialize: Boolean): (DataFrame, DataFrame) = {
     val rows = k / bands
-    // one PRE-HASHED shingle table (fixed-width longs) shared by the
-    // signature explode and both verify joins (see ngramJaccardPairs on
-    // the materialize tradeoff); Jaccard over hashed sets is identical
-    // modulo negligible 64-bit collisions
     val sh0 = df.select(idCol.as("id"), hashedShingles(textCol, n, fam).as("sh"))
     val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -259,17 +259,37 @@ object Dedup {
         fam.hash(concat_ws(",",
           (0 until rows).map(r => col("minhash").getItem(b * rows + r)): _*))
       }: _*)).as(Seq("band", "bucket")))
+    (sh, banded)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against two shingle
+    * tables (4dp-rounded ratio, the cross-engine comparison form).
+    */
+  private def verifyJaccard(cand: DataFrame, shLeft: DataFrame,
+      shRight: DataFrame, leftId: String, rightId: String,
+      threshold: Double): DataFrame =
+    cand
+      .join(shLeft.select(col("id").as(leftId), col("sh").as("sh_a")), leftId)
+      .join(shRight.select(col("id").as(rightId), col("sh").as("sh_b")), rightId)
+      .select(col(leftId), col(rightId),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      verifyThreshold: Double = 0.7,
+                      materialize: Boolean = true,
+                      fam: HashFamily = XxHash,
+                      maxBucket: Int = 64): DataFrame = {
+    val (sh, banded) = lshIndex(df, idCol, textCol, n, k, bands, fam,
+      materialize)
     val cand = boundedBucketPairs(banded, Seq("band", "bucket"), maxBucket,
         Seq(col("a.id").as("id_a"), col("b.id").as("id_b")))
       .distinct()
     // verify candidates with exact Jaccard on shingles
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= verifyThreshold)
+    verifyJaccard(cand, sh, sh, "id_a", "id_b", verifyThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 weighted by
@@ -460,5 +480,98 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .withColumn("is_survivor", col("cluster_id") === col("doc_id"))
+  }
+
+  /** Incremental near-dup admission: which docs of a NEW batch survive
+    * against an already-admitted corpus — the daily-ingest shape of a
+    * production dedup. The batch's bands PROBE the corpus band index;
+    * the corpus is never self-joined, so per-ingest cost scales with the
+    * batch, not the corpus (in production the corpus's `lshIndex` tables
+    * are precomputed and stored — this recomputes them for verification
+    * self-containment). Hot corpus buckets are capped at `maxBucket`
+    * representatives (smallest ids — deterministic); within-batch pairs
+    * go through the same [[boundedBucketPairs]] bound as q28.
+    *
+    * A batch doc whose verified-similarity component touches ANY corpus
+    * doc is rejected with `dup_of` = the component's smallest corpus id
+    * (transitive: B~A~corpus rejects B even when B~corpus missed the
+    * threshold). Corpus-free components keep their smallest batch id.
+    * Ids must be unique ACROSS both tables.
+    *
+    * Output: (doc_id, is_admitted, dup_of) for every batch doc.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: Column, textCol: Column,
+                       n: Int = 3, k: Int = 32, bands: Int = 8,
+                       verifyThreshold: Double = 0.7,
+                       fam: HashFamily = XxHash,
+                       maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (shC, bandedC) = lshIndex(corpus, idCol, textCol, n, k, bands,
+      fam, materialize = true)
+    val (shB, bandedB) = lshIndex(batch, idCol, textCol, n, k, bands,
+      fam, materialize = true)
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("id"))
+    val cappedC = bandedC
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val candBC = bandedB.select(col("id").as("id_b"), col("band"),
+        col("bucket"))
+      .join(cappedC.select(col("id").as("id_c"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select(col("id_b"), col("id_c")).distinct()
+    val candBB = boundedBucketPairs(bandedB, Seq("band", "bucket"),
+        maxBucket, Seq(col("a.id").as("id_b"), col("b.id").as("id_c")))
+      .distinct()
+    val edges =
+      verifyJaccard(candBC, shB, shC, "id_b", "id_c", verifyThreshold)
+        .select(col("id_b").as("src"), col("id_c").as("dst"))
+      .union(
+        verifyJaccard(candBB, shB, shB, "id_b", "id_c", verifyThreshold)
+          .select(col("id_b").as("src"), col("id_c").as("dst")))
+    val cc = connectedComponents(edges)
+    val compCorpusMin = cc.join(shC.select(col("id")), "id")
+      .groupBy(col("component")).agg(min(col("id")).as("corpus_min"))
+    batch.select(idCol.as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(compCorpusMin, Seq("component"), "left")
+      .select(col("doc_id"),
+        (col("component").isNull ||
+          (col("corpus_min").isNull && col("doc_id") === col("component")))
+          .as("is_admitted"),
+        when(col("corpus_min").isNotNull, col("corpus_min"))
+          .when(col("doc_id") =!= col("component"), col("component"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
+  }
+
+  /** Semantic deduplication over an embedding column — the SemDeDup shape
+    * (Abbas et al. 2023, arXiv:2303.09540): random-hyperplane LSH buckets
+    * stand in for the paper's k-means clusters, within-bucket pairs are
+    * verified at exact cosine >= `threshold`, and the verified-similarity
+    * graph collapses to one survivor per connected component (the min id —
+    * deterministic and rerun-stable). The text-shingle analog is
+    * [[dedupClusters]]; this catches paraphrase-level duplicates whose
+    * surface n-grams share nothing.
+    *
+    * Scale: candidate generation is [[Similarity.lshCosinePairs]] (bucket
+    * equi-join, hot buckets bounded — no cross join at any corpus size);
+    * the closure is the same bounded large-star/small-star loop as every
+    * other dedup. Singletons are their own cluster.
+    *
+    * Output: (vec_id, cluster_id, is_survivor) for EVERY input vector.
+    */
+  def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
+                    threshold: Double, bits: Int = 64, bands: Int = 8,
+                    dim: Int = 64, maxBucket: Int = 64): DataFrame = {
+    val pairs = Similarity.lshCosinePairs(df, idCol, vecCol, threshold,
+      bits, bands, dim, maxBucket)
+    val cc = connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    df.select(idCol.as("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("cluster_id") === col("vec_id"))
   }
 }

@@ -220,6 +220,67 @@ object TextAnalysis {
           / col("total_ngrams").cast("double")).as("dup_ngram_frac"))
   }
 
+  /** Corpus-trained bigram-LM scoring — the CCNet/perplexity-filter shape
+    * (Wenzek et al. 2020): the corpus itself trains an add-one-smoothed
+    * bigram model, and every document is scored by its average negative
+    * log-likelihood under that model (low = fluent/common, high = noise).
+    * `P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)` with C(w1) the count of bigram
+    * CONTEXTS (so the distribution normalizes) and V the corpus vocabulary.
+    *
+    * Cross-engine determinism: double addition is order-sensitive, so each
+    * bigram's nll is snapshotted to DECIMAL(18,4) BEFORE the per-doc sum —
+    * decimal addition is exact and order-free — and the final average goes
+    * through a DECIMAL(38,10) snapshot before its 4dp round (rounding a
+    * raw double at output scale is engine-dependent at shortest-repr ties;
+    * see Allocation's identical rule). The multiply stays within
+    * DECIMAL(9,0)×DECIMAL(18,4) = DECIMAL(28,4) so Spark's
+    * precision-overflow scale reduction (p>38 → scale loss) never fires
+    * and both engines keep the product exact.
+    *
+    * Scale: one explode; count tables aggregate with map-side combine;
+    * the score join keys on (w1,w2) — Zipf-skewed at the hot bigrams, so
+    * pre-aggregate per (doc,bigram) first (done) and let AQE skew-split
+    * the rest. No windows, no cross join; docs with <2 tokens surface with
+    * n_bigrams=0 and a NULL score via the left spine join.
+    */
+  def ngramLmScore(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    val toks = split(normText(textCol), " ")
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val grams = df.select(idCol.as("doc_id"),
+        explode(bigramArr).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val cBig = grams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("c2"))
+    val cCtx = cBig.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = df.select(explode(split(normText(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(count_distinct(col("w")).as("v"))
+    val nll = (log((col("c1") + col("v")).cast("double")) -
+      log((col("c2") + 1).cast("double"))).cast("decimal(18,4)")
+    val scored = grams
+      .join(cBig, Seq("w1", "w2"))
+      .join(cCtx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast("decimal(9,0)") * nll).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("sum_nll").cast("double") / col("n_bigrams"))
+          .cast("decimal(38,10)"), 4).cast("double").as("avg_nll"))
+    df.select(idCol.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
+
   /** PII patterns: email and dashed phone numbers (KR mobile shape). Kept
     * simple and anchored on word-ish boundaries — the operator contract
     * (count + redact deterministically, pure codegen regex) is the point;

@@ -127,6 +127,29 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("incrementalDedup: batch admission against an existing corpus") {
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different text about spark engines here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // dup of corpus 2
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near dup → same comp
+      (5L, "unique penguin sentence with no relatives at all"),
+      (7L, "unique penguin sentence with no relatives at all") // batch dup of 5
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, col("doc_id"),
+        col("text"), n = 2, k = 16, bands = 8, verifyThreshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((false, Some(2L))), "exact corpus dup rejected")
+    assert(out(3L) == ((false, Some(2L))), "transitive corpus dup rejected")
+    assert(out(5L) == ((true, None)), "novel doc admitted")
+    assert(out(7L) == ((false, Some(5L))), "within-batch dup points at survivor")
+  }
+
   test("dedupClusters: transitive near-dups collapse to one survivor") {
     val out = Dedup.dedupClusters(docs, col("doc_id"), col("text"),
         n = 2, k = 16, bands = 8, verifyThreshold = 0.5)

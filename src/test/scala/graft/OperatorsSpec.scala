@@ -232,6 +232,30 @@ class OperatorsSpec extends SparkSpec {
     assert(epochs.length == 1 && epochs.head.getSeq[Int](0) == Seq(1, 2))
   }
 
+  test("shuffleShard: dense per-shard positions, partitioning-invariant") {
+    import graft.operators.Sampling
+    val df = (0L until 500L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShard(d, col("doc_id"), numShards = 4)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+        .toMap
+    val out = run(df)
+    assert(out.size == 500, "permutation covers every row exactly once")
+    // positions are dense 0..n-1 inside each shard
+    out.values.groupBy(_._1).foreach { case (_, v) =>
+      val ps = v.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.length.toLong), "dense in-shard positions")
+    }
+    // content-hash order: independent of input partitioning, rerun-stable
+    assert(run(df.repartition(7)) == out)
+    // a different seed is a different permutation of the same rows
+    val re = Sampling.shuffleShard(df, col("doc_id"), 4, seed = "epoch2")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(re.keySet == out.keySet && re != out)
+  }
+
   test("redactPii counts and redacts emails before phones") {
     val df = Seq(
       (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),
@@ -246,5 +270,54 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, "no pii here")))
     assert(out(3L)._1 == 2 && out(3L)._2 == 1)
     assert(out(3L)._3 == "double <EMAIL> <EMAIL> and <PHONE>")
+  }
+
+  test("packSequences: concat-and-split packing, docs span boundaries") {
+    import graft.operators.Packing
+    val df = Seq(
+      (1L, "a b c"),             // 3 toks, stream [0,3)
+      (2L, "d e f g"),           // 4 toks, [3,7) — spans packs 0|1
+      (3L, "h"),                 // 1 tok, [7,8)
+      (4L, ""),                  // 0 toks — dropped
+      (5L, "i j k l m n o")      // 7 toks, [8,15) — spans packs 1|2
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(df, col("doc_id"), col("text"),
+        budget = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // (doc, pack) -> (n_tokens, seg_start, seg_tokens, pack_off)
+    assert(out.size == 6)
+    assert(out((1L, 0L)) == ((3L, 0L, 3L, 0L)))
+    assert(out((2L, 0L)) == ((4L, 0L, 2L, 3L)), "doc 2 head fills pack 0")
+    assert(out((2L, 1L)) == ((4L, 2L, 2L, 0L)), "doc 2 tail opens pack 1")
+    assert(out((3L, 1L)) == ((1L, 0L, 1L, 2L)))
+    assert(out((5L, 1L)) == ((7L, 0L, 2L, 3L)))
+    assert(out((5L, 2L)) == ((7L, 2L, 5L, 0L)))
+    // invariant: every pack but the last is exactly full
+    val packTotals = Packing.packSequences(df, col("doc_id"),
+        col("text"), budget = 5)
+      .groupBy("pack_id").agg(sum("seg_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packTotals == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+  }
+
+  test("ngramLmScore: add-one bigram NLL averaged per doc") {
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams (a,b)x2 (b,a)x1
+      (2L, "a b"),
+      (3L, "c")          // no bigrams
+    ).toDF("doc_id", "text")
+    // corpus: C(a,b)=3, C(b,a)=1; contexts C(a)=3, C(b)=1; V=3
+    // nll(a,b) = ln6 - ln4 -> 0.4055 ; nll(b,a) = ln4 - ln2 -> 0.6931
+    val out = TextAnalysis.ngramLmScore(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((3L, Some(0.5014))),
+      "(2*0.4055 + 0.6931)/3 rounds to 0.5014")
+    assert(out(2L) == ((1L, Some(0.4055))))
+    assert(out(3L) == ((0L, None)), "sub-bigram docs score NULL")
   }
 }

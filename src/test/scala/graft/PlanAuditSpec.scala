@@ -39,7 +39,11 @@ class PlanAuditSpec extends SparkSpec {
     *   join shape, relation__smt_opt_to_sbn_ids.sql:76-84);
     * - q139: the all-9s sentinel sort key — a broadcast SINGLE-ROW
     *   MAX(sort_key) over the option↔master join (q97/q112's pattern,
-    *   spelling the reference's `MAX() OVER ()` without a global window).
+    *   spelling the reference's `MAX() OVER ()` without a global window);
+    * - q156: `Packing.packSequences`' triangular offsets join over the
+    *   ≤32-row bucket-count table (globalRowNumber's bound, q109/q44);
+    * - q157: cross join with the broadcast SINGLE-ROW vocabulary-size
+    *   aggregate (q61's corpus-count pattern).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
@@ -48,7 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "q75_order_count_mom", "q109_brand_master",
     "q111_sabangnet_product_master", "q112_sabangnet_option_master",
     "q116_stock_time_ds", "q121_stock_report_ds", "q127_smt_opt_relation",
-    "q139_smt_option_master")
+    "q139_smt_option_master", "q156_pack_sequences", "q157_ngram_lm_score")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -75,7 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     // the sampled-quantile sketch: percentile_cont over the hash-sample —
     // the sample is SIZED by sampleBits to fit one partition; choosing
     // that bound is the sketch's contract (the exact grouped form is q08)
-    "q146_sampled_quantiles")
+    "q146_sampled_quantiles",
+    // the bigram-LM vocabulary size: a global COUNT(DISTINCT) single-row
+    // aggregate — distributed partial, single-row final merge (q61 shape)
+    "q157_ngram_lm_score")
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
