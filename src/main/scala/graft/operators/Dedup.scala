@@ -251,6 +251,10 @@ object Dedup {
     val sh0 = df.select(idCol.as("id"), hashedShingles(textCol, n, fam).as("sh"))
     val sh = if (materialize) sh0.persist() else sh0
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    // (banded persists below: it is consumed 2-3x — occupancy stats +
+    // pair join in boundedBucketPairs, plus the probe side in
+    // incrementalDedup — and each consumer would otherwise replay the
+    // k-way minhash aggregation over the exploded shingles)
     val sigs = ex.groupBy(col("id"))
       .agg(minHashAggs(k, fam).head, minHashAggs(k, fam).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
@@ -259,7 +263,7 @@ object Dedup {
         fam.hash(concat_ws(",",
           (0 until rows).map(r => col("minhash").getItem(b * rows + r)): _*))
       }: _*)).as(Seq("band", "bucket")))
-    (sh, banded)
+    (sh, if (materialize) banded.persist() else banded)
   }
 
   /** Exact-Jaccard verification of candidate pairs against two shingle

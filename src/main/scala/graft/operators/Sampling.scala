@@ -67,4 +67,36 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
       .drop("__copies")
   }
+
+  /** Deterministic global training-order shuffle + sharding: every row
+    * gets a shard (hash-assigned) and a dense 0-based position inside its
+    * shard (hash order, key tie-break). Reading shards in index order and
+    * each shard by position replays ONE fixed pseudo-random permutation
+    * of the corpus — the "shuffle once, stream forever" layout a
+    * pretraining run wants, rerun-stable and engine-independent because
+    * the order comes from a content hash, never an RNG or partition
+    * enumeration order.
+    *
+    * Scale: one hash-shuffle on `shard` + a per-shard window sort — no
+    * global ordering, no single-partition exchange at any corpus size.
+    * Size `numShards` to the cluster (≥ executor cores) so shard windows
+    * parallelize; a different `seed` is a fresh permutation (per-epoch
+    * reshuffles are seed strings, not data movement).
+    *
+    * Output: every input column + (shard, pos).
+    */
+  def shuffleShard(df: DataFrame, keyCol: Column, numShards: Int,
+                   seed: String = "shuffle"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = F.hash64(concat_ws("|", lit(seed), keyCol))
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col("__key"))
+    df.withColumn("__h", h)
+      .withColumn("__key", keyCol)
+      .withColumn("__shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__key", "__shard")
+  }
 }

@@ -290,4 +290,33 @@ object Similarity {
     val bandBits = adaptiveBandBits(n, targetPerBucket)
     lshTopK(corpus, idCol, vecCol, k, bits = bands * bandBits, bands, dim)
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the storage/transfer
+    * compression step of a vector pipeline (4x smaller than float32, 8x
+    * smaller than the double working form; dequantize ≈ q * scale). Each
+    * vector is scaled by its own max-|x| so the full int8 range is used:
+    * `q_i = floor(x_i * 127 / amax + 0.5)` ∈ [-127, 127], `scale =
+    * amax / 127`. The rounding is spelled floor(v + 0.5) — not round() —
+    * because half-up-on-doubles is the one form every engine executes
+    * identically (banker's vs away-from-zero round() ties differ); with
+    * identical IEEE inputs the quantized codes replay bit-for-bit in an
+    * external SQL oracle. An all-zero vector quantizes to zeros with
+    * scale 0.
+    *
+    * Pure per-row codegen'd expressions — no shuffle, no UDF; runs at
+    * scan speed on any corpus size.
+    *
+    * Output: (vec_id, scale, qvec array<bigint>).
+    */
+  def quantizeInt8(df: DataFrame, idCol: Column, vecCol: Column): DataFrame = {
+    val amax = array_max(transform(vecCol, x => abs(x)))
+    df.select(idCol.as("vec_id"), amax.as("__amax"), vecCol.as("__v"))
+      .select(col("vec_id"),
+        (col("__amax") / 127.0d).as("scale"),
+        when(col("__amax") === 0,
+            transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            x => floor(x * 127.0d / col("__amax") + 0.5d)))
+          .as("qvec"))
+  }
 }

@@ -120,4 +120,42 @@ class SimilaritySpec extends SparkSpec {
     // LSH top-3 should mostly fall inside the exact top-20 neighborhood
     assert(hits >= 0.5, s"LSH precision@top20 too low: $hits")
   }
+
+  test("semanticDedup: scaled clone collapses into its source's cluster") {
+    import graft.operators.Dedup
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // vec 9001 = vec 1 scaled (cosine 1.0) — must land in vec 1's cluster
+    val dup = e.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"), transform(col("vec"), x => x * 2.0).as("vec"))
+    val corpus = e.unionByName(dup)
+    val out = Dedup.semanticDedup(corpus, col("vec_id"), col("vec"),
+        threshold = 0.45)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out.size == corpus.count(), "every vector labeled")
+    assert(out(9001L)._1 == out(1L)._1, "clone shares vec 1's cluster")
+    assert(!out(9001L)._2, "clone is never the survivor (min-id wins)")
+    val survivors = out.count(_._2._2)
+    val clusters = out.values.map(_._1).toSet.size
+    assert(survivors == clusters, "exactly one survivor per cluster")
+    assert(out.forall { case (id, (c, s)) => s == (c == id) })
+  }
+
+  test("quantizeInt8: symmetric codes, zero vector, exact scale") {
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.25, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(-2.0, 2.0, 1.0, -1.0))
+    ).toDF("vec_id", "vec")
+    val out = Similarity.quantizeInt8(df, col("vec_id"), col("vec"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2))).toMap
+    // 1.0→127; -0.5→floor(-63.5+0.5)=-63; 0.25→floor(31.75+0.5)=32; 0→0
+    assert(out(1L)._2 == Seq(127L, -63L, 32L, 0L))
+    assert(out(1L)._1 == 1.0 / 127)
+    assert(out(2L) == ((0.0, Seq(0L, 0L, 0L, 0L))), "zero vector → zeros")
+    assert(out(3L)._2 == Seq(-127L, 127L, 64L, -63L),
+      "negative max uses full range symmetrically")
+  }
 }
