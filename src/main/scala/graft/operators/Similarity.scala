@@ -65,13 +65,18 @@ object Similarity {
     */
   def lshCosinePairs(corpus: DataFrame, idCol: Column, vecCol: Column,
                      threshold: Double, bits: Int = 64, bands: Int = 8,
-                     dim: Int = 64, maxBucket: Int = 64): DataFrame = {
+                     dim: Int = 64, maxBucket: Int = 64,
+                     materialize: Boolean = true): DataFrame = {
     val bandBits = bits / bands
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    val banded = base
+    // boundedBucketPairs consumes the banded frame three times (occupancy
+    // stats + both join sides) — persist, or each consumer replays the
+    // bits× literal-plane dot products per row
+    val banded0 = base
       .select(col("id"),
         explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
           .as("bucket"))
+    val banded = if (materialize) banded0.persist() else banded0
     // hot buckets (an embedding cluster of near-identical vectors — the
     // very thing near-dup detection targets) are bounded at `maxBucket`
     // via the representative-star reduce; see Dedup.boundedBucketPairs.
@@ -178,13 +183,17 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
               k: Int = 10, bits: Int = 64, bands: Int = 8,
-              dim: Int = 64, maxBucket: Int = 64): DataFrame = {
+              dim: Int = 64, maxBucket: Int = 64,
+              materialize: Boolean = true): DataFrame = {
     val bandBits = bits / bands
     val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    val banded = base
+    // consumed by the probe-rank window AND the candidate join — persist,
+    // or both replay the bits× literal-plane dot products per row
+    val banded0 = base
       .select(col("id"),
         explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
           .as("bucket"))
+    val banded = if (materialize) banded0.persist() else banded0
     // probe-side rank within bucket: rows ≤ maxBucket of every bucket keep
     // all-pairs semantics (rn <= occupancy <= maxBucket covers the whole
     // bucket), hot buckets are truncated to their maxBucket smallest ids
