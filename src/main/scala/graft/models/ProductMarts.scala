@@ -170,6 +170,19 @@ object ProductMarts {
 
   def install(r: ModelRegistry, sfDir: String): Unit = {
 
+    // ---- shared dedup sources: each is a window dedup over a fact/dim
+    // scan that several marts in the SAME run consume (the option master
+    // pulls the product master, which re-reads both). Registering them as
+    // lazily-persisted models makes ModelContext.ref hand every consumer
+    // ONE cached copy per run instead of re-running the dedup window per
+    // consumer (the run cache is per-query, so no state leaks across
+    // queries). persist(), not checkpoint: both dedup orders are total,
+    // so a dropped-block recompute is value-identical.
+    r.register(Model("sbn_option_dedup", Nil, View, ctx =>
+      sbnOption(ctx.session, sfDir).persist()))
+    r.register(Model("core_item_dedup", Nil, View, ctx =>
+      coreMaster(ctx.session, sfDir).persist()))
+
     // ---- core brand master (reference: intermediate/core__brand_master
     // .sql:9-20): 2-prefixed items with a real brand, deduped to one row
     // per product AND one row per brand (the double QUALIFY), then a
@@ -293,11 +306,12 @@ object ProductMarts {
     // the POWER(10, MAX(LENGTH(qty))) scale scalar broadcast into the
     // composite sort key, the '대표' override when the product exists in
     // the core master, and the conditional image URL.
-    r.register(Model("sabangnet_product_master", Seq("core_brand_master"),
+    r.register(Model("sabangnet_product_master",
+      Seq("core_brand_master", "sbn_option_dedup", "core_item_dedup"),
       View, ctx => {
         val s = ctx.session
-        val opt = sbnOption(s, sfDir)
-        val itm = coreMaster(s, sfDir)
+        val opt = ctx.ref("sbn_option_dedup")
+        val itm = ctx.ref("core_item_dedup")
         val exploded = opt.select(
             split(col("option_id"), "-").getItem(0).as("product_id"),
             col("option_id"), col("option_type"),
@@ -385,17 +399,16 @@ object ProductMarts {
     // passthrough, and the REPEAT('9') sentinel sort key as a broadcast
     // scalar instead of a global window.
     r.register(Model("sabangnet_option_master",
-      Seq("sabangnet_product_master"), View, ctx => {
+      Seq("sabangnet_product_master", "sbn_option_dedup", "core_item_dedup"),
+      View, ctx => {
         val s = ctx.session
-        // three consumers (primary, bundleNames, the final spine) each
-        // get a differently-pruned copy of the windowed dedup — persist so
-        // the lineitem window runs once, not three times. persist(), not
-        // checkpoint(): the dedup carries a total tie-break order so a
-        // dropped-block recompute is value-identical, and the lazy cache
-        // folds into the main job instead of an eager up-front job +
-        // disk round trip
-        val opt = sbnOption(s, sfDir).persist()
-        val itm = coreMaster(s, sfDir)
+        // three consumers here (primary, bundleNames, the final spine)
+        // each get a differently-pruned copy of the windowed dedup — and
+        // the product-master dependency reads the same frame again. The
+        // shared persisted model runs the lineitem window once per run
+        // for all of them.
+        val opt = ctx.ref("sbn_option_dedup")
+        val itm = ctx.ref("core_item_dedup")
         // primary item per option: explode, enrich, keep smallest item_seq
         val primary = graft.functions.F.qualifyTopN(
           opt.select(col("option_id"),
@@ -486,9 +499,10 @@ object ProductMarts {
     // — component ids are 6 chars by construction), the literal status
     // CASE, and the two-part sort key (deleted flag × vendor_seq, then
     // product_status).
-    r.register(Model("coupang_option_master", Nil, View, ctx => {
+    r.register(Model("coupang_option_master", Seq("core_item_dedup"), View,
+      ctx => {
       val s = ctx.session
-      val itm = coreMaster(s, sfDir)
+      val itm = ctx.ref("core_item_dedup")
       // `rel` below re-derives from this deduped frame, so the lineitem
       // window would run twice — persist to compute it once (lazy; the
       // dedup order is total, recompute is value-identical)
