@@ -1885,7 +1885,38 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"),
           x => x.cast("double")).as("vec"))
+      // The operator returns the raw array<long> codes; the gate's pandas
+      // compare can't sort array cells, so project a scalar digest of the
+      // codes (joined CSV) — mirrored in the DuckDB oracle.
       Similarity.quantizeInt8(e, col("vec_id"), col("vec"))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("qvec"), _.cast("string")), ",")
+            .as("qdigest"))
+    }),
+
+    // ---- change-feed batch replay: the table the streaming
+    // changeFeedSink converges to (latest change per key over the whole
+    // feed) — the oracle anchor for the §2.9 upsert-feed pipeline, whose
+    // stream-applied-batches == batch-replay equivalence StreamsSpec
+    // asserts on the same operator pair ----
+    "q161_change_feed" -> ((s, d) => {
+      graft.streaming.Streams.changeFeedReplay(
+        Tables.events(s, d), keys = Seq("user_id"), tsCol = "ts")
+    }),
+
+    // ---- chunk-grain exact span dedup (Lee et al. 2022): repeated
+    // 10-token spans corpus-wide; explode → hash groupBy → join-back,
+    // the same bounded two-exchange shape as doc-level exact dedup ----
+    "q162_chunk_dedup" -> ((s, d) => {
+      Dedup.chunkDedup(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 10, maxDupFrac = 0.3, hashes = Dedup.CrossEngineHash)
+    }),
+
+    // ---- Gopher-rules hard quality gate: auditable per-rule stats +
+    // conjunctive keep; pure per-row codegen, scan speed ----
+    "q163_gopher_filter" -> ((s, d) => {
+      TextAnalysis.gopherFilter(Tables.documents(s, d),
+        col("doc_id"), col("text"), minWords = 30)
     })
   )
 
@@ -4236,11 +4267,67 @@ object SparkEntry {
         |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
         |  FROM e)
         |SELECT vec_id, amax / 127.0 AS scale,
-        |  CASE WHEN amax = 0
+        |  array_to_string(CASE WHEN amax = 0
         |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
         |    ELSE list_transform(v,
         |      x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
-        |  END AS qvec
-        |FROM a""".stripMargin
+        |  END, ',') AS qdigest
+        |FROM a""".stripMargin,
+
+    // change-feed replay: latest change per key; ts desc with the
+    // remaining columns desc (name-sorted) as tie-break — the exact
+    // ordering changeFeedReplay/changeFeedSink use
+    "q161_change_feed" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC, event_type DESC, props DESC,
+        |      value DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    // chunk dedup: non-overlapping 10-token spans, cross-engine md5 hash;
+    // a span is dup when its hash occurs at 2+ (doc, position) sites
+    "q162_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+        |ch AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) // 10),
+        |      i -> ${dkHash("'chunk|' || array_to_string(toks[(i*10+1):(i*10+10)], ' ')")}))
+        |      AS h
+        |  FROM t),
+        |g AS (SELECT h, count(*) AS c FROM ch GROUP BY h),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dup_chunks
+        |  FROM ch JOIN g USING (h) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_chunks, 0) AS n_chunks,
+        |  coalesce(dup_chunks, 0) AS dup_chunks,
+        |  CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0.0
+        |    ELSE coalesce(dup_chunks, 0) / n_chunks END AS dup_frac,
+        |  (CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0.0
+        |    ELSE coalesce(dup_chunks, 0) / n_chunks END) <= 0.3 AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // Gopher-rules gate: word count, mean word length, alpha fraction,
+    // stop-word floor — stats + conjunctive keep
+    "q163_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(toks, w -> strlen(w)))
+        |        AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(toks,
+        |        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS alpha_frac,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it',
+        |       'for','on','with','as','at','by','from','that','this'], w)))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+        |  (n_words BETWEEN 30 AND 100000)
+        |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS keep
+        |FROM m""".stripMargin
   )
 }

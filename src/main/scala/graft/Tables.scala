@@ -40,15 +40,23 @@ object Tables {
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and rebuild a timestamp col.
+    // events.parquet has carried different physical types for `ts` across
+    // generations of the fixture: TIMESTAMP(NANOS) (which Spark's reader
+    // only accepts as raw long via the legacy conf) and TIMESTAMP(MICROS)
+    // (read natively). Be schema-adaptive, like the reference's ingestion
+    // (TRY_CAST everywhere; read_json_auto — reference:
+    // src/linkmerce/common/load.py:426): set the nanos-as-long conf (a
+    // no-op for micros files), then branch on the dtype actually read.
     val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.expr
-      // integer `div`, not `/`: ns epochs exceed 2^53, double division
-      // would lose microseconds
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType == LongType)
+        // integer `div`, not `/`: ns epochs exceed 2^53, double division
+        // would lose microseconds
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
     if (spreadNames(name)) spread(spark, df) else df
   }

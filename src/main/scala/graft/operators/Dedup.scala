@@ -80,6 +80,50 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact span dedup at chunk grain — the "remove exact token spans seen
+    * elsewhere in the corpus" operator (Lee et al. 2022, Deduplicating
+    * Training Data Makes Language Models Better), catching the boilerplate
+    * and quotation overlap that whole-document [[exact]] dedup misses.
+    * Each doc's normalized tokens are cut into NON-overlapping `n`-token
+    * chunks (the trailing partial chunk is dropped — a short tail is not a
+    * span); a chunk is duplicated when its hash occurs at two or more
+    * (doc, position) sites corpus-wide — including repeats inside one doc.
+    * Output per doc: `n_chunks`, `dup_chunks`, `dup_frac`, and `keep`
+    * (`dup_frac <= maxDupFrac`).
+    *
+    * Scale: explode to chunk grain (corpus token volume / n rows), one
+    * hash groupBy for global chunk frequency, one equi-join back on the
+    * 64-bit chunk hash — the same bounded two-exchange shape as [[exact]];
+    * no self-join, no cross join, and the shuffled key is a fixed-width
+    * hash, never the span text.
+    */
+  def chunkDedup(df: DataFrame, idCol: Column, textCol: Column,
+                 n: Int = 20, maxDupFrac: Double = 0.3,
+                 hashes: HashFamily = XxHash): DataFrame = {
+    require(n >= 1, "chunk length must be >= 1")
+    val toks = split(normText(textCol), " ")
+    val k = floor(size(toks) / lit(n)).cast("int")
+    // guard k<=0: sequence(0, -1) would produce a DESCENDING range
+    val chunks = when(k <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
+    val ch = df.select(idCol.as("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"),
+        hashes.hash(concat(lit("chunk|"), col("chunk"))).as("h"))
+    val freq = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val per = ch.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+    df.select(idCol.as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_chunks", "dup_chunks"))
+      .withColumn("dup_frac",
+        when(col("n_chunks") === 0, lit(0.0))
+          .otherwise(col("dup_chunks") / col("n_chunks")))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+
   /** Word n-gram shingles of `n` tokens as an array column. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = split(normText(textCol), " ")

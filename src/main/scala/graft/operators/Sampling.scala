@@ -86,7 +86,34 @@ object Sampling {
     * Output: every input column + (shard, pos).
     */
   def shuffleShard(df: DataFrame, keyCol: Column, numShards: Int,
-                   seed: String = "shuffle"): DataFrame = {
+                   seed: String = "shuffle"): DataFrame =
+    shuffleShardImpl(df, keyCol, numShards, seed)
+
+  /** `shuffleShard` with `numShards` sized to the measured corpus (one
+    * count job — metadata-scale): `ceil(rows / targetRowsPerShard)`,
+    * floored at the session's parallelism so shard windows always fill
+    * the cluster. Each shard's window sorts in ONE task, so a fixed
+    * default (say 8) would shard a 100 TB corpus into eight multi-TB
+    * single-task sorts — this form removes that foot-gun (the
+    * `lshTopKAuto` pattern). The declared benchmark query pins
+    * `numShards` instead so its oracle replays deterministically; use
+    * this form on corpora of unknown size. Shard membership and order
+    * stay content-hash-deterministic either way — only the shard COUNT
+    * depends on corpus size.
+    */
+  def shuffleShardAuto(df: DataFrame, keyCol: Column,
+                       targetRowsPerShard: Long = 4L << 20,
+                       seed: String = "shuffle"): DataFrame = {
+    require(targetRowsPerShard > 0, "targetRowsPerShard must be positive")
+    val rows = df.count()
+    val byRows = (rows + targetRowsPerShard - 1) / targetRowsPerShard
+    val floor = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val shards = math.min(byRows.max(floor).max(1L), Int.MaxValue.toLong)
+    shuffleShardImpl(df, keyCol, shards.toInt, seed)
+  }
+
+  private def shuffleShardImpl(df: DataFrame, keyCol: Column, numShards: Int,
+                               seed: String): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     import org.apache.spark.sql.expressions.Window
     val h = F.hash64(concat_ws("|", lit(seed), keyCol))

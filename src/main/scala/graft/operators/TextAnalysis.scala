@@ -53,6 +53,43 @@ object TextAnalysis {
       round(nChars.cast("double") / greatest(nToks, lit(1)), 4).as("mean_token_len"))
   }
 
+  /** Gopher-style hard quality gate (Rae et al. 2021, Appendix A — the
+    * rule family every production corpus filter descends from): per-doc
+    * lexical statistics plus a conjunctive `keep` verdict. Emits every
+    * statistic alongside the verdict so a pipeline can audit WHICH rule
+    * fired (a bare boolean filter is undebuggable at corpus scale);
+    * thresholds are knobs with the paper's defaults. Rules: word count in
+    * [minWords, maxWords]; mean word length in [minMeanLen, maxMeanLen];
+    * fraction of words containing an alphabetic character >= minAlphaFrac;
+    * at least minStopwords stop-word hits.
+    *
+    * Pure per-row codegen'd higher-order functions — no shuffle, no UDF;
+    * runs at scan speed, and a downstream `.filter(col("keep"))` pushes
+    * to the scan like any other predicate.
+    */
+  def gopherFilter(df: DataFrame, idCol: Column, textCol: Column,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   minAlphaFrac: Double = 0.8,
+                   minStopwords: Int = 2): DataFrame = {
+    val toks = split(normText(textCol), " ")
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val alpha = size(filter(toks, w => w.rlike("[a-z]")))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, w => array_contains(stopArr, w)))
+    df.select(idCol.as("doc_id"),
+        n.cast("long").as("n_words"),
+        round(sumLen / greatest(n, lit(1)), 4).as("mean_word_len"),
+        round(alpha / greatest(n, lit(1)), 4).as("alpha_frac"),
+        nStop.cast("long").as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stopwords") >= minStopwords)
+  }
+
   /** Language-ID heuristic: score text against per-language marker-word sets
     * (n-gram/stopword heuristic). Deterministic and SQL-expressible — the
     * point is the operator shape (argmax over per-language scores), not NLP

@@ -134,6 +134,7 @@ object Sinks {
           Files.writeString(tmp, s"gen-$nextNum")
           Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
+          publishManifest(root.resolve("_symlink_format_manifest"), genDir)
           vacuumGenerations(root, nextNum, keepGenerations)
           committed = true
         }
@@ -176,6 +177,45 @@ object Sinks {
       }
     }
     try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Open-table-format interop for the generational tables (the remaining
+    * multi-consumer gap the reference's shared-catalog load targets don't
+    * have — extensions/bigquery.py:249-530, extensions/postgres.py:601-815
+    * load into stores ANY tool can query). After every commit, the current
+    * generation's data files are published as a symlink-format manifest —
+    * one absolute file URI per line at `_symlink_format_manifest/manifest`
+    * (per partition: `_symlink_format_manifest/p=<v>/manifest`). This is
+    * the Hive `SymlinkTextInputFormat` convention that Delta Lake itself
+    * emits for Presto/Trino/Athena readers: an external engine consumes a
+    * committed generation with NO graft code — read the manifest lines,
+    * scan exactly those files (`spark.read.parquet(paths: _*)`, DuckDB
+    * `read_parquet([paths])`, a Hive symlink table, ...). The manifest is
+    * swapped atomically (tmp + ATOMIC_MOVE) under the same metadata lock
+    * as the pointer, so it never names a torn or half-committed
+    * generation; `keepGenerations >= 1` guarantees the newest generation —
+    * the one the manifest names — is never vacuumed.
+    */
+  private def publishManifest(manifestDir: java.nio.file.Path,
+                              genDir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val files = {
+      val ls = Files.list(genDir)
+      try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        .toSeq.sorted
+      finally ls.close()
+    }
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve("manifest.tmp")
+    Files.writeString(tmp,
+      files.map(f => genDir.resolve(f).toUri.toString)
+        .mkString("", "\n", "\n"))
+    Files.move(tmp, manifestDir.resolve("manifest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -346,6 +386,9 @@ object Sinks {
               Files.move(tmp, dir.resolve("_CURRENT"),
                 StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
+              publishManifest(
+                root.resolve("_symlink_format_manifest").resolve(s"p=$v"),
+                genDir)
               vacuumGenerations(dir, nextNum, keepGenerations)
             }
           }
@@ -482,4 +525,21 @@ object Sinks {
     */
   def exportByKey(df: DataFrame, keyCol: String, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).parquet(path)
+
+  /** Training-shard writer — the materialization step after
+    * [[graft.operators.Sampling.shuffleShard]]: one pos-ordered parquet
+    * file per shard under `outDir/shard=<k>/`, so a training loader
+    * streams shard directories in index order and replays the fixed
+    * permutation with NO sort at read time (parquet preserves row order
+    * within a file). One hash exchange on `shard` + an in-partition sort —
+    * never a global sort or single-partition funnel; each shard is written
+    * by exactly one task (a hash collision merely co-locates two shards in
+    * one task — dynamic partitioning still emits one file per shard).
+    */
+  def writeTrainingShards(df: DataFrame, outDir: String,
+                          shardCol: String = "shard",
+                          posCol: String = "pos"): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(outDir)
 }

@@ -38,6 +38,20 @@ class CoverageSpec extends AnyFunSuite {
       s"uncited dbt models: ${missing.mkString(", ")}")
   }
 
+  test("every reference dbt_postgres model is cited in the source tree") {
+    // The PG project mirrors dbt_bigquery model-for-model today (61 names,
+    // all shared), so the BigQuery citations already cover it — this walk
+    // pins that: a future PG-ONLY model in the reference fails here
+    // instead of slipping past the BigQuery-side check.
+    val models = walk(refRoot.resolve("dbt_postgres/models"))
+      .filter(_.toString.endsWith(".sql"))
+      .map(_.getFileName.toString.stripSuffix(".sql"))
+    assume(models.nonEmpty, "reference checkout not present")
+    val missing = models.filterNot(sources.contains)
+    assert(missing.isEmpty,
+      s"uncited dbt_postgres models: ${missing.mkString(", ")}")
+  }
+
   test("every reference staging domain is cited in the source tree") {
     val core = refRoot.resolve("src/linkmerce/core")
     val domains = walk(core)

@@ -256,6 +256,73 @@ class OperatorsSpec extends SparkSpec {
     assert(re.keySet == out.keySet && re != out)
   }
 
+  test("shuffleShardAuto sizes shards from corpus rows, floored at parallelism") {
+    import graft.operators.Sampling
+    val df = (0L until 500L).toDF("doc_id")
+    val floor = spark.sparkContext.defaultParallelism
+    // tiny target → row-count-driven shard count: ceil(500/50) = 10,
+    // floored at the session's parallelism
+    val small = Sampling.shuffleShardAuto(df, col("doc_id"),
+      targetRowsPerShard = 50L)
+    val nSmall = small.select("shard").distinct().count()
+    assert(nSmall == math.max(10, floor).min(500),
+      s"expected ~max(10, $floor) shards, got $nSmall")
+    // huge target → parallelism floor still splits the window sorts
+    val big = Sampling.shuffleShardAuto(df, col("doc_id"),
+      targetRowsPerShard = 1L << 40)
+    val nBig = big.agg(max(col("shard"))).head.getInt(0) + 1
+    assert(nBig == floor, s"expected parallelism-floor $floor, got $nBig")
+    // same contract as the pinned form: dense in-shard positions
+    val ps = big.filter(col("shard") === 0).select("pos")
+      .collect().map(_.getLong(0)).sorted
+    assert(ps.sameElements(0L until ps.length.toLong))
+  }
+
+  test("chunkDedup flags repeated token spans, drops trailing partials") {
+    import graft.operators.Dedup
+    val df = Seq(
+      // docs 1 and 2 share an exact 4-token span; doc 3 is clean;
+      // doc 4 is too short for a full chunk
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd zz yy xx ww"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, col("doc_id"), col("text"),
+        n = 4, maxDupFrac = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((2L, 1L, false)), "doc1: 2 chunks, 1 dup, 0.5 > 0.4")
+    assert(out(2L) == ((2L, 1L, false)))
+    assert(out(3L) == ((2L, 0L, true)))
+    assert(out(4L) == ((0L, 0L, true)), "short doc: no full chunk, kept")
+    // a span repeated INSIDE one doc also counts as duplicated
+    val self = Dedup.chunkDedup(
+      Seq((9L, "aa bb aa bb")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self(9L) == 2L)
+  }
+
+  test("gopherFilter applies the rule conjunction with auditable stats") {
+    val good = ("long " * 30).trim + " the of and with that is it"
+    val df = Seq(
+      (1L, good),                       // passes every rule
+      (2L, "too short the of"),         // word count below min
+      (3L, ("a " * 60).trim)            // mean word length 1 < 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, col("doc_id"), col("text"),
+        minWords = 30)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L)._5, s"doc1 should pass: ${out(1L)}")
+    assert(out(1L)._1 == 37L && out(1L)._4 >= 2)
+    assert(!out(2L)._5 && out(2L)._1 == 4L)
+    assert(!out(3L)._5 && out(3L)._2 == 1.0, "mean word length rule fires")
+    assert(out(3L)._3 == 1.0, "alpha fraction still computed")
+  }
+
   test("redactPii counts and redacts emails before phones") {
     val df = Seq(
       (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),

@@ -84,10 +84,26 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate — distributed partial, single-row final merge (q61 shape)
     "q157_ngram_lm_score")
 
-  private lazy val plans: Seq[(String, String)] =
+  /** Build every plan, trapping per-query failures: one broken reader must
+    * not abort the audit of the other 150+ queries (the round-4 failure
+    * mode — an events schema drift masked the whole scale audit).
+    */
+  private lazy val built: Seq[(String, Either[String, String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf001).queryExecution.executedPlan.toString
+      name -> (try Right(fn(spark, sf001).queryExecution.executedPlan.toString)
+      catch {
+        case e: Exception =>
+          Left(e.toString.linesIterator.take(3).mkString(" | "))
+      })
     }
+
+  private lazy val plans: Seq[(String, String)] =
+    built.collect { case (name, Right(plan)) => name -> plan }
+
+  test("every registered query builds a physical plan") {
+    val failures = built.collect { case (name, Left(err)) => s"$name: $err" }
+    assert(failures.isEmpty, s"plan build failed:\n${failures.mkString("\n")}")
+  }
 
   test("no query plan contains an unbounded cartesian product") {
     val failures = plans.flatMap { case (name, plan) =>

@@ -244,4 +244,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(gens.toSeq == Seq("gen-3", "gen-4"), s"got ${gens.toSeq}")
     assert(Sinks.readUpsertTable(spark, dir).count() == 5)
   }
+
+  test("symlink manifest: external readers consume a committed generation with no engine code") {
+    import java.nio.file.{Files => NF, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = NF.createTempDirectory("graft_manifest").toString
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v"), Seq("k"))
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "name", "v"), Seq("k"))
+    // the interop contract: read the manifest's file URIs with plain
+    // java.nio, scan them with plain spark.read.parquet — zero graft code
+    val manifest = Paths.get(dir, "_symlink_format_manifest", "manifest")
+    val paths = NF.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+    assert(paths.nonEmpty && paths.forall(_.contains("/gen-1/")),
+      s"manifest must name only current-generation files, got $paths")
+    val external = spark.read.parquet(paths: _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(external == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+    // and it matches the engine's own pointer read exactly
+    val internal = Sinks.readUpsertTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(external == internal)
+  }
+
+  test("symlink manifest: per-partition manifests track each partition's generation") {
+    import java.nio.file.{Files => NF, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = NF.createTempDirectory("graft_pmanifest").toString
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 30.0))
+        .toDF("k", "ymd", "v"), Seq("k"), "ymd")
+    // second batch touches only 2024-01-02
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((3L, "2024-01-02", 35.0)).toDF("k", "ymd", "v"), Seq("k"), "ymd")
+    def manifestPaths(p: String): Seq[String] =
+      NF.readAllLines(Paths.get(dir, "_symlink_format_manifest", s"p=$p",
+        "manifest")).asScala.toSeq.filter(_.nonEmpty)
+    assert(manifestPaths("2024-01-01").forall(_.contains("/gen-0/")))
+    assert(manifestPaths("2024-01-02").forall(_.contains("/gen-1/")))
+    val all = manifestPaths("2024-01-01") ++ manifestPaths("2024-01-02")
+    val external = spark.read.parquet(all: _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(external == Set((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 35.0)))
+  }
 }

@@ -199,4 +199,26 @@ class SinksSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("decoded_width")))
     }
   }
+
+  test("writeTrainingShards: one pos-ordered file per shard, permutation replays") {
+    import graft.operators.Sampling
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val sharded = Sampling.shuffleShard(df, col("doc_id"), numShards = 4)
+    Sinks.writeTrainingShards(sharded, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: one file per shard")
+      // a loader streaming the single file replays pos order with no sort
+      val pos = spark.read.parquet(files.head.toString)
+        .select("pos").collect().map(_.getLong(0))
+      assert(pos.sameElements(pos.sorted), s"${d.getName} not pos-ordered")
+      assert(pos.sameElements(0L until pos.length.toLong), "dense positions")
+    }
+    // every row lands exactly once across the shard files
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 300)
+  }
 }
