@@ -1917,6 +1917,20 @@ object SparkEntry {
     "q163_gopher_filter" -> ((s, d) => {
       TextAnalysis.gopherFilter(Tables.documents(s, d),
         col("doc_id"), col("text"), minWords = 30)
+    }),
+
+    // ---- ANN index evaluation: sampled recall@10 of the LSH path
+    // against exact brute force — the tune-then-trust measurement loop ----
+    "q164_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+        q, col("vec_id"), col("vec"), k = 10)
+      val approx = Similarity.lshTopK(e, col("vec_id"), col("vec"), k = 10)
+        .filter(col("query_id") < 50)
+      Similarity.annRecall(exact, approx, k = 10)
     })
   )
 
@@ -2132,6 +2146,54 @@ object SparkEntry {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
        |WHERE rn <= 5""".stripMargin
+  }
+
+  /** Sampled recall@10 of the LSH top-k against exact brute force: the
+    * q35 LSH pipeline (same band CTE, rank cutoff 10) intersected with a
+    * q34-style exact ranking restricted to query ids < 50.
+    */
+  private def q164Oracle: String = {
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bd AS (
+       |  $dkLshBandCte),
+       |rk AS (SELECT id, bucket,
+       |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS rn
+       |       FROM bd),
+       |cand AS (SELECT DISTINCT a.id AS query_id, b.id AS corpus_id
+       |         FROM bd a JOIN rk b
+       |         ON a.bucket = b.bucket AND a.id <> b.id AND b.rn <= 64),
+       |scored AS (
+       |  SELECT c.query_id, c.corpus_id,
+       |    CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
+       |           OR sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0.0
+       |         ELSE list_dot_product(ea.v, eb.v)
+       |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |    END AS cos
+       |  FROM cand c JOIN e ea ON ea.id = c.query_id JOIN e eb ON eb.id = c.corpus_id),
+       |lsh AS (SELECT query_id, corpus_id
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
+       |  WHERE rn <= 10 AND query_id < 50),
+       |bfscored AS (
+       |  SELECT q.id AS query_id, e.id AS corpus_id,
+       |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0
+       |           OR sqrt(list_dot_product(q.v, q.v)) = 0 THEN 0.0
+       |         ELSE list_dot_product(e.v, q.v)
+       |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)))
+       |    END AS cos
+       |  FROM e CROSS JOIN (SELECT * FROM e WHERE id < 50) q
+       |  WHERE e.id <> q.id),
+       |bf AS (SELECT query_id, corpus_id
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, corpus_id) AS rn FROM bfscored) t
+       |  WHERE rn <= 10),
+       |hits AS (SELECT bf.query_id, count(*) AS c
+       |  FROM bf JOIN lsh USING (query_id, corpus_id) GROUP BY bf.query_id),
+       |den AS (SELECT query_id, count(*) AS n FROM bf GROUP BY query_id)
+       |SELECT den.query_id, CAST(n AS BIGINT) AS n_exact,
+       |  CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(c, 0) / n, 4) AS recall
+       |FROM den LEFT JOIN hits USING (query_id)""".stripMargin
   }
 
   /** LSH-bucketed near-dup pairs: same band CTE as q35, pair direction
@@ -4328,6 +4390,8 @@ object SparkEntry {
         |  (n_words BETWEEN 30 AND 100000)
         |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |    AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS keep
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q164_ann_recall" -> q164Oracle
   )
 }

@@ -61,6 +61,16 @@ object Tables {
     if (spreadNames(name)) spread(spark, df) else df
   }
 
+  /** Register every catalog table as a session temp view so the whole
+    * fixture is queryable through plain `spark.sql` (and the GraftSql
+    * front end) next to the DataFrame API — the Spark shape of the
+    * reference's `{table_key: table_name}` registry binding
+    * (transform.py:390,677 resolves logical names inside SQL templates).
+    * Temp views are lazy: nothing is read until a query references it.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

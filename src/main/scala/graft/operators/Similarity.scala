@@ -300,6 +300,35 @@ object Similarity {
     lshTopK(corpus, idCol, vecCol, k, bits = bands * bandBits, bands, dim)
   }
 
+  /** ANN index quality evaluation: recall@k of an approximate top-k result
+    * against the exact one, per query — the measurement loop every
+    * production ANN deployment runs before trusting an index (tune
+    * bits/bands/nprobe until sampled recall clears the bar, THEN point the
+    * full query load at it). Takes the two result frames (columns
+    * `query_id, corpus_id, rank`) rather than recomputing them, so it
+    * composes with any exact/approx pair ([[bruteForceTopK]] vs
+    * [[lshTopK]]/[[ivfTopK]]) and the exact side can be restricted to a
+    * query SAMPLE — at corpus scale nobody brute-forces every query; the
+    * sampled estimate is the operator's contract.
+    *
+    * Scale: two (query_id, corpus_id) equi-joins over frames bounded by
+    * k rows per sampled query — negligible next to the searches themselves.
+    *
+    * Output: (query_id, n_exact, n_hits, recall), macro-averageable.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = e.join(a, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_exact"), 4))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the storage/transfer
     * compression step of a vector pipeline (4x smaller than float32, 8x
     * smaller than the double working form; dequantize ≈ q * scale). Each

@@ -30,6 +30,38 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftSession.defaults: scale confs + extensions on a fresh session") {
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = GraftSession.defaults(SparkSession.builder()
+          .master("local[2]").config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      assert(s2.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s2.conf.get("spark.sql.parquet.aggregatePushdown") == "true")
+      assert(s2.conf.get("spark.sql.session.timeZone") == "UTC")
+      // the extension surface is live: native expression callable from SQL
+      assert(s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .head().getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("Tables.registerAll: fixture queryable through plain spark.sql") {
+    Tables.registerAll(spark, sf001)
+    assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) == 5L)
+    val joined = spark.sql(
+      """SELECT r.r_name, count(*) AS n FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin)
+    assert(joined.count() == 5L)
+    // events registers through the schema-adaptive reader: ts is usable
+    assert(spark.sql("SELECT max(ts) FROM events").head().get(0) != null)
+  }
+
   test("DotProduct matches the HOF fold and survives codegen") {
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0)), (Seq(0.5, -1.0), Seq(2.0, 2.0))).toDF("a", "b")
     val native = df.select(graft.plans.VectorExpressions.dot(col("a"), col("b")).as("d"))

@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     * - q156: `Packing.packSequences`' triangular offsets join over the
     *   ≤32-row bucket-count table (globalRowNumber's bound, q109/q44);
     * - q157: cross join with the broadcast SINGLE-ROW vocabulary-size
-    *   aggregate (q61's corpus-count pattern).
+    *   aggregate (q61's corpus-count pattern);
+    * - q164: the recall evaluation's EXACT side — corpus streams past
+    *   broadcast(50 sampled query vectors), q34's by-design pattern (the
+    *   approx side under evaluation is the bucketed scale path).
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
@@ -52,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     "q75_order_count_mom", "q109_brand_master",
     "q111_sabangnet_product_master", "q112_sabangnet_option_master",
     "q116_stock_time_ds", "q121_stock_report_ds", "q127_smt_opt_relation",
-    "q139_smt_option_master", "q156_pack_sequences", "q157_ngram_lm_score")
+    "q139_smt_option_master", "q156_pack_sequences", "q157_ngram_lm_score",
+    "q164_ann_recall")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile

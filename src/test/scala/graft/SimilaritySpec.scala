@@ -158,4 +158,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L)._2 == Seq(-127L, 127L, 64L, -63L),
       "negative max uses full range symmetrically")
   }
+
+  test("annRecall: per-query hit fractions, zero-hit queries surface") {
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)
+    ).toDF("query_id", "corpus_id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),  // 2 of 3 exact found
+      (2L, 98L, 1), (2L, 97L, 2),                 // 0 of 2 found
+      (2L, 21L, 4)                                 // beyond k: ignored
+    ).toDF("query_id", "corpus_id", "rank")
+    val out = Similarity.annRecall(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667)))
+    assert(out(2L) == ((2L, 0L, 0.0)), "zero-hit query must not drop out")
+  }
 }
