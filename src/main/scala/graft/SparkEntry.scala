@@ -1931,6 +1931,16 @@ object SparkEntry {
       val approx = Similarity.lshTopK(e, col("vec_id"), col("vec"), k = 10)
         .filter(col("query_id") < 50)
       Similarity.annRecall(exact, approx, k = 10)
+    }),
+
+    // ---- BPE vocabulary induction, iteration-0 statistic: corpus-weighted
+    // adjacent-symbol pair counts over the word-frequency vocab (the full
+    // iterative trainer is TextAnalysis.bpeTrain, spec-verified) ----
+    "q165_bpe_pairs" -> ((s, d) => {
+      TextAnalysis.bpePairCounts(
+          TextAnalysis.bpeInitVocab(Tables.documents(s, d), col("text")))
+        .orderBy(col("freq").desc, col("left_sym"), col("right_sym"))
+        .limit(20)
     })
   )
 
@@ -4392,6 +4402,21 @@ object SparkEntry {
         |    AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS keep
         |FROM m""".stripMargin,
 
-    "q164_ann_recall" -> q164Oracle
+    "q164_ann_recall" -> q164Oracle,
+
+    // BPE iteration-0 pair counts: chars + '</w>' marker per vocab word,
+    // pair frequency weighted by word frequency; top 20 by (freq, pair)
+    "q165_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($dkToks) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+        |  WHERE len(word) > 0 GROUP BY word),
+        |sy AS (SELECT freq, list_append(string_split(word, ''), '</w>')
+        |    AS syms FROM wf),
+        |pr AS (SELECT freq, unnest(list_transform(range(len(syms) - 1),
+        |    i -> {'l': syms[i+1], 'r': syms[i+2]})) AS p FROM sy)
+        |SELECT p.l AS left_sym, p.r AS right_sym,
+        |  CAST(sum(freq) AS BIGINT) AS freq
+        |FROM pr GROUP BY p.l, p.r
+        |ORDER BY freq DESC, left_sym, right_sym LIMIT 20""".stripMargin
   )
 }

@@ -316,9 +316,14 @@ object Similarity {
     *
     * Output: (query_id, n_exact, n_hits, recall), macro-averageable.
     */
-  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val e = exact.filter(col("rank") <= k)
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int,
+                materialize: Boolean = true): DataFrame = {
+    // the exact side feeds BOTH the hit join and the denominator agg —
+    // persist it (k rows per sampled query — tiny) or the expensive
+    // brute-force search underneath replays once per consumer
+    val e0 = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"))
+    val e = if (materialize) e0.persist() else e0
     val a = approx.filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"))
     val hits = e.join(a, Seq("query_id", "corpus_id"))

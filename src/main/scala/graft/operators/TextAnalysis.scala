@@ -53,6 +53,99 @@ object TextAnalysis {
       round(nChars.cast("double") / greatest(nToks, lit(1)), 4).as("mean_token_len"))
   }
 
+  /** Initial BPE vocabulary: distinct words with corpus frequencies and
+    * symbol sequences (characters + an explicit `</w>` end-of-word
+    * marker). ONE corpus-scale shuffle; every BPE iteration after this
+    * operates on the vocab table — orders of magnitude smaller than the
+    * corpus — the same collapse SentencePiece/fastBPE trainers rely on
+    * (pair counts are word-frequency-weighted, so the vocab table carries
+    * the full corpus statistics exactly).
+    */
+  def bpeInitVocab(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(split(normText(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat(split(col("word"), ""), array(lit("</w>"))))
+
+  /** Adjacent symbol pairs of a symbol-sequence column. */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(transform(sequence(lit(0), size(syms) - 2),
+        i => struct(element_at(syms, i + 1).as("l"),
+          element_at(syms, i + 2).as("r"))))
+
+  /** Corpus-weighted adjacent-symbol pair counts over a
+    * [[bpeInitVocab]]-shaped vocab — the inner statistic of BPE training.
+    * Output: (left_sym, right_sym, freq).
+    */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** Greedy left-to-right application of one merge (l, r) → l+r over a
+    * symbol array, as a single codegen'd fold (state = emitted prefix +
+    * one pending symbol; a match consumes both, so "a a a" merges to
+    * ["aa","a"] and "a a a a" to ["aa","aa"] — standard BPE scan order).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val zero = struct(array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    aggregate(syms, zero,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev === lit(l) && s === lit(r),
+          struct(concat(out, array(lit(l + r))).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(
+            when(prev.isNull, out).otherwise(concat(out, array(prev)))
+              .as("out"),
+            s.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+  }
+
+  /** Distributed BPE vocabulary induction (Sennrich et al. 2016): learn
+    * `merges` merge rules from the corpus. Shape: one corpus-scale shuffle
+    * ([[bpeInitVocab]]), then per merge one SMALL vocab-table aggregation
+    * (pair counts → arg-max pair, a bounded 1-row collect) and one
+    * codegen'd per-row merge application; the corpus itself is never
+    * re-read. Stops early when no pair occurs twice. The learned table
+    * (merge_rank, left_sym, right_sym, freq) is the artifact a tokenizer
+    * consumes; ranks are deterministic — ties break by (left, right)
+    * symbol order, and every statistic is exact, not sampled.
+    */
+  def bpeTrain(df: DataFrame, textCol: Column, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = df.sparkSession
+    var vocab = bpeInitVocab(df, textCol).persist()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < merges && !done) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("freq").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        learned += ((i + 1, l, r, top.head.getLong(2)))
+        val next = vocab
+          .withColumn("syms", applyMerge(col("syms"), l, r)).persist()
+        next.count() // materialize before dropping the previous generation
+        vocab.unpersist()
+        vocab = next
+      }
+      i += 1
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("merge_rank", "left_sym", "right_sym", "freq")
+  }
+
   /** Gopher-style hard quality gate (Rae et al. 2021, Appendix A — the
     * rule family every production corpus filter descends from): per-doc
     * lexical statistics plus a conjunctive `keep` verdict. Emits every

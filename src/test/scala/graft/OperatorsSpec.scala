@@ -323,6 +323,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._3 == 1.0, "alpha fraction still computed")
   }
 
+  test("bpeTrain learns corpus-weighted merges in rank order") {
+    // hand-computed: hug f=3, pug f=2, hugs f=1 →
+    //   iter0 top pair (u,g) w=6; iter1 (ug,</w>) w=5; iter2 (h,ug</w>) w=3
+    val df = Seq((1L, "hug hug hug pug pug hugs")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, col("text"), merges = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1, "u", "g", 6L), (2, "ug", "</w>", 5L), (3, "h", "ug</w>", 3L)))
+    // singleton pairs are not worth a rule: training stops early
+    val flat = TextAnalysis.bpeTrain(
+      Seq((1L, "ab cd")).toDF("doc_id", "text"), col("text"), merges = 5)
+    assert(flat.count() == 0)
+  }
+
   test("redactPii counts and redacts emails before phones") {
     val df = Seq(
       (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),
