@@ -1941,6 +1941,23 @@ object SparkEntry {
           TextAnalysis.bpeInitVocab(Tables.documents(s, d), col("text")))
         .orderBy(col("freq").desc, col("left_sym"), col("right_sym"))
         .limit(20)
+    }),
+
+    // ---- §2.9 batch anchor for the streaming windowed aggregation: the
+    // SAME operator runs the batch frame (watermark is a batch no-op) ----
+    "q166_windowed_stats" -> ((s, d) => {
+      graft.streaming.Streams.windowedEventStats(Tables.events(s, d))
+    }),
+
+    // ---- skew path oracle anchor: two-phase salted aggregation must
+    // equal the plain group-by the oracle computes ----
+    "q167_salted_agg" -> ((s, d) => {
+      Joins.saltedAggregate(Tables.lineitem(s, d),
+        Seq(col("l_returnflag"), col("l_linestatus")), buckets = 16,
+        partials = Seq(sum(dec2(col("l_quantity"))).as("ps"),
+          count(lit(1)).as("pc")),
+        finals = Seq(sum(col("ps")).cast("double").as("sum_qty"),
+          sum(col("pc")).as("n_rows")))
     })
   )
 
@@ -4417,6 +4434,24 @@ object SparkEntry {
         |SELECT p.l AS left_sym, p.r AS right_sym,
         |  CAST(sum(freq) AS BIGINT) AS freq
         |FROM pr GROUP BY p.l, p.r
-        |ORDER BY freq DESC, left_sym, right_sym LIMIT 20""".stripMargin
+        |ORDER BY freq DESC, left_sym, right_sym LIMIT 20""".stripMargin,
+
+    // tumbling 10-minute windows; DuckDB time_bucket's sub-month origin
+    // (2000-01-03) is minute-aligned, so boundaries match Spark's
+    // epoch-aligned window() exactly
+    "q166_windowed_stats" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+        |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+        |    AS win_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // the salted two-phase aggregation must reproduce the plain GROUP BY
+    "q167_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
   )
 }

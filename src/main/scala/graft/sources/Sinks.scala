@@ -526,6 +526,21 @@ object Sinks {
   def exportByKey(df: DataFrame, keyCol: String, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).parquet(path)
 
+  /** Bucketed catalog write — the pay-the-shuffle-once layout for a fact
+    * table that is joined on the same key again and again: rows are
+    * hash-bucketed (and sorted) by `key` into `buckets` files, and a join
+    * between two tables bucketed the same way needs NO exchange at read
+    * time — at 100 TB this converts every recurring fact-fact join from a
+    * full shuffle into local per-bucket merges. The complement to
+    * `broadcast(dim)` (small side) and `bucketedRangeJoin` (range keys):
+    * this one co-locates equi-join keys persistently. Bucket count is part
+    * of the layout contract — both sides must declare the same `buckets`.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Training-shard writer — the materialization step after
     * [[graft.operators.Sampling.shuffleShard]]: one pos-ordered parquet
     * file per shard under `outDir/shard=<k>/`, so a training loader

@@ -29,8 +29,12 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // value sums snapshot through DECIMAL so the aggregate is
+      // order-independent — exact at any parallelism (and replayable in an
+      // external SQL oracle); the output stays double
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col("event_type"), col("n_events"), col("sum_value"))

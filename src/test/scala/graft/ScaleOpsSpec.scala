@@ -245,6 +245,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Sinks.readUpsertTable(spark, dir).count() == 5)
   }
 
+  test("bucketed tables join with no exchange in the plan") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 800).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      Sinks.writeBucketed(a, "buck_a", "k", 8)
+      Sinks.writeBucketed(b, "buck_b", "k", 8)
+      val j = spark.table("buck_a").join(spark.table("buck_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must not shuffle:\n$plan")
+      assert(j.count() == 800)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS buck_a")
+      spark.sql("DROP TABLE IF EXISTS buck_b")
+    }
+  }
+
   test("symlink manifest: external readers consume a committed generation with no engine code") {
     import java.nio.file.{Files => NF, Paths}
     import scala.jdk.CollectionConverters._
