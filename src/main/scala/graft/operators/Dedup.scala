@@ -99,7 +99,8 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, idCol: Column, textCol: Column,
                  n: Int = 20, maxDupFrac: Double = 0.3,
-                 hashes: HashFamily = XxHash): DataFrame = {
+                 hashes: HashFamily = XxHash,
+                 materialize: Boolean = true): DataFrame = {
     require(n >= 1, "chunk length must be >= 1")
     val toks = split(normText(textCol), " ")
     val k = floor(size(toks) / lit(n)).cast("int")
@@ -107,9 +108,13 @@ object Dedup {
     val chunks = when(k <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), k - 1),
         i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
-    val ch = df.select(idCol.as("doc_id"), explode(chunks).as("chunk"))
+    // the chunk frame feeds BOTH the frequency agg and the join-back:
+    // persist it (ids + fixed-width hashes only) or the corpus-scale
+    // tokenize+explode+hash pipeline runs twice
+    val ch0 = df.select(idCol.as("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"),
         hashes.hash(concat(lit("chunk|"), col("chunk"))).as("h"))
+    val ch = if (materialize) ch0.persist() else ch0
     val freq = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val per = ch.join(freq, "h")
       .groupBy(col("doc_id"))
