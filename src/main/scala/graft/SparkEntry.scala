@@ -1958,6 +1958,16 @@ object SparkEntry {
           count(lit(1)).as("pc")),
         finals = Seq(sum(col("ps")).cast("double").as("sum_qty"),
           sum(col("pc")).as("n_rows")))
+    }),
+
+    // ---- quality-aware dedup survivor: keep the LONGEST member of each
+    // simhash cluster (score desc, id tie-break) instead of min-id ----
+    "q168_best_survivor" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = Dedup.simHash(docs, col("doc_id"), col("text"),
+        fam = Dedup.CrossEngineHash)
+      Dedup.bestSurvivor(sig, col("id"), col("simhash"),
+        docs, col("doc_id"), length(col("text")).cast("long"))
     })
   )
 
@@ -4452,6 +4462,22 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // keep-longest survivor per simhash cluster (q29's signature CTE)
+    "q168_best_survivor" ->
+      s"""WITH sims AS ($q29Oracle),
+        |sc AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS score
+        |  FROM documents),
+        |j AS (SELECT sims.id AS doc_id, sims.simhash AS cluster, sc.score
+        |  FROM sims JOIN sc ON sims.id = sc.doc_id),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM j)
+        |SELECT cluster, doc_id AS keep_id, score,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

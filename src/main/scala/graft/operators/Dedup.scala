@@ -383,6 +383,34 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Quality-aware survivor selection over ANY clustering: keep the
+    * best-scored member per cluster (score desc, id asc tie-break) plus
+    * the cluster size — the "keep the longest / cleanest variant" policy
+    * production dedup wants where [[exact]]/[[dedupClusters]]' min-id
+    * survivor is arbitrary. Composes with any (id, cluster) assignment
+    * (exact digest, simhash signature, CC cluster id) and any (id, score)
+    * frame (text length, [[TextAnalysis.gopherFilter]] stats, an LM
+    * score). One equi-join on id + one window shuffle on the cluster key.
+    *
+    * Output: (cluster, keep_id, score, n_members).
+    */
+  def bestSurvivor(assign: DataFrame, idCol: Column, clusterCol: Column,
+                   scores: DataFrame, scoreIdCol: Column,
+                   scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assign.select(idCol.as("doc_id"), clusterCol.as("cluster"))
+    val s = scores.select(scoreIdCol.as("doc_id"), scoreCol.as("score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("doc_id"))
+    a.join(s, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"), col("score"),
+        col("n_members"))
+  }
+
   /** SimHash near-dup retrieval (the Manku et al. WWW'07 design): pairs of
     * docs whose simhashes differ in at most `maxHamming` bits.
     * Candidates come from banding the signature's `sigBits` low bits into

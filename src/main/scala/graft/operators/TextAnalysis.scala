@@ -146,6 +146,30 @@ object TextAnalysis {
     learned.toSeq.toDF("merge_rank", "left_sym", "right_sym", "freq")
   }
 
+  /** Apply learned BPE merges to a text column: per-word symbol sequences
+    * ([[bpeInitVocab]]'s chars + `</w>` form) folded through the merge
+    * rules IN RANK ORDER, returning the tokenized corpus as
+    * (id, tokens array<string>, n_tokens). Pure per-row codegen — the
+    * merge chain compiles to `merges.size` nested folds, so keep the rule
+    * count bounded (tens; beyond that Spark falls back from codegen to
+    * interpreted evaluation — correct, slower). Production tokenizers
+    * apply thousands of merges with a trie; this operator's contract is
+    * the exact replay of [[bpeTrain]]'s rules for validation and for
+    * token-count statistics at corpus scale.
+    */
+  def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(normText(textCol), " "), w => length(w) > 0)
+    val base = transform(words,
+      w => concat(split(w, ""), array(lit("</w>"))))
+    val encodedWord = merges.foldLeft((syms: Column) => syms) {
+      case (enc, (l, r)) => (syms: Column) => applyMerge(enc(syms), l, r)
+    }
+    df.select(idCol.as("doc_id"),
+        flatten(transform(base, w => encodedWord(w))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Gopher-style hard quality gate (Rae et al. 2021, Appendix A — the
     * rule family every production corpus filter descends from): per-doc
     * lexical statistics plus a conjunctive `keep` verdict. Emits every

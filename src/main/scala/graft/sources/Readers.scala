@@ -36,6 +36,21 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Drift-tolerant parquet scan: read whatever schema the files carry,
+    * then align to the DECLARED contract — missing columns become typed
+    * nulls, extra columns drop, drifted types cast (Spark casts, so a
+    * widened upstream int64→string still lands in a numeric target; an
+    * incompatible drift fails at ANALYSIS, loudly, not row-by-row). The
+    * generalization of the events reader's nanos/micros branch — the
+    * reference is schema-flexible at every ingestion edge by construction
+    * (`read_json_auto`, common/load.py:426; 209 TRY_CASTs), and a 100 TB
+    * lake WILL contain files written by three generations of producers.
+    * Column pruning still reaches the scan: alignSchema is a projection.
+    */
+  def parquetAligned(spark: SparkSession, path: String,
+                     target: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.functions.F.alignSchema(spark.read.parquet(path), target)
+
   /** S5 — Excel scan: xlsx bytes parsed DRIVER-side (zip-of-XML, no POI —
     * see [[Xlsx]]; reference utils/excel.py:146-161) into an all-string
     * DataFrame keyed by the deduplicated header row. Staging projections

@@ -163,4 +163,19 @@ class DedupSpec extends SparkSpec {
     // 4 is unrelated: its own singleton cluster, survives
     assert(out(4L) == ((4L, true)))
   }
+
+  test("bestSurvivor keeps the best-scored member per cluster") {
+    import spark.implicits._
+    val assign = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("id", "score")
+    val out = Dedup.bestSurvivor(assign, col("id"), col("cluster"),
+        scores, col("id"), col("score"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // cluster 100: ids 2 and 3 tie on score 30 -> smaller id wins
+    assert(out(100L) == ((2L, 30L, 3L)))
+    assert(out(200L) == ((4L, 5L, 1L)), "singleton survives itself")
+  }
 }

@@ -339,6 +339,21 @@ class OperatorsSpec extends SparkSpec {
     assert(flat.count() == 0)
   }
 
+  test("bpeEncode replays learned merges in rank order") {
+    val corpus = Seq((1L, "hug hug hug pug pug hugs")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("text"), merges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bpeEncode(
+        Seq((7L, "hug pug hugs")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getLong(2))).toMap
+    // hug → [hug</w>]; pug → [p, ug</w>]; hugs → [h, ug, s, </w>]
+    assert(out(7L)._1 == Seq("hug</w>", "p", "ug</w>", "h", "ug", "s", "</w>"))
+    assert(out(7L)._2 == 7L)
+  }
+
   test("redactPii counts and redacts emails before phones") {
     val df = Seq(
       (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),

@@ -226,4 +226,22 @@ class ReadersSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.schema == df.schema)
   }
+
+  test("parquetAligned tolerates schema drift against a declared contract") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // producer generation 1: k int, extra column, v written as string
+    Seq((1, "1.5", "junk"), (2, "2.5", "junk2")).toDF("k", "v", "extra")
+      .write.mode("overwrite").parquet(dir)
+    val target = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("added_later", StringType)))
+    val out = graft.sources.Readers.parquetAligned(spark, dir, target)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 1.5
+      && rows(0).isNullAt(2))
+  }
 }
