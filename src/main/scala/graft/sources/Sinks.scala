@@ -444,6 +444,33 @@ object Sinks {
     spark.read.parquet(java.nio.file.Paths.get(tablePath, gen).toString)
   }
 
+  /** Generations of an `upsertParquet` table still on disk, ascending —
+    * the time-travel window the `keepGenerations` retention leaves open.
+    */
+  def listGenerations(tablePath: String): Seq[Long] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(Paths.get(tablePath))
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      .toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Time-travel read: a RETAINED generation of an `upsertParquet` table
+    * (each generation is a full immutable snapshot, so this is the
+    * rollback/audit read; see [[listGenerations]] for what the retention
+    * window still holds). Fails loudly on a vacuumed generation.
+    */
+  def readUpsertTableAt(spark: SparkSession, tablePath: String,
+                        generation: Long): DataFrame = {
+    val dir = java.nio.file.Paths.get(tablePath, s"gen-$generation")
+    require(java.nio.file.Files.isDirectory(dir),
+      s"generation $generation is not retained under $tablePath " +
+        s"(have: ${listGenerations(tablePath).mkString(", ")})")
+    spark.read.parquet(dir.toString)
+  }
+
   /** D7 — batched partition rebuild with validation (reference:
     * dbt_postgres/macros/partitioned_tables.sql:50-118,274-307): rebuild a
     * date-partitioned table one declared batch at a time; a batch whose rows

@@ -178,4 +178,21 @@ class DedupSpec extends SparkSpec {
     assert(out(100L) == ((2L, 30L, 3L)))
     assert(out(200L) == ((4L, 5L, 1L)), "singleton survives itself")
   }
+
+  test("chunkDedup: partitioning-invariant, dup counts bounded") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i => (i,
+      if (i % 3 == 0) "aa bb cc dd ee ff gg hh"
+      else s"w$i x$i y$i z$i q$i r$i s$i t$i")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.chunkDedup(d, col("doc_id"), col("text"), n = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val a = run(df)
+    assert(run(df.repartition(7)) == a, "content-hash counts, no RNG")
+    assert(a.values.forall { case (n, d, f) =>
+      d <= n && f >= 0.0 && f <= 1.0 })
+    // the 20 identical docs: every chunk duplicated
+    assert(a(3L) == ((2L, 2L, 1.0)))
+  }
 }

@@ -191,6 +191,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles()
       .exists(_.getName.startsWith("_txn-")), "losers clean their staging")
     assert(!NF.exists(Paths.get(dir, "_LOCK")), "lock released")
+    // the manifest is written under the same lock as each pointer swap:
+    // after the race it must name exactly the final generation's files
+    import scala.jdk.CollectionConverters._
+    val manifest = NF.readAllLines(
+      Paths.get(dir, "_symlink_format_manifest", "manifest"))
+      .asScala.filter(_.nonEmpty)
+    assert(manifest.nonEmpty && manifest.forall(_.contains("/gen-3/")),
+      s"manifest must track the winning generation, got $manifest")
+  }
+
+  test("readUpsertTableAt time-travels within the retention window") {
+    val dir = Files.createTempDirectory("graft_tt").toString
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "v1")).toDF("k", "name"), Seq("k"))
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "v2"), (2L, "w")).toDF("k", "name"), Seq("k"))
+    assert(Sinks.listGenerations(dir) == Seq(0L, 1L))
+    val then_ = Sinks.readUpsertTableAt(spark, dir, 0L).collect()
+    assert(then_.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "v1")), "generation 0 is an immutable snapshot")
+    val now = Sinks.readUpsertTableAt(spark, dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(now == Set((1L, "v2"), (2L, "w")))
+    intercept[IllegalArgumentException] {
+      Sinks.readUpsertTableAt(spark, dir, 9L)
+    }
   }
 
   test("upsertParquet adopts over an orphan generation from a dead committer") {
