@@ -1968,6 +1968,25 @@ object SparkEntry {
         fam = Dedup.CrossEngineHash)
       Dedup.bestSurvivor(sig, col("id"), col("simhash"),
         docs, col("doc_id"), length(col("text")).cast("long"))
+    }),
+
+    // ---- the composed curation funnel — quality gate → span dedup →
+    // exact dedup — one oracle proves the operators COMPOSE (each stage's
+    // statistics are computed over the previous stage's survivors) ----
+    "q169_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.gopherFilter(docs, col("doc_id"),
+          col("text"), minWords = 30)
+        .filter(col("keep")).select(col("doc_id"))
+      val kept1 = docs.join(quality, "doc_id")
+      val chunk = Dedup.chunkDedup(kept1, col("doc_id"), col("text"),
+          n = 10, maxDupFrac = 0.3, hashes = Dedup.CrossEngineHash)
+        .filter(col("keep")).select(col("doc_id"))
+      val kept2 = kept1.join(chunk, "doc_id")
+      Dedup.exact(kept2, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"), col("n_dups"))
+        .join(kept2.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id")
     })
   )
 
@@ -4463,6 +4482,51 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the composed curation funnel: each stage's statistics over the
+    // previous stage's survivors — quality (q163 rules) → 10-token span
+    // dedup (q162 shape) → exact-digest min-id survivor (q26 shape)
+    "q169_curation_funnel" ->
+      s"""WITH toks AS (SELECT doc_id, $dkToks AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(t, w -> strlen(w)))
+        |        AS DOUBLE) / greatest(len(t), 1), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(t,
+        |        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / greatest(len(t), 1), 4) AS alpha_frac,
+        |    CAST(len(list_filter(t, w -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it',
+        |       'for','on','with','as','at','by','from','that','this'], w)))
+        |      AS BIGINT) AS n_stop
+        |  FROM toks),
+        |k1 AS (SELECT d.doc_id, d.text, d.lang, d.source
+        |  FROM documents d JOIN m USING (doc_id)
+        |  WHERE (m.n_words BETWEEN 30 AND 100000)
+        |    AND (m.mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND m.alpha_frac >= 0.8 AND m.n_stop >= 2),
+        |t1 AS (SELECT doc_id, $dkToks AS t FROM k1),
+        |ch AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(t) // 10),
+        |      i -> ${dkHash("'chunk|' || array_to_string(t[(i*10+1):(i*10+10)], ' ')")}))
+        |      AS h
+        |  FROM t1),
+        |g AS (SELECT h, count(*) AS c FROM ch GROUP BY h),
+        |per AS (SELECT doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_chunks
+        |  FROM ch JOIN g USING (h) GROUP BY doc_id),
+        |k2 AS (SELECT k1.* FROM k1 LEFT JOIN per USING (doc_id)
+        |  WHERE coalesce(per.n_chunks, 0) = 0
+        |    OR per.dup_chunks / per.n_chunks <= 0.3),
+        |dig AS (SELECT doc_id, lang, source,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        |      AS digest
+        |  FROM k2),
+        |win AS (SELECT digest, min(doc_id) AS keep_id,
+        |    CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM dig GROUP BY digest)
+        |SELECT win.keep_id AS doc_id, win.n_dups, dig.lang, dig.source
+        |FROM win JOIN dig ON dig.doc_id = win.keep_id""".stripMargin,
 
     // keep-longest survivor per simhash cluster (q29's signature CTE)
     "q168_best_survivor" ->
