@@ -1987,6 +1987,17 @@ object SparkEntry {
         .select(col("keep_id").as("doc_id"), col("n_dups"))
         .join(kept2.select(col("doc_id"), col("lang"), col("source")),
           "doc_id")
+    }),
+
+    // ---- blocked fuzzy match: a 100-part probe batch against the full
+    // catalog, (first char, length band) blocking + levenshtein <= 2 ----
+    "q170_fuzzy_match" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      Joins.fuzzyNameJoin(
+          part.filter(col("p_partkey") < 100), col("p_partkey"),
+          col("p_name"),
+          part, col("p_partkey"), col("p_name"), maxDist = 2)
+        .filter(col("left_id") =!= col("right_id"))
     })
   )
 
@@ -4527,6 +4538,20 @@ object SparkEntry {
         |  FROM dig GROUP BY digest)
         |SELECT win.keep_id AS doc_id, win.n_dups, dig.lang, dig.source
         |FROM win JOIN dig ON dig.doc_id = win.keep_id""".stripMargin,
+
+    // blocked fuzzy match: same (first char, length band) blocking and
+    // unit-cost levenshtein in both engines
+    "q170_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey AS id, lower(trim(p_name)) AS n
+        |  FROM part),
+        |b AS (SELECT id, n, substr(n, 1, 1) AS c0, len(n) // 4 AS lb
+        |  FROM p),
+        |l AS (SELECT * FROM b WHERE id < 100)
+        |SELECT l.id AS left_id, l.n AS left_name,
+        |  b.id AS right_id, b.n AS right_name,
+        |  CAST(levenshtein(l.n, b.n) AS BIGINT) AS dist
+        |FROM l JOIN b ON l.c0 = b.c0 AND l.lb = b.lb AND l.id <> b.id
+        |WHERE levenshtein(l.n, b.n) <= 2""".stripMargin,
 
     // keep-longest survivor per simhash cluster (q29's signature CTE)
     "q168_best_survivor" ->

@@ -199,6 +199,43 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Blocked fuzzy (edit-distance) join — the scalable form of the
+    * reference's product/option NAME matching problem (its 3-strategy
+    * matcher, relation__smt_opt_to_sbn_ids.sql:76-84, falls back to
+    * space-stripped equality; this operator generalizes to bounded
+    * Levenshtein). All-pairs edit distance is quadratic, so candidates
+    * are BLOCKED first on a cheap equi-key — (first character, length
+    * band) — and only same-block pairs pay the `levenshtein` verify.
+    * Blocking is a recall contract, not a heuristic accident: a match is
+    * found iff the pair shares first char and `floor(len / bandWidth)`
+    * band, documented so an oracle can replay it exactly. One hash
+    * shuffle on the block key; block sizes are bounded by the key's
+    * selectivity (tune `bandWidth` for skewed length distributions).
+    *
+    * Output: left id/name, right id/name, dist — pairs with
+    * `dist <= maxDist` only.
+    */
+  def fuzzyNameJoin(left: DataFrame, leftId: Column, leftName: Column,
+                    right: DataFrame, rightId: Column, rightName: Column,
+                    maxDist: Int = 2, bandWidth: Int = 4): DataFrame = {
+    require(maxDist >= 0 && bandWidth >= 1, "bad fuzzyNameJoin params")
+    def norm(c: Column) = lower(trim(c))
+    def block(n: Column) = struct(
+      substring(n, 1, 1).as("c0"),
+      floor(length(n) / lit(bandWidth)).cast("long").as("lb"))
+    val l = left.select(leftId.as("left_id"), norm(leftName).as("left_name"))
+      .withColumn("__b", block(col("left_name")))
+    val r = right.select(rightId.as("right_id"),
+        norm(rightName).as("right_name"))
+      .withColumn("__b", block(col("right_name")))
+    l.join(r, "__b")
+      .withColumn("dist",
+        levenshtein(col("left_name"), col("right_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("left_id"), col("left_name"), col("right_id"),
+        col("right_name"), col("dist"))
+  }
+
   /** Columns usable as salt input: xxhash64 rejects MapType (maps have no
     * canonical element order), so map-typed columns are excluded. Requires
     * unique column names (`col(name)` is ambiguous otherwise).

@@ -354,6 +354,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L)._2 == 7L)
   }
 
+  test("fuzzyNameJoin: blocked levenshtein pairs, blocking is the recall contract") {
+    val cat = Seq(
+      (1L, "acme widget"), (2L, "acme widgit"),   // dist 1, same block
+      (3L, "acme gizmos"),                         // dist 5 from widget
+      (4L, "zcme widget"),                         // dist 1 but first char differs
+      (5L, "acme widget deluxe edition")           // length band differs
+    ).toDF("id", "name")
+    val probe = Seq((10L, "acme widget")).toDF("id", "name")
+    val out = Joins.fuzzyNameJoin(probe, col("id"), col("name"),
+        cat, col("id"), col("name"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(out == Set((10L, 1L, 0L), (10L, 2L, 1L)),
+      "matches within block and distance; 4 is blocked out by first char " +
+        "(the documented recall contract), 3 by distance, 5 by length band")
+  }
+
   test("redactPii counts and redacts emails before phones") {
     val df = Seq(
       (1L, "mail me at a.b-c@x.co.kr or call 010-1234-5678 today"),
