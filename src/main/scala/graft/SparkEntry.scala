@@ -4443,7 +4443,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
         |m AS (SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    round(CAST(list_sum(list_transform(toks, w -> strlen(w)))
+        |    round(CAST(list_sum(list_transform(toks, w -> length(w)))
         |        AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_word_len,
         |    round(CAST(len(list_filter(toks,
         |        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
@@ -4484,7 +4484,7 @@ object SparkEntry {
         |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
         |    AS win_end,
         |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     // the salted two-phase aggregation must reproduce the plain GROUP BY
@@ -4501,7 +4501,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $dkToks AS t FROM documents),
         |m AS (SELECT doc_id,
         |    CAST(len(t) AS BIGINT) AS n_words,
-        |    round(CAST(list_sum(list_transform(t, w -> strlen(w)))
+        |    round(CAST(list_sum(list_transform(t, w -> length(w)))
         |        AS DOUBLE) / greatest(len(t), 1), 4) AS mean_word_len,
         |    round(CAST(len(list_filter(t,
         |        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
@@ -4556,7 +4556,7 @@ object SparkEntry {
     // keep-longest survivor per simhash cluster (q29's signature CTE)
     "q168_best_survivor" ->
       s"""WITH sims AS ($q29Oracle),
-        |sc AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS score
+        |sc AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score
         |  FROM documents),
         |j AS (SELECT sims.id AS doc_id, sims.simhash AS cluster, sc.score
         |  FROM sims JOIN sc ON sims.id = sc.doc_id),

@@ -66,7 +66,10 @@ object Tables {
     * front end) next to the DataFrame API — the Spark shape of the
     * reference's `{table_key: table_name}` registry binding
     * (transform.py:390,677 resolves logical names inside SQL templates).
-    * Temp views are lazy: nothing is read until a query references it.
+    * Registration is metadata-scale but NOT free: every table's parquet
+    * footer is read (schema) and its scan planned (the spread check), so
+    * all 10 files must exist; table DATA stays unread until a query
+    * actually references the view.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))

@@ -444,31 +444,43 @@ object Sinks {
     spark.read.parquet(java.nio.file.Paths.get(tablePath, gen).toString)
   }
 
-  /** Generations of an `upsertParquet` table still on disk, ascending —
-    * the time-travel window the `keepGenerations` retention leaves open.
+  /** COMMITTED generations of an `upsertParquet` table still on disk,
+    * ascending — the time-travel window the `keepGenerations` retention
+    * leaves open. Capped at the `_CURRENT` pointer: a gen-N+1 directory
+    * left by a committer that died between its move and its pointer swap
+    * is UNCOMMITTED (and will be replaced under the lock by the next
+    * writer) — exposing it would hand readers a torn snapshot. Empty for
+    * a missing or never-committed table.
     */
   def listGenerations(tablePath: String): Seq[Long] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val ls = Files.list(Paths.get(tablePath))
+    val root = Paths.get(tablePath)
+    val pointer = root.resolve("_CURRENT")
+    if (!Files.isDirectory(root) || !Files.exists(pointer)) return Seq.empty
+    val current = Files.readString(pointer).trim.stripPrefix("gen-").toLong
+    val ls = Files.list(root)
     try ls.iterator().asScala.map(_.getFileName.toString)
       .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      .filter(_ <= current)
       .toSeq.sorted
     finally ls.close()
   }
 
-  /** Time-travel read: a RETAINED generation of an `upsertParquet` table
-    * (each generation is a full immutable snapshot, so this is the
-    * rollback/audit read; see [[listGenerations]] for what the retention
-    * window still holds). Fails loudly on a vacuumed generation.
+  /** Time-travel read: a RETAINED, COMMITTED generation of an
+    * `upsertParquet` table (each generation is a full immutable snapshot,
+    * so this is the rollback/audit read; see [[listGenerations]] for what
+    * the retention window still holds). Fails loudly on a vacuumed,
+    * uncommitted, or unknown generation.
     */
   def readUpsertTableAt(spark: SparkSession, tablePath: String,
                         generation: Long): DataFrame = {
-    val dir = java.nio.file.Paths.get(tablePath, s"gen-$generation")
-    require(java.nio.file.Files.isDirectory(dir),
-      s"generation $generation is not retained under $tablePath " +
-        s"(have: ${listGenerations(tablePath).mkString(", ")})")
-    spark.read.parquet(dir.toString)
+    val retained = listGenerations(tablePath)
+    require(retained.contains(generation),
+      s"generation $generation is not a retained committed generation " +
+        s"under $tablePath (have: ${retained.mkString(", ")})")
+    spark.read.parquet(
+      java.nio.file.Paths.get(tablePath, s"gen-$generation").toString)
   }
 
   /** D7 — batched partition rebuild with validation (reference:

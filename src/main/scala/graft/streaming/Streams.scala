@@ -31,9 +31,12 @@ object Streams {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       // value sums snapshot through DECIMAL so the aggregate is
       // order-independent — exact at any parallelism (and replayable in an
-      // external SQL oracle); the output stays double
+      // external SQL oracle); the output stays double. (28,6) holds
+      // |value| < 1e22 — far past double's 2^53 integer-exact range, so
+      // the widening can't silently null-and-drop a large event the way a
+      // narrower decimal would under non-ANSI cast
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double")
+        sum(col("value").cast("decimal(28,6)")).cast("double")
           .as("sum_value"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),

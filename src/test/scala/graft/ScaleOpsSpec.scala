@@ -217,6 +217,20 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.readUpsertTableAt(spark, dir, 9L)
     }
+    // an orphan gen-2 from a dead committer (moved, never pointer-swapped)
+    // is UNCOMMITTED: not listed, not readable — the next writer will
+    // replace it under the lock
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "gen-2"))
+    assert(Sinks.listGenerations(dir) == Seq(0L, 1L))
+    intercept[IllegalArgumentException] {
+      Sinks.readUpsertTableAt(spark, dir, 2L)
+    }
+    // missing table: empty listing, loud read failure, no IO exception
+    assert(Sinks.listGenerations(dir + "/nope") == Seq.empty)
+    intercept[IllegalArgumentException] {
+      Sinks.readUpsertTableAt(spark, dir + "/nope", 0L)
+    }
   }
 
   test("upsertParquet adopts over an orphan generation from a dead committer") {
