@@ -300,6 +300,23 @@ object Similarity {
     lshTopK(corpus, idCol, vecCol, k, bits = bands * bandBits, bands, dim)
   }
 
+  /** [[ivfTopK]] with the centroid count scaled to the measured corpus
+    * (one count job): `nCentroids ≈ sqrt(n)` — the standard IVF sizing
+    * rule (per-list occupancy ≈ sqrt(n), balancing assignment cost
+    * n·nCentroids against probe cost nProbe·n/nCentroids) — clamped to
+    * [4, maxCentroids]. The declared benchmark query pins `nCentroids`
+    * so its oracle replays deterministically; use this form on corpora
+    * of unknown size (a fixed 16 on a 10^9-vector corpus would make each
+    * inverted list a 60M-vector scan).
+    */
+  def ivfTopKAuto(corpus: DataFrame, idCol: Column, vecCol: Column,
+                  k: Int = 10, nProbe: Int = 2, lloydIters: Int = 1,
+                  maxCentroids: Int = 65536): DataFrame = {
+    val n = corpus.count()
+    val nc = math.min(math.max(math.sqrt(n.toDouble).toInt, 4), maxCentroids)
+    ivfTopK(corpus, idCol, vecCol, k, nCentroids = nc, nProbe, lloydIters)
+  }
+
   /** ANN index quality evaluation: recall@k of an approximate top-k result
     * against the exact one, per query — the measurement loop every
     * production ANN deployment runs before trusting an index (tune

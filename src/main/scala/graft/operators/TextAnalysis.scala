@@ -188,24 +188,37 @@ object TextAnalysis {
                    minWords: Int = 50, maxWords: Int = 100000,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                    minAlphaFrac: Double = 0.8,
-                   minStopwords: Int = 2): DataFrame = {
+                   minStopwords: Int = 2): DataFrame =
+    df.select((idCol.as("doc_id") +: gopherStatColumns(textCol)): _*)
+      .withColumn("keep", gopherKeep(minWords, maxWords, minMeanLen,
+        maxMeanLen, minAlphaFrac, minStopwords))
+
+  /** The Gopher rule statistics as named columns over a text column —
+    * shared by [[gopherFilter]] (the batch gate) and the streaming
+    * quality monitor ([[graft.streaming.Streams.qualityMonitor]]).
+    */
+  def gopherStatColumns(textCol: Column): Seq[Column] = {
     val toks = split(normText(textCol), " ")
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
     val alpha = size(filter(toks, w => w.rlike("[a-z]")))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, w => array_contains(stopArr, w)))
-    df.select(idCol.as("doc_id"),
-        n.cast("long").as("n_words"),
-        round(sumLen / greatest(n, lit(1)), 4).as("mean_word_len"),
-        round(alpha / greatest(n, lit(1)), 4).as("alpha_frac"),
-        nStop.cast("long").as("n_stopwords"))
-      .withColumn("keep",
-        col("n_words").between(minWords, maxWords) &&
-          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
-          col("alpha_frac") >= minAlphaFrac &&
-          col("n_stopwords") >= minStopwords)
+    Seq(n.cast("long").as("n_words"),
+      round(sumLen / greatest(n, lit(1)), 4).as("mean_word_len"),
+      round(alpha / greatest(n, lit(1)), 4).as("alpha_frac"),
+      nStop.cast("long").as("n_stopwords"))
   }
+
+  /** The conjunctive Gopher verdict over [[gopherStatColumns]] output. */
+  def gopherKeep(minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minAlphaFrac: Double = 0.8,
+                 minStopwords: Int = 2): Column =
+    col("n_words").between(minWords, maxWords) &&
+      col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+      col("alpha_frac") >= minAlphaFrac &&
+      col("n_stopwords") >= minStopwords
 
   /** Language-ID heuristic: score text against per-language marker-word sets
     * (n-gram/stopword heuristic). Deterministic and SQL-expressible — the

@@ -42,6 +42,40 @@ object Streams {
         col("window.end").as("win_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Windowed corpus-quality monitor — the observability stream an
+    * ingestion pipeline runs NEXT TO its curation batch jobs: per
+    * event-time window, document volume, mean quality statistics, and
+    * the Gopher-gate keep rate, so an upstream regression (a scraper
+    * change collapsing mean word length, a spam wave cratering the keep
+    * rate) pages BEFORE it poisons a training mix. The per-doc statistics
+    * are the SAME codegen'd columns the batch gate uses
+    * ([[graft.operators.TextAnalysis.gopherStatColumns]]); the watermark
+    * bounds window state, and the identical frame logic runs on a batch
+    * frame for backfill.
+    */
+  def qualityMonitor(docs: DataFrame, tsCol: String = "ts",
+                     textCol: String = "text",
+                     minWords: Int = 50, minStopwords: Int = 2,
+                     watermark: String = "1 hour",
+                     windowLen: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.select(
+        (col(tsCol) +: TextAnalysis.gopherStatColumns(col(textCol))): _*)
+      .withColumn("keep", TextAnalysis.gopherKeep(
+        minWords = minWords, minStopwords = minStopwords))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_words")), 4).as("avg_words"),
+        round(avg(col("mean_word_len")), 4).as("avg_word_len"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("keep_rate"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n_docs"), col("avg_words"), col("avg_word_len"),
+        col("keep_rate"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

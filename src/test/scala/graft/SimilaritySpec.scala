@@ -92,6 +92,22 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 0.3, s"IVF precision@top20 too low: $hits")
   }
 
+  test("ivfTopKAuto sizes centroids ~sqrt(n) and keeps precision") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("vec"))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+        e, col("vec_id"), col("vec"), k = 20)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKAuto(e, col("vec_id"), col("vec"), k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    val hits = ivf.count(brute.contains).toDouble / ivf.length
+    assert(hits >= 0.3, s"auto-sized IVF precision too low: $hits")
+  }
+
   test("adaptiveBandBits scales with corpus; lshTopKAuto finds real neighbors") {
     assert(Similarity.adaptiveBandBits(1000) == 8)          // floor
     assert(Similarity.adaptiveBandBits(1000000) == 14)      // 10^6/64 ≈ 2^14

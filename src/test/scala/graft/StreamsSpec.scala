@@ -33,6 +33,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityMonitor tracks windowed keep rate; stream equals batch backfill") {
+    implicit val sq = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog"
+    val bad = "a a"
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = Streams.qualityMonitor(df, minWords = 5, minStopwords = 1,
+        watermark = "10 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("qmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((ts(0), good), (ts(1), bad), (ts(12), good))
+      q.processAllAvailable()
+      val rows = spark.table("qmon").groupBy("win_start")
+        .agg(max("n_docs").as("n"), max("keep_rate").as("kr"))
+        .orderBy("win_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 0.5)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 1.0)
+    } finally q.stop()
+    // backfill: the identical frame logic over a static batch frame
+    val batch = Seq((ts(0), good), (ts(1), bad), (ts(12), good))
+      .toDF("ts", "text")
+    val b = Streams.qualityMonitor(batch, minWords = 5, minStopwords = 1,
+        windowLen = "10 minutes")
+      .orderBy("win_start").collect()
+      .map(r => (r.getLong(2), r.getDouble(5))).toSeq
+    assert(b == Seq((2L, 0.5), (1L, 1.0)))
+  }
+
   test("sessionize (stateful streaming) merges events within gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
