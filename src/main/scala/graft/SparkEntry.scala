@@ -1998,6 +1998,58 @@ object SparkEntry {
           col("p_name"),
           part, col("p_partkey"), col("p_name"), maxDist = 2)
         .filter(col("left_id") =!= col("right_id"))
+    }),
+
+    // ---- BM25 ranked retrieval: three keyword queries against the
+    // document corpus, postings filtered to query terms BEFORE any
+    // aggregation (the inverted-index probe shape) ----
+    "q171_bm25" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "table"), (0L, "scan"),
+        (1L, "window"), (1L, "agg"), (1L, "sort"),
+        (2L, "customer"), (2L, "value")).toDF("query_id", "term")
+      TextAnalysis.bm25TopK(Tables.documents(s, d), col("doc_id"),
+        col("text"), queries, k = 10)
+    }),
+
+    // ---- ExactSubstr span REMOVAL with reassembly (chunkDedup's repair
+    // counterpart): duplicated 10-token spans deleted except their
+    // canonical first occurrence, docs rewritten from surviving spans ----
+    "q172_remove_spans" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 10, hashes = Dedup.CrossEngineHash)),
+
+    // ---- DSIR importance weights: hashed-bigram likelihood ratio of a
+    // target-exemplar slice (src1-3) vs the raw remainder ----
+    "q173_dsir_weights" -> ((s, d) =>
+      Sampling.importanceWeights(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source").isin("src1", "src2", "src3"),
+        buckets = 4096)),
+
+    // ---- vocabulary coverage: top-100 tokens with the cumulative
+    // fraction of the corpus token stream each rank prefix covers ----
+    "q174_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), col("text"),
+        k = 100)),
+
+    // ---- hashed-feature linear classifier scoring: integer-space dot
+    // product against a broadcast 1024-bucket weight table ----
+    "q175_hashed_classifier" -> ((s, d) =>
+      TextAnalysis.hashedLinearScore(Tables.documents(s, d), col("doc_id"),
+        col("text"), TextAnalysis.hashedModelWeights(s, 1024),
+        buckets = 1024)),
+
+    // ---- int8-quantized top-k retrieval: q34's exact-baseline shape but
+    // the inner product runs in integer space over quantizeInt8 codes
+    // (the 4×-denser memory path; the dot is exact and order-free) ----
+    "q176_int8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.int8TopK(e, col("vec_id"), col("vec"),
+        q, col("vec_id"), col("vec"), k = 10)
     })
   )
 
@@ -4567,6 +4619,189 @@ object SparkEntry {
         |  FROM j)
         |SELECT cluster, doc_id AS keep_id, score,
         |  CAST(n_members AS BIGINT) AS n_members
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // BM25: same Lucene idf/saturation arithmetic, per-term score
+    // snapshotted to DECIMAL(18,6) before the per-(query,doc) sum;
+    // avgdl is one double division of two exact integers in both engines
+    "q171_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'table'), (0, 'scan'),
+        |  (1, 'window'), (1, 'agg'), (1, 'sort'),
+        |  (2, 'customer'), (2, 'value')),
+        |t AS (SELECT doc_id, $dkToks AS t FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM t),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    unnest(t) AS term FROM t),
+        |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |    any_value(dl) AS dl
+        |  FROM d WHERE term IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY term, doc_id),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM p GROUP BY term),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+        |          + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+        |      (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0) /
+        |        (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          ((1.0 - CAST(0.75 AS DOUBLE)) +
+        |           CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE) /
+        |             (CAST(stats.sum_dl AS DOUBLE)
+        |               / CAST(stats.n_docs AS DOUBLE))))),
+        |      6) AS DECIMAL(18,6)) AS s
+        |  FROM p JOIN f USING (term) JOIN q USING (term) CROSS JOIN stats),
+        |g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(sum(s) AS DOUBLE) AS score
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM g)
+        |SELECT query_id, doc_id, n_matched, score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // span removal: same canonical-first-occurrence policy (min packed
+    // (doc_id, pos) key per span hash), reassembly ordered by position
+    "q172_remove_spans" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS t FROM documents),
+        |sp AS (SELECT doc_id,
+        |    unnest(list_transform(range((len(t) + 9) // 10),
+        |      i -> {'pos': i,
+        |            's': array_to_string(t[(i*10+1):(i*10+10)], ' ')}))
+        |      AS u
+        |  FROM t),
+        |s2 AS (SELECT doc_id, u.pos AS pos, u.s AS s,
+        |    ${dkHash("'span|' || u.s")} AS h,
+        |    doc_id * 1048576 + u.pos AS okey
+        |  FROM sp),
+        |g AS (SELECT h, min(okey) AS keeper, count(*) AS c
+        |  FROM s2 GROUP BY h),
+        |k AS (SELECT s2.* FROM s2 JOIN g USING (h)
+        |  WHERE c = 1 OR okey = keeper),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(s, ' ' ORDER BY pos) AS clean_text
+        |  FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(tot.n_spans, 0) AS n_spans,
+        |  coalesce(tot.n_spans, 0) - coalesce(agg.n_kept, 0) AS n_removed,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM documents d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+
+    // DSIR: per-bucket log-ratio snapshots to DECIMAL(18,8) before the
+    // per-doc decimal sum; final average through DECIMAL(38,10) (the
+    // q157 determinism rule)
+    "q173_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    source IN ('src1','src2','src3') AS is_target, $dkToks AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, is_target,
+        |    unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM t WHERE len(t) >= 2),
+        |dg AS (SELECT doc_id, is_target,
+        |    ${dkHash("'dsir|' || g")} % 4096 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM bg GROUP BY 1, 2, 3),
+        |bc AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN is_target THEN k ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN NOT is_target THEN k ELSE 0 END) AS BIGINT)
+        |      AS cr
+        |  FROM dg GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |    CAST(sum(cr) AS BIGINT) AS tr FROM bc),
+        |lr AS (SELECT bucket,
+        |    CAST(round(ln(CAST(ct + 1 AS DOUBLE)) -
+        |      ln(CAST(tt + 4096 AS DOUBLE)) -
+        |      ln(CAST(cr + 1 AS DOUBLE)) +
+        |      ln(CAST(tr + 4096 AS DOUBLE)), 8) AS DECIMAL(18,8)) AS lr
+        |  FROM bc CROSS JOIN tot),
+        |sc AS (SELECT doc_id, is_target,
+        |    CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(k AS DECIMAL(9,0)) * lr) AS sum_lr
+        |  FROM dg JOIN lr USING (bucket) GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  d.source IN ('src1','src2','src3') AS is_target,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  CAST(round(CAST(CAST(sc.sum_lr AS DOUBLE) / sc.n_bigrams
+        |    AS DECIMAL(38,10)), 4) AS DOUBLE) AS dsir_logweight
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    // vocabulary coverage: rank/cumsum window runs over the k-row top-k
+    // in both engines
+    "q174_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest($dkToks) AS token FROM documents),
+        |nz AS (SELECT token FROM toks WHERE token <> ''),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM nz GROUP BY token),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM nz),
+        |top AS (SELECT token, freq FROM f
+        |  ORDER BY freq DESC, token LIMIT 100),
+        |r AS (SELECT token, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+        |    SUM(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM top)
+        |SELECT token, freq, CAST(rank AS BIGINT) AS rank,
+        |  round(CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS cum_frac
+        |FROM r CROSS JOIN tot""".stripMargin,
+
+    // hashed linear classifier: identical pseudo-trained integer
+    // milli-weights regenerated from the bucket id; the dot product is
+    // exact integer math, only the final sigmoid touches doubles
+    "q175_hashed_classifier" ->
+      s"""WITH w AS (SELECT CAST(i AS BIGINT) AS bucket,
+        |    ${dkHash("'w|' || CAST(i AS VARCHAR)")} % 2001 - 1000
+        |      AS w_milli
+        |  FROM (SELECT unnest(range(1024)) AS i)),
+        |toks AS (SELECT doc_id,
+        |    unnest($dkToks) AS token FROM documents),
+        |feat AS (SELECT doc_id,
+        |    ${dkHash("'f|' || token")} % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf * w_milli) AS BIGINT) AS dot_milli
+        |  FROM feat JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  coalesce(sc.dot_milli, 0) AS dot_milli,
+        |  round(1.0 / (1.0 + exp(-(CAST(coalesce(sc.dot_milli, 0) AS DOUBLE)
+        |    / (CAST(greatest(coalesce(sc.n_tokens, 0), 1) AS DOUBLE)
+        |      * 1000.0)))), 4) AS score
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    // int8 retrieval: q160's quantization on both sides, integer dot
+    // (values < 2^53, so DuckDB's double path is still exact), the two
+    // dequantization scales multiplied back in with the same op order
+    "q176_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        |  FROM e),
+        |qz AS (SELECT vec_id, amax / 127.0 AS scale,
+        |    CASE WHEN amax = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM a),
+        |qs AS (SELECT vec_id AS query_id, scale AS qscale, q AS qq
+        |  FROM qz WHERE vec_id < 5),
+        |scored AS (SELECT qs.query_id, c.vec_id AS corpus_id,
+        |    CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS dot_int,
+        |    CAST(CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS DOUBLE)
+        |      * c.scale * qs.qscale AS score
+        |  FROM qz c CROSS JOIN qs WHERE c.vec_id <> qs.query_id)
+        |SELECT query_id, corpus_id, dot_int, round(score, 4) AS score,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 10""".stripMargin
   )
 }

@@ -129,6 +129,58 @@ object Dedup {
       .withColumn("keep", col("dup_frac") <= maxDupFrac)
   }
 
+  /** Span REMOVAL with reassembly — [[chunkDedup]]'s repair counterpart
+    * (Lee et al. 2022's ExactSubstr policy): instead of flagging a doc,
+    * delete every duplicated `n`-token span EXCEPT its canonical first
+    * occurrence (smallest `(doc_id, position)` corpus-wide) and emit the
+    * doc rewritten from its surviving spans in original order. Unlike
+    * chunkDedup the trailing partial span is KEPT — reassembly must be
+    * lossless for unique text.
+    *
+    * Scale: same bounded two-exchange shape as [[chunkDedup]] (explode →
+    * hash groupBy → join-back on the 64-bit span hash) plus one per-doc
+    * aggregation whose `sort_array(collect_list)` state is a single
+    * document's spans — bounded by doc length, never corpus-wide. The
+    * span frame feeds both the frequency agg and the join-back, so it
+    * persists behind `materialize`. Canonical-occurrence keys pack as
+    * `doc_id · 2^20 + position` (documented bound: ids < 2^43, docs
+    * < 2^20 spans — 10M tokens at n=10).
+    */
+  def removeDupSpans(df: DataFrame, idCol: Column, textCol: Column,
+                     n: Int = 10, hashes: HashFamily = XxHash,
+                     materialize: Boolean = true): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    val toks = split(normText(textCol), " ")
+    val k = ceil(size(toks).cast("double") / lit(n)).cast("int")
+    val spans = when(k <= 0, array().cast("array<struct<pos:int,span:string>>"))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice(toks, i * n + 1, lit(n))).as("span"))))
+    val sp0 = df.select(idCol.as("doc_id"), explode(spans).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.span").as("span"),
+        hashes.hash(concat(lit("span|"), col("u.span"))).as("h"),
+        (col("doc_id") * lit(1048576L) + col("u.pos")).as("okey"))
+    val sp = if (materialize) sp0.persist() else sp0
+    val g = sp.groupBy(col("h"))
+      .agg(min(col("okey")).as("keeper"), count(lit(1)).as("c"))
+    val kept = sp.join(g, "h")
+      .filter(col("c") === 1 || col("okey") === col("keeper"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("clean_text"))
+    val tot = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    df.select(idCol.as("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("n_spans"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Word n-gram shingles of `n` tokens as an array column. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = split(normText(textCol), " ")

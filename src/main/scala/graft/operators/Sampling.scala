@@ -112,6 +112,75 @@ object Sampling {
     shuffleShardImpl(df, keyCol, shards.toInt, seed)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, Data Selection for
+    * Language Models via Importance Resampling): score every document by
+    * how much more likely its hashed-bigram features are under a TARGET
+    * distribution than under the RAW distribution — the standard "select
+    * web data that looks like the high-quality corpus" pass. `targetCol`
+    * marks the target-domain exemplar docs; both feature models train in
+    * the same single pass over the corpus.
+    *
+    * `w(doc) = avg over bigram occurrences of
+    *   ln((ct[b]+1)/(Tt+B)) − ln((cr[b]+1)/(Tr+B))`
+    * with `b` the bigram's bucket in `[0, B)`, `ct/cr` per-bucket counts
+    * on the target/raw side, `Tt/Tr` the side totals (add-one smoothing
+    * over `B` buckets, so both terms are proper probabilities).
+    *
+    * Cross-engine determinism: the per-bucket log-ratio snapshots to
+    * DECIMAL(18,8) before the per-doc sum (ngramLmScore's rule — decimal
+    * addition is exact and order-free), and the final average goes
+    * through a DECIMAL(38,10) snapshot before its 4dp round.
+    *
+    * Scale: one explode → per-(doc,bucket) count (map-side combined);
+    * the feature table is ≤ `buckets` rows — it BROADCASTS to the
+    * scoring join, so the corpus-side frame shuffles exactly once (the
+    * doc-grain aggregation). Totals are one broadcast single-row
+    * aggregate. The per-(doc,bucket) frame feeds both the bucket counts
+    * and the scoring join — persisted behind `materialize`.
+    */
+  def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
+                        targetCol: Column, buckets: Int = 4096,
+                        materialize: Boolean = true): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val toks = split(graft.operators.TextAnalysis.normText(textCol), " ")
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams0 = df.select(idCol.as("doc_id"), targetCol.as("is_target"),
+        explode(bigramArr).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(F.hash64(concat(lit("dsir|"), col("g"))),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+    val grams = if (materialize) grams0.persist() else grams0
+    val bucketCounts = grams.groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), col("k")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("k")).otherwise(0L)).as("cr"))
+    val totals = bucketCounts
+      .agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lr = (log((col("ct") + 1).cast("double")) -
+      log((col("tt") + buckets).cast("double")) -
+      log((col("cr") + 1).cast("double")) +
+      log((col("tr") + buckets).cast("double")))
+    val lrTab = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("bucket"), round(lr, 8).cast("decimal(18,8)").as("__lr"))
+    val scored = grams
+      .join(broadcast(lrTab), Seq("bucket"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast("decimal(9,0)") * col("__lr")).as("sum_lr"))
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
+        round((col("sum_lr").cast("double") / col("n_bigrams"))
+          .cast("decimal(38,10)"), 4).cast("double").as("dsir_logweight"))
+    df.select(idCol.as("doc_id"), targetCol.as("is_target"))
+      .join(scored, Seq("doc_id", "is_target"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("dsir_logweight"))
+  }
+
   private def shuffleShardImpl(df: DataFrame, keyCol: Column, numShards: Int,
                                seed: String): DataFrame = {
     require(numShards > 0, "numShards must be positive")

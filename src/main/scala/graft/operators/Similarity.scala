@@ -379,4 +379,43 @@ object Similarity {
             x => floor(x * 127.0d / col("__amax") + 0.5d)))
           .as("qvec"))
   }
+
+  /** Top-k retrieval over [[quantizeInt8]] codes — the memory-optimized
+    * search path (int8 storage is 4× denser than float32, so 4× more of
+    * the corpus fits in executor memory / page cache at 100 TB). The
+    * inner product runs entirely in INTEGER space (`Σ qc·cc`, exact and
+    * order-free in any engine — unlike a float dot product there is no
+    * summation-order drift to manage); the two dequantization scales
+    * multiply back in at the end: `score ≈ dot_int · cscale · qscale`.
+    *
+    * Same exact-baseline shape as [[bruteForceTopK]] (corpus streams
+    * past the broadcast query batch — by-design bounded nested loop);
+    * compose with the LSH/IVF bucketing for the candidate-pruned form.
+    */
+  def int8TopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+               queries: DataFrame, queryId: Column, queryVec: Column,
+               k: Int = 10): DataFrame = {
+    val c = quantizeInt8(corpus.select(corpusId.as("id"), corpusVec.as("v")),
+        col("id"), col("v"))
+      .select(col("vec_id").as("corpus_id"), col("scale").as("__cs"),
+        col("qvec").as("__cq"))
+    val q = quantizeInt8(queries.select(queryId.as("id"), queryVec.as("v")),
+        col("id"), col("v"))
+      .select(col("vec_id").as("query_id"), col("scale").as("__qs"),
+        col("qvec").as("__qq"))
+    val dotInt = aggregate(
+      zip_with(col("__cq"), col("__qq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), dotInt.as("dot_int"),
+        col("__cs"), col("__qs"))
+      .withColumn("score",
+        col("dot_int").cast("double") * col("__cs") * col("__qs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("dot_int"),
+        round(col("score"), 4).as("score"), col("rank"))
+  }
 }

@@ -455,6 +455,159 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, the Lucene
+    * `k1/b` form): score a small set of keyword queries against the
+    * corpus and return the top-k documents per query.
+    *
+    * `score(d,q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln(1 + (N−df+0.5)/(df+0.5))` (always positive — the
+    * Lucene variant).
+    *
+    * Scale shape: the corpus token explode is filtered to QUERY TERMS
+    * first via a broadcast semi join — only matching postings survive the
+    * explode, so the tf/df aggregations run over |matches|, not |corpus
+    * tokens|. Document length is a per-row column (no shuffle); N and
+    * avgdl are one broadcast single-row aggregate (the A7 scalar
+    * pattern). Per-term scores snapshot to DECIMAL(18,6) before the
+    * per-(query,doc) sum so double addition order can't drift
+    * cross-engine; ranking is one window keyed by query_id.
+    *
+    * `queries` is (query_id long, term string) — one row per query term,
+    * terms pre-normalized like [[normText]] output.
+    */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+               queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
+      col("term").cast("string").as("term"))
+    val docs = df.select(idCol.as("doc_id"),
+      split(normText(textCol), " ").as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+    // corpus stats: one broadcast single-row aggregate over the doc grain
+    val stats = df.select(idCol.as("doc_id"),
+        size(split(normText(textCol), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // postings list restricted to query terms BEFORE any aggregation
+    val postings = docs
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // avgdl = sum_dl/n_docs: one double division of two exact integers —
+    // bit-identical in any IEEE engine (never sum doubles)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val sat = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    postings
+      .join(dfreq, Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", round(idf * sat, 6).cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("__s")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_matched"),
+        col("score"), col("rank"))
+  }
+
+  /** Corpus vocabulary coverage (the tokenizer-design question: "what
+    * fraction of the token stream does a top-k vocabulary cover?"):
+    * token frequencies ranked descending with the cumulative corpus
+    * coverage fraction of each rank prefix.
+    *
+    * Scale shape: one token-grain hash aggregation (map-side combined),
+    * then a distributed TakeOrdered top-k — the ONLY globally-ordered
+    * state is the k-row result, so the rank/cumulative window that
+    * follows runs over k rows, not the vocabulary (bounded
+    * single-partition, the q88 contract). The token-stream total is a
+    * broadcast single-row aggregate.
+    */
+  def vocabCoverage(df: DataFrame, textCol: Column, k: Int = 100)
+      : DataFrame = {
+    val toks = df.select(explode(split(normText(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val topk = freq.orderBy(col("freq").desc, col("token")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    topk.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_freq",
+        sum(col("freq")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("token"), col("freq"), col("rank"),
+        round(col("cum_freq").cast("double") /
+          col("n_total").cast("double"), 6).as("cum_frac"))
+  }
+
+  /** Deterministic pseudo-trained weight table for
+    * [[hashedLinearScore]]: bucket → integer milli-weight in
+    * [-1000, 1000], a pure function of the bucket id via the
+    * cross-engine hash (so an external oracle regenerates the identical
+    * "model"). A real deployment replaces this with weights exported
+    * from a trained fastText/logreg classifier — the SCORING path below
+    * is unchanged.
+    */
+  def hashedModelWeights(spark: org.apache.spark.sql.SparkSession,
+                         buckets: Int): DataFrame =
+    spark.range(buckets.toLong).select(
+      col("id").cast("long").as("bucket"),
+      (pmod(graft.functions.F.hash64(concat(lit("w|"), col("id"))),
+        lit(2001L)) - 1000L).cast("long").as("w_milli"))
+
+  /** Hashed-feature linear classifier scoring (the fastText/DSIR-style
+    * "apply a quality classifier to the whole corpus" pass): each token
+    * hashes to one of `buckets` feature slots, the document's score is
+    * the weight-sum of its token stream normalized by length, squashed
+    * through a sigmoid.
+    *
+    * The inner product runs in INTEGER space (token counts × integer
+    * milli-weights) so the per-doc sum is exact and order-free in any
+    * engine; only the final normalize+sigmoid touches floating point, on
+    * identical integer inputs. Scale shape: explode → per-(doc,bucket)
+    * count (map-side combined) → broadcast join against the ≤`buckets`
+    * weight table → per-doc sum. No windows, no global state.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: Column, textCol: Column,
+                        weights: DataFrame, buckets: Int): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      explode(split(normText(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val feat = toks
+      .select(col("doc_id"),
+        pmod(graft.functions.F.hash64(concat(lit("f|"), col("token"))),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = feat
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w_milli")).as("dot_milli"))
+    // null-safe: a token-less doc scores sigmoid(0) = 0.5
+    val norm = coalesce(col("dot_milli"), lit(0L)).cast("double") /
+      (greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)).cast("double")
+        * 1000.0)
+    df.select(idCol.as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dot_milli"), lit(0L)).as("dot_milli"),
+        round(lit(1.0) / (lit(1.0) + exp(-norm)), 4).as("score"))
+  }
+
   /** PII patterns: email and dashed phone numbers (KR mobile shape). Kept
     * simple and anchored on word-ish boundaries — the operator contract
     * (count + redact deterministically, pure codegen regex) is the point;

@@ -46,7 +46,14 @@ class PlanAuditSpec extends SparkSpec {
     *   aggregate (q61's corpus-count pattern);
     * - q164: the recall evaluation's EXACT side — corpus streams past
     *   broadcast(50 sampled query vectors), q34's by-design pattern (the
-    *   approx side under evaluation is the bucketed scale path).
+    *   approx side under evaluation is the bucketed scale path);
+    * - q171: BM25's corpus stats (N, Σdl) — a broadcast SINGLE-ROW
+    *   aggregate cross-joined onto the postings (q61's corpus-count
+    *   pattern);
+    * - q173: the DSIR side totals — a broadcast SINGLE-ROW aggregate
+    *   cross-joined onto the ≤`buckets`-row feature table;
+    * - q174: the token-stream total — a broadcast SINGLE-ROW aggregate
+    *   cross-joined onto the k-row top-k result.
     */
   private val boundedNlAllowed = Set(
     "q05_scalar_subquery", "q44_global_rank", "q49_funnel", "q63_ann_ivf",
@@ -56,7 +63,11 @@ class PlanAuditSpec extends SparkSpec {
     "q111_sabangnet_product_master", "q112_sabangnet_option_master",
     "q116_stock_time_ds", "q121_stock_report_ds", "q127_smt_opt_relation",
     "q139_smt_option_master", "q156_pack_sequences", "q157_ngram_lm_score",
-    "q164_ann_recall")
+    "q164_ann_recall", "q171_bm25", "q173_dsir_weights",
+    "q174_vocab_coverage",
+    // q176: int8 retrieval's exact-baseline shape — corpus streams past
+    // broadcast(5 quantized query vectors), q34's by-design pattern
+    "q176_int8_topk")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -86,7 +97,14 @@ class PlanAuditSpec extends SparkSpec {
     "q146_sampled_quantiles",
     // the bigram-LM vocabulary size: a global COUNT(DISTINCT) single-row
     // aggregate — distributed partial, single-row final merge (q61 shape)
-    "q157_ngram_lm_score")
+    "q157_ngram_lm_score",
+    // BM25 corpus stats / DSIR side totals: global single-row aggregates
+    "q171_bm25", "q173_dsir_weights",
+    // vocab coverage: the single-row stream total AND the rank/cumsum
+    // window over the post-LIMIT k-row result (bounded by construction —
+    // the q88 contract; the vocabulary itself is reduced by a distributed
+    // TakeOrdered, never a global sort)
+    "q174_vocab_coverage")
 
   /** Build every plan, trapping per-query failures: one broken reader must
     * not abort the audit of the other 150+ queries (the round-4 failure

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Specs for the retrieval/curation operators added in round 5:
+  * BM25 ranked retrieval, ExactSubstr span removal with reassembly,
+  * DSIR importance weights, vocabulary coverage, hashed linear
+  * classifier scoring.
+  */
+class RetrievalCurationSpec extends SparkSpec {
+
+  test("bm25TopK ranks higher-tf docs first; rare terms outweigh common") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "spark runs on a cluster"),
+      (3L, "the cluster is big and the cluster is busy"),
+      (4L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val queries = Seq((0L, "spark"), (1L, "cluster")).toDF("query_id", "term")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+      queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getLong(4)))
+      .toMap
+    // query 0 ("spark"): doc 1 (tf=3) above doc 2 (tf=1); doc 3/4 absent
+    assert(out((0L, 1L))._2 == 1L)
+    assert(out((0L, 2L))._2 == 2L)
+    assert(!out.contains((0L, 3L)) && !out.contains((0L, 4L)))
+    // query 1 ("cluster"): doc 3 (tf=2) ranks above doc 2 (tf=1)
+    assert(out((1L, 3L))._2 == 1L)
+    assert(out((1L, 2L))._2 == 2L)
+    // scores are positive and rank order matches score order
+    assert(out.values.forall(_._1 > 0.0))
+  }
+
+  test("bm25TopK is deterministic under repartition and caps at k") {
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, s"term${i % 5} filler$i words here"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7L, "term0"), (7L, "term1")).toDF("query_id", "term")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopK(d, col("doc_id"), col("text"), queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val a = run(docs)
+    assert(run(docs.repartition(7)) == a)
+    assert(a.size == 5, "16 matching docs capped at k=5")
+  }
+
+  test("removeDupSpans keeps the canonical first occurrence and reassembles") {
+    import spark.implicits._
+    // n=3 spans; docs 1 and 2 share their first span exactly; doc 3 is
+    // unique and must round-trip losslessly (incl. its 2-token tail)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb cc xx yy zz"),
+      (3L, "uu vv ww tail1 tail2")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns the canonical (smallest doc_id) copy of "aa bb cc"
+    assert(out(1L) == ((2L, 0L, "aa bb cc dd ee ff")))
+    // doc 2 loses that span but keeps its own unique second span
+    assert(out(2L) == ((2L, 1L, "xx yy zz")))
+    // unique doc round-trips losslessly, tail span kept
+    assert(out(3L) == ((2L, 0L, "uu vv ww tail1 tail2")))
+  }
+
+  test("removeDupSpans: within-doc repeats collapse; partitioning-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rep rep rep rep rep rep rep rep"), // 4 identical 2-token spans
+      (2L, "solo text only four tokens x")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.removeDupSpans(d, col("doc_id"), col("text"), n = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val a = run(docs)
+    assert(a(1L) == ((4L, 3L, "rep rep")), "one canonical span survives")
+    assert(a(2L)._2 == 0L)
+    assert(run(docs.repartition(5)) == a, "content-hash keys, no RNG")
+  }
+
+  test("importanceWeights scores target-like docs above off-distribution") {
+    import spark.implicits._
+    // targets share the bigram vocabulary; probe 10 mirrors it, probe 11
+    // uses disjoint bigrams. DSIR: w(10) > w(11).
+    val docs = (1L to 8L).map(i => (i, "good clean prose text", true)) ++
+      Seq((10L, "good clean prose text", false),
+        (11L, "zz qq ww ee rr", false),
+        (12L, "one", false)) // < 2 tokens -> NULL weight
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val out = Sampling.importanceWeights(df, col("doc_id"), col("text"),
+        col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(10L)._3.get > out(11L)._3.get,
+      "target-like doc outweighs off-distribution doc")
+    assert(out(12L) == ((false, 0L, None)), "short doc: 0 bigrams, NULL")
+    assert(out(1L)._1, "target flag carried through")
+  }
+
+  test("vocabCoverage ranks by frequency with monotone cumulative coverage") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, col("text"), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq("a", "b", "c"), "freq desc, token tie")
+    assert(out.map(_._2).toSeq == Seq(4L, 3L, 1L))
+    // 9 tokens total: cum fractions 4/9, 7/9, 8/9
+    assert(math.abs(out(0)._4 - 4.0 / 9) < 1e-4)
+    assert(math.abs(out(2)._4 - 8.0 / 9) < 1e-4)
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq, "monotone")
+  }
+
+  test("hashedLinearScore: exact integer dot product, sigmoid bounds") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha alpha"),
+      (3L, "")).toDF("doc_id", "text")
+    val w = TextAnalysis.hashedModelWeights(spark, 32)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.hashedLinearScore(d, col("doc_id"), col("text"), w, 32)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val out = run(docs)
+    assert(out(1L)._1 == 3L)
+    // doc 2: one token three times -> dot = 3 * w(alpha); doc 1's dot is
+    // the sum of three single weights — both exactly reproducible
+    val wAlpha = out(2L)._2 / 3
+    assert(out(2L)._2 == 3 * wAlpha)
+    assert(out.values.forall { case (_, _, s) => s > 0.0 && s < 1.0 })
+    assert(out(3L) == ((0L, 0L, 0.5)), "token-less doc scores sigmoid(0)")
+    assert(run(docs.repartition(4)) == out, "deterministic")
+  }
+}

@@ -191,4 +191,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((3L, 2L, 0.6667)))
     assert(out(2L) == ((2L, 0L, 0.0)), "zero-hit query must not drop out")
   }
+
+  test("int8TopK: exact integer dot recovers the float ranking") {
+    import spark.implicits._
+    // values are exact multiples of amax/127, so quantization is lossless
+    // and the dequantized score equals the true dot product
+    val corpus = Seq(
+      (1L, Seq(127.0, 0.0, 0.0)),
+      (2L, Seq(127.0, 127.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 127.0)),
+      (9L, Seq(127.0, 64.0, 0.0))).toDF("vec_id", "vec")
+    val q = corpus.filter(col("vec_id") === 9L)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.int8TopK(c, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 3)
+        .collect().map(r =>
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .sortBy(_._4).toSeq
+    val out = run(corpus)
+    // dots vs (127,64,0): doc2 = 127*127+127*64, doc1 = 127*127, doc3 = 0
+    assert(out.map(_._1) == Seq(2L, 1L, 3L), "integer-dot ranking")
+    assert(out(0)._2 == 127L * 127 + 127L * 64, "dot is exact integer math")
+    assert(out(0)._3 == 127.0 * 127 + 127.0 * 64,
+      "scale=1 dequantizes to the true dot")
+    assert(run(corpus.repartition(5)) == out, "deterministic")
+  }
 }
