@@ -610,10 +610,13 @@ object SparkEntry {
 
     // ---- P8: minimal-partition date predicate (runs→BETWEEN, singles→IN) ----
     "q47_date_predicate" -> ((s, d) => {
+      // in-range dates (fixture orders span 1995..2001) so the predicate
+      // selects real rows; the pushdown-friendly raw-column variant of
+      // this query is q177 (F.datetimePredicate)
       val dates = Seq(
-        java.time.LocalDate.of(1994, 1, 1), java.time.LocalDate.of(1994, 1, 2),
-        java.time.LocalDate.of(1994, 1, 3), java.time.LocalDate.of(1994, 2, 14),
-        java.time.LocalDate.of(1994, 3, 1))
+        java.time.LocalDate.of(1996, 3, 1), java.time.LocalDate.of(1996, 3, 2),
+        java.time.LocalDate.of(1996, 3, 3), java.time.LocalDate.of(1996, 7, 14),
+        java.time.LocalDate.of(1996, 9, 2))
       Tables.orders(s, d)
         .withColumn("ymd", to_date(col("o_orderdate")))
         .filter(F.datePredicate(col("ymd"), dates))
@@ -2050,6 +2053,19 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
       Similarity.int8TopK(e, col("vec_id"), col("vec"),
         q, col("vec_id"), col("vec"), k = 10)
+    }),
+
+    // ---- P8 pushdown-friendly variant: half-open timestamp ranges on
+    // the RAW column (no cast), so the predicate reaches PushedFilters
+    // and parquet skips row groups — ScanAuditSpec pins the plan ----
+    "q177_datetime_predicate" -> ((s, d) => {
+      val dates = Seq(
+        java.time.LocalDate.of(1996, 3, 1), java.time.LocalDate.of(1996, 3, 2),
+        java.time.LocalDate.of(1996, 3, 3), java.time.LocalDate.of(1996, 7, 14),
+        java.time.LocalDate.of(1996, 9, 2))
+      Tables.orders(s, d)
+        .filter(F.datetimePredicate(col("o_orderdate"), dates))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ymd"))
     })
   )
 
@@ -3698,8 +3714,8 @@ object SparkEntry {
 
     "q47_date_predicate" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ymd FROM orders
-        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1994-01-03'
-        |   OR CAST(o_orderdate AS DATE) IN (DATE '1994-02-14', DATE '1994-03-01')""".stripMargin,
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-03'
+        |   OR CAST(o_orderdate AS DATE) IN (DATE '1996-07-14', DATE '1996-09-02')""".stripMargin,
 
     "q43_iqr_outliers" ->
       """WITH stats AS (
@@ -4774,6 +4790,17 @@ object SparkEntry {
         |    / (CAST(greatest(coalesce(sc.n_tokens, 0), 1) AS DOUBLE)
         |      * 1000.0)))), 4) AS score
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    // half-open timestamp ranges on the raw column (q47's semantics, the
+    // pushdown-friendly spelling)
+    "q177_datetime_predicate" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ymd FROM orders
+        |WHERE (o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |       AND o_orderdate < TIMESTAMP '1996-03-04 00:00:00')
+        |   OR (o_orderdate >= TIMESTAMP '1996-07-14 00:00:00'
+        |       AND o_orderdate < TIMESTAMP '1996-07-15 00:00:00')
+        |   OR (o_orderdate >= TIMESTAMP '1996-09-02 00:00:00'
+        |       AND o_orderdate < TIMESTAMP '1996-09-03 00:00:00')""".stripMargin,
 
     // int8 retrieval: q160's quantization on both sides, integer dot
     // (values < 2^53, so DuckDB's double path is still exact), the two

@@ -90,6 +90,31 @@ object F {
     (rangePreds ++ singlePred).reduce(_ || _)
   }
 
+  /** Datetime variant of [[datePredicate]] (reference:
+    * common/load.py:269-303 `expr_datetime_range` — "half-open bounds"):
+    * each run of consecutive days becomes one half-open
+    * `[day, nextDay)` range ON THE RAW TIMESTAMP COLUMN. The point is
+    * parquet pushdown: filtering `to_date(ts)` wraps the column in a
+    * cast, which the parquet filter translator cannot push — the scan
+    * reads every row group (q47's DataFilters-but-no-PushedFilters
+    * shape). Literals are TIMESTAMP_NTZ (`LocalDateTime`), matching the
+    * fixture's physical type, so no cast appears on either side and the
+    * whole disjunction lands in `PushedFilters` — at 100 TB that is
+    * row-group skipping vs a full-table scan. ScanAuditSpec pins this.
+    */
+  def datetimePredicate(c: Column, dates: Seq[LocalDate]): Column = {
+    if (dates.isEmpty) return lit(false)
+    val sorted = dates.distinct.sorted
+    val runs = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, d) =>
+      if (acc.head.head.plusDays(1) == d) (d :: acc.head) :: acc.tail
+      else List(d) :: acc
+    }.map(_.reverse).reverse
+    runs.map { r =>
+      (c >= lit(r.head.atStartOfDay)) &&
+        (c < lit(r.last.plusDays(1).atStartOfDay))
+    }.reduce(_ || _)
+  }
+
   /** Exact decimal cast for money math — the engine-wide rule replacing the
     * reference's BigQuery NUMERIC semantics (SURVEY §1.2): aggregate doubles
     * through DECIMAL so sums are order-independent and bit-exact.

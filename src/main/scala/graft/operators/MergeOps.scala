@@ -81,6 +81,37 @@ object MergeOps {
     joined.select(keyCols ++ valueCols.map(merged): _*)
   }
 
+  /** Schema evolution for MERGE (Delta's `mergeSchema`/autoMerge shape):
+    * widen target and source to the UNION schema, each side's missing
+    * columns added as typed nulls. A new source column materializes on
+    * existing target rows as NULL; a source batch missing a column
+    * leaves target values untouched (null source + the SourceFirst
+    * coalesce). A same-name column with a DIFFERENT type fails loudly —
+    * silent cross-type casts are how upserts corrupt tables. Column
+    * order is target-first then new source columns, so an evolving
+    * table's layout is stable across batches.
+    */
+  def alignSchemas(target: DataFrame, source: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tf = target.schema.map(f => f.name -> f.dataType).toMap
+    val sf = source.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = tf.keySet.intersect(sf.keySet)
+      .filter(n => tf(n) != sf(n))
+    require(conflicts.isEmpty,
+      s"schema evolution cannot change a column's type: " +
+        conflicts.toSeq.sorted.map(n => s"$n (${tf(n)} vs ${sf(n)})")
+          .mkString(", "))
+    val order = target.schema.map(_.name) ++
+      source.schema.map(_.name).filterNot(tf.contains)
+    def widen(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType],
+              other: Map[String, org.apache.spark.sql.types.DataType]): DataFrame = {
+      val widened = other.keys.filterNot(have.contains)
+        .foldLeft(df)((d, n) => d.withColumn(n, lit(null).cast(other(n))))
+      widened.select(order.map(col): _*)
+    }
+    (widen(target, tf, sf), widen(source, sf, tf))
+  }
+
   /** Insert-ignore (D2): `INSERT … ON CONFLICT DO NOTHING` — keep all target
     * rows, add only source rows whose key is absent (113 uses in the
     * reference, e.g. core/smartstore/api/order/models.sql:82,136,167).

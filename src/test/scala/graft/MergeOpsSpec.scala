@@ -67,4 +67,40 @@ class MergeOpsSpec extends SparkSpec {
     assert(out(1).getString(1) == "t2") // existing key untouched
     assert(out(3).getString(1) == "s4")
   }
+
+  test("alignSchemas widens both sides; merge evolves the schema") {
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val s = Seq((2L, "B", 9.5), (3L, "C", 1.5)).toDF("k", "name", "score")
+    val (t2, s2) = MergeOps.alignSchemas(t, s)
+    assert(t2.columns.toSeq == Seq("k", "name", "score"),
+      "target-first column order, new source column appended")
+    assert(s2.columns.toSeq == Seq("k", "name", "score"))
+    val out = MergeOps.upsert(t2, s2, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      (1L, "a", None),          // untouched row: new column is NULL
+      (2L, "B", Some(9.5)),     // updated row gains the new column
+      (3L, "C", Some(1.5))))    // inserted row carries it
+  }
+
+  test("alignSchemas: a source batch MISSING a column leaves target values") {
+    val t = Seq((1L, "a", 10.0)).toDF("k", "name", "score")
+    val s = Seq((1L, "A")).toDF("k", "name")
+    val (t2, s2) = MergeOps.alignSchemas(t, s)
+    val out = MergeOps.upsert(t2, s2, Seq("k")).collect()
+    assert(out(0).getString(1) == "A", "present column updates")
+    assert(out(0).getDouble(2) == 10.0,
+      "absent column coalesces to the target value")
+  }
+
+  test("alignSchemas rejects a same-name type change") {
+    val t = Seq((1L, "a")).toDF("k", "v")
+    val s = Seq((1L, 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.alignSchemas(t, s)
+    }
+    assert(e.getMessage.contains("cannot change a column's type"))
+  }
 }

@@ -348,4 +348,101 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(external == Set((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 35.0)))
   }
+
+  test("compactUpsertTable: fewer files, same rows, old generation travels") {
+    val dir = Files.createTempDirectory("compact").toFile.getAbsolutePath
+    val t = s"$dir/tbl"
+    val data = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    // AQE would coalesce the tiny seed to one file — hold it off so the
+    // table starts fragmented, like a table after many small upserts
+    val prior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Sinks.upsertParquet(spark, t, data.repartition(8), keys = Seq("k"))
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", prior)
+    val before = spark.read.parquet(s"$t/gen-0")
+    // huge target => everything packs into one file
+    val (nb, na) = Sinks.compactUpsertTable(spark, t, targetBytes = 1L << 30)
+    assert(nb > 1 && na == 1, s"expected 8ish -> 1, got $nb -> $na")
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$t/_CURRENT")).trim
+    assert(cur == "gen-1", "compaction commits a NEW generation")
+    val after = spark.read.parquet(s"$t/gen-1")
+    assert(after.inputFiles.length == 1)
+    assert(after.orderBy("k").collect().toSeq ==
+      before.orderBy("k").collect().toSeq, "content unchanged")
+    // time travel still reads the pre-compaction generation
+    assert(Sinks.readUpsertTableAt(spark, t, 0).count() == 500)
+    // idempotent: a second run is a no-op
+    assert(Sinks.compactUpsertTable(spark, t, targetBytes = 1L << 30)
+      == ((1, 1)))
+  }
+
+  test("upsertParquet evolveSchema: a drifted batch widens the table") {
+    val dir = Files.createTempDirectory("evolve").toFile.getAbsolutePath
+    val t = s"$dir/tbl"
+    Sinks.upsertParquet(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      keys = Seq("k"))
+    // same batch WITHOUT the flag still fails loudly (no silent drift)
+    val drifted = Seq((2L, "B", 7L), (3L, "C", 9L)).toDF("k", "v", "extra")
+    intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, t, drifted, keys = Seq("k"))
+    }
+    Sinks.upsertParquet(spark, t, drifted, keys = Seq("k"),
+      evolveSchema = true)
+    val back = spark.read.parquet(s"$t/gen-1").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(back.toSeq == Seq(
+      (1L, "a", None), (2L, "B", Some(7L)), (3L, "C", Some(9L))))
+  }
+
+  test("zValue interleaves bits; writeZOrdered clusters BOTH dimensions") {
+    // zValue: cell bits interleave — (x=0b11, y=0b00) -> 0b0101 = 5
+    val z = Seq((3L, 0L)).toDF("a", "b")
+      .select(Sinks.zValue(Seq(col("a"), col("b")), bitsPer = 2).as("z"))
+      .head().getLong(0)
+    assert(z == 5L)
+
+    // 64x64 grid; y is a decorrelated permutation of x's range
+    val grid = (0 until 4096)
+      .map(i => (i.toLong, (i % 64).toLong, ((i / 64) * 37 % 64).toLong))
+      .toDF("id", "x", "y")
+    val dir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+
+    def avgSpans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.getName.startsWith("part-"))
+        .map(_.getAbsolutePath)
+      assert(files.length > 1, "expected multiple files")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+          .head()
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+
+    Sinks.writeZOrdered(grid, Seq("x", "y"), s"$dir/z", numFiles = 16,
+      bitsPer = 6)
+    val (zx, zy) = avgSpans(s"$dir/z")
+
+    // baseline: single-column sort clusters x but leaves y unpruned
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$dir/xsort")
+    val (_, sy) = avgSpans(s"$dir/xsort")
+
+    // z-order: every file spans a bounded cell in BOTH dims (16 files on
+    // a 64x64 grid ≈ 16-wide cells); x-sort leaves y at ~full range
+    assert(zx < 32.0 && zy < 32.0,
+      s"z-order should bound both dims: x=$zx y=$zy")
+    assert(sy > 48.0, s"x-sorted baseline should leave y wide: $sy")
+    assert(zy < sy / 2, "z-order must beat single-column sort on dim 2")
+
+    // layout only — content round-trips exactly
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.columns.toSeq == Seq("id", "x", "y"), "helper cols dropped")
+    assert(back.count() == 4096)
+  }
 }
