@@ -207,6 +207,42 @@ object Streams {
           latest, keys, strategies)
       }
 
+  /** Streaming near-dup ADMISSION — the continuously-ingesting deduped
+    * corpus: each micro-batch is deduped within itself AND against the
+    * persisted already-admitted corpus
+    * ([[graft.operators.Dedup.incrementalDedup]]'s batch-probes-index
+    * shape — the corpus is never self-joined, so per-batch cost tracks
+    * the batch), and only admitted docs append to the corpus table.
+    * Engine state is ZERO — the corpus TABLE is the state (the
+    * [[changeFeedSink]] principle): no watermark-bounded state growth,
+    * and a restart resumes from the table. A retried micro-batch
+    * re-admits idempotently (admitted docs merge by key; their
+    * duplicates are rejected again by the same content hashes).
+    */
+  def dedupAdmissionSink(corpusPath: String, idColName: String = "doc_id",
+                         textColName: String = "text",
+                         n: Int = 3, k: Int = 32, bands: Int = 8,
+                         verifyThreshold: Double = 0.7)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val hasCorpus = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(corpusPath, "_CURRENT"))
+        val corpus =
+          if (hasCorpus) graft.sources.Sinks.readUpsertTable(spark, corpusPath)
+          else batch.limit(0)
+        val verdict = graft.operators.Dedup.incrementalDedup(corpus, batch,
+          col(idColName), col(textColName), n, k, bands, verifyThreshold)
+        val admitted = batch.join(
+          verdict.filter(col("is_admitted"))
+            .select(col("doc_id").as(idColName)),
+          idColName)
+        if (!admitted.isEmpty)
+          graft.sources.Sinks.upsertParquet(spark, corpusPath, admitted,
+            Seq(idColName))
+      }
+
   /** Batch replay of a change feed: the table [[changeFeedSink]] converges
     * to — latest change per key over the WHOLE feed. The equivalence
     * (stream-applied batches == one batch replay) is the pipeline's

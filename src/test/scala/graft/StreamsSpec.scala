@@ -193,4 +193,29 @@ class StreamsSpec extends SparkSpec {
     assert(out((1L, 2L)) == (1L, 4.0))
     assert(out((2L, 1L)) == (1L, 8.0))
   }
+
+  test("dedupAdmissionSink: a continuously-ingesting deduped corpus") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("admit")
+      .toFile.getAbsolutePath + "/corpus"
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(Streams.dedupAdmissionSink(dir))
+      .outputMode(OutputMode.Append()).start()
+    val polls = Seq(
+      // poll 1: 2 duplicates within the batch + one unique
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "one two three four five")),
+      // poll 2: a dup of the ADMITTED CORPUS + one new doc
+      Seq((4L, "alpha beta gamma delta epsilon"),
+        (5L, "six seven eight nine ten")))
+    try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val corpus = graft.sources.Sinks.readUpsertTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet == Set(1L, 3L, 5L),
+      s"within-batch dup (2) and cross-poll dup (4) rejected: $corpus")
+    assert(corpus(5L) == "six seven eight nine ten")
+  }
 }
