@@ -142,9 +142,10 @@ object Dedup {
     * aggregation whose `sort_array(collect_list)` state is a single
     * document's spans — bounded by doc length, never corpus-wide. The
     * span frame feeds both the frequency agg and the join-back, so it
-    * persists behind `materialize`. Canonical-occurrence keys pack as
-    * `doc_id · 2^20 + position` (documented bound: ids < 2^43, docs
-    * < 2^20 spans — 10M tokens at n=10).
+    * persists behind `materialize`. The canonical-occurrence key is a
+    * `(doc_id, pos)` STRUCT min — structs order lexicographically in
+    * the aggregate, so the selection is correct for ANY id range
+    * (negative, full-64-bit) with no packed-integer bound to violate.
     */
   def removeDupSpans(df: DataFrame, idCol: Column, textCol: Column,
                      n: Int = 10, hashes: HashFamily = XxHash,
@@ -159,7 +160,7 @@ object Dedup {
     val sp0 = df.select(idCol.as("doc_id"), explode(spans).as("u"))
       .select(col("doc_id"), col("u.pos").as("pos"), col("u.span").as("span"),
         hashes.hash(concat(lit("span|"), col("u.span"))).as("h"),
-        (col("doc_id") * lit(1048576L) + col("u.pos")).as("okey"))
+        struct(col("doc_id"), col("u.pos").as("pos")).as("okey"))
     val sp = if (materialize) sp0.persist() else sp0
     val g = sp.groupBy(col("h"))
       .agg(min(col("okey")).as("keeper"), count(lit(1)).as("c"))
@@ -638,12 +639,13 @@ object Dedup {
                        n: Int = 3, k: Int = 32, bands: Int = 8,
                        verifyThreshold: Double = 0.7,
                        fam: HashFamily = XxHash,
-                       maxBucket: Int = 64): DataFrame = {
+                       maxBucket: Int = 64,
+                       materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (shC, bandedC) = lshIndex(corpus, idCol, textCol, n, k, bands,
-      fam, materialize = true)
+      fam, materialize)
     val (shB, bandedB) = lshIndex(batch, idCol, textCol, n, k, bands,
-      fam, materialize = true)
+      fam, materialize)
     val wBucket = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("id"))
     val cappedC = bandedC

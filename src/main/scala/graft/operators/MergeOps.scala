@@ -95,6 +95,17 @@ object MergeOps {
       : (DataFrame, DataFrame) = {
     val tf = target.schema.map(f => f.name -> f.dataType).toMap
     val sf = source.schema.map(f => f.name -> f.dataType).toMap
+    // a re-cased column ('score' vs 'Score') is NOT evolution: under the
+    // default case-insensitive resolution, withColumn would REPLACE the
+    // existing column with typed nulls — destroying target data — so any
+    // case-only name drift fails before a single expression is built
+    val caseDrift = for {
+      t <- tf.keySet; s <- sf.keySet
+      if t != s && t.equalsIgnoreCase(s)
+    } yield s"$t vs $s"
+    require(caseDrift.isEmpty,
+      s"schema evolution cannot re-case a column: ${caseDrift.toSeq.sorted
+        .mkString(", ")}")
     val conflicts = tf.keySet.intersect(sf.keySet)
       .filter(n => tf(n) != sf(n))
     require(conflicts.isEmpty,

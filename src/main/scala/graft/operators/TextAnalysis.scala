@@ -480,13 +480,18 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term"))
-    val docs = df.select(idCol.as("doc_id"),
+    // ONE tokenized projection feeds both consumers (each pass over it
+    // still scans the raw text — at true corpus scale, persist the
+    // posting-list + doc-length tables once and serve many query batches
+    // from them; this operator is the single-pass form)
+    val base = df.select(idCol.as("doc_id"),
       split(normText(textCol), " ").as("__toks"))
+    val docs = base
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
     // corpus stats: one broadcast single-row aggregate over the doc grain
-    val stats = df.select(idCol.as("doc_id"),
-        size(split(normText(textCol), " ")).cast("long").as("dl"))
+    val stats = base
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // postings list restricted to query terms BEFORE any aggregation
     val postings = docs
@@ -538,7 +543,9 @@ object TextAnalysis {
     val toks = df.select(explode(split(normText(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // the stream total is the vocabulary's frequency sum — computed from
+    // the aggregated (vocab-sized) table, not a second corpus explode
+    val total = freq.agg(sum(col("freq")).as("n_total"))
     val topk = freq.orderBy(col("freq").desc, col("token")).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("token"))
@@ -596,11 +603,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("w_milli")).as("dot_milli"))
-    // null-safe: a token-less doc scores sigmoid(0) = 0.5
+    // null-safe: a token-less doc scores sigmoid(0) = 0.5. The spine is
+    // the raw doc frame (one row per input row, like every sibling
+    // operator and the oracle's LEFT JOIN) — no distinct, no extra
+    // exchange
     val norm = coalesce(col("dot_milli"), lit(0L)).cast("double") /
       (greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)).cast("double")
         * 1000.0)
-    df.select(idCol.as("doc_id")).distinct()
+    df.select(idCol.as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -102,6 +102,13 @@ object Sinks {
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
     require(maxRetries >= 1, "maxRetries must allow at least one attempt")
+    // keys are the merge identity — schema evolution must never null-fill
+    // them (a key-less batch would collapse to one garbage row and the
+    // real rows would be silently discarded)
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"source batch is missing merge key column(s): " +
+        missingKeys.mkString(", "))
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")

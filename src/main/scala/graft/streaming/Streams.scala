@@ -218,6 +218,16 @@ object Streams {
     * and a restart resumes from the table. A retried micro-batch
     * re-admits idempotently (admitted docs merge by key; their
     * duplicates are rejected again by the same content hashes).
+    *
+    * Cost honesty: the ADMISSION joins track the batch, but this sink
+    * re-derives the corpus band index from the table every trigger
+    * (`materialize = false` below, so nothing is persisted across
+    * batches — a long-running query must not leak cached corpus-scale
+    * frames each trigger). A production deployment at corpus scale
+    * maintains the banded index as its own incrementally-upserted table
+    * (admitted docs' bands appended alongside the docs) so the
+    * per-trigger cost is truly batch-sized; this sink is the
+    * self-contained form of that pipeline.
     */
   def dedupAdmissionSink(corpusPath: String, idColName: String = "doc_id",
                          textColName: String = "text",
@@ -233,7 +243,8 @@ object Streams {
           if (hasCorpus) graft.sources.Sinks.readUpsertTable(spark, corpusPath)
           else batch.limit(0)
         val verdict = graft.operators.Dedup.incrementalDedup(corpus, batch,
-          col(idColName), col(textColName), n, k, bands, verifyThreshold)
+          col(idColName), col(textColName), n, k, bands, verifyThreshold,
+          materialize = false)
         val admitted = batch.join(
           verdict.filter(col("is_admitted"))
             .select(col("doc_id").as(idColName)),

@@ -103,4 +103,13 @@ class MergeOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cannot change a column's type"))
   }
+
+  test("alignSchemas rejects a case-only rename (withColumn would null data)") {
+    val t = Seq((1L, "a")).toDF("k", "score")
+    val s = Seq((1L, "b")).toDF("k", "Score")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.alignSchemas(t, s)
+    }
+    assert(e.getMessage.contains("cannot re-case"))
+  }
 }

@@ -388,6 +388,12 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.upsertParquet(spark, t, drifted, keys = Seq("k"))
     }
+    // a batch MISSING the key column must fail loudly even with
+    // evolution on — null-filled keys would silently discard the batch
+    intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, t, drifted.drop("k"), keys = Seq("k"),
+        evolveSchema = true)
+    }
     Sinks.upsertParquet(spark, t, drifted, keys = Seq("k"),
       evolveSchema = true)
     val back = spark.read.parquet(s"$t/gen-1").orderBy("k").collect()
