@@ -138,6 +138,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, s"scale-unsafe plans:\n${failures.mkString("\n")}")
   }
 
+  test("no query plan contains a UDF or Python-eval node") {
+    // the engine-wide "functions, not UDFs" rule (README §2.10): every
+    // expression must stay eligible for whole-stage codegen — a UDF node
+    // in any of the 177 plans is a hot-path regression
+    val failures = plans.flatMap { case (name, plan) =>
+      if (plan.contains("BatchEvalPython") || plan.contains("ArrowEvalPython")
+        || plan.contains("UDF(")) Some(name)
+      else None
+    }
+    assert(failures.isEmpty, s"UDF nodes found:\n${failures.mkString("\n")}")
+  }
+
   test("no query plan funnels unbounded data through a single partition") {
     val failures = plans.flatMap { case (name, plan) =>
       if (plan.contains("SinglePartition") && !singlePartitionAllowed(name))

@@ -34,6 +34,22 @@ class ScanAuditSpec extends SparkSpec {
     assert(wide.isEmpty, s"full-width scans in star join:\n${wide.mkString("\n")}")
   }
 
+  test("q01: aggregation runs inside whole-stage codegen") {
+    // AQE wraps codegen only as stages materialize — execute first, then
+    // read the FINAL adaptive plan (the `*(n)` markers)
+    val df = SparkEntry.queries("q01_agg_sum")(spark, sf001)
+    df.collect()
+    // the adaptive plan echoes its pre-codegen "Initial Plan" below the
+    // final one — audit only the final section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan").head
+    val aggLines = plan.linesIterator
+      .filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty)
+    assert(aggLines.forall(_.contains("*(")),
+      s"aggregate fell out of whole-stage codegen:\n${aggLines.mkString("\n")}")
+  }
+
   test("q177: raw-column datetime ranges reach PushedFilters") {
     val scan = scanLines("q177_datetime_predicate")
       .find(_.contains("orders")).get
