@@ -349,6 +349,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(external == Set((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 35.0)))
   }
 
+  test("compaction racing upserts loses neither data nor the pointer") {
+    val dir = Files.createTempDirectory("compact_race").toString
+    // seed a fragmented generation
+    val prior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Sinks.upsertParquet(spark, dir,
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v").repartition(6),
+      keys = Seq("k"))
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", prior)
+    // writer thread lands 3 more batches while compaction loops; every
+    // compaction commit must re-validate its base under the lock, so a
+    // mid-flight upsert only costs it a retry, never a lost row
+    val writer = new Thread(() =>
+      (1 to 3).foreach { i =>
+        Sinks.upsertParquet(spark, dir,
+          Seq((200L + i, s"new$i")).toDF("k", "v"), Seq("k"),
+          maxRetries = 30)
+      })
+    val compactor = new Thread(() =>
+      (1 to 3).foreach { _ =>
+        Sinks.compactUpsertTable(spark, dir, targetBytes = 1L << 30,
+          maxRetries = 30, keepGenerations = 10)
+      })
+    writer.start(); compactor.start()
+    writer.join(180000); compactor.join(180000)
+    val out = Sinks.readUpsertTable(spark, dir)
+    assert(out.count() == 203,
+      "all seeded + raced rows survive compaction")
+    assert(out.filter(col("k") > 200L).count() == 3)
+    import java.nio.file.{Files => NF, Paths}
+    assert(!NF.exists(Paths.get(dir, "_LOCK")), "lock released")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_txn-")), "stages cleaned")
+  }
+
   test("compactUpsertTable: fewer files, same rows, old generation travels") {
     val dir = Files.createTempDirectory("compact").toFile.getAbsolutePath
     val t = s"$dir/tbl"
