@@ -641,11 +641,47 @@ object Dedup {
                        fam: HashFamily = XxHash,
                        maxBucket: Int = 64,
                        materialize: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (shC, bandedC) = lshIndex(corpus, idCol, textCol, n, k, bands,
       fam, materialize)
     val (shB, bandedB) = lshIndex(batch, idCol, textCol, n, k, bands,
       fam, materialize)
+    incrementalDedupAgainstIndex(shC, bandedC, shB, bandedB, batch, idCol,
+      verifyThreshold, maxBucket)
+  }
+
+  /** The (shingles, bands) index tables [[incrementalDedupAgainstIndex]]
+    * probes — public so a production pipeline can PERSIST them and pay
+    * corpus-side indexing exactly once per document instead of once per
+    * ingest: `sh` is (id, sh array<bigint>) — the doc's shingle-hash set
+    * for exact-Jaccard verification; `banded` is (id, band, bucket) —
+    * the LSH candidate-lookup rows.
+    */
+  def lshIndexTables(df: DataFrame, idCol: Column, textCol: Column,
+                     n: Int = 3, k: Int = 32, bands: Int = 8,
+                     fam: HashFamily = XxHash,
+                     materialize: Boolean = true)
+      : (DataFrame, DataFrame) =
+    lshIndex(df, idCol, textCol, n, k, bands, fam, materialize)
+
+  /** [[incrementalDedup]] with BOTH sides' index tables precomputed —
+    * the probe core. Feed it a persisted corpus index
+    * ([[lshIndexTables]] output, maintained incrementally as admitted
+    * docs' rows are appended) and the per-ingest cost is genuinely
+    * batch-sized: the corpus is neither re-shingled nor re-minhashed,
+    * only probed by equi-join on (band, bucket) and on shingle ids.
+    */
+  def incrementalDedupAgainstIndex(corpusShingles: DataFrame,
+                                   corpusBands: DataFrame,
+                                   batchShingles: DataFrame,
+                                   batchBands: DataFrame,
+                                   batch: DataFrame, idCol: Column,
+                                   verifyThreshold: Double = 0.7,
+                                   maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shC = corpusShingles
+    val bandedC = corpusBands
+    val shB = batchShingles
+    val bandedB = batchBands
     val wBucket = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("id"))
     val cappedC = bandedC

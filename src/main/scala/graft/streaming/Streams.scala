@@ -254,6 +254,62 @@ object Streams {
             Seq(idColName))
       }
 
+  /** [[dedupAdmissionSink]]'s production form: the corpus's LSH index
+    * (shingle sets + band rows, [[graft.operators.Dedup.lshIndexTables]])
+    * is MAINTAINED as its own tables under `indexPath`, so each trigger
+    * only indexes the BATCH and probes the stored index by equi-join —
+    * the corpus is never re-shingled, making per-trigger cost genuinely
+    * batch-sized at any corpus size.
+    *
+    * Exactly-once index maintenance without a transaction log: each
+    * micro-batch writes its admitted docs' index rows to
+    * `indexPath/{sh,bands}/batch=<batchId>` with OVERWRITE — a retried
+    * batch rewrites its own partition, so replays converge instead of
+    * duplicating index rows (the doc table itself converges through the
+    * keyed generational MERGE as always).
+    */
+  def indexedDedupAdmissionSink(corpusPath: String, indexPath: String,
+                                idColName: String = "doc_id",
+                                textColName: String = "text",
+                                n: Int = 3, k: Int = 32, bands: Int = 8,
+                                verifyThreshold: Double = 0.7)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        import java.nio.file.{Files, Paths}
+        val spark = batch.sparkSession
+        val (shB, bandedB) = graft.operators.Dedup.lshIndexTables(batch,
+          col(idColName), col(textColName), n, k, bands)
+        try {
+          val corpusSh =
+            if (Files.exists(Paths.get(indexPath, "sh")))
+              spark.read.parquet(s"$indexPath/sh").select("id", "sh")
+            else shB.limit(0)
+          val corpusBands =
+            if (Files.exists(Paths.get(indexPath, "bands")))
+              spark.read.parquet(s"$indexPath/bands")
+                .select("id", "band", "bucket")
+            else bandedB.limit(0)
+          val verdict = graft.operators.Dedup.incrementalDedupAgainstIndex(
+            corpusSh, corpusBands, shB, bandedB, batch, col(idColName),
+            verifyThreshold)
+          val admittedIds = verdict.filter(col("is_admitted"))
+            .select(col("doc_id").as("id"))
+          val admitted = batch.join(
+            admittedIds.select(col("id").as(idColName)), idColName)
+          if (!admitted.isEmpty) {
+            graft.sources.Sinks.upsertParquet(spark, corpusPath, admitted,
+              Seq(idColName))
+            shB.join(admittedIds, "id")
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$indexPath/sh/batch=$batchId")
+            bandedB.join(admittedIds, "id")
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$indexPath/bands/batch=$batchId")
+          }
+        } finally { shB.unpersist(); bandedB.unpersist() }
+      }
+
   /** Batch replay of a change feed: the table [[changeFeedSink]] converges
     * to — latest change per key over the WHOLE feed. The equivalence
     * (stream-applied batches == one batch replay) is the pipeline's

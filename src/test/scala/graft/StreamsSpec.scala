@@ -218,4 +218,39 @@ class StreamsSpec extends SparkSpec {
       s"within-batch dup (2) and cross-poll dup (4) rejected: $corpus")
     assert(corpus(5L) == "six seven eight nine ten")
   }
+
+  test("indexedDedupAdmissionSink probes a persisted index across polls") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("admix")
+      .toFile.getAbsolutePath
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(Streams.indexedDedupAdmissionSink(
+        s"$base/corpus", s"$base/index"))
+      .outputMode(OutputMode.Append()).start()
+    val polls = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "one two three four five")),
+      Seq((4L, "alpha beta gamma delta epsilon"),
+        (5L, "six seven eight nine ten")),
+      // poll 3: dups of docs admitted in BOTH earlier polls — only the
+      // maintained index can reject these (nothing else links the polls)
+      Seq((6L, "one two three four five"),
+        (7L, "six seven eight nine ten"),
+        (8L, "fresh words never seen before anywhere")))
+    try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val corpus = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 3L, 5L, 8L),
+      s"cross-poll dups (4,6,7) and within-batch dup (2) rejected: $corpus")
+    // the index contains exactly the admitted docs' rows
+    val indexed = spark.read.parquet(s"$base/index/bands")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 3L, 5L, 8L),
+      s"index rows track admissions: $indexed")
+    assert(spark.read.parquet(s"$base/index/sh")
+      .select("id").distinct().count() == 4)
+  }
 }
