@@ -90,4 +90,14 @@ class GraftSqlSpec extends SparkSpec {
       .collect()
     assert(merged.head.getString(1) == "b")
   }
+
+  test("P5 SELECT * EXCEPT needs no rewrite — Spark 4 parses it natively") {
+    // the reference's 25 BigQuery `SELECT * EXCEPT (cols)` sites map to
+    // df.drop(cols) in the DataFrame API (q05) and to plain spark.sql
+    // here — pinned so a Spark upgrade that drops the syntax is caught
+    Seq((1L, "a", 2.0)).toDF("k", "v", "w")
+      .createOrReplaceTempView("except_t")
+    val cols = spark.sql("SELECT * EXCEPT (v) FROM except_t").columns
+    assert(cols.toSeq == Seq("k", "w"))
+  }
 }
