@@ -2055,6 +2055,24 @@ object SparkEntry {
         q, col("vec_id"), col("vec"), k = 10)
     }),
 
+    // ---- hybrid-retrieval fusion: RRF over the full-precision cosine
+    // ranking and the int8-quantized ranking (two signals, no score
+    // normalization — the standard hybrid-search combiner) ----
+    "q178_rrf_fusion" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      val dense = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 10)
+        .select(col("query_id"), col("corpus_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      val int8 = Similarity.int8TopK(e, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 10)
+        .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(dense, int8), k = 10)
+    }),
+
     // ---- P8 pushdown-friendly variant: half-open timestamp ranges on
     // the RAW column (no cast), so the predicate reaches PushedFilters
     // and parquet skips row groups — ScanAuditSpec pins the plan ----
@@ -4790,6 +4808,56 @@ object SparkEntry {
         |    / (CAST(greatest(coalesce(sc.n_tokens, 0), 1) AS DOUBLE)
         |      * 1000.0)))), 4) AS score
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    // RRF hybrid fusion: both rankings' CTEs (q34's cosine, q176's int8),
+    // per-list 1/(c+rank) contributions snapshotted to DECIMAL(18,10)
+    "q178_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |dense_s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |    list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |dense AS (SELECT query_id, id, rn AS rank FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id) AS rn FROM dense_s) WHERE rn <= 10),
+        |a AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        |  FROM e),
+        |qz AS (SELECT vec_id, amax / 127.0 AS scale,
+        |    CASE WHEN amax = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+        |    END AS q8
+        |  FROM a),
+        |qs AS (SELECT vec_id AS query_id, scale AS qscale, q8 AS qq
+        |  FROM qz WHERE vec_id < 5),
+        |int8_s AS (SELECT qs.query_id, c.vec_id AS id,
+        |    CAST(CAST(list_dot_product(c.q8, qs.qq) AS BIGINT) AS DOUBLE)
+        |      * c.scale * qs.qscale AS score
+        |  FROM qz c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+        |int8 AS (SELECT query_id, id, rn AS rank FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rn FROM int8_s) WHERE rn <= 10),
+        |u AS (SELECT query_id, id,
+        |    CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 10)
+        |      AS DECIMAL(18,10)) AS c
+        |  FROM dense
+        |  UNION ALL
+        |  SELECT query_id, id,
+        |    CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 10)
+        |      AS DECIMAL(18,10)) AS c
+        |  FROM int8),
+        |g AS (SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_lists,
+        |    CAST(sum(c) AS DOUBLE) AS rrf_score
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id, id, n_lists, rrf_score, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, id) AS rn FROM g)
+        |WHERE rn <= 10""".stripMargin,
 
     // half-open timestamp ranges on the raw column (q47's semantics, the
     // pushdown-friendly spelling)

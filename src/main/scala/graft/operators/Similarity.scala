@@ -380,6 +380,36 @@ object Similarity {
           .as("qvec"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine any number of
+    * per-query rankings — BM25, dense ANN, quantized ANN, a recency
+    * signal — into one, scoring each (query, doc) by
+    * `Σ_lists 1/(c + rank)`. Rankings only contribute where the doc
+    * appears, so the operator needs no score normalization across
+    * heterogeneous signals (the reason RRF is the default hybrid-search
+    * fuser).
+    *
+    * Each input is (query_id, id, rank); per-list contributions snapshot
+    * to DECIMAL(18,10) before the sum (order-free cross-engine — the
+    * engine-wide rule). One union + one (query, doc) aggregation + one
+    * per-query rank window; k-bounded inputs keep every shuffle tiny.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contrib = rankings.map(r =>
+      r.select(col("query_id"), col("id"),
+        round(lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")), 10)
+          .cast("decimal(18,10)").as("__c")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("id"))
+    contrib.groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("__c")).cast("double").as("rrf_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k retrieval over [[quantizeInt8]] codes — the memory-optimized
     * search path (int8 storage is 4× denser than float32, so 4× more of
     * the corpus fits in executor memory / page cache at 100 TB). The

@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
     "q174_vocab_coverage",
     // q176: int8 retrieval's exact-baseline shape — corpus streams past
     // broadcast(5 quantized query vectors), q34's by-design pattern
-    "q176_int8_topk")
+    "q176_int8_topk",
+    // q178: fuses the q34 + q176 rankings, so both bounded broadcast
+    // probes appear in its plan
+    "q178_rrf_fusion")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile

@@ -192,6 +192,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)), "zero-hit query must not drop out")
   }
 
+  test("rrfFuse rewards cross-list consensus over single-list rank") {
+    import spark.implicits._
+    // doc 20 is mid-rank in BOTH lists; docs 10/30 top ONE list each.
+    // RRF: 2/(60+2) > 1/(60+1) — consensus wins.
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 30L, 1L), (1L, 20L, 2L)).toDF("query_id", "id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(20L)._1 == 2L && out(20L)._3 == 1L, "consensus doc first")
+    assert(out(10L)._1 == 1L && out(30L)._1 == 1L)
+    // equal single-list contributions tie-break on id
+    assert(out(10L)._3 == 2L && out(30L)._3 == 3L)
+    assert(math.abs(out(20L)._2 - 2.0 / 62) < 1e-9)
+  }
+
   test("int8TopK: exact integer dot recovers the float ranking") {
     import spark.implicits._
     // values are exact multiples of amax/127, so quantization is lossless
