@@ -2055,6 +2055,19 @@ object SparkEntry {
         q, col("vec_id"), col("vec"), k = 10)
     }),
 
+    // ---- dedup evaluation: pair precision/recall of the LSH pipeline
+    // vs the exact prefix-filter ground truth at the same threshold —
+    // the tune-then-trust loop for band/threshold choices ----
+    "q179_dedup_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.7, hashShingles = Some(Dedup.CrossEngineHash))
+      val approx = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 32, bands = 8, verifyThreshold = 0.7,
+        fam = Dedup.CrossEngineHash)
+      Dedup.pairRecall(exact, approx)
+    }),
+
     // ---- hybrid-retrieval fusion: RRF over the full-precision cosine
     // ranking and the int8-quantized ranking (two signals, no score
     // normalization — the standard hybrid-search combiner) ----
@@ -4808,6 +4821,33 @@ object SparkEntry {
         |    / (CAST(greatest(coalesce(sc.n_tokens, 0), 1) AS DOUBLE)
         |      * 1000.0)))), 4) AS score
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    // dedup evaluation: exact prefix-filter ground truth at 0.7 (q27's
+    // CTEs) vs the full q28 LSH pipeline; pair-keyed hit counts
+    "q179_dedup_recall" ->
+      s"""WITH ex AS (
+        |  WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+        |  s AS (SELECT doc_id,
+        |      list_distinct(list_transform(${dkShingles(3)},
+        |        s -> ${dkHash("s")})) AS sh
+        |    FROM t)
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7),
+        |ap AS (
+        |$q28Oracle
+        |),
+        |c AS (SELECT (SELECT count(*) FROM ex) AS ne,
+        |      (SELECT count(*) FROM ap) AS na,
+        |      (SELECT count(*) FROM ex JOIN ap USING (id_a, id_b)) AS nh)
+        |SELECT CAST(ne AS BIGINT) AS n_exact, CAST(na AS BIGINT) AS n_approx,
+        |  CAST(nh AS BIGINT) AS n_hit,
+        |  round(CAST(nh AS DOUBLE) / CAST(greatest(na, 1) AS DOUBLE), 4)
+        |    AS pair_precision,
+        |  round(CAST(nh AS DOUBLE) / CAST(greatest(ne, 1) AS DOUBLE), 4)
+        |    AS pair_recall
+        |FROM c""".stripMargin,
 
     // RRF hybrid fusion: both rankings' CTEs (q34's cosine, q176's int8),
     // per-list 1/(c+rank) contributions snapshotted to DECIMAL(18,10)

@@ -649,6 +649,33 @@ object Dedup {
       verifyThreshold, maxBucket)
   }
 
+  /** Pair-level precision/recall of an approximate duplicate-pair
+    * generator against exact ground truth —
+    * [[graft.operators.Similarity.annRecall]]'s dedup sibling, closing
+    * the tune-then-trust loop for band/threshold choices (run the exact
+    * quadratic generator on a SAMPLE, measure what the LSH pipeline
+    * recovers, then trust the LSH numbers at corpus scale). Inputs are
+    * canonical `(id_a < id_b)` pair frames; one equi-join on the pair
+    * key + one single-row aggregate (the A7 scalar shape).
+    */
+  def pairRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b")).withColumn("__e", lit(1L))
+    val a = approx.select(col("id_a"), col("id_b")).withColumn("__a", lit(1L))
+    e.join(a, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(col("__e")).as("n_exact"), sum(col("__a")).as("n_approx"),
+        sum(col("__e") * col("__a")).as("n_hit"))
+      .select(
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_approx"), lit(0L)), lit(1L))
+            .cast("double"), 4).as("pair_precision"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_exact"), lit(0L)), lit(1L))
+            .cast("double"), 4).as("pair_recall"))
+  }
+
   /** The (shingles, bands) index tables [[incrementalDedupAgainstIndex]]
     * probes — public so a production pipeline can PERSIST them and pay
     * corpus-side indexing exactly once per document instead of once per

@@ -179,6 +179,19 @@ class DedupSpec extends SparkSpec {
     assert(out(200L) == ((4L, 5L, 1L)), "singleton survives itself")
   }
 
+  test("pairRecall: hit/miss/false-positive accounting") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.pairRecall(exact, approx).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.6667, "precision: 2 of 3 approx pairs real")
+    assert(r.getDouble(4) == 0.6667, "recall: 2 of 3 exact pairs found")
+    // empty approx side: zero hits, no division blowup
+    val r0 = Dedup.pairRecall(exact, approx.limit(0)).head()
+    assert((r0.getLong(1), r0.getLong(2), r0.getDouble(4)) == ((0L, 0L, 0.0)))
+  }
+
   test("chunkDedup: partitioning-invariant, dup counts bounded") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i,

@@ -107,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
     // window over the post-LIMIT k-row result (bounded by construction —
     // the q88 contract; the vocabulary itself is reduced by a distributed
     // TakeOrdered, never a global sort)
-    "q174_vocab_coverage")
+    "q174_vocab_coverage",
+    // dedup evaluation: one global single-row precision/recall aggregate
+    "q179_dedup_recall")
 
   /** Build every plan, trapping per-query failures: one broken reader must
     * not abort the audit of the other 150+ queries (the round-4 failure
