@@ -481,9 +481,9 @@ object TextAnalysis {
     val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term"))
     // ONE tokenized projection feeds both consumers (each pass over it
-    // still scans the raw text — at true corpus scale, persist the
-    // posting-list + doc-length tables once and serve many query batches
-    // from them; this operator is the single-pass form)
+    // still scans the raw text — the SERVING form is [[bm25BuildIndex]]
+    // + [[bm25TopKFromIndex]], which persists these tables once and
+    // serves many query batches; this operator is the single-pass form)
     val base = df.select(idCol.as("doc_id"),
       split(normText(textCol), " ").as("__toks"))
     val docs = base
@@ -500,6 +500,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    bm25Score(postings, dfreq, stats, qTerms, k, k1, b)
+  }
+
+  /** The shared BM25 scorer over (postings, dfreq, stats, query terms) —
+    * identical arithmetic for the single-pass and index-served forms.
+    */
+  private def bm25Score(postings: DataFrame, dfreq: DataFrame,
+                        stats: DataFrame, qTerms: DataFrame,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     // avgdl = sum_dl/n_docs: one double division of two exact integers —
     // bit-identical in any IEEE engine (never sum doubles)
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
@@ -524,6 +533,51 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("n_matched"),
         col("score"), col("rank"))
+  }
+
+  /** Build the persisted BM25 serving index — the corpus pass happens
+    * ONCE, then [[bm25TopKFromIndex]] serves any number of query batches
+    * from the stored tables (the [[bm25TopK]] scaladoc's serving form).
+    * Returns (postings, dfreq, stats):
+    * postings (term, doc_id, tf, dl), dfreq (term, df), stats one row
+    * (n_docs, sum_dl). Write postings bucketed/partitioned by term and
+    * the query-time probe becomes a pruned scan.
+    */
+  def bm25BuildIndex(df: DataFrame, idCol: Column, textCol: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = df.select(idCol.as("doc_id"),
+      split(normText(textCol), " ").as("__toks"))
+    val postings = base
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val stats = base
+      .select(size(col("__toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (postings, dfreq, stats)
+  }
+
+  /** Serve BM25 top-k from a prebuilt [[bm25BuildIndex]] index: both
+    * index sides are filtered to the query terms by a broadcast semi
+    * join before scoring, so query cost tracks the matched postings, not
+    * the corpus. Result is bit-identical to [[bm25TopK]] on the same
+    * corpus (a term's df over the full index equals its df over the
+    * query-filtered postings — filtering other terms cannot change it).
+    */
+  def bm25TopKFromIndex(postings: DataFrame, dfreq: DataFrame,
+                        stats: DataFrame, queries: DataFrame,
+                        k: Int = 10, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
+      col("term").cast("string").as("term"))
+    val wanted = qTerms.select(col("term")).distinct()
+    bm25Score(
+      postings.join(broadcast(wanted), Seq("term")),
+      dfreq.join(broadcast(wanted), Seq("term")),
+      stats, qTerms, k, k1, b)
   }
 
   /** Corpus vocabulary coverage (the tokenizer-design question: "what

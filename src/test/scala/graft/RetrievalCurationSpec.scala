@@ -48,6 +48,39 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(a.size == 5, "16 matching docs capped at k=5")
   }
 
+  test("bm25 index round-trips through parquet and serves batches exactly") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"term${i % 6} filler$i words and more here"))
+      .toDF("doc_id", "text")
+    val (p, f, st) = TextAnalysis.bm25BuildIndex(docs, col("doc_id"),
+      col("text"))
+    // persist the index once — the serving contract
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx")
+      .toFile.getAbsolutePath
+    p.write.parquet(s"$dir/postings")
+    f.write.parquet(s"$dir/dfreq")
+    st.write.parquet(s"$dir/stats")
+    def served(queries: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopKFromIndex(
+        spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/dfreq"),
+        spark.read.parquet(s"$dir/stats"), queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+          r.getLong(4))).sortBy(x => (x._1, x._4)).toSeq
+    // batch 1 equals the single-pass operator bit-for-bit
+    val q1 = Seq((0L, "term0"), (1L, "term1")).toDF("query_id", "term")
+    val single = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        q1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getLong(4))).sortBy(x => (x._1, x._4)).toSeq
+    assert(served(q1) == single, "index-served == single-pass")
+    // batch 2 serves from the SAME stored index, no corpus re-read
+    val q2 = Seq((9L, "term5")).toDF("query_id", "term")
+    val out2 = served(q2)
+    assert(out2.nonEmpty && out2.forall(_._1 == 9L))
+  }
+
   test("removeDupSpans keeps the canonical first occurrence and reassembles") {
     import spark.implicits._
     // n=3 spans; docs 1 and 2 share their first span exactly; doc 3 is
