@@ -706,11 +706,18 @@ object Dedup {
                                    maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shC = corpusShingles
-    val bandedC = corpusBands
     val shB = batchShingles
     val bandedB = batchBands
     val wBucket = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("id"))
+    // probe-first: only corpus band rows whose (band,bucket) the batch
+    // actually touches enter the occupancy cap — capping is per-bucket,
+    // so restricting to probed buckets changes nothing downstream, and
+    // the per-trigger window sorts O(probed buckets), not the whole
+    // corpus index (the "batch-sized" contract made real)
+    val bandedC = corpusBands.join(
+      bandedB.select(col("band"), col("bucket")).distinct(),
+      Seq("band", "bucket"), "left_semi")
     val cappedC = bandedC
       .withColumn("__rn", row_number().over(wBucket))
       .filter(col("__rn") <= maxBucket).drop("__rn")

@@ -266,7 +266,13 @@ object Streams {
     * `indexPath/{sh,bands}/batch=<batchId>` with OVERWRITE — a retried
     * batch rewrites its own partition, so replays converge instead of
     * duplicating index rows (the doc table itself converges through the
-    * keyed generational MERGE as always).
+    * keyed generational MERGE as always). Two retry-safety rules make
+    * that true after a crash BETWEEN the writes: (1) the probe EXCLUDES
+    * index rows carrying the current batch's own ids, so a partial
+    * previous attempt cannot make a batch reject itself; (2) the
+    * admitted frame is localCheckpoint'ed BEFORE any write, cutting the
+    * read lineage on the index files the Overwrite is about to replace
+    * (and computing the verdict exactly once per trigger).
     */
   def indexedDedupAdmissionSink(corpusPath: String, indexPath: String,
                                 idColName: String = "doc_id",
@@ -280,24 +286,32 @@ object Streams {
         val spark = batch.sparkSession
         val (shB, bandedB) = graft.operators.Dedup.lshIndexTables(batch,
           col(idColName), col(textColName), n, k, bands)
+        var admitted: DataFrame = null
         try {
+          val batchIds = batch.select(col(idColName).as("id")).distinct()
           val corpusSh =
             if (Files.exists(Paths.get(indexPath, "sh")))
               spark.read.parquet(s"$indexPath/sh").select("id", "sh")
+                .join(batchIds, Seq("id"), "left_anti")
             else shB.limit(0)
           val corpusBands =
             if (Files.exists(Paths.get(indexPath, "bands")))
               spark.read.parquet(s"$indexPath/bands")
                 .select("id", "band", "bucket")
+                .join(batchIds, Seq("id"), "left_anti")
             else bandedB.limit(0)
           val verdict = graft.operators.Dedup.incrementalDedupAgainstIndex(
             corpusSh, corpusBands, shB, bandedB, batch, col(idColName),
             verifyThreshold)
-          val admittedIds = verdict.filter(col("is_admitted"))
-            .select(col("doc_id").as("id"))
-          val admitted = batch.join(
-            admittedIds.select(col("id").as(idColName)), idColName)
+          // materialize ONCE, before any write: admission is computed a
+          // single time per trigger, and no later write job holds a read
+          // lineage over the index files it is about to overwrite
+          admitted = batch.join(
+            verdict.filter(col("is_admitted"))
+              .select(col("doc_id").as(idColName)), idColName)
+            .localCheckpoint(true)
           if (!admitted.isEmpty) {
+            val admittedIds = admitted.select(col(idColName).as("id"))
             graft.sources.Sinks.upsertParquet(spark, corpusPath, admitted,
               Seq(idColName))
             shB.join(admittedIds, "id")
@@ -307,7 +321,10 @@ object Streams {
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$indexPath/bands/batch=$batchId")
           }
-        } finally { shB.unpersist(); bandedB.unpersist() }
+        } finally {
+          shB.unpersist(); bandedB.unpersist()
+          if (admitted != null) admitted.unpersist()
+        }
       }
 
   /** Batch replay of a change feed: the table [[changeFeedSink]] converges

@@ -147,9 +147,11 @@ class PlanAuditSpec extends SparkSpec {
     // the engine-wide "functions, not UDFs" rule (README §2.10): every
     // expression must stay eligible for whole-stage codegen — a UDF node
     // in any of the 177 plans is a hot-path regression
+    // bare "UDF" (not "UDF(") also catches named Scala UDFs, which render
+    // as "UDF:name(...)" in plan text
     val failures = plans.flatMap { case (name, plan) =>
       if (plan.contains("BatchEvalPython") || plan.contains("ArrowEvalPython")
-        || plan.contains("UDF(")) Some(name)
+        || plan.contains("UDF")) Some(name)
       else None
     }
     assert(failures.isEmpty, s"UDF nodes found:\n${failures.mkString("\n")}")

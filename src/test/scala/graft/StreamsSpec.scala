@@ -253,4 +253,33 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/index/sh")
       .select("id").distinct().count() == 4)
   }
+
+  test("indexedDedupAdmissionSink: replay converges after a partial crash") {
+    // a previous attempt wrote the sh partition then died before the
+    // bands write and the corpus upsert; the retried batch must not
+    // reject itself against its own partial index rows
+    val base = java.nio.file.Files.createTempDirectory("admres")
+      .toFile.getAbsolutePath
+    val sink = Streams.indexedDedupAdmissionSink(
+      s"$base/corpus", s"$base/index")
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val (sh0, bands0) = graft.operators.Dedup.lshIndexTables(
+      b0, col("doc_id"), col("text"))
+    sh0.write.parquet(s"$base/index/sh/batch=0") // the stranded artifact
+    sh0.unpersist(); bands0.unpersist()
+    sink(b0, 0L) // the retry
+    val corpus = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 2L),
+      s"self-exclusion must let the replayed batch admit itself: $corpus")
+    assert(spark.read.parquet(s"$base/index/bands")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "bands partition completed on replay")
+    // the healed index still dedups later batches
+    sink(Seq((3L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text"), 1L)
+    assert(graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .count() == 2, "cross-batch dup rejected after the repair")
+  }
 }
