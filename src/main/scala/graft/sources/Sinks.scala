@@ -595,6 +595,57 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** [[writeBucketed]]'s INCREMENTAL form: create-if-absent an EXTERNAL
+    * bucketed table at `path`, additionally partitioned by a `batch`
+    * long column, so a continuously-maintained index (the streaming dedup
+    * band index, a serving-side postings table) gets BOTH properties a
+    * persistent probe target needs at scale:
+    *
+    *  - *bucket pruning*: an `IN`-list probe on `bucketCol` reads only the
+    *    matching bucket files — probe I/O tracks the probed key set, not
+    *    the corpus (`SelectedBucketsCount` in the scan);
+    *  - *exchange-free probes*: the scan reports
+    *    `HashPartitioning(bucketCol)`, which satisfies any join/window
+    *    clustering that includes `bucketCol` — the corpus side of the
+    *    probe never shuffles (the batch side, micro-batch-sized, does).
+    *
+    * Each ingest batch lands via [[overwriteBucketedPartition]] — a STATIC
+    * `INSERT OVERWRITE … PARTITION (batch=N)`, which replaces exactly its
+    * own partition regardless of `partitionOverwriteMode` (the dynamic-mode
+    * session conf is a data-loss foot-gun here: unset, a plain
+    * `insertInto(Overwrite)` silently truncates every other batch).
+    * A retried batch rewrites the same partition, so replays converge.
+    *
+    * Bucket count is fixed at creation (the layout contract); size it for
+    * the mature corpus — probes select buckets, so an oversized count only
+    * costs small files, while an undersized one caps pruning selectivity.
+    */
+  def ensureBucketedIndexTable(spark: SparkSession, table: String,
+                               path: String, prototype: DataFrame,
+                               bucketCol: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      prototype.limit(0).withColumn("batch", lit(0L))
+        .write.format("parquet").option("path", path)
+        .partitionBy("batch").bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(table)
+
+  /** Idempotently (over)write one `batch` partition of an
+    * [[ensureBucketedIndexTable]] table. `df` must carry the table's data
+    * columns (no `batch`); rows are written bucketed+sorted per the
+    * table's spec. If `df`'s lineage READS the target table (a compaction
+    * rewriting a partition from itself), `localCheckpoint` it first —
+    * Spark refuses to overwrite a path it is reading.
+    */
+  def overwriteBucketedPartition(spark: SparkSession, table: String,
+                                 batch: Long, df: DataFrame): Unit = {
+    val dataCols = spark.table(table).columns.filterNot(_ == "batch")
+    val view = s"graft_bidx_${table.replaceAll("[^A-Za-z0-9_]", "_")}_src"
+    df.select(dataCols.map(col).toIndexedSeq: _*).createOrReplaceTempView(view)
+    spark.sql(s"INSERT OVERWRITE TABLE $table PARTITION (batch=$batch) " +
+      s"SELECT ${dataCols.mkString(", ")} FROM $view")
+    spark.catalog.dropTempView(view)
+  }
+
   /** Training-shard writer — the materialization step after
     * [[graft.operators.Sampling.shuffleShard]]: one pos-ordered parquet
     * file per shard under `outDir/shard=<k>/`, so a training loader

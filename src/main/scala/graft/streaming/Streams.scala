@@ -254,74 +254,185 @@ object Streams {
             Seq(idColName))
       }
 
+  /** Catalog names for the two index tables backing one `indexPath` —
+    * derived from the path so two streams over different locations never
+    * collide in the shared session catalog.
+    */
+  private[graft] def dedupIndexTableNames(indexPath: String): (String, String) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexPath.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    (s"graft_dedup_idx_${h}_sh", s"graft_dedup_idx_${h}_bands")
+  }
+
+  /** The PRUNED corpus-side probe frames for one micro-batch: the stored
+    * band index restricted to the batch's bucket values (bucket pruning —
+    * only matching bucket files are read) and the stored shingle table
+    * restricted to the candidate ids those buckets surfaced (id-bucket
+    * pruning). Both collects are micro-batch-bounded: bucket values ≤
+    * |batch|·bands, candidate ids ≤ probed-bucket occupancy; past
+    * `maxProbeKeys` the probe degrades to the unpruned full-index join —
+    * correct, just no longer corpus-size-independent (and loudly logged,
+    * because at that batch size the operator's cost model has changed).
+    * Rows carrying the batch's own ids are excluded on both frames so a
+    * partial previous attempt cannot make a retried batch reject itself.
+    */
+  private[graft] def prunedIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                                      shTable: String, bandsTable: String,
+                                      batchBands: DataFrame,
+                                      batchIds: DataFrame,
+                                      maxProbeKeys: Int)
+      : (DataFrame, DataFrame) = {
+    val shFull = spark.table(shTable).select("id", "sh")
+    val bandsFull = spark.table(bandsTable).select("id", "band", "bucket")
+    val bucketVals = batchBands.select("bucket").distinct()
+      .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+    if (bucketVals.length > maxProbeKeys) {
+      Console.err.println(s"[graft] dedup index probe: batch touches " +
+        s">$maxProbeKeys buckets; falling back to full-index scan")
+      (shFull.join(batchIds, Seq("id"), "left_anti"),
+        bandsFull.join(batchIds, Seq("id"), "left_anti"))
+    } else {
+      val bandsPruned = bandsFull
+        .filter(col("bucket").isInCollection(bucketVals.toIndexedSeq))
+        .join(batchIds, Seq("id"), "left_anti")
+      val candIds = bandsPruned
+        .join(batchBands.select("band", "bucket").distinct(),
+          Seq("band", "bucket"), "left_semi")
+        .select("id").distinct().limit(maxProbeKeys + 1).collect()
+        .map(_.getLong(0))
+      val shPruned =
+        if (candIds.length > maxProbeKeys)
+          shFull.join(batchIds, Seq("id"), "left_anti")
+        else shFull.filter(col("id").isInCollection(candIds.toIndexedSeq))
+          .join(batchIds, Seq("id"), "left_anti")
+      (shPruned, bandsPruned)
+    }
+  }
+
+  /** Remove a re-admitted id's index rows from EARLIER batch partitions.
+    * An update re-ingesting an existing `doc_id` with new text would
+    * otherwise strand the OLD text's shingle/band rows in their original
+    * partition — future batches could be rejected against text no longer
+    * in the corpus, and per-id duplicate rows would skew bucket-occupancy
+    * caps. Detection is cheap in the common no-update case: one
+    * id-bucket-pruned membership probe of the sh table (bucketed by id);
+    * only partitions actually holding stale rows are rewritten, via the
+    * same idempotent partition overwrite the ingest itself uses. The
+    * bands table needs no separate detection pass — an id's band rows
+    * are always written to the same batch partition as (or, after a
+    * crash, a subset of) its sh rows.
+    */
+  private def compactReadmittedIds(spark: org.apache.spark.sql.SparkSession,
+                                   shTable: String, bandsTable: String,
+                                   admittedIds: Array[Long],
+                                   currentBatch: Long,
+                                   maxProbeKeys: Int): Unit = {
+    val shT = spark.table(shTable)
+    val membership =
+      if (admittedIds.length <= maxProbeKeys)
+        shT.filter(col("id").isInCollection(admittedIds.toIndexedSeq))
+      else // oversized batch: full-scan membership join (correct, unpruned)
+        shT.join(spark.createDataset(admittedIds.toIndexedSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("id"), "id")
+    val stale = membership.filter(col("batch") =!= currentBatch)
+      .select("id", "batch").collect()
+    if (stale.nonEmpty) {
+      val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
+      for (p <- stale.map(_.getLong(1)).distinct.sorted;
+           tbl <- Seq(shTable, bandsTable)) {
+        val keep = spark.table(tbl)
+          .filter(col("batch") === p && !col("id").isInCollection(staleIds))
+          .drop("batch").localCheckpoint(true)
+        graft.sources.Sinks.overwriteBucketedPartition(spark, tbl, p, keep)
+      }
+    }
+  }
+
   /** [[dedupAdmissionSink]]'s production form: the corpus's LSH index
     * (shingle sets + band rows, [[graft.operators.Dedup.lshIndexTables]])
-    * is MAINTAINED as its own tables under `indexPath`, so each trigger
-    * only indexes the BATCH and probes the stored index by equi-join —
-    * the corpus is never re-shingled, making per-trigger cost genuinely
-    * batch-sized at any corpus size.
+    * is MAINTAINED as two bucketed catalog tables under `indexPath`
+    * ([[graft.sources.Sinks.ensureBucketedIndexTable]] — bands bucketed
+    * by `bucket`, shingles by `id`, both partitioned by ingest batch), so
+    * each trigger only indexes the BATCH and probes the stored index with
+    * BUCKET-PRUNED scans ([[prunedIndexProbe]]): per-trigger index I/O
+    * tracks the batch's probed buckets, not the corpus — the scan plan
+    * shows `SelectedBucketsCount`, and the corpus side never shuffles
+    * (its `HashPartitioning` satisfies every probe join/window). The
+    * corpus is never re-shingled, never re-scanned end-to-end, making
+    * per-trigger cost genuinely batch-sized at any corpus size.
     *
     * Exactly-once index maintenance without a transaction log: each
-    * micro-batch writes its admitted docs' index rows to
-    * `indexPath/{sh,bands}/batch=<batchId>` with OVERWRITE — a retried
-    * batch rewrites its own partition, so replays converge instead of
-    * duplicating index rows (the doc table itself converges through the
-    * keyed generational MERGE as always). Two retry-safety rules make
-    * that true after a crash BETWEEN the writes: (1) the probe EXCLUDES
-    * index rows carrying the current batch's own ids, so a partial
-    * previous attempt cannot make a batch reject itself; (2) the
-    * admitted frame is localCheckpoint'ed BEFORE any write, cutting the
-    * read lineage on the index files the Overwrite is about to replace
-    * (and computing the verdict exactly once per trigger).
+    * micro-batch lands its admitted docs' index rows with a STATIC
+    * `INSERT OVERWRITE … PARTITION (batch=N)` — a retried batch rewrites
+    * its own partition, so replays converge instead of duplicating index
+    * rows (the doc table itself converges through the keyed generational
+    * MERGE as always). Two retry-safety rules make that true after a
+    * crash BETWEEN the writes: (1) the probe EXCLUDES index rows carrying
+    * the current batch's own ids, so a partial previous attempt cannot
+    * make a batch reject itself; (2) the admitted frame is
+    * localCheckpoint'ed BEFORE any write, cutting the read lineage on the
+    * index partitions about to be replaced (and computing the verdict
+    * exactly once per trigger). Re-ingesting an EXISTING id (an update)
+    * is supported: the probe never compares a doc against its own old
+    * rows, and [[compactReadmittedIds]] rewrites the affected old
+    * partitions so no stale text lingers in the index.
+    *
+    * `indexBuckets` is fixed at table creation — size it for the mature
+    * corpus (an oversized count only costs small files; an undersized one
+    * caps probe selectivity).
     */
   def indexedDedupAdmissionSink(corpusPath: String, indexPath: String,
                                 idColName: String = "doc_id",
                                 textColName: String = "text",
                                 n: Int = 3, k: Int = 32, bands: Int = 8,
-                                verifyThreshold: Double = 0.7)
+                                verifyThreshold: Double = 0.7,
+                                indexBuckets: Int = 64,
+                                maxProbeKeys: Int = 1 << 18)
       : (DataFrame, Long) => Unit =
     (batch, batchId) =>
       if (!batch.isEmpty) {
-        import java.nio.file.{Files, Paths}
         val spark = batch.sparkSession
+        val (shTable, bandsTable) = dedupIndexTableNames(indexPath)
         val (shB, bandedB) = graft.operators.Dedup.lshIndexTables(batch,
           col(idColName), col(textColName), n, k, bands)
         var admitted: DataFrame = null
+        // bucketed-scan pruning is the probe's whole point — the
+        // auto-disable planner rule would drop it for scans that feed a
+        // broadcast join (losing SelectedBucketsCount pruning), so force
+        // bucketed scans for the trigger's scope and restore after
+        val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prevAuto = spark.conf.get(autoKey, "true")
+        spark.conf.set(autoKey, "false")
         try {
+          graft.sources.Sinks.ensureBucketedIndexTable(spark, shTable,
+            s"$indexPath/sh", shB, "id", indexBuckets)
+          graft.sources.Sinks.ensureBucketedIndexTable(spark, bandsTable,
+            s"$indexPath/bands", bandedB, "bucket", indexBuckets)
           val batchIds = batch.select(col(idColName).as("id")).distinct()
-          val corpusSh =
-            if (Files.exists(Paths.get(indexPath, "sh")))
-              spark.read.parquet(s"$indexPath/sh").select("id", "sh")
-                .join(batchIds, Seq("id"), "left_anti")
-            else shB.limit(0)
-          val corpusBands =
-            if (Files.exists(Paths.get(indexPath, "bands")))
-              spark.read.parquet(s"$indexPath/bands")
-                .select("id", "band", "bucket")
-                .join(batchIds, Seq("id"), "left_anti")
-            else bandedB.limit(0)
+          val (corpusSh, corpusBands) = prunedIndexProbe(spark, shTable,
+            bandsTable, bandedB, batchIds, maxProbeKeys)
           val verdict = graft.operators.Dedup.incrementalDedupAgainstIndex(
             corpusSh, corpusBands, shB, bandedB, batch, col(idColName),
             verifyThreshold)
-          // materialize ONCE, before any write: admission is computed a
-          // single time per trigger, and no later write job holds a read
-          // lineage over the index files it is about to overwrite
           admitted = batch.join(
             verdict.filter(col("is_admitted"))
               .select(col("doc_id").as(idColName)), idColName)
             .localCheckpoint(true)
           if (!admitted.isEmpty) {
             val admittedIds = admitted.select(col(idColName).as("id"))
+            compactReadmittedIds(spark, shTable, bandsTable,
+              admitted.select(col(idColName)).collect().map(_.getLong(0)),
+              batchId, maxProbeKeys)
             graft.sources.Sinks.upsertParquet(spark, corpusPath, admitted,
               Seq(idColName))
-            shB.join(admittedIds, "id")
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .parquet(s"$indexPath/sh/batch=$batchId")
-            bandedB.join(admittedIds, "id")
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .parquet(s"$indexPath/bands/batch=$batchId")
+            graft.sources.Sinks.overwriteBucketedPartition(spark, shTable,
+              batchId, shB.join(admittedIds, "id"))
+            graft.sources.Sinks.overwriteBucketedPartition(spark, bandsTable,
+              batchId, bandedB.join(admittedIds, "id"))
           }
         } finally {
+          spark.conf.set(autoKey, prevAuto)
           shB.unpersist(); bandedB.unpersist()
           if (admitted != null) admitted.unpersist()
         }

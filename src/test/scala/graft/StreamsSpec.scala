@@ -264,9 +264,16 @@ class StreamsSpec extends SparkSpec {
       s"$base/corpus", s"$base/index")
     val b0 = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "one two three four five")).toDF("doc_id", "text")
+    // simulate the crashed first attempt: index tables created and the
+    // sh partition committed, death before the bands write + corpus upsert
     val (sh0, bands0) = graft.operators.Dedup.lshIndexTables(
       b0, col("doc_id"), col("text"))
-    sh0.write.parquet(s"$base/index/sh/batch=0") // the stranded artifact
+    val (shT, bandsT) = Streams.dedupIndexTableNames(s"$base/index")
+    graft.sources.Sinks.ensureBucketedIndexTable(spark, shT,
+      s"$base/index/sh", sh0, "id", 64)
+    graft.sources.Sinks.ensureBucketedIndexTable(spark, bandsT,
+      s"$base/index/bands", bands0, "bucket", 64)
+    graft.sources.Sinks.overwriteBucketedPartition(spark, shT, 0L, sh0)
     sh0.unpersist(); bands0.unpersist()
     sink(b0, 0L) // the retry
     val corpus = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
@@ -276,10 +283,157 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/index/bands")
       .select("id").distinct().collect().map(_.getLong(0)).toSet
       == Set(1L, 2L), "bands partition completed on replay")
+    // sh partition was rewritten, not duplicated, by the replay
+    assert(spark.read.parquet(s"$base/index/sh").groupBy("id")
+      .count().filter(col("count") > 1).isEmpty,
+      "replayed sh partition must not duplicate rows")
     // the healed index still dedups later batches
     sink(Seq((3L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text"), 1L)
     assert(graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
       .count() == 2, "cross-batch dup rejected after the repair")
+  }
+
+  // ---- bucketed-index probe plan properties ------------------------------
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.FileSourceScanExec
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case q: QueryStageExec => q +: allNodes(q.plan)
+    case n => n +: n.children.flatMap(allNodes)
+  }
+
+  private def indexScans(df: org.apache.spark.sql.DataFrame,
+                         pathFrag: String): Seq[FileSourceScanExec] =
+    allNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(pathFrag))
+        => f
+    }
+
+  test("indexedDedupAdmissionSink: bucket-pruned, shuffle-free, flat probe") {
+    val base = java.nio.file.Files.createTempDirectory("admbkt")
+      .toFile.getAbsolutePath
+    val sink = Streams.indexedDedupAdmissionSink(
+      s"$base/corpus", s"$base/index", indexBuckets = 64)
+    def doc(i: Long) = (i, s"unique words for document number $i " +
+      s"carrying token ${i * 7919} and token ${i * 104729}")
+    sink(Seq((1L, "alpha beta gamma delta epsilon"), doc(2L))
+      .toDF("doc_id", "text"), 0L)
+    val (shT, bandsT) = Streams.dedupIndexTableNames(s"$base/index")
+
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey, "true")
+    spark.conf.set(autoKey, "false")
+    try {
+      // the probe a future trigger would run: one dup of doc 1, one fresh
+      def probeFrames() = {
+        val pb = Seq((100L, "alpha beta gamma delta epsilon"),
+          (101L, "completely novel probe content here"))
+          .toDF("doc_id", "text")
+        val (shP, bandsP) = graft.operators.Dedup.lshIndexTables(
+          pb, col("doc_id"), col("text"))
+        val ids = pb.select(col("doc_id").as("id")).distinct()
+        val frames = Streams.prunedIndexProbe(spark, shT, bandsT, bandsP,
+          ids, 1 << 18)
+        (frames, shP, bandsP)
+      }
+      def probeStats(): (Long, Long, String) = {
+        val ((corpusSh, corpusBands), shP, bandsP) = probeFrames()
+        val bandRows = corpusBands.count()
+        val shRows = corpusSh.count()
+        val planStr = corpusBands.queryExecution.executedPlan.toString
+        shP.unpersist(); bandsP.unpersist()
+        (bandRows, shRows, planStr)
+      }
+      val (bandRows1, shRows1, plan1) = probeStats()
+      // file-level bucket pruning is active and partial
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan1)
+        .getOrElse(fail(s"no SelectedBucketsCount in probe plan:\n$plan1"))
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"probe must select a strict subset of buckets: ${m.matched}")
+      assert(m.group(2).toInt == 64)
+      // value-level probe: only the dup doc's band rows survive the filter
+      assert(bandRows1 == 8, s"probe selects exactly the dup's band rows: $bandRows1")
+      assert(shRows1 >= 1, "candidate shingle rows surfaced")
+
+      // no shuffle anywhere on the index side of the probe
+      val ((cSh, cBands), shP2, bandsP2) = probeFrames()
+      for (frame <- Seq(cSh, cBands)) {
+        frame.collect()
+        val shuffles = allNodes(frame.queryExecution.executedPlan).collect {
+          case s: ShuffleExchangeExec
+            if allNodes(s.child).exists {
+              case f: FileSourceScanExec =>
+                f.relation.location.rootPaths.exists(
+                  _.toString.contains(s"$base/index"))
+              case _ => false
+            } => s
+        }
+        assert(shuffles.isEmpty,
+          s"index-side probe must not shuffle: ${frame.queryExecution.executedPlan}")
+      }
+      shP2.unpersist(); bandsP2.unpersist()
+
+      // grow the stored corpus 3x with fresh docs; the SAME probe stays flat
+      sink(Seq(doc(3L), doc(4L)).toDF("doc_id", "text"), 1L)
+      sink(Seq(doc(5L), doc(6L)).toDF("doc_id", "text"), 2L)
+      val (bandRows2, shRows2, plan2) = probeStats()
+      assert(bandRows2 == bandRows1 && shRows2 == shRows1,
+        s"probe rows must not grow with the corpus: " +
+          s"($bandRows1,$shRows1) -> ($bandRows2,$shRows2)")
+      val m2 = sel.findFirstMatchIn(plan2).get
+      assert(m2.group(1).toInt == m.group(1).toInt,
+        "selected bucket count tracks the probe, not the corpus")
+    } finally spark.conf.set(autoKey, prev)
+    // and the admission verdict itself stays correct on the grown corpus
+    sink(Seq((7L, "alpha beta gamma delta epsilon"),
+      (8L, "genuinely new final document")).toDF("doc_id", "text"), 3L)
+    val corpus = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 2L, 3L, 4L, 5L, 6L, 8L),
+      s"dup (7) rejected, fresh (8) admitted: $corpus")
+  }
+
+  test("indexedDedupAdmissionSink: re-admitting an id compacts its old index rows") {
+    val base = java.nio.file.Files.createTempDirectory("admupd")
+      .toFile.getAbsolutePath
+    val sink = Streams.indexedDedupAdmissionSink(
+      s"$base/corpus", s"$base/index")
+    sink(Seq((1L, "original text alpha beta gamma delta"),
+      (2L, "some other unrelated document text")).toDF("doc_id", "text"), 0L)
+    // doc 1 is UPDATED with new text in a later batch: it must not be
+    // rejected against its own old rows, and its old rows must leave
+    sink(Seq((1L, "replacement text one two three four"))
+      .toDF("doc_id", "text"), 1L)
+    val corpus = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet == Set(1L, 2L))
+    assert(corpus(1L) == "replacement text one two three four",
+      "update re-admitted through the keyed merge")
+    // the index holds exactly ONE row-set per id — no stale batch=0 rows
+    val shByIdBatch = spark.read.parquet(s"$base/index/sh")
+      .selectExpr("id", "cast(batch as bigint) as batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shByIdBatch == Set((1L, 1L), (2L, 0L)),
+      s"doc 1's old sh rows compacted out of batch 0: $shByIdBatch")
+    assert(spark.read.parquet(s"$base/index/bands")
+      .filter(col("id") === 1L)
+      .selectExpr("cast(batch as bigint) as batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "doc 1's old band rows compacted out")
+    // a doc matching the OLD text is now admissible (old text left the
+    // corpus); a doc matching the NEW text is rejected
+    sink(Seq((3L, "original text alpha beta gamma delta"),
+      (4L, "replacement text one two three four")).toDF("doc_id", "text"), 2L)
+    val after = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 3L),
+      s"old-text doc admitted, new-text dup rejected: $after")
   }
 }
