@@ -2068,6 +2068,16 @@ object SparkEntry {
       Dedup.pairRecall(exact, approx)
     }),
 
+    // ---- q179's production form: the exact quadratic generator runs on
+    // an auto-sized hash-ticket SAMPLE (~128 docs here), both generators
+    // evaluate over the sampled pair universe — corpus-size-independent
+    // exact-side cost ----
+    "q180_dedup_recall_sampled" -> ((s, d) => {
+      Dedup.pairRecallSampled(Tables.documents(s, d), col("doc_id"),
+        col("text"), targetSample = 128, n = 3, threshold = 0.7,
+        k = 32, bands = 8, fam = Dedup.CrossEngineHash)
+    }),
+
     // ---- hybrid-retrieval fusion: RRF over the full-precision cosine
     // ranking and the int8-quantized ranking (two signals, no score
     // normalization — the standard hybrid-search combiner) ----
@@ -2124,7 +2134,9 @@ object SparkEntry {
     * verify. Mirrors `Dedup.minHashLshPairs(n=3, k=32, bands=8,
     * CrossEngineHash)` stage for stage.
     */
-  private def q28Oracle: String = {
+  private def q28Oracle: String = q28OracleFrom("documents")
+
+  private def q28OracleFrom(src: String): String = {
     val k = 32; val bands = 8; val rows = k / bands
     val P = Dedup.CrossEngineHash.P
     val sigCols = (0 until k)
@@ -2139,7 +2151,7 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
     val jac = """ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
                 |    / len(list_distinct(list_concat(da.sh, db.sh))), 4)""".stripMargin
-    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM $src),
        |d AS (SELECT id, list_distinct(list_transform(${dkShingles(3)},
        |    s -> ${dkHash("s")})) AS sh FROM t),
        |hb AS (SELECT id, UNNEST(sh) AS hb FROM d),
@@ -4846,6 +4858,47 @@ object SparkEntry {
         |  round(CAST(nh AS DOUBLE) / CAST(greatest(na, 1) AS DOUBLE), 4)
         |    AS pair_precision,
         |  round(CAST(nh AS DOUBLE) / CAST(greatest(ne, 1) AS DOUBLE), 4)
+        |    AS pair_recall
+        |FROM c""".stripMargin,
+
+    // sampled recall: integer-derived ticket modulus (len(bin(q-1)) ==
+    // ceil(log2(q)) — no float-boundary drift vs the Scala
+    // numberOfLeadingZeros form), hash-ticket sample, then the q179
+    // body over the sample
+    "q180_dedup_recall_sampled" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |bb AS (SELECT CASE WHEN (n + 127) // 128 <= 1 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(len(bin((n + 127) // 128 - 1)) AS BIGINT) END AS bits
+        |  FROM nn),
+        |mm AS (SELECT bits, CAST(1 AS BIGINT) << bits AS m FROM bb),
+        |sd AS (SELECT d.* FROM documents d CROSS JOIN mm
+        |  WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % m = 0),
+        |ex AS (
+        |  WITH t AS (SELECT doc_id, $dkToks AS toks FROM sd),
+        |  s AS (SELECT doc_id,
+        |      list_distinct(list_transform(${dkShingles(3)},
+        |        s -> ${dkHash("s")})) AS sh
+        |    FROM t)
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7),
+        |ap AS (
+        |${q28OracleFrom("sd")}
+        |),
+        |c AS (SELECT (SELECT count(*) FROM ex) AS ne,
+        |      (SELECT count(*) FROM ap) AS na,
+        |      (SELECT count(*) FROM ex JOIN ap USING (id_a, id_b)) AS nh,
+        |      (SELECT count(*) FROM sd) AS ns)
+        |SELECT CAST(ns AS BIGINT) AS n_sample,
+        |  (SELECT bits FROM bb) AS sample_bits,
+        |  CAST(ne AS BIGINT) AS n_exact, CAST(na AS BIGINT) AS n_approx,
+        |  CAST(nh AS BIGINT) AS n_hit,
+        |  CASE WHEN na > 0 THEN
+        |    round(CAST(nh AS DOUBLE) / CAST(na AS DOUBLE), 4) END
+        |    AS pair_precision,
+        |  CASE WHEN ne > 0 THEN
+        |    round(CAST(nh AS DOUBLE) / CAST(ne AS DOUBLE), 4) END
         |    AS pair_recall
         |FROM c""".stripMargin,
 

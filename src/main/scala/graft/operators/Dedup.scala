@@ -676,6 +676,61 @@ object Dedup {
             .cast("double"), 4).as("pair_recall"))
   }
 
+  /** [[pairRecall]] with the exact side SAMPLED — the production form of
+    * the tune-then-trust loop. The corpus-quadratic exact generator never
+    * sees the corpus: a deterministic hash-ticket on the doc id (the
+    * [[Sketches.hashSampledQuantiles]] sampling rule — identity-keyed, so
+    * the same docs are sampled on every engine and every run) selects
+    * ≈`targetSample` docs, BOTH generators run on that sample, and
+    * precision/recall are evaluated over the sampled pair universe — an
+    * unbiased estimate of corpus-level pair recall at any corpus size.
+    *
+    * Sizing is AUTOMATIC by default (`sampleBits < 0`): the ticket
+    * modulus is the smallest power of two with `n / 2^bits <=
+    * targetSample` (pure integer derivation — no float-boundary drift
+    * between engines), so the exact side's cost is ~constant as the
+    * corpus grows; pass an explicit `sampleBits` to pin the modulus.
+    * One count() action sizes the ticket; everything else is lazy.
+    *
+    * Output (single row): n_sample, sample_bits, n_exact, n_approx,
+    * n_hit, pair_precision, pair_recall.
+    */
+  def pairRecallSampled(df: DataFrame, idCol: Column, textCol: Column,
+                        sampleBits: Int = -1, targetSample: Int = 4096,
+                        n: Int = 3, threshold: Double = 0.7,
+                        k: Int = 32, bands: Int = 8,
+                        fam: HashFamily = XxHash,
+                        maxBucket: Int = 64): DataFrame = {
+    require(targetSample >= 2, "targetSample must be >= 2")
+    val bits =
+      if (sampleBits >= 0) sampleBits
+      else {
+        val cnt = df.count()
+        val q = (cnt + targetSample - 1) / targetSample
+        if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+      }
+    val m = 1L << bits
+    val sample = df.select(idCol.as("id"), textCol.as("text"))
+      .filter(pmod(F.hash64(col("id")), lit(m)) === 0)
+      .persist()
+    val exact = ngramJaccardPairs(sample, col("id"), col("text"), n,
+      threshold, materialize = true, hashShingles = Some(fam))
+    val approx = minHashLshPairs(sample, col("id"), col("text"), n, k,
+      bands, threshold, materialize = true, fam, maxBucket)
+    // single-row stats × single-row sample size — the A7 broadcast shape.
+    // Degenerate ratios surface as NULL, not a fake 0.0: zero exact pairs
+    // in the sample means "sample too small to measure recall at this
+    // dup rate — raise targetSample", which a 0.0 would mask as "LSH
+    // recovered nothing".
+    sample.agg(count(lit(1)).as("n_sample"))
+      .withColumn("sample_bits", lit(bits.toLong))
+      .crossJoin(pairRecall(exact, approx))
+      .withColumn("pair_precision",
+        when(col("n_approx") > 0, col("pair_precision")))
+      .withColumn("pair_recall",
+        when(col("n_exact") > 0, col("pair_recall")))
+  }
+
   /** The (shingles, bands) index tables [[incrementalDedupAgainstIndex]]
     * probes — public so a production pipeline can PERSIST them and pay
     * corpus-side indexing exactly once per document instead of once per

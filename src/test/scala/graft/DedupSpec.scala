@@ -192,6 +192,45 @@ class DedupSpec extends SparkSpec {
     assert((r0.getLong(1), r0.getLong(2), r0.getDouble(4)) == ((0L, 0L, 0.0)))
   }
 
+  test("pairRecallSampled: sample-sized exact side tracks the full recall") {
+    import spark.implicits._
+    // planted corpus: 200 base docs + a near-dup for every 5th one
+    // (~40 true pairs at Jaccard >= 0.7, spread uniformly over ids so a
+    // hash sample keeps a measurable pair count)
+    val base = (1L to 200L).map(i => (i,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " +
+        s"iota$i kappa$i lambda$i mu$i"))
+    val dups = (1L to 200L).filter(_ % 5 == 0).map(i => (1000L + i,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " +
+        s"iota$i kappa$i lambda$i mu$i"))   // exact text dup of doc i
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val full = Dedup.pairRecall(
+      Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+        n = 3, threshold = 0.7, hashShingles = Some(Dedup.XxHash)),
+      Dedup.minHashLshPairs(corpus, col("doc_id"), col("text"))).head()
+    assert(full.getLong(0) >= 30, s"planted pairs present: ${full.getLong(0)}")
+    // explicit 1-bit ticket: ~half the docs, dup pairs survive when both
+    // ends ticket in — deterministic, so the assertion is stable
+    val s = Dedup.pairRecallSampled(corpus, col("doc_id"), col("text"),
+      sampleBits = 1).head()
+    val (nSample, nExact) = (s.getLong(0), s.getLong(2))
+    assert(nSample > 60 && nSample < 140, s"~half sampled: $nSample")
+    assert(nExact >= 5, s"sampled pair universe is measurable: $nExact")
+    assert(!s.isNullAt(6) && math.abs(s.getDouble(6) - full.getDouble(4)) <= 0.2,
+      s"sampled recall ${s.getDouble(6)} tracks full recall ${full.getDouble(4)}")
+    // auto-sizing: a target at-or-above the corpus size keeps every doc
+    val all = Dedup.pairRecallSampled(corpus, col("doc_id"), col("text"),
+      targetSample = 4096).head()
+    assert(all.getLong(0) == corpus.count() && all.getLong(1) == 0L)
+    // degenerate sample (no exact pairs) reports NULL, not 0.0
+    val distinctDocs = (1L to 50L).map(i => (i, s"only$i unique$i words$i " +
+      s"here$i now$i then$i when$i how$i")).toDF("doc_id", "text")
+    val d = Dedup.pairRecallSampled(distinctDocs, col("doc_id"), col("text"),
+      sampleBits = 0).head()
+    assert(d.getLong(2) == 0L && d.isNullAt(5) && d.isNullAt(6),
+      "no measurable pairs -> NULL ratios")
+  }
+
   test("chunkDedup: partitioning-invariant, dup counts bounded") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i,

@@ -70,7 +70,11 @@ class PlanAuditSpec extends SparkSpec {
     "q176_int8_topk",
     // q178: fuses the q34 + q176 rankings, so both bounded broadcast
     // probes appear in its plan
-    "q178_rrf_fusion")
+    "q178_rrf_fusion",
+    // q180: the SINGLE-ROW sample-size aggregate cross-joined with the
+    // SINGLE-ROW precision/recall aggregate (q61's corpus-count pattern,
+    // both sides one row by definition)
+    "q180_dedup_recall_sampled")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -109,7 +113,10 @@ class PlanAuditSpec extends SparkSpec {
     // TakeOrdered, never a global sort)
     "q174_vocab_coverage",
     // dedup evaluation: one global single-row precision/recall aggregate
-    "q179_dedup_recall")
+    "q179_dedup_recall",
+    // sampled dedup evaluation: the same single-row stats aggregate plus
+    // the single-row hash-sample size — both one row by definition
+    "q180_dedup_recall_sampled")
 
   /** Build every plan, trapping per-query failures: one broken reader must
     * not abort the audit of the other 150+ queries (the round-4 failure
