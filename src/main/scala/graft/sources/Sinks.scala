@@ -150,6 +150,8 @@ object Sinks {
           Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
           publishManifest(root.resolve("_symlink_format_manifest"), genDir)
+          appendDeltaCommit(root, Seq(genDir), Seq(""),
+            merged.schema.json, "MERGE", pinnedVersion = Some(nextNum))
           vacuumGenerations(root, nextNum, keepGenerations)
           committed = true
         }
@@ -231,6 +233,201 @@ object Sinks {
         .mkString("", "\n", "\n"))
     Files.move(tmp, manifestDir.resolve("manifest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---------------------------------------------------------------------
+  // Minimal Delta-protocol transaction log for the generational tables.
+  //
+  // The symlink manifests (above) give one-shot readers the CURRENT file
+  // set; an incremental external consumer (a Delta-capable engine, a CDC
+  // tailer) additionally needs the COMMIT HISTORY. After every committed
+  // generation we append a protocol-conformant `_delta_log/` JSON commit
+  // (github.com/delta-io/delta PROTOCOL.md): version 0 carries
+  // `protocol` (minReaderVersion 1 / minWriterVersion 2) and `metaData`;
+  // every commit carries `commitInfo`, `metaData` (schema evolution is
+  // re-declared rather than diffed — legal and simpler), `remove`s for
+  // every file the snapshot replaces and `add`s for the new generation's
+  // files. Since each generation is a FULL snapshot, replaying the log to
+  // version N yields exactly gen-N's file list — pinned by DeltaLogSpec
+  // against `readUpsertTableAt` for every retained generation.
+  //
+  // Deliberate bounds of the minimal writer (documented, not hidden):
+  // no checkpoint parquet / `_last_checkpoint` (readers replay JSON
+  // commits; fine for thousands of commits), no per-file stats, and
+  // `partitionColumns` is ALWAYS `[]` — the partitioned table's data
+  // files retain their partition column as a data column, so declaring
+  // the files unpartitioned keeps every reader correct (an external
+  // Delta reader loses directory pruning, nothing else). The log is
+  // written under the same metadata `_LOCK` as the pointer swap; a
+  // writer that dies in the gap leaves the log one commit behind, and
+  // the NEXT committer heals it (gen-numbered tables re-log the skipped
+  // generation from its still-on-disk directory; a generation vacuumed
+  // before it was ever logged becomes an explicit no-op `commitInfo`
+  // gap entry).
+  // ---------------------------------------------------------------------
+
+  private def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jmap(kvs: (String, Any)*): java.util.LinkedHashMap[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    kvs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** (relative path, size, modificationTime) of a generation directory's
+    * data files, paths relative to the table root. */
+  private def genDataFiles(root: java.nio.file.Path,
+                           genDir: java.nio.file.Path)
+      : Seq[(String, Long, Long)] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(genDir)
+    try ls.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(p => (root.relativize(p).toString.replace('\\', '/'),
+        Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      .toSeq.sortBy(_._1)
+    finally ls.close()
+  }
+
+  /** Log versions present under `tablePath/_delta_log`, ascending. */
+  def deltaLogVersions(tablePath: String): Seq[Long] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val logDir = Paths.get(tablePath, "_delta_log")
+    if (!Files.isDirectory(logDir)) return Seq.empty
+    val ls = Files.list(logDir)
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.length == 25)
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Replay the log: the live file set (paths relative to the table root)
+    * at `version` (default: latest). Add-then-remove accumulation per the
+    * Delta protocol's state reconstruction rule.
+    */
+  def deltaLiveFiles(tablePath: String,
+                     version: Long = Long.MaxValue): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val mapper = jsonMapper
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    deltaLogVersions(tablePath).takeWhile(_ <= version).foreach { v =>
+      val f = Paths.get(tablePath, "_delta_log", f"$v%020d.json")
+      Files.readString(f).linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) live += node.get("add").get("path").asText()
+        if (node.has("remove")) live -= node.get("remove").get("path").asText()
+      }
+    }
+    live.toSeq
+  }
+
+  /** Read a generational table AT a logged version THROUGH the Delta log
+    * alone — no `_CURRENT` pointer involved (what an external
+    * Delta-protocol reader computes). Fails if the version's files were
+    * vacuumed, like any time-travel read past retention.
+    */
+  def readDeltaTableAt(spark: SparkSession, tablePath: String,
+                       version: Long = Long.MaxValue): DataFrame = {
+    val files = deltaLiveFiles(tablePath, version)
+    require(files.nonEmpty, s"no live files at version $version of $tablePath")
+    spark.read.parquet(files.map(f =>
+      java.nio.file.Paths.get(tablePath).resolve(f).toString): _*)
+  }
+
+  /** Append one commit: `remove` every live file matching a replaced
+    * prefix, `add` the new generation dirs' files. Caller holds the
+    * table's metadata lock. `pinnedVersion` ties the commit to a
+    * generation number (gen-numbered tables); `None` appends at the next
+    * sequential version (the partitioned table's batch commits).
+    */
+  private def appendDeltaCommit(root: java.nio.file.Path,
+                                newGenDirs: Seq[java.nio.file.Path],
+                                replacePrefixes: Seq[String],
+                                schemaJson: String, opName: String,
+                                pinnedVersion: Option[Long],
+                                dataChange: Boolean = true): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val logged = deltaLogVersions(root.toString)
+    val live = deltaLiveFiles(root.toString)
+    val mapper = jsonMapper
+    val tableId =
+      java.util.UUID.nameUUIDFromBytes(
+        root.toAbsolutePath.toString.getBytes("UTF-8")).toString
+    val now = System.currentTimeMillis()
+
+    def writeVersion(v: Long, adds: Seq[(String, Long, Long)],
+                     removes: Seq[String], gapHeal: Boolean): Unit = {
+      val actions = Seq.newBuilder[Any]
+      if (v == 0L)
+        actions += jmap("protocol" -> jmap(
+          "minReaderVersion" -> 1, "minWriterVersion" -> 2))
+      actions += jmap("commitInfo" -> jmap(
+        "timestamp" -> now, "operation" -> (if (gapHeal) "GAP" else opName),
+        "operationParameters" -> jmap(), "engineInfo" -> "graft"))
+      if (!gapHeal)
+        actions += jmap("metaData" -> jmap(
+          "id" -> tableId, "format" -> jmap(
+            "provider" -> "parquet", "options" -> jmap()),
+          "schemaString" -> schemaJson,
+          "partitionColumns" -> new java.util.ArrayList[String](),
+          "configuration" -> jmap(), "createdTime" -> now))
+      removes.foreach { p =>
+        actions += jmap("remove" -> jmap(
+          "path" -> p, "deletionTimestamp" -> now,
+          "dataChange" -> dataChange))
+      }
+      adds.foreach { case (p, size, mtime) =>
+        actions += jmap("add" -> jmap(
+          "path" -> p, "partitionValues" -> jmap(), "size" -> size,
+          "modificationTime" -> mtime, "dataChange" -> dataChange))
+      }
+      val body = actions.result()
+        .map(a => mapper.writeValueAsString(a)).mkString("", "\n", "\n")
+      val tmp = logDir.resolve(f"$v%020d.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val liveNow = scala.collection.mutable.LinkedHashSet[String](live: _*)
+    def commitSnapshot(v: Long, genDirs: Seq[java.nio.file.Path],
+                       prefixes: Seq[String], gapHeal: Boolean): Unit = {
+      val adds =
+        if (gapHeal) Seq.empty else genDirs.flatMap(genDataFiles(root, _))
+      val addPaths = adds.map(_._1).toSet
+      val removes =
+        if (gapHeal) Seq.empty
+        else liveNow.toSeq.filter(p =>
+          prefixes.exists(p.startsWith) && !addPaths.contains(p))
+      writeVersion(v, adds, removes, gapHeal)
+      liveNow --= removes; liveNow ++= adds.map(_._1)
+    }
+
+    pinnedVersion match {
+      case Some(target) =>
+        // gen-numbered: heal any log gap below the target first (a writer
+        // died between pointer swap and log write; its generation is
+        // re-logged from disk, or becomes an explicit no-op gap entry if
+        // it was vacuumed before ever being logged)
+        val from = logged.lastOption.map(_ + 1).getOrElse(0L)
+        (from until target).foreach { k =>
+          val genDir = root.resolve(s"gen-$k")
+          commitSnapshot(k, Seq(genDir), replacePrefixes,
+            gapHeal = !Files.isDirectory(genDir))
+        }
+        if (!logged.contains(target))
+          commitSnapshot(target, newGenDirs, replacePrefixes, gapHeal = false)
+      case None =>
+        commitSnapshot(logged.lastOption.map(_ + 1).getOrElse(0L),
+          newGenDirs, replacePrefixes, gapHeal = false)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -382,6 +579,8 @@ object Sinks {
         .write.partitionBy("__p").parquet(stage.toString)
       withMetadataLock(root, staleLockMs) {
         if (affected.forall(v => currentGen(v) == base(v))) {
+          val committedGenDirs = Seq.newBuilder[java.nio.file.Path]
+          val committedPrefixes = Seq.newBuilder[String]
           affected.foreach { v =>
             val staged = stage.resolve(s"__p=$v")
             if (Files.exists(staged)) {
@@ -405,8 +604,16 @@ object Sinks {
                 root.resolve("_symlink_format_manifest").resolve(s"p=$v"),
                 genDir)
               vacuumGenerations(dir, nextNum, keepGenerations)
+              committedGenDirs += genDir
+              committedPrefixes += s"p=$v/"
             }
           }
+          // one Delta commit for the whole batch: adds for every affected
+          // partition's new generation, removes scoped to those partitions
+          // (untouched partitions' files stay live in the log, untouched)
+          appendDeltaCommit(root, committedGenDirs.result(),
+            committedPrefixes.result(), merged.schema.json, "MERGE",
+            pinnedVersion = None)
           committed = true
         }
       }
@@ -708,8 +915,8 @@ object Sinks {
       val nextNum = base.stripPrefix("gen-").toLong + 1
       val stage = root.resolve(
         s"_txn-${System.nanoTime()}-${java.util.UUID.randomUUID().toString.take(8)}")
-      spark.read.parquet(genDir.toString)
-        .coalesce(nOut)
+      val compacted = spark.read.parquet(genDir.toString)
+      compacted.coalesce(nOut)
         .write.mode(SaveMode.Overwrite).parquet(stage.toString)
       var committed = false
       withMetadataLock(root, staleLockMs) {
@@ -722,6 +929,11 @@ object Sinks {
           Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
           publishManifest(root.resolve("_symlink_format_manifest"), newGen)
+          // same rows, new files: a Delta OPTIMIZE commit (dataChange
+          // false — incremental consumers know no rows changed)
+          appendDeltaCommit(root, Seq(newGen), Seq(""),
+            compacted.schema.json, "OPTIMIZE",
+            pinnedVersion = Some(nextNum), dataChange = false)
           vacuumGenerations(root, nextNum, keepGenerations)
           committed = true
         }
