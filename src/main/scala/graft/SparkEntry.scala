@@ -793,6 +793,20 @@ object SparkEntry {
           col("sample_rate"), col("n_frames"), col("sample_sum"))
     }),
 
+    // ---- q36's video companion: video rows carry REAL MP4/AVI container
+    // bytes and the metadata projection is parsed from the box/RIFF
+    // headers — the oracle recomputes dims/duration from the id formulas,
+    // so a parser regression (wrong offset, wrong endianness) hash-fails ----
+    "q181_video_meta" -> ((s, d) => {
+      val media = Multimodal.withVideoPayloads(Multimodal.withMediaPayloads(
+        Multimodal.fromDocuments(Tables.documents(s, d))))
+      Multimodal.extractFeatures(s, media)
+        .filter(col("media_type") === "video")
+        .select(col("media_id"), col("video_container"),
+          col("decoded_width"), col("decoded_height"),
+          col("video_duration_ms"), col("n_bytes").cast("long").as("n_bytes"))
+    }),
+
     // ---- sabangnet invoice staging: Korean raw headers, 6-arm + 18-arm
     // recode ladders, reject-unparseable guard (the reference's widest
     // download domain). Raw rows synthesized deterministically from orders;
@@ -3449,6 +3463,22 @@ object SparkEntry {
         |    - 100 * ((doc_id % 4000 + 100) % 200) AS BIGINT)
         |    END AS sample_sum
         |FROM documents""".stripMargin,
+
+    // video container metadata: the parser's output must equal the
+    // generator's id formulas; container sizes are fixed-length box
+    // skeletons (MP4 240 B, AVI 88 B)
+    "q181_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END
+        |    AS video_container,
+        |  CAST(doc_id % 320 + 32 AS BIGINT) AS decoded_width,
+        |  CAST(doc_id % 240 + 32 AS BIGINT) AS decoded_height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 5000 + 500 AS BIGINT)
+        |    ELSE CAST(40 * (doc_id % 250 + 25) AS BIGINT) END
+        |    AS video_duration_ms,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(240 AS BIGINT)
+        |    ELSE CAST(88 AS BIGINT) END AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,

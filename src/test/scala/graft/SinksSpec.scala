@@ -200,6 +200,43 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real MP4/AVI container-metadata decode round-trips exactly") {
+    // MP4: box skeleton parses back to the declared dims + duration
+    val mp4 = Multimodal.syntheticMp4(640, 360, 12345L)
+    assert(mp4.length == 240, "fixed-length box skeleton")
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp", "real MP4 magic")
+    assert(Multimodal.decodeVideoMeta(mp4).contains(("mp4", 640, 360, 12345L)))
+    // AVI: RIFF main header parses back; duration = us/frame * frames
+    val avi = Multimodal.syntheticAvi(320, 240, nFrames = 100)
+    assert(avi.length == 88)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(Multimodal.decodeVideoMeta(avi).contains(("avi", 320, 240, 4000L)))
+    // corrupt/foreign bytes: honest None, never an exception
+    assert(Multimodal.decodeVideoMeta("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoMeta(mp4.take(30)).isEmpty, "torn box")
+    assert(Multimodal.decodeVideoMeta(Multimodal.syntheticPng(8, 8)).isEmpty)
+    // distributed: video rows get real container payloads; dims/duration
+    // decode to the id formulas, frame features stay the labeled stub
+    val media = Multimodal.withVideoPayloads(Multimodal.withMediaPayloads(
+      Multimodal.fromDocuments(Tables.documents(spark, sf001).limit(30))))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .filter($"media_type" === "video").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[String]("video_container") ==
+        (if (id % 2 == 0) "mp4" else "avi"))
+      assert(r.getAs[Long]("decoded_width") == id % 320 + 32)
+      assert(r.getAs[Long]("decoded_height") == id % 240 + 32)
+      assert(r.getAs[Long]("video_duration_ms") ==
+        (if (id % 2 == 0) id % 5000 + 500 else 40 * (id % 250 + 25)))
+      assert(r.isNullAt(r.fieldIndex("pixel_sum")) &&
+        r.isNullAt(r.fieldIndex("sample_rate")), "image/audio columns null")
+      assert(!r.isNullAt(r.fieldIndex("feature")), "stub features present")
+    }
+  }
+
   test("writeTrainingShards: one pos-ordered file per shard, permutation replays") {
     import graft.operators.Sampling
     val dir = Files.createTempDirectory("graft_shards").toString
