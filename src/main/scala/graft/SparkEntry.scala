@@ -4750,8 +4750,10 @@ object SparkEntry {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
 
-    // span removal: same canonical-first-occurrence policy (min packed
-    // (doc_id, pos) key per span hash), reassembly ordered by position
+    // span removal: same canonical-first-occurrence policy — the keeper
+    // is the lexicographic MIN over the (doc_id, pos) STRUCT, exactly the
+    // Scala side's struct-min (a packed doc_id*2^20+pos key would order
+    // differently for negative ids or >2^20 spans per doc)
     "q172_remove_spans" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS t FROM documents),
         |sp AS (SELECT doc_id,
@@ -4762,7 +4764,7 @@ object SparkEntry {
         |  FROM t),
         |s2 AS (SELECT doc_id, u.pos AS pos, u.s AS s,
         |    ${dkHash("'span|' || u.s")} AS h,
-        |    doc_id * 1048576 + u.pos AS okey
+        |    {'d': doc_id, 'p': u.pos} AS okey
         |  FROM sp),
         |g AS (SELECT h, min(okey) AS keeper, count(*) AS c
         |  FROM s2 GROUP BY h),

@@ -519,7 +519,7 @@ object Sinks {
       source: DataFrame, keys: Seq[String], partitionCol: String,
       strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
       keepGenerations: Int = 3, maxRetries: Int = 5,
-      staleLockMs: Long = 60000L): Unit = {
+      staleLockMs: Long = 60000L, maxPartitions: Int = 100000): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
@@ -543,9 +543,21 @@ object Sinks {
         finally ls.close()
       orphans.foreach(deleteRecursively)
     }
+    // the distinct partition-value list is collected to the driver
+    // (metadata-scale by contract: a daily load touches a handful of
+    // dates). A HIGH-CARDINALITY partitionCol (a key, a timestamp) would
+    // otherwise OOM the driver silently — cap it with a loud error and an
+    // explicit escape hatch instead.
     val affected = source
       .select(col(partitionCol).cast("string").as("__v")).distinct()
+      .limit(maxPartitions + 1)
       .collect().map(_.getString(0))
+    require(affected.length <= maxPartitions,
+      s"upsertParquetPartitioned($tablePath): batch touches more than " +
+        s"$maxPartitions distinct '$partitionCol' values — that column is " +
+        "not a partition key at this granularity (a driver-side partition " +
+        "list this large risks OOM). Coarsen the partition column or " +
+        "raise maxPartitions explicitly if this cardinality is intended.")
     require(!affected.contains(null), s"$partitionCol must be non-null")
     val safe = "^[A-Za-z0-9._-]+$".r
     affected.foreach(v => require(safe.matches(v),
@@ -951,16 +963,22 @@ object Sinks {
 
   /** Morton (Z-order) interleave of per-column cell indices: bit `j` of
     * cell `i` lands at position `j·k + i`. Pure shift/mask expressions —
-    * codegen'd, no UDF.
+    * codegen'd, no UDF. Cells must be NON-NEGATIVE indices in
+    * `[0, 2^bitsPer)`; each cell is masked to its low `bitsPer` bits
+    * before interleaving, so an out-of-range (or negative — sign
+    * extension would otherwise read every shifted bit as 1) cell can
+    * never corrupt the bits of the OTHER columns, it only wraps its own
+    * lane. `writeZOrdered` always feeds scaled in-range cells.
     */
   def zValue(cells: Seq[Column], bitsPer: Int): Column = {
     require(cells.nonEmpty && bitsPer * cells.size <= 62,
       "z-value must fit in a positive long")
+    val masked = cells.map(_.bitwiseAND(lit((1L << bitsPer) - 1)))
     var z = lit(0L)
-    for (j <- 0 until bitsPer; i <- cells.indices)
+    for (j <- 0 until bitsPer; i <- masked.indices)
       z = z.bitwiseOR(shiftleft(
-        shiftright(cells(i), j).bitwiseAND(lit(1L)),
-        j * cells.size + i))
+        shiftright(masked(i), j).bitwiseAND(lit(1L)),
+        j * masked.size + i))
     z
   }
 

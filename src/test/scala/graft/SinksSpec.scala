@@ -237,6 +237,22 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("partitioned upsert rejects a high-cardinality partition column loudly") {
+    val dir = Files.createTempDirectory("graft_cap").toString + "/t"
+    val batch = spark.range(0, 50).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("p"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetPartitioned(spark, dir, batch, Seq("k"), "p",
+        maxPartitions = 10)
+    }
+    assert(e.getMessage.contains("more than 10 distinct"),
+      s"loud cardinality error: ${e.getMessage}")
+    // the documented escape hatch
+    Sinks.upsertParquetPartitioned(spark, dir, batch, Seq("k"), "p",
+      maxPartitions = 100)
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).count() == 50)
+  }
+
   test("writeTrainingShards: one pos-ordered file per shard, permutation replays") {
     import graft.operators.Sampling
     val dir = Files.createTempDirectory("graft_shards").toString
