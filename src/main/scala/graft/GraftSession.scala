@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   * - UTC session time zone: date predicates and timestamp arithmetic
   *   resolve identically on every executor regardless of machine locale —
   *   the engine's date helpers (F.datePredicate) assume it.
+  * - Bucketed scans stay bucketed: every catalog-bucketed table this
+  *   engine writes (the BM25 serving index, the streaming dedup index,
+  *   `writeBucketed` fact tables) exists to be PROBED — bucket pruning
+  *   on IN-list probes and exchange-free bucketed joins both require the
+  *   scan to honor the layout. Spark's auto-disable rule would silently
+  *   drop the layout (and with it the pruning) for any probe it plans as
+  *   a broadcast join, so it is off. The trade — a non-beneficial read
+  *   of a bucketed table gets one task per bucket instead of splitting —
+  *   is the bucketed-layout contract working as designed.
   * - [[graft.plans.GraftExtensions]]: the native vector expressions
   *   (`graft_dot`) registered for SQL use next to the Column API.
   */
@@ -36,6 +45,7 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
 
   /** Fresh builder with the defaults applied. */

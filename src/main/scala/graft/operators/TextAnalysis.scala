@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID, quality
@@ -578,6 +578,73 @@ object TextAnalysis {
       postings.join(broadcast(wanted), Seq("term")),
       dfreq.join(broadcast(wanted), Seq("term")),
       stats, qTerms, k, k1, b)
+  }
+
+  /** Catalog names for a stored BM25 index at `path` — derived from the
+    * path so two indexes never collide in the shared session catalog. */
+  private[graft] def bm25IndexTableNames(path: String): (String, String) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    (s"graft_bm25_${h}_postings", s"graft_bm25_${h}_dfreq")
+  }
+
+  /** Persist a [[bm25BuildIndex]] index as BUCKETED catalog tables at
+    * `path` — postings and dfreq bucketed AND sorted by `term`
+    * (`buckets` files each), stats as a one-row parquet. The layout buys
+    * the two properties a serving index needs at corpus scale:
+    *
+    *  - a query batch's `term IN (...)` probe reads only the matching
+    *    bucket files (SelectedBucketsCount in the scan), and within a
+    *    bucket file the term-sorted row groups let parquet skip
+    *    non-matching pages — probe I/O tracks the query terms, not the
+    *    corpus;
+    *  - the postings-dfreq join clusters on `term` on BOTH sides, so the
+    *    scoring plan has NO exchange under the per-(query,doc) aggregate
+    *    (pinned by RetrievalCurationSpec).
+    *
+    * Requires bucketed scans to honor the layout
+    * ([[graft.GraftSession]] sets
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`;
+    * Spark's auto-disable rule would silently drop bucket pruning for
+    * broadcast-planned probes). Rebuilds overwrite in place.
+    */
+  def bm25WriteIndex(spark: SparkSession, df: DataFrame, idCol: Column,
+                     textCol: Column, path: String,
+                     buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val (p, f, st) = bm25BuildIndex(df, idCol, textCol)
+    val (pT, fT) = bm25IndexTableNames(path)
+    p.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/postings")
+      .bucketBy(buckets, "term").sortBy("term").saveAsTable(pT)
+    f.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/dfreq")
+      .bucketBy(buckets, "term").sortBy("term").saveAsTable(fT)
+    st.write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** Serve BM25 top-k from a [[bm25WriteIndex]] store: the query batch's
+    * distinct terms (driver-collected — a query batch is small by
+    * definition; capped at `maxTerms` with a full-scan fallback) become
+    * an IN-list filter on both bucketed tables, so the probe is
+    * bucket-pruned at file level and page-pruned within files. Results
+    * are bit-identical to [[bm25TopK]] over the indexed corpus.
+    */
+  def bm25TopKFromStoredIndex(spark: SparkSession, path: String,
+                              queries: DataFrame, k: Int = 10,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              maxTerms: Int = 1 << 16): DataFrame = {
+    val (pT, fT) = bm25IndexTableNames(path)
+    val terms = queries.select(col("term").cast("string").as("term"))
+      .distinct().limit(maxTerms + 1).collect().map(_.getString(0))
+    val (p, f) =
+      if (terms.length > maxTerms) (spark.table(pT), spark.table(fT))
+      else (spark.table(pT).filter(col("term").isInCollection(
+          terms.toIndexedSeq)),
+        spark.table(fT).filter(col("term").isInCollection(
+          terms.toIndexedSeq)))
+    bm25TopKFromIndex(p, f, spark.read.parquet(s"$path/stats"),
+      queries, k, k1, b)
   }
 
   /** Corpus vocabulary coverage (the tokenizer-design question: "what

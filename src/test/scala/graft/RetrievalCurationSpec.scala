@@ -81,6 +81,73 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(out2.nonEmpty && out2.forall(_._1 == 9L))
   }
 
+  test("bucketed BM25 store: bit-identical serving, pruned exchange-free probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case n => n +: n.children.flatMap(allNodes)
+    }
+    val docs = (1L to 80L)
+      .map(i => (i, s"term${i % 8} filler$i words and more content here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25bkt")
+      .toFile.getAbsolutePath + "/idx"
+    TextAnalysis.bm25WriteIndex(spark, docs, col("doc_id"), col("text"),
+      dir, buckets = 32)
+    val queries = Seq((0L, "term0"), (0L, "term3"), (1L, "term5"))
+      .toDF("query_id", "term")
+    // the GraftSession contract: bucketed scans honor the layout
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey, "true")
+    spark.conf.set(autoKey, "false")
+    try {
+      val served = TextAnalysis.bm25TopKFromStoredIndex(spark, dir,
+        queries, k = 5)
+      val rows = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+        .sortBy(x => (x._1, x._4)).toSeq
+      val single = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+          queries, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+        .sortBy(x => (x._1, x._4)).toSeq
+      assert(rows == single, "stored-index serving == single-pass, bit-identical")
+      // plan pins: every index scan is bucket-pruned, and no shuffle sits
+      // between an index scan and the postings-dfreq join (both sides
+      // cluster on term from the layout alone)
+      val plan = served.queryExecution.executedPlan
+      val idxScans = allNodes(plan).collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(p => p.toString.contains("/idx/postings") ||
+            p.toString.contains("/idx/dfreq")) => f
+      }
+      assert(idxScans.size == 2, s"postings + dfreq scans: ${idxScans.size}")
+      idxScans.foreach { f =>
+        val s = f.toString
+        val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          .findFirstMatchIn(s)
+          .getOrElse(fail(s"index scan not bucket-pruned: ${s.take(300)}"))
+        assert(m.group(1).toInt < m.group(2).toInt, m.matched)
+      }
+      val joins = allNodes(plan).filter(n =>
+        n.nodeName.contains("Join") &&
+          allNodes(n).count(idxScans.contains) == 2)
+      assert(joins.nonEmpty, "postings-dfreq join present")
+      // the index sides flow into the join with NO shuffle (the only
+      // permitted exchange is the query batch's own tiny distinct) —
+      // i.e. no ShuffleExchange has an index scan below it
+      val shuffledIndex = allNodes(joins.last).collect {
+        case s: ShuffleExchangeExec
+          if allNodes(s.child).exists(idxScans.contains) => s
+      }
+      assert(shuffledIndex.isEmpty,
+        s"index side must not shuffle:\n${joins.last}")
+    } finally spark.conf.set(autoKey, prev)
+  }
+
   test("removeDupSpans keeps the canonical first occurrence and reassembles") {
     import spark.implicits._
     // n=3 spans; docs 1 and 2 share their first span exactly; doc 3 is
