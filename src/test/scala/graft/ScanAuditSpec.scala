@@ -59,4 +59,45 @@ class ScanAuditSpec extends SparkSpec {
     assert(pushed.contains("o_orderdate"),
       s"pushed filters must constrain o_orderdate: [$pushed]")
   }
+
+  // ---- incremental model runs: the ds_start/end_date params must reach
+  // the SOURCE scans as pushed range filters. At 100 TB an incremental
+  // mart that re-reads the full fact table instead of its date slice is
+  // the single most expensive possible regression — these pin the three
+  // heaviest incremental models' scan-level pruning the way q177 pins
+  // raw scans. (A scan rendered with `...` truncation may cut the upper
+  // bound off the string; the lower bound carrying the PARAM date is the
+  // load-bearing assertion.)
+
+  private def dateBoundedScans(name: String, table: String,
+                               dateCol: String): Seq[String] =
+    scanLines(name).filter(s => s.contains(s"$table.parquet") &&
+      pushedFilters(s).contains(s"GreaterThanOrEqual($dateCol"))
+
+  test("q125 (incremental): lineitem scans push the ds date range") {
+    val bounded = dateBoundedScans("q125_coupang_sales_daily",
+      "lineitem", "l_shipdate")
+    assert(bounded.nonEmpty, "ds-range predicate must reach the fact scan")
+    assert(bounded.exists(_.contains("l_shipdate,1996-01-0")),
+      s"pushed lower bound must carry the ds_start_date param:\n$bounded")
+  }
+
+  test("q128 (incremental): orders scans push the ds range AND the widened fallback range") {
+    val bounded = dateBoundedScans("q128_sabangnet_sales_daily",
+      "orders", "o_orderdate")
+    assert(bounded.exists(_.contains("o_orderdate,1996-02-01")),
+      "the mart's own ds_start_date bound must push")
+    // the CJ delivery fallback invokes dep models ±7d widened — that
+    // widened slice must ALSO prune at the scan, not read the table
+    assert(bounded.exists(_.contains("o_orderdate,1996-01-25")),
+      "the ±7d widened dep-model invocation must push its own bounds")
+  }
+
+  test("q129 (incremental): insight source scan pushes the ds range") {
+    val bounded = dateBoundedScans("q129_gads_insight_daily",
+      "lineitem", "l_shipdate")
+    assert(bounded.nonEmpty &&
+      bounded.exists(_.contains("l_shipdate,1996-01-01")),
+      "the insight daily's ds range must prune the source scan")
+  }
 }
