@@ -50,6 +50,55 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("model registry is SQL-callable as table functions (start, end args)") {
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s2.conf.set("spark.graft.data.dir", sf001)
+      // positional (start, end) form, through plain spark.sql
+      val viaSql = s2.sql(
+        "SELECT * FROM profit_mom('1996-01-01', '1996-06-30')")
+        .orderBy("month", "channel").collect().toSeq
+      val direct = graft.models.Analytics.registry(sf001)
+        .run("profit_mom", s2, graft.models.Params(Map(
+          "ds_start_date" -> "1996-01-01", "ds_end_date" -> "1996-06-30")))
+        .orderBy("month", "channel").collect().toSeq
+      assert(viaSql.nonEmpty && viaSql == direct,
+        "SQL TVF invocation == registry run, row for row")
+      // TVFs compose inside larger SQL (join, aggregate over the TVF)
+      val n = s2.sql(
+        """SELECT count(*) AS n
+          |FROM profit_mom('1996-01-01', '1996-06-30')
+          |WHERE revenue IS NOT NULL""".stripMargin).head().getLong(0)
+      assert(n == viaSql.size.toLong ||
+        n <= viaSql.size.toLong, "TVF usable as a plain relation")
+      // explicit (key, value) pair form binds arbitrary params
+      val paired = s2.sql(
+        """SELECT * FROM profit_mom(
+          |  'ds_start_date', '1996-01-01', 'ds_end_date', '1996-06-30')"""
+          .stripMargin).orderBy("month", "channel").collect().toSeq
+      assert(paired == direct)
+      // a zero-arg model resolves too (parenthesized — a bare name is a
+      // table lookup, not a function call)
+      assert(s2.sql("SELECT * FROM sa_contract_master()").count() > 0)
+      // every model name registered; sanitize produced no collisions
+      val fns = graft.plans.GraftExtensions.modelFunctionNames
+      assert(fns.map(_._1).distinct.size == fns.size)
+      assert(fns.size == graft.models.Analytics.registry("").names.size,
+        "every registered model has a SQL spelling")
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("Tables.registerAll: fixture queryable through plain spark.sql") {
     Tables.registerAll(spark, sf001)
     assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) == 5L)
