@@ -2092,6 +2092,56 @@ object SparkEntry {
         k = 32, bands = 8, fam = Dedup.CrossEngineHash)
     }),
 
+    // ---- bloom-prefiltered incremental exact dedup: even doc_ids are
+    // the stored corpus, odd ones the incoming batch (the q155 split at
+    // exact grain). The bloom bitmap only routes rows to the confirm
+    // join, so the ANSWER is exact — `bloom_maybe` (engine-specific) is
+    // projected away for the oracle ----
+    "q182_bloom_incremental_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomIncrementalExact(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("doc_id"), col("text"), fpp = 0.01,
+          fam = Dedup.CrossEngineHash)
+        .select(col("doc_id"), col("is_admitted"), col("dup_of"))
+    }),
+
+    // ---- Delta-logged clustered table + stats-pruned range scan: build
+    // a per-order mart as a generational MERGE table clustered by key
+    // (range-disjoint files), then answer a key-range query through the
+    // log's footer stats — files outside [1000, 3000] are never opened
+    // (DeltaLogSpec pins the skipping; this pins the VALUES) ----
+    "q183_delta_pruned_scan" -> ((s, d) => {
+      val sums = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q183_" + new java.io.File(d).getName).toString
+      graft.sources.Sinks.upsertParquet(s, root, sums,
+        keys = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"))
+      graft.sources.Sinks.readDeltaTablePruned(s, root,
+        "l_orderkey", 1000L, 3000L)
+    }),
+
+    // ---- domain-scoped boilerplate line removal (CCNet/RefinedWeb):
+    // every doc gets its domain's footer line ("visit srcN dot com",
+    // 100% doc-frequency -> removed) plus either a 25%-frequency
+    // newsletter line or a unique tail (both under the 0.5 threshold ->
+    // kept); the oracle replays the doc-frequency rule line by line ----
+    "q184_boilerplate_removal" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat_ws("\n", col("text"),
+          concat(lit("visit "), col("source"), lit(" dot com")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("unique tail "),
+              col("doc_id").cast("string")))).as("text"))
+      TextAnalysis.removeBoilerplate(docs, col("doc_id"), col("text"),
+        col("source"), maxDocFrac = 0.5, minDocs = 3)
+    }),
+
     // ---- hybrid-retrieval fusion: RRF over the full-precision cosine
     // ranking and the int8-quantized ranking (two signals, no score
     // normalization — the standard hybrid-search combiner) ----
@@ -4933,6 +4983,83 @@ object SparkEntry {
         |    round(CAST(nh AS DOUBLE) / CAST(ne AS DOUBLE), 4) END
         |    AS pair_recall
         |FROM c""".stripMargin,
+
+    // bloom-prefiltered incremental exact dedup — the bloom is a router,
+    // not a decider, so the oracle is the pure exact semantics: corpus
+    // fingerprint match → smallest corpus id, else within-batch match →
+    // smallest batch id, else admitted
+    "q182_bloom_incremental_exact" ->
+      s"""WITH cf AS (SELECT doc_id,
+        |    ${dkHash(raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))")}
+        |      AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |bf AS (SELECT doc_id,
+        |    ${dkHash(raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))")}
+        |      AS fp
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |cd AS (SELECT fp, min(doc_id) AS corpus_dup FROM cf GROUP BY fp),
+        |bm AS (SELECT fp, min(doc_id) AS batch_min FROM bf GROUP BY fp)
+        |SELECT b.doc_id, (dup_of IS NULL) AS is_admitted, dup_of
+        |FROM (SELECT b.doc_id,
+        |    coalesce(cd.corpus_dup,
+        |      CASE WHEN b.doc_id <> bm.batch_min THEN bm.batch_min END)
+        |      AS dup_of
+        |  FROM bf b
+        |  LEFT JOIN cd ON b.fp = cd.fp
+        |  JOIN bm ON b.fp = bm.fp) b""".stripMargin,
+
+    // delta pruned scan: the oracle is the logical query — per-order
+    // sums restricted to the key range (file skipping is a physical
+    // detail the values must be invariant to)
+    "q183_delta_pruned_scan" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1""".stripMargin,
+
+    // boilerplate removal: the same doc-frequency rule replayed line by
+    // line — a normalized line is boilerplate in a domain when it hits
+    // > 50% of the domain's docs and >= 3 docs
+    "q184_boilerplate_removal" ->
+      raw"""WITH docs AS (SELECT doc_id, source AS domain,
+        |    text || chr(10) || 'visit ' || source || ' dot com' ||
+        |    chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter'
+        |         ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END
+        |      AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, domain,
+        |    string_split(text, chr(10)) AS arr FROM docs),
+        |lines AS (SELECT doc_id, domain,
+        |    unnest(list_transform(range(len(arr)),
+        |      i -> {'pos': i, 'line': arr[i+1]})) AS u
+        |  FROM ls),
+        |l2 AS (SELECT doc_id, domain, u.pos AS pos, u.line AS line,
+        |    trim(regexp_replace(lower(u.line), '\s+', ' ', 'g')) AS lnorm
+        |  FROM lines),
+        |dd AS (SELECT domain, count(DISTINCT doc_id) AS n_docs
+        |  FROM docs GROUP BY domain),
+        |bo AS (SELECT domain, lnorm
+        |  FROM l2 JOIN dd USING (domain)
+        |  WHERE len(lnorm) > 0
+        |  GROUP BY domain, lnorm, n_docs
+        |  HAVING count(DISTINCT doc_id) >= 3
+        |    AND count(DISTINCT doc_id) * 1.0 / n_docs > 0.5),
+        |kept AS (SELECT l2.*
+        |  FROM l2 LEFT JOIN bo
+        |    ON l2.domain = bo.domain AND l2.lnorm = bo.lnorm
+        |  WHERE bo.lnorm IS NULL),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |    len(string_split(text, chr(10))) AS n_lines FROM docs)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS text,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // RRF hybrid fusion: both rankings' CTEs (q34's cosine, q176's int8),
     // per-list 1/(c+rank) contributions snapshotted to DECIMAL(18,10)

@@ -834,4 +834,178 @@ object Dedup {
         coalesce(col("component"), col("vec_id")).as("cluster_id"))
       .withColumn("is_survivor", col("cluster_id") === col("vec_id"))
   }
+
+  // ---- Bloom-prefiltered incremental EXACT dedup ------------------------
+  //
+  // The daily-ingest form of [[exact]]: a batch is admitted against an
+  // already-stored corpus. A plain `batch LEFT ANTI corpus` join must
+  // shuffle-build on the CORPUS side (the build side of an anti join is
+  // the right relation), so per-ingest cost tracks the corpus. The bloom
+  // path inverts that: the corpus is summarized ONCE into a bitmap sketch
+  // (built distributed with map-side combine, persisted and reused across
+  // every future ingest), each batch row probes the broadcast bitmap at
+  // scan speed, and only the sketch's "maybe" rows — ≈ true dups +
+  // fpp·|batch| — reach an exact confirmation join whose corpus side is
+  // semi-join-pruned first. The final answer is EXACT: the bloom only
+  // decides who must be double-checked, never who is a duplicate.
+
+  /** Optimal Bloom geometry for `expectedItems` keys at false-positive
+    * rate `fpp`: `mBits = ceil(-n ln p / ln² 2)` rounded up to a whole
+    * 64-bit word, `k = round(m/n · ln 2)` clamped to ≥ 1.
+    */
+  def bloomSizing(expectedItems: Long, fpp: Double): (Long, Int) = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val ln2 = math.log(2.0)
+    val mRaw = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
+    val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
+    (m, k)
+  }
+
+  /** Maximum bitmap size: 2^30 bits = 128 MiB of driver/broadcast state
+    * (~90 M keys at 1% fpp). Beyond that, shard the corpus by a hash
+    * prefix and build one bitmap per shard — a bitmap that no longer
+    * broadcasts has lost the reason to exist.
+    */
+  val MaxBloomBits: Long = 1L << 30
+
+  /** Build the bitmap distributed: each key explodes to its k bit
+    * positions, positions collapse to (word, OR of bits) with ordinary
+    * partial aggregation — at most m/64 rows per partition cross the
+    * wire regardless of corpus size — and the ≤ m/64 final words are
+    * collected into a dense driver array. No UDF, no driver pass over
+    * keys, one shuffle whose volume is the sketch, not the data.
+    */
+  def buildBloomBitmap(df: DataFrame, keyCol: Column, mBits: Long, k: Int,
+                       fam: HashFamily = XxHash): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= MaxBloomBits,
+      s"mBits must be a multiple of 64 in [64, $MaxBloomBits] " +
+        "(shard the corpus for larger sketches)")
+    require(k >= 1 && k <= 32, "k must be in [1, 32]")
+    val base = fam.base(keyCol)
+    val positions = array((0 until k).map(i =>
+      pmod(fam.seeded(base, i), lit(mBits))): _*)
+    val words = df
+      .select(explode(positions).as("pos"))
+      .select(floor(col("pos") / lit(64L)).cast("long").as("w"),
+        call_function("shiftleft", lit(1L),
+          (col("pos") % lit(64L)).cast("int")).as("bit"))
+      .groupBy(col("w")).agg(bit_or(col("bit")).as("word"))
+      .collect()
+    val arr = new Array[Long]((mBits / 64L).toInt)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership-test column against a driver-held bitmap: k seeded
+    * probes, each an `element_at` into the array LITERAL (one object in
+    * the generated code, shipped once per task like any literal) plus a
+    * variable shift-and-mask. False negatives are impossible; a `true`
+    * is "maybe present" at the bitmap's design fpp.
+    */
+  def bloomMightContain(words: Array[Long], mBits: Long, k: Int,
+                        keyCol: Column,
+                        fam: HashFamily = XxHash): Column = {
+    require(words.length.toLong * 64 == mBits,
+      s"bitmap has ${words.length} words, expected ${mBits / 64}")
+    val wordsLit = typedlit(words.toSeq)
+    val base = fam.base(keyCol)
+    (0 until k).map { i =>
+      val pos = pmod(fam.seeded(base, i), lit(mBits))
+      call_function("shiftright",
+        element_at(wordsLit, floor(pos / lit(64L)).cast("int") + lit(1)),
+        (pos % lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Persist a bitmap as a one-column parquet of words (index order) plus
+    * a `_bloom_meta.json` sidecar (mBits, k, hash family) — the
+    * build-once/probe-forever corpus index for [[bloomIncrementalExact]].
+    */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                      words: Array[Long], mBits: Long, k: Int,
+                      fam: HashFamily, path: String): Unit = {
+    import spark.implicits._
+    words.toSeq.toDF("word").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val famName = fam match {
+      case XxHash => "xxhash"
+      case CrossEngineHash => "crossengine"
+    }
+    val meta = s"""{"mBits":$mBits,"k":$k,"family":"$famName"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_bloom_meta.json"), meta)
+  }
+
+  /** Load a persisted bloom index: (words, mBits, k, family). */
+  def readBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Array[Long], Long, Int, HashFamily) = {
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_bloom_meta.json")))
+    val mBits = meta.get("mBits").asLong()
+    val k = meta.get("k").asInt()
+    val fam = meta.get("family").asText() match {
+      case "crossengine" => CrossEngineHash
+      case _ => XxHash
+    }
+    val words = new Array[Long]((mBits / 64L).toInt)
+    // the coalesce(1) write preserves index order within the single part
+    spark.read.parquet(path).collect()
+      .zipWithIndex.foreach { case (r, i) => words(i) = r.getLong(0) }
+    (words, mBits, k, fam)
+  }
+
+  /** Incremental EXACT dedup with a bloom prefilter. Semantics match
+    * [[incrementalDedup]] at exact grain: a batch doc whose normalized
+    * text already exists in the corpus is rejected with `dup_of` = the
+    * smallest matching corpus id; within-batch exact dups keep the
+    * smallest batch id; everything else is admitted. Output: (doc_id,
+    * is_admitted, dup_of, bloom_maybe) — `bloom_maybe` marks the rows
+    * that needed the confirmation join (observability for fpp tuning;
+    * engine-specific, so oracle projections drop it).
+    *
+    * Pass `index` (from [[readBloomIndex]]) to skip the corpus sketch
+    * build — the production path, where the corpus is summarized once
+    * and every subsequent ingest pays only: one batch scan (bitmap
+    * probes), one batch-sized groupBy, and a corpus scan that
+    * semi-joins against the broadcast-small maybe-set before its
+    * fingerprint aggregate. Nothing in the plan shuffles the corpus.
+    */
+  def bloomIncrementalExact(corpus: DataFrame, batch: DataFrame,
+                            idCol: Column, textCol: Column,
+                            fpp: Double = 0.01,
+                            fam: HashFamily = XxHash,
+                            index: Option[(Array[Long], Long, Int)] = None)
+      : DataFrame = {
+    def fps(df: DataFrame) = df.select(idCol.as("doc_id"),
+      fam.hash(normText(textCol)).as("fp"))
+    val corpusFp = fps(corpus)
+    val (words, m, k) = index.getOrElse {
+      val n = math.max(corpusFp.count(), 1L)
+      val (m0, k0) = bloomSizing(n, fpp)
+      (buildBloomBitmap(corpusFp, col("fp"), m0, k0, fam), m0, k0)
+    }
+    val batchFp = fps(batch)
+      .withColumn("bloom_maybe", bloomMightContain(words, m, k, col("fp"), fam))
+    val maybeFps = batchFp.filter(col("bloom_maybe"))
+      .select(col("fp")).distinct()
+    val corpusHits = corpusFp
+      .join(broadcast(maybeFps), Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_dup"))
+    val batchMin = batchFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    batchFp
+      .join(corpusHits, Seq("fp"), "left")
+      .join(batchMin, Seq("fp"))
+      .select(col("doc_id"),
+        coalesce(col("corpus_dup"),
+          when(col("doc_id") =!= col("batch_min"), col("batch_min")))
+          .as("dup_of"),
+        col("bloom_maybe"))
+      .select(col("doc_id"), col("dup_of").isNull.as("is_admitted"),
+        col("dup_of"), col("bloom_maybe"))
+  }
 }

@@ -762,4 +762,59 @@ object TextAnalysis {
       regexp_replace(noEmail, phonePattern, "<PHONE>").as("redacted"))
   }
 
+  /** Domain-scoped boilerplate line removal — the CCNet/RefinedWeb move
+    * (Wenzek et al. 2020, arXiv:1911.00359 §3; Penedo et al. 2023,
+    * arXiv:2306.01116 §4): a LINE recurring across many documents of the
+    * same domain (nav bars, cookie banners, footers) carries no content;
+    * remove it everywhere, keep the per-document prose. A line is
+    * boilerplate in a domain when it appears (normalized) in MORE than
+    * `maxDocFrac` of the domain's docs AND in at least `minDocs` docs;
+    * whitespace-only lines are never counted and never removed.
+    *
+    * Scale: explode to line grain, ONE hash agg for per-(domain, line)
+    * document frequency, one broadcast-sized domain-doc-count join, one
+    * equi-join back, one per-doc reassembly agg — [[Dedup.chunkDedup]]'s
+    * bounded two-exchange shape with the frequency key scoped by domain
+    * (so a planet-scale corpus shards naturally by site and no single
+    * line's count concentrates on one reducer beyond its own domain).
+    *
+    * Output per input doc: (doc_id, text cleaned, n_lines, n_removed).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: Column, textCol: Column,
+                        domainCol: Column, maxDocFrac: Double = 0.5,
+                        minDocs: Int = 3,
+                        materialize: Boolean = true): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), domainCol.as("domain"),
+      textCol.as("text"))
+    val lines0 = base.select(col("doc_id"), col("domain"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lnorm", normText(col("line")))
+    val lines = if (materialize) lines0.persist() else lines0
+    val domDocs = base.groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val boiler = lines.filter(length(col("lnorm")) > 0)
+      .groupBy(col("domain"), col("lnorm"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .join(domDocs, "domain")
+      .filter(col("line_df") >= minDocs &&
+        col("line_df").cast("double") / col("n_docs").cast("double")
+          > maxDocFrac)
+      .select(col("domain"), col("lnorm"), lit(true).as("is_boiler"))
+    val kept = lines.join(boiler, Seq("domain", "lnorm"), "left")
+      .filter(col("is_boiler").isNull)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
 }

@@ -247,4 +247,79 @@ class DedupSpec extends SparkSpec {
     // the 20 identical docs: every chunk duplicated
     assert(a(3L) == ((2L, 2L, 1.0)))
   }
+
+  test("bloom bitmap: no false negatives, fpp within design bound") {
+    import spark.implicits._
+    val n = 2000L
+    val keys = (1L to n).toDF("k")
+    val (m, k) = Dedup.bloomSizing(n, 0.01)
+    val words = Dedup.buildBloomBitmap(keys, col("k"), m, k)
+    val contains = Dedup.bloomMightContain(words, m, k, col("k"))
+    // every inserted key MUST test positive
+    assert(keys.filter(!contains).count() == 0, "bloom false negative")
+    // fresh keys: false-positive rate near the design point (3x slack
+    // for the small-sample variance of 20k probes)
+    val fresh = (n + 1 to n + 20000).toDF("k")
+    val fp = fresh.filter(contains).count().toDouble / 20000
+    assert(fp <= 0.03, s"fp rate $fp exceeds 3x design fpp 0.01")
+  }
+
+  test("bloom index round-trips through parquet + meta sidecar") {
+    import spark.implicits._
+    val keys = (1L to 500L).toDF("k")
+    val (m, k) = Dedup.bloomSizing(500, 0.01)
+    val words = Dedup.buildBloomBitmap(keys, col("k"), m, k,
+      Dedup.CrossEngineHash)
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx")
+      .resolve("idx").toString
+    Dedup.writeBloomIndex(spark, words, m, k, Dedup.CrossEngineHash, dir)
+    val (w2, m2, k2, fam2) = Dedup.readBloomIndex(spark, dir)
+    assert(m2 == m && k2 == k && fam2 == Dedup.CrossEngineHash)
+    assert(java.util.Arrays.equals(words, w2))
+  }
+
+  test("bloomIncrementalExact matches plain anti-join semantics") {
+    import spark.implicits._
+    val corpus = Seq(
+      (2L, "stored doc alpha"), (4L, "stored doc beta"),
+      (6L, "stored doc alpha")).toDF("doc_id", "text") // 6 dups 2 in-corpus
+    val batch = Seq(
+      (1L, "stored doc ALPHA"),   // corpus dup of 2 (normalized)
+      (3L, "fresh doc gamma"),    // new
+      (5L, "fresh doc gamma"),    // within-batch dup of 3
+      (7L, "fresh doc delta")     // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomIncrementalExact(corpus, batch,
+        col("doc_id"), col("text"), fpp = 0.01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == ((false, Some(2L))), "corpus dup -> smallest corpus id")
+    assert(out(3L) == ((true, None)))
+    assert(out(5L) == ((false, Some(3L))), "batch dup -> smallest batch id")
+    assert(out(7L) == ((true, None)))
+  }
+
+  test("bloomIncrementalExact with persisted index == inline build; " +
+    "corpus never shuffles in the probe plan") {
+    val d = Tables.documents(spark, sf001)
+    val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val inline = Dedup.bloomIncrementalExact(corpus, batch,
+      col("doc_id"), col("text"))
+    val fps = corpus.select(graft.functions.F.hash64(
+      graft.operators.TextAnalysis.normText(col("text"))).as("fp"))
+    val (m, k) = Dedup.bloomSizing(math.max(corpus.count(), 1L), 0.01)
+    val words = Dedup.buildBloomBitmap(fps, col("fp"), m, k)
+    val indexed = Dedup.bloomIncrementalExact(corpus, batch,
+      col("doc_id"), col("text"), index = Some((words, m, k)))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)))).toSet
+    assert(key(inline) == key(indexed))
+    // scale property: the corpus side of the confirm join is semi-join
+    // pruned against a BROADCAST maybe-set — no corpus-side exchange
+    // feeds a sort-merge/shuffled-hash join anywhere in the plan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "maybe-set semi join must broadcast")
+  }
 }

@@ -174,4 +174,109 @@ class DeltaLogSpec extends SparkSpec {
     assert(viaLog == viaTable)
     assert(viaLog == Seq((1L, 1.0), (2L, 5.0), (3L, 3.0)))
   }
+
+  test("add actions carry footer-derived stats; skipped types are omitted") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "alpha", 1.5, java.sql.Date.valueOf("2024-03-01")),
+        (9L, "omega", -2.5, java.sql.Date.valueOf("2024-03-09")))
+        .toDF("k", "name", "v", "ds").coalesce(1), Seq("k"))
+    val adds = actions(dir, 0L).filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    val stats = mapper.readTree(adds.head.get("stats").asText)
+    assert(stats.get("numRecords").asLong == 2L)
+    val mins = stats.get("minValues"); val maxs = stats.get("maxValues")
+    assert(mins.get("k").asLong == 1L && maxs.get("k").asLong == 9L)
+    assert(mins.get("name").asText == "alpha" &&
+      maxs.get("name").asText == "omega")
+    assert(mins.get("v").asDouble == -2.5 && maxs.get("v").asDouble == 1.5)
+    // DATE renders as ISO strings, the Delta stats convention
+    assert(mins.get("ds").asText == "2024-03-01" &&
+      maxs.get("ds").asText == "2024-03-09")
+    assert(stats.get("nullCount").get("name").asLong == 0L)
+  }
+
+  test("checkpoint: classic parquet + _last_checkpoint; state matches " +
+    "full JSON replay and later commits replay on top") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    (0 until 4).foreach { i =>
+      Sinks.upsertParquet(spark, dir,
+        Seq((i.toLong, i * 1.0), (50L, i * 9.0)).toDF("k", "v"), Seq("k"),
+        checkpointInterval = 0) // manual checkpointing in this test
+    }
+    val cpV = Sinks.checkpointDeltaLog(spark, dir, 2L)
+    assert(cpV == 2L)
+    val logDir = Paths.get(dir, "_delta_log")
+    val cpFile = logDir.resolve(f"${2L}%020d.checkpoint.parquet")
+    assert(Files.isRegularFile(cpFile), "checkpoint is a single FILE")
+    val lc = mapper.readTree(Files.readString(
+      logDir.resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong == 2L && lc.get("size").asLong > 0)
+    // checkpoint rows: exactly one protocol, one metaData, adds = live set
+    val cp = spark.read.parquet(cpFile.toString)
+    assert(cp.where(col("protocol").isNotNull).count() == 1)
+    assert(cp.where(col("metaData").isNotNull).count() == 1)
+    val cpAdds = cp.where(col("add").isNotNull)
+      .select("add.path").as[String].collect().toSet
+    assert(cpAdds == Sinks.deltaLiveFiles(dir, 2L).toSet,
+      "checkpoint adds = pure-JSON replay at the checkpoint version")
+    // stats survive the checkpoint round-trip
+    val cpStats = cp.where(col("add").isNotNull)
+      .select("add.stats").as[String].collect()
+    assert(cpStats.forall(s => s != null &&
+      mapper.readTree(s).get("numRecords").asLong > 0))
+    // the checkpoint-aware reader resumes from the checkpoint and still
+    // sees version-3 state; row content matches the pointer read
+    assert(Sinks.readDeltaTableAt(spark, dir).orderBy("k").collect().toSeq
+      == Sinks.readUpsertTable(spark, dir).orderBy("k").collect().toSeq)
+    // time travel BELOW the checkpoint still answers via JSON replay
+    assert(Sinks.readDeltaTableAt(spark, dir, 1L).orderBy("k")
+      .collect().toSeq
+      == Sinks.readUpsertTableAt(spark, dir, 1L).orderBy("k")
+        .collect().toSeq)
+  }
+
+  test("upsertParquet auto-checkpoints every checkpointInterval commits") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    (0 until 3).foreach { i =>
+      Sinks.upsertParquet(spark, dir,
+        Seq((i.toLong, i * 1.0)).toDF("k", "v"), Seq("k"),
+        checkpointInterval = 2)
+    }
+    val logDir = Paths.get(dir, "_delta_log")
+    assert(Files.isRegularFile(
+      logDir.resolve(f"${2L}%020d.checkpoint.parquet")))
+    assert(mapper.readTree(Files.readString(
+      logDir.resolve("_last_checkpoint"))).get("version").asLong == 2L)
+  }
+
+  test("stats-based file skipping prunes disjoint-range files; results " +
+    "are exact either way") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    // clustered write -> each committed file covers a disjoint k range
+    // (the merge's own hash shuffle would otherwise scatter the ranges).
+    // AQE would rightly coalesce 1000 tiny rows to one file; hold it off
+    // so the test gets the multi-file layout a real table would have.
+    val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoal = spark.conf.get(coalKey, "true")
+    spark.conf.set(coalKey, "false")
+    try Sinks.upsertParquet(spark, dir,
+      spark.range(0, 1000).repartition(8).select(col("id").as("k"),
+        (col("id") % 7).as("v")), Seq("k"), clusterBy = Seq("k"))
+    finally spark.conf.set(coalKey, prevCoal)
+    val all = Sinks.deltaLiveAdds(spark, dir).map(_._1)
+    assert(all.size >= 4, s"expected multiple files, got ${all.size}")
+    val pruned = Sinks.deltaPrunedFiles(spark, dir, "k", 100L, 160L)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"stats must skip files: ${pruned.size} of ${all.size}")
+    val got = Sinks.readDeltaTablePruned(spark, dir, "k", 100L, 160L)
+      .orderBy("k").select("k").as[Long].collect().toSeq
+    assert(got == (100L to 160L).toSeq, "pruned read is exact")
+    // empty range -> empty frame with the table schema, no error
+    val empty = Sinks.readDeltaTablePruned(spark, dir, "k", 5000L, 6000L)
+    assert(empty.count() == 0 &&
+      empty.schema.fieldNames.toSet == Set("k", "v"))
+    // a column with no stats entry never prunes (missing = keep)
+    assert(Sinks.deltaPrunedFiles(spark, dir, "nope", 0, 1).size == all.size)
+  }
 }

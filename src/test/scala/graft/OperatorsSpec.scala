@@ -434,4 +434,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((1L, Some(0.4055))))
     assert(out(3L) == ((0L, None)), "sub-bigram docs score NULL")
   }
+
+  test("removeBoilerplate: domain-frequent lines drop, prose and " +
+    "rare lines stay, thresholds respected") {
+    val docs = Seq(
+      // domain A: footer in 4/4 docs (removed), promo in 2/4 (kept at
+      // 0.5 threshold — strict >), unique prose kept
+      (1L, "a.com", "intro one\nCookie  Notice\npromo line"),
+      (2L, "a.com", "intro two\ncookie notice"),
+      (3L, "a.com", "intro three\ncookie notice\npromo line"),
+      (4L, "a.com", "cookie notice"),
+      // domain B: same footer text but only 2 docs — under minDocs=3,
+      // NOT boilerplate here (frequency is domain-scoped)
+      (5L, "b.com", "other prose\ncookie notice"),
+      (6L, "b.com", "more prose\ncookie notice")
+    ).toDF("doc_id", "domain", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, col("doc_id"),
+        col("text"), col("domain"), maxDocFrac = 0.5, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("intro one\npromo line", 3L, 1L)),
+      "normalized match: 'Cookie  Notice' == 'cookie notice'")
+    assert(out(2L) == (("intro two", 2L, 1L)))
+    assert(out(3L) == (("intro three\npromo line", 3L, 1L)))
+    assert(out(4L) == (("", 1L, 1L)), "all-boilerplate doc -> empty text")
+    assert(out(5L) == (("other prose\ncookie notice", 2L, 0L)),
+      "2-doc domain is under minDocs — nothing removed")
+    assert(out(6L) == (("more prose\ncookie notice", 2L, 0L)))
+  }
 }
