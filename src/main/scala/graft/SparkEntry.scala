@@ -516,6 +516,32 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ---- similarity: multi-probe LSH ANN — each query also probes the
+    // Hamming-1 neighbor buckets per band, raising recall with no extra
+    // corpus-side index (Lv et al. 2007) ----
+    "q185_ann_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.lshTopKMultiProbe(e, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 5, probes = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- similarity: product-quantization ANN — per-subspace codebooks,
+    // corpus stored as codes, asymmetric-distance scoring (Jégou 2011);
+    // ADC terms snapshot to DECIMAL so the rank order is associative ----
+    "q186_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.pqTopK(e, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -1863,6 +1889,19 @@ object SparkEntry {
           col("epoch").cast("long").as("epoch"))
     }),
 
+    // ---- corpus curation: temperature mix — per-domain weights derived
+    // from MEASURED counts flattened by alpha=0.5 (the multilingual-LM
+    // sampling rule), then the q154 deterministic copy machinery ----
+    "q187_temperature_mix" -> ((s, d) => {
+      val doc = Tables.documents(s, d).withColumn("corpus",
+        when(col("n_chars") < 250, "short")
+          .when(col("n_chars") < 350, "mid").otherwise("long"))
+      graft.operators.Sampling.temperatureMix(doc, col("doc_id"),
+          col("corpus"), alpha = 0.5, targetRows = 1000)
+        .select(col("doc_id"), col("corpus"),
+          col("epoch").cast("long").as("epoch"))
+    }),
+
     // ---- sequence packing: concat-and-split the id-ordered token stream
     // into 512-token training packs (docs may span pack boundaries); the
     // global token prefix sum is computed bucketed, never one partition ----
@@ -2364,6 +2403,100 @@ object SparkEntry {
       }.mkString("\n     + ")
       s"SELECT id, ($terms) * $bands + $b AS bucket FROM e"
     }.mkString("\n  UNION ALL ")
+  }
+
+  /** Product-quantization ANN: per-subspace seeds → one Lloyd pass
+    * (6dp-rounded means) → encode → ADC. Subspace L2 is dot-assembled
+    * (|a|² − 2ab + |b|²) and ADC terms snapshot to DECIMAL(28,10) before
+    * summing — both mirrored from the Scala operator so ranks replay
+    * exactly.
+    */
+  private def q186Oracle: String = {
+    val mSub = 8; val subDim = 8; val nCodes = 16
+    def l2 = (a: String, b: String) =>
+      s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+        s" + list_dot_product($b, $b))"
+    val subBranches = (0 until mSub).map { s =>
+      s"SELECT id, $s AS sub, v[${s * subDim + 1}:${(s + 1) * subDim}] AS sv FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (
+       |  $subBranches),
+       |c0 AS (SELECT sub, CAST(id AS INT) AS code, sv AS cv
+       |  FROM subs WHERE id < $nCodes),
+       |asg0 AS (SELECT s.id, s.sub, s.sv, c0.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+       |      ORDER BY ${l2("s.sv", "c0.cv")} ASC, c0.code) AS rn
+       |  FROM subs s JOIN c0 USING (sub)),
+       |m AS (SELECT sub, code, t.i AS pos, ROUND(AVG(sv[t.i]), 6) AS mx
+       |  FROM asg0, (SELECT UNNEST(range(1, ${subDim + 1})) AS i) t
+       |  WHERE rn = 1 GROUP BY sub, code, t.i),
+       |books AS (SELECT sub, code, list(mx ORDER BY pos) AS cv
+       |  FROM m GROUP BY sub, code),
+       |enc AS (SELECT id, sub, code FROM (
+       |  SELECT s.id, s.sub, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+       |      ORDER BY ${l2("s.sv", "b.cv")} ASC, b.code) AS rn
+       |  FROM subs s JOIN books b USING (sub)) WHERE rn = 1),
+       |qtab AS (SELECT s.id AS qid, s.sub, b.code,
+       |    CAST(${l2("s.sv", "b.cv")} AS DECIMAL(28,10)) AS d
+       |  FROM subs s JOIN books b USING (sub) WHERE s.id < 20),
+       |scored AS (SELECT q.qid AS query_id, enc.id AS corpus_id,
+       |    SUM(d) AS adcd
+       |  FROM enc JOIN qtab q ON enc.sub = q.sub AND enc.code = q.code
+       |  WHERE q.qid <> enc.id GROUP BY 1, 2)
+       |SELECT query_id, corpus_id, CAST(adcd AS DOUBLE) AS adc,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adcd ASC, corpus_id) AS rn FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** Multi-probe LSH: q35's corpus band CTE plus a query-side probe CTE —
+    * for each band, the query's own bucket and its Hamming-1 flips on the
+    * lowest `probes` sign bits (xor on the packed value before the
+    * `* bands + b` encoding).
+    */
+  private def q185Oracle: String = {
+    val bits = 64; val dim = 64; val bands = 8; val bandBits = bits / bands
+    val probes = 2
+    val pl = Similarity.planes(bits, dim)
+    def planeLit(p: Int): String = pl(p).mkString("[", ", ", "]")
+    def packedExpr(b: Int): String =
+      (0 until bandBits).map { r =>
+        val p = b * bandBits + r
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString("(", "\n     + ", ")")
+    val qbBranches = (0 until bands).flatMap { b =>
+      val packed = packedExpr(b)
+      s"SELECT id, $packed * $bands + $b AS bucket FROM q" +:
+        (0 until probes).map(r =>
+          s"SELECT id, xor($packed, ${1L << r}) * $bands + $b AS bucket FROM q")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE id < 20),
+       |bd AS (
+       |  $dkLshBandCte),
+       |qb AS (SELECT DISTINCT id, bucket FROM (
+       |  $qbBranches)),
+       |rk AS (SELECT id, bucket,
+       |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS rn
+       |       FROM bd),
+       |cand AS (SELECT DISTINCT a.id AS query_id, b.id AS corpus_id
+       |         FROM qb a JOIN rk b
+       |         ON a.bucket = b.bucket AND a.id <> b.id AND b.rn <= 64),
+       |scored AS (
+       |  SELECT c.query_id, c.corpus_id,
+       |    CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
+       |           OR sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0.0
+       |         ELSE list_dot_product(ea.v, eb.v)
+       |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |    END AS cos
+       |  FROM cand c JOIN e ea ON ea.id = c.query_id JOIN e eb ON eb.id = c.corpus_id)
+       |SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
+       |WHERE rn <= 5""".stripMargin
   }
 
   private def q35Oracle: String = {
@@ -3485,6 +3618,8 @@ object SparkEntry {
     "q29_simhash" -> q29Oracle,
     "q57_simhash_neardup" -> q57Oracle,
     "q35_ann_lsh" -> q35Oracle,
+    "q185_ann_multiprobe" -> q185Oracle,
+    "q186_ann_pq" -> q186Oracle,
     "q40_embedding_neardup" -> q40Oracle,
 
     "q36_multimodal" ->
@@ -4481,6 +4616,29 @@ object SparkEntry {
         |        % 1000000 AS DOUBLE) / 1000000.0 < w - FLOOR(w)
         |      THEN 1 ELSE 0 END) AS copies
         |  FROM d)
+        |SELECT doc_id, corpus, CAST(UNNEST(range(1, copies + 1)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
+
+    // temperature mix: weights derived from measured domain counts
+    // (round to 6dp exactly as the operator does), then q154's copy rule
+    "q187_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 250 THEN 'short'
+        |         WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS corpus
+        |  FROM documents),
+        |n AS (SELECT corpus, count(*) AS n FROM d GROUP BY corpus),
+        |z AS (SELECT SUM(pow(n, 0.5)) AS z FROM n),
+        |w AS (SELECT corpus,
+        |    ROUND(1000 * pow(n, 0.5) / z / n, 6) AS w
+        |  FROM n CROSS JOIN z),
+        |c AS (
+        |  SELECT doc_id, d.corpus,
+        |    CAST(FLOOR(w) AS BIGINT) +
+        |    (CASE WHEN CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 AS DOUBLE) / 1000000.0 < w - FLOOR(w)
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM d JOIN w ON d.corpus = w.corpus)
         |SELECT doc_id, corpus, CAST(UNNEST(range(1, copies + 1)) AS BIGINT) AS epoch
         |FROM c WHERE copies > 0""".stripMargin,
 

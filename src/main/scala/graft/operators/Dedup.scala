@@ -920,23 +920,47 @@ object Dedup {
     }.reduce(_ && _)
   }
 
-  /** Persist a bitmap as a one-column parquet of words (index order) plus
-    * a `_bloom_meta.json` sidecar (mBits, k, hash family) — the
-    * build-once/probe-forever corpus index for [[bloomIncrementalExact]].
+  /** Persist a bitmap as a one-column parquet of words (index order)
+    * named by a `_bloom_meta.json` sidecar (mBits, k, hash family, words
+    * dir) — the build-once/probe-forever corpus index for
+    * [[bloomIncrementalExact]]. The write is CRASH-SAFE generationally:
+    * words land in a fresh `words-<uuid>` dir first and the meta swap
+    * (tmp + ATOMIC_MOVE) publishes them last, so a reader never observes
+    * a torn bitmap — a torn bitmap would mean false negatives, the one
+    * failure a dedup bloom must never have. Superseded word dirs are
+    * cleaned after the swap.
     */
   def writeBloomIndex(spark: org.apache.spark.sql.SparkSession,
                       words: Array[Long], mBits: Long, k: Int,
                       fam: HashFamily, path: String): Unit = {
     import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val gen = s"words-${java.util.UUID.randomUUID().toString.take(8)}"
+    Files.createDirectories(Paths.get(path))
     words.toSeq.toDF("word").coalesce(1)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(Paths.get(path, gen).toString)
     val famName = fam match {
       case XxHash => "xxhash"
       case CrossEngineHash => "crossengine"
     }
-    val meta = s"""{"mBits":$mBits,"k":$k,"family":"$famName"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_bloom_meta.json"), meta)
+    val meta =
+      s"""{"mBits":$mBits,"k":$k,"family":"$famName","dir":"$gen"}"""
+    val tmp = Paths.get(path, "_bloom_meta.json.tmp")
+    Files.writeString(tmp, meta)
+    Files.move(tmp, Paths.get(path, "_bloom_meta.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ls = Files.list(Paths.get(path))
+    try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("words-") &&
+        p.getFileName.toString != gen)
+      .toSeq.foreach { stale =>
+        val walk = Files.walk(stale)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    finally ls.close()
   }
 
   /** Load a persisted bloom index: (words, mBits, k, family). */
@@ -953,7 +977,9 @@ object Dedup {
     }
     val words = new Array[Long]((mBits / 64L).toInt)
     // the coalesce(1) write preserves index order within the single part
-    spark.read.parquet(path).collect()
+    spark.read.parquet(
+        java.nio.file.Paths.get(path, meta.get("dir").asText()).toString)
+      .collect()
       .zipWithIndex.foreach { case (r, i) => words(i) = r.getLong(0) }
     (words, mBits, k, fam)
   }

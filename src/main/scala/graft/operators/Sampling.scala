@@ -68,6 +68,44 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-flattened domain mix — the multilingual-LM sampling rule
+    * (Conneau & Lample 2019, arXiv:1901.07291 §3.1; mT5's α-sampling):
+    * each domain's share of the mixed corpus is ∝ n_d^alpha, so alpha=1
+    * keeps natural proportions and alpha→0 approaches uniform-per-domain,
+    * boosting low-resource domains without hand-written weights. Domain
+    * counts are measured (one hash aggregate), per-domain copy weights
+    * derive as `targetRows · n_d^alpha / Σ n^alpha / n_d` (rounded to
+    * 6dp so the float replays across engines), and [[corpusMix]] applies
+    * them with its deterministic fractional-copy ticket.
+    *
+    * Scale: the only driver-side state is one row per DOMAIN (bounded by
+    * `maxDomains` with a loud error — a high-cardinality column here is
+    * a mis-specified mix, not a big corpus). Everything row-scale stays
+    * in [[corpusMix]]'s explode: no joins, no extra shuffle.
+    */
+  def temperatureMix(df: DataFrame, keyCol: Column, domainCol: Column,
+                     alpha: Double, targetRows: Long,
+                     seed: String = "mix",
+                     maxDomains: Int = 100000): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(domainCol.as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxDomains + 1).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.length <= maxDomains,
+      s"temperatureMix: more than $maxDomains distinct domains — this " +
+        "collect is per-DOMAIN state; a key this wide is not a mix axis")
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val weights = counts.map { case (d, n) =>
+      d -> BigDecimal(
+          targetRows.toDouble * math.pow(n.toDouble, alpha) / z / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq
+    corpusMix(df, keyCol, domainCol, weights, seed)
+  }
+
   /** Deterministic global training-order shuffle + sharding: every row
     * gets a shard (hash-assigned) and a dense 0-based position inside its
     * shard (hash order, key tie-break). Reading shards in index order and

@@ -145,13 +145,22 @@ object Similarity {
     * packed-signature extraction bit for bit.
     */
   private def bandBuckets(vec: Column, bands: Int, bandBits: Int,
-                          dim: Int): Seq[Column] = {
+                          dim: Int): Seq[Column] =
+    bandPacked(vec, bands, bandBits, dim).zipWithIndex
+      .map { case (p, b) => p * bands + b }
+
+  /** The raw packed sign bits per band (before band-index encoding) —
+    * the form multi-probe needs, since a Hamming-1 neighbor bucket is an
+    * XOR on the PACKED value.
+    */
+  private def bandPacked(vec: Column, bands: Int, bandBits: Int,
+                         dim: Int): Seq[Column] = {
     val pl = planes(bands * bandBits, dim)
     (0 until bands).map { b =>
       (0 until bandBits).map { r =>
         val planeArr = array(pl(b * bandBits + r).map(lit).toSeq: _*)
         when(dot(vec, planeArr) > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _) * bands + b
+      }.reduce(_ + _)
     }
   }
 
@@ -211,6 +220,64 @@ object Similarity {
     cand
       .join(base.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
       .join(base.select(col("id").as("corpus_id"), col("vec").as("cvec")), "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** Multi-probe LSH ANN (Lv et al. 2007, "Multi-Probe LSH"): each query
+    * probes its own bucket PLUS the `probes` nearest neighbor buckets per
+    * band — the buckets at Hamming distance 1 on the band's lowest sign
+    * bits. A near-neighbor that fell just across one hyperplane lands in
+    * exactly such a bucket, so recall rises WITHOUT adding bands — at 100
+    * TB that trade matters: extra bands re-shuffle and re-store the whole
+    * corpus index, extra probes only multiply the QUERY side's lookup
+    * rows (|queries|·bands·(1+probes), corpus untouched).
+    *
+    * Same bounded-bucket discipline as [[lshTopK]]: the corpus side of
+    * the candidate join is truncated to each bucket's `maxBucket`
+    * smallest ids, candidates dedup before the exact cosine re-rank.
+    * Output: (query_id, corpus_id, cos, rank) for each query in
+    * `queries`, rank ≤ k.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, idCol: Column, vecCol: Column,
+                        queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                        k: Int = 10, bits: Int = 64, bands: Int = 8,
+                        dim: Int = 64, maxBucket: Int = 64,
+                        probes: Int = 2,
+                        materialize: Boolean = true): DataFrame = {
+    val bandBits = bits / bands
+    val nFlips = math.min(probes, bandBits)
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val qBase = queries.select(qIdCol.as("qid"), qVecCol.as("qvec"))
+    val banded0 = base.select(col("id"),
+      explode(array(bandBuckets(col("vec"), bands, bandBits, dim): _*))
+        .as("bucket"))
+    val banded = if (materialize) banded0.persist() else banded0
+    val wRank = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val corpusSide = banded.withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    // query probe set: own bucket + Hamming-1 flips of the packed bits
+    val probeCols = bandPacked(col("qvec"), bands, bandBits, dim)
+      .zipWithIndex.flatMap { case (packed, b) =>
+        (packed * bands + b) +:
+          (0 until nFlips).map(r =>
+            packed.bitwiseXOR(lit(1L << r)) * bands + b)
+      }
+    val qBanded = qBase.select(col("qid"),
+      explode(array(probeCols: _*)).as("bucket")).distinct()
+    val cand = qBanded.join(corpusSide, "bucket")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("corpus_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cand
+      .join(qBase.select(col("qid").as("query_id"), col("qvec")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("vec").as("cvec")),
+        "corpus_id")
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -284,6 +351,96 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): vectors split into `mSub` subvectors;
+    * each subspace trains its own `nCodes`-entry codebook (deterministic
+    * smallest-id seeds + Lloyd with 6dp-rounded means — [[ivfTopK]]'s
+    * recipe per subspace, L2 in the subspace); a corpus vector stores
+    * only its per-subspace nearest-centroid CODES — mSub small ints
+    * instead of dim doubles, the ~32× compression that keeps a
+    * billion-vector index RAM-resident. Queries score by Asymmetric
+    * Distance Computation: one (sub, code) → distance table per query
+    * (mSub·nCodes entries against the RAW query subvectors), candidates
+    * score as the sum of their codes' table entries.
+    *
+    * Cross-engine determinism: subspace L2 is assembled from dot
+    * products (|a|² − 2a·b + |b|²) so both engines compute the identical
+    * double; the ADC sum snapshots each term to DECIMAL(28,10) before
+    * aggregating — decimal addition is associative, so the rank order
+    * cannot depend on partial-aggregation order (a raw double sum
+    * could ULP-flip ranks between runs, let alone engines).
+    *
+    * Scale shape: training and encoding are the bounded
+    * broadcast-codebook assignment per subspace (mSub·nCodes rows
+    * broadcast — compute, not shuffle); ADC is a hash join of the corpus
+    * code table against the broadcast query distance tables plus one
+    * grouped sum — the n·|queries|·mSub lookup volume IS the ADC
+    * algorithm, with map-side partial sums collapsing it to
+    * n·|queries| rows on the wire.
+    *
+    * Output: (query_id, corpus_id, adc, rank), rank ≤ k by ascending
+    * ADC distance.
+    */
+  def pqTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+             queries: DataFrame, qIdCol: Column, qVecCol: Column,
+             k: Int = 10, mSub: Int = 8, nCodes: Int = 16,
+             dim: Int = 64, lloydIters: Int = 1,
+             materialize: Boolean = true): DataFrame = {
+    require(dim % mSub == 0, s"dim $dim must divide into $mSub subspaces")
+    val subDim = dim / mSub
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val qBase = queries.select(qIdCol.as("qid"), qVecCol.as("qvec"))
+    def subsOf(df: DataFrame, idName: String, vecName: String) =
+      df.select(col(idName), explode(array((0 until mSub).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecName), s * subDim + 1, subDim).as("sv"))): _*))
+        .as("u"))
+        .select(col(idName), col("u.sub").as("sub"), col("u.sv").as("sv"))
+    val cSubs0 = subsOf(base, "id", "vec")
+    val cSubs = if (materialize) cSubs0.persist() else cSubs0
+    // dot-assembled L2²: both engines produce the identical double
+    def l2sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val seed = cSubs.filter(col("id") < nCodes)
+      .select(col("sub"), col("id").cast("int").as("code"),
+        col("sv").as("cv"))
+    val wAsg = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__d").asc, col("code"))
+    def assign(books: DataFrame): DataFrame =
+      cSubs.join(broadcast(books), "sub")
+        .withColumn("__d", l2sq(col("sv"), col("cv")))
+        .withColumn("__cr", row_number().over(wAsg))
+        .filter(col("__cr") === 1)
+    val books = (0 until lloydIters).foldLeft(seed) { (cb, _) =>
+      assign(cb)
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), s => round(s.getField("m"), 6)).as("cv"))
+    }
+    val enc0 = assign(books).select(col("id"), col("sub"), col("code"))
+    val enc = if (materialize) enc0.persist() else enc0
+    val qTab = subsOf(qBase, "qid", "qvec")
+      .join(broadcast(books), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        l2sq(col("sv"), col("cv")).cast("decimal(28,10)").as("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adcd").asc, col("corpus_id").asc)
+    enc.join(broadcast(qTab), Seq("sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("corpus_id"))
+      .agg(sum(col("d")).as("adcd"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        col("adcd").cast("double").as("adc"), col("rank"))
   }
 
   /** `lshTopK` with band width scaled to the measured corpus size (one

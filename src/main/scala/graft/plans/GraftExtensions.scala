@@ -51,6 +51,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) =>
           GraftExtensions.modelPlan(model, args)))
     }
+    // Delta-log table functions: `delta_at(path[, version])` time-travels
+    // a generational MERGE table through its transaction log alone, and
+    // `delta_range(path, col, lo, hi)` answers a range predicate with
+    // stats-based file skipping — the SQL spelling of
+    // Sinks.readDeltaTableAt / readDeltaTablePruned.
+    ext.injectTableFunction((
+      FunctionIdentifier("delta_at"),
+      new ExpressionInfo("graft.sources", "delta_at"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "delta_at(path[, version]) takes 1 or 2 arguments")
+        val path = GraftExtensions.litValue(args(0), "delta_at", 1).toString
+        val v = if (args.length == 2)
+          GraftExtensions.litValue(args(1), "delta_at", 2) match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"delta_at version must be numeric, got $other")
+          }
+        else Long.MaxValue
+        graft.sources.Sinks.readDeltaTableAt(SparkSession.active, path, v)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("delta_range"),
+      new ExpressionInfo("graft.sources", "delta_range"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "delta_range(path, col, lo, hi) takes 4 arguments")
+        val path = GraftExtensions.litValue(args(0), "delta_range", 1).toString
+        val colName = GraftExtensions.litValue(args(1), "delta_range", 2).toString
+        val lo = GraftExtensions.litValue(args(2), "delta_range", 3)
+        val hi = GraftExtensions.litValue(args(3), "delta_range", 4)
+        graft.sources.Sinks.readDeltaTablePruned(SparkSession.active,
+          path, colName, lo, hi).queryExecution.logical
+      }))
   }
 }
 
@@ -67,6 +102,22 @@ object GraftExtensions {
       .foldLeft(Vector.empty[(String, String)]) { (acc, kv) =>
         if (acc.exists(_._1 == kv._1)) acc else acc :+ kv
       }
+
+  /** Evaluate a foldable TVF argument to an external JVM value (Catalyst
+    * internals like UTF8String / date ints are converted).
+    */
+  private[plans] def litValue(e: Expression, fn: String, i: Int): Any = {
+    require(e.foldable, s"$fn argument $i must be a literal")
+    val v = e.eval()
+    require(v != null, s"$fn argument $i is null")
+    e.dataType match {
+      case org.apache.spark.sql.types.StringType => v.toString
+      case org.apache.spark.sql.types.DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .daysToLocalDate(v.asInstanceOf[Int]).toString
+      case _ => v
+    }
+  }
 
   /** Resolve one model TVF invocation to its logical plan. Runs at
     * analysis time: arguments must be foldable literals (the reference's

@@ -32,8 +32,59 @@ import org.apache.spark.sql.functions._
   */
 object GraftSql {
 
-  /** Run a SQL query, accepting a top-level QUALIFY clause. */
+  /** Run a SQL query, accepting a top-level QUALIFY clause and the
+    * table-maintenance statements ([[maintenance]]).
+    */
   def sql(spark: SparkSession, text: String): DataFrame =
+    maintenance(spark, text).getOrElse(sqlQuery(spark, text))
+
+  /** Table-maintenance statements over the generational MERGE tables —
+    * the SQL spelling of the Delta-style upkeep loop:
+    *
+    *   OPTIMIZE '<path>' [TARGET <bytes>]    → small-file compaction
+    *     ([[graft.sources.Sinks.compactUpsertTable]]; dataChange=false
+    *     commit)
+    *   CHECKPOINT '<path>' [AT <version>]    → write the classic parquet
+    *     checkpoint + `_last_checkpoint`
+    *     ([[graft.sources.Sinks.checkpointDeltaLog]])
+    *   VACUUM '<path>' [RETAIN <n> COMMITS]  → drop crashed `_txn-*`
+    *     staging dirs and pre-checkpoint JSON commits
+    *     ([[graft.sources.Sinks.cleanStagedUpserts]] +
+    *     [[graft.sources.Sinks.cleanDeltaLog]])
+    *
+    * Each returns a one-row summary frame. Anything else returns None
+    * and falls through to the query path — valid Spark SQL never
+    * regresses.
+    */
+  private def maintenance(spark: SparkSession,
+                          text: String): Option[DataFrame] = {
+    import spark.implicits._
+    val Opt = """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+    val Cp = """(?is)\s*CHECKPOINT\s+'([^']+)'(?:\s+AT\s+(\d+))?\s*;?\s*""".r
+    val Vac = """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*;?\s*""".r
+    text match {
+      case Opt(path, target) =>
+        val tb = Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024)
+        val (before, after) =
+          graft.sources.Sinks.compactUpsertTable(spark, path, tb)
+        Some(Seq((path, "OPTIMIZE", before.toLong, after.toLong))
+          .toDF("path", "operation", "files_before", "files_after"))
+      case Cp(path, v) =>
+        val ver = graft.sources.Sinks.checkpointDeltaLog(spark, path,
+          Option(v).map(_.toLong).getOrElse(-1L))
+        Some(Seq((path, "CHECKPOINT", ver))
+          .toDF("path", "operation", "version"))
+      case Vac(path, retain) =>
+        val staged = graft.sources.Sinks.cleanStagedUpserts(path)
+        val logs = graft.sources.Sinks.cleanDeltaLog(path,
+          Option(retain).map(_.toInt).getOrElse(0))
+        Some(Seq((path, "VACUUM", staged.toLong, logs.toLong))
+          .toDF("path", "operation", "staged_removed", "commits_removed"))
+      case _ => None
+    }
+  }
+
+  private def sqlQuery(spark: SparkSession, text: String): DataFrame =
     splitQualify(text) match {
       case None => spark.sql(text)
       case Some((body, pred, tail)) =>

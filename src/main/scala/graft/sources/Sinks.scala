@@ -513,11 +513,22 @@ object Sinks {
     * cadence that is the difference between reading a bounded snapshot
     * and re-parsing the table's entire history on every query.
     */
-  private[graft] def deltaLiveAdds(spark: SparkSession, tablePath: String,
-      version: Long = Long.MaxValue): Seq[(String, Option[String])] = {
+  /** Full state reconstruction at `version`: (path → add node) plus the
+    * last `metaData` action, starting from the `_last_checkpoint` parquet
+    * when one exists at or below the requested version and replaying only
+    * the JSON tail past it. The ONLY correct base after [[cleanDeltaLog]]
+    * has pruned pre-checkpoint history — every state consumer
+    * ([[deltaLiveAdds]], [[checkpointDeltaLog]]) goes through here.
+    */
+  private def deltaStateWithMeta(spark: SparkSession, tablePath: String,
+      version: Long)
+      : (scala.collection.mutable.LinkedHashMap[String,
+          com.fasterxml.jackson.databind.JsonNode],
+         Option[com.fasterxml.jackson.databind.JsonNode]) = {
     import java.nio.file.{Files, Paths}
     val live = scala.collection.mutable.LinkedHashMap[String,
       com.fasterxml.jackson.databind.JsonNode]()
+    var meta: Option[com.fasterxml.jackson.databind.JsonNode] = None
     val lastCp = Paths.get(tablePath, "_delta_log", "_last_checkpoint")
     val cpVersion: Long =
       if (!Files.exists(lastCp)) -1L
@@ -528,8 +539,8 @@ object Sinks {
           f"$v%020d.checkpoint.parquet")
         if (v <= version && Files.exists(cpFile)) {
           val mapper = jsonMapper
-          spark.read.parquet(cpFile.toString)
-            .where(col("add").isNotNull)
+          val cp = spark.read.parquet(cpFile.toString)
+          cp.where(col("add").isNotNull)
             .select(col("add.path"), col("add.size"),
               col("add.modificationTime"), col("add.stats"))
             .collect().foreach { r =>
@@ -540,12 +551,28 @@ object Sinks {
               if (!r.isNullAt(3)) n.put("stats", r.getString(3))
               live(r.getString(0)) = n
             }
+          meta = cp.where(col("metaData").isNotNull)
+            .select(col("metaData.id"), col("metaData.schemaString"),
+              col("metaData.createdTime"))
+            .collect().headOption.map { r =>
+              val n = mapper.createObjectNode()
+              n.put("id", r.getString(0))
+              n.put("schemaString", r.getString(1))
+              if (!r.isNullAt(2)) n.put("createdTime", r.getLong(2))
+              n
+            }
           v
         } else -1L
       }
-    replayJsonRange(tablePath, cpVersion, version, live)
-    live.toSeq.map { case (p, n) =>
-      (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
+    val tailMeta = replayJsonRange(tablePath, cpVersion, version, live)
+    (live, tailMeta.orElse(meta))
+  }
+
+  private[graft] def deltaLiveAdds(spark: SparkSession, tablePath: String,
+      version: Long = Long.MaxValue): Seq[(String, Option[String])] = {
+    deltaStateWithMeta(spark, tablePath, version)._1.toSeq.map {
+      case (p, n) =>
+        (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
     }
   }
 
@@ -566,9 +593,7 @@ object Sinks {
     require(logged.nonEmpty, s"no _delta_log commits under $tablePath")
     val v = if (version < 0) logged.max else version
     require(logged.contains(v), s"version $v is not a logged commit")
-    val live = scala.collection.mutable.LinkedHashMap[String,
-      com.fasterxml.jackson.databind.JsonNode]()
-    val meta = replayJsonRange(tablePath, -1L, v, live)
+    val (live, meta) = deltaStateWithMeta(spark, tablePath, v)
     require(meta.nonEmpty, s"no metaData action at or below version $v")
     val m = meta.get
 
@@ -628,11 +653,47 @@ object Sinks {
     Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(tmpDir)
-    val lcTmp = logDir.resolve("_last_checkpoint.tmp")
-    Files.writeString(lcTmp, s"""{"version":$v,"size":${rows.size}}""")
-    Files.move(lcTmp, logDir.resolve("_last_checkpoint"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // never move the pointer BACKWARDS (re-checkpointing an old version
+    // for inspection must not make newer state reconstruction slower)
+    val lc = logDir.resolve("_last_checkpoint")
+    val prevV =
+      if (Files.exists(lc))
+        jsonMapper.readTree(Files.readString(lc)).get("version").asLong()
+      else -1L
+    if (v >= prevV) {
+      val lcTmp = logDir.resolve("_last_checkpoint.tmp")
+      Files.writeString(lcTmp, s"""{"version":$v,"size":${rows.size}}""")
+      Files.move(lcTmp, lc,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     v
+  }
+
+  /** Log retention: delete JSON commit files STRICTLY BELOW the last
+    * checkpoint (minus an optional `keepTail` of history directly below
+    * it) — the Delta metadata-cleanup rule. State at or above the
+    * checkpoint reconstructs from the checkpoint parquet + later JSONs;
+    * history below it was only reachable by full replay, which the
+    * checkpoint supersedes. No-op (returns 0) when no checkpoint exists:
+    * cleanup must never orphan the only copy of the state. Returns the
+    * number of commit files deleted.
+    */
+  def cleanDeltaLog(tablePath: String, keepTail: Int = 0): Int = {
+    import java.nio.file.{Files, Paths}
+    require(keepTail >= 0, "keepTail must be >= 0")
+    val lastCp = Paths.get(tablePath, "_delta_log", "_last_checkpoint")
+    if (!Files.exists(lastCp)) return 0
+    val cpV = jsonMapper.readTree(Files.readString(lastCp))
+      .get("version").asLong()
+    if (!Files.exists(Paths.get(tablePath, "_delta_log",
+        f"$cpV%020d.checkpoint.parquet"))) return 0
+    val cutoff = cpV - keepTail
+    val victims = deltaLogVersions(tablePath).filter(_ < cutoff)
+    victims.foreach { v =>
+      Files.deleteIfExists(
+        Paths.get(tablePath, "_delta_log", f"$v%020d.json"))
+    }
+    victims.size
   }
 
   /** The live files at `version` that can contain a value of `colName`

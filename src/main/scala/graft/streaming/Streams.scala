@@ -438,6 +438,104 @@ object Streams {
         }
       }
 
+  /** Streaming EXACT-dedup admission from a persisted BLOOM index — the
+    * O(batch)-per-trigger form of exact-grain corpus admission
+    * ([[indexedDedupAdmissionSink]]'s sibling for whole-document hashes,
+    * no LSH needed). Per trigger: the batch probes the stored bitmap at
+    * scan speed; only bloom-maybe rows reach the confirmation join whose
+    * corpus side is broadcast-semi-pruned
+    * ([[graft.operators.Dedup.bloomIncrementalExact]]); admitted docs
+    * merge into the corpus table and their fingerprints OR into the
+    * bitmap (bloom union is bitwise OR), which re-persists atomically.
+    *
+    * Crash ordering: the bitmap is written BEFORE the corpus merge. A
+    * bitmap ahead of the corpus only over-routes rows to the confirm
+    * join (safe); a bitmap behind the corpus would admit exact dups
+    * unchecked (never allowed to happen). A retried batch cannot reject
+    * itself: corpus rows carrying the batch's own ids are excluded from
+    * the confirmation join.
+    *
+    * Capacity: the bitmap is sized for `expectedItems` up front; when
+    * admissions exceed that capacity (tracked in a sidecar, no corpus
+    * scans in the steady state), the bitmap REBUILDS from the corpus at
+    * double capacity — amortized O(1) per admitted doc, and the fpp
+    * contract holds at any corpus size instead of silently degrading.
+    */
+  def bloomDedupAdmissionSink(corpusPath: String, indexPath: String,
+                              idColName: String = "doc_id",
+                              textColName: String = "text",
+                              expectedItems: Long = 1L << 20,
+                              fpp: Double = 0.01,
+                              fam: graft.operators.Dedup.HashFamily =
+                                graft.operators.Dedup.XxHash)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val Dedup = graft.operators.Dedup
+        val Sinks = graft.sources.Sinks
+        import java.nio.file.{Files, Paths}
+        val countFile = Paths.get(indexPath, "_admitted_count.json")
+        def readCount(): Long =
+          if (Files.exists(countFile))
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(Files.readString(countFile)).get("n").asLong()
+          else 0L
+        def capacityOf(mBits: Long): Long = {
+          val ln2 = math.log(2.0)
+          (mBits * ln2 * ln2 / -math.log(fpp)).toLong.max(1L)
+        }
+        val hasCorpus = Files.exists(Paths.get(corpusPath, "_CURRENT"))
+        def corpusNow() =
+          if (hasCorpus) Sinks.readUpsertTable(spark, corpusPath)
+          else batch.limit(0)
+        def fpsOf(df: DataFrame) = df.select(
+          fam.hash(graft.operators.TextAnalysis.normText(col(textColName)))
+            .as("fp"))
+        // load-or-init; rebuild at double capacity when admissions have
+        // outgrown the design point (one corpus scan, amortized-rare)
+        var (words, m, k) =
+          if (Files.exists(Paths.get(indexPath, "_bloom_meta.json"))) {
+            val (w0, m0, k0, _) = Dedup.readBloomIndex(spark, indexPath)
+            if (readCount() > capacityOf(m0)) {
+              val (m1, k1) = Dedup.bloomSizing(
+                math.max(readCount() * 2, expectedItems), fpp)
+              (Dedup.buildBloomBitmap(fpsOf(corpusNow()), col("fp"),
+                m1, k1, fam), m1, k1)
+            } else (w0, m0, k0)
+          } else {
+            val (m0, k0) = Dedup.bloomSizing(expectedItems, fpp)
+            (new Array[Long]((m0 / 64L).toInt), m0, k0)
+          }
+        // a retried batch must not reject itself against its own
+        // previous partial admission
+        val batchIds = batch.select(col(idColName)).distinct()
+        val corpus = corpusNow().join(broadcast(batchIds),
+          Seq(idColName), "left_anti")
+        val verdict = Dedup.bloomIncrementalExact(corpus, batch,
+          col(idColName), col(textColName), fpp, fam,
+          index = Some((words, m, k)))
+        val admitted = batch.join(
+          verdict.filter(col("is_admitted"))
+            .select(col("doc_id").as(idColName)), idColName)
+          .localCheckpoint(true)
+        try {
+          val nAdmitted = admitted.count()
+          if (nAdmitted > 0) {
+            val newBits = Dedup.buildBloomBitmap(fpsOf(admitted),
+              col("fp"), m, k, fam)
+            var i = 0
+            while (i < words.length) { words(i) |= newBits(i); i += 1 }
+            val prevCount = readCount()
+            // bitmap first, then corpus (see ordering note above)
+            Dedup.writeBloomIndex(spark, words, m, k, fam, indexPath)
+            Files.writeString(countFile,
+              s"""{"n":${prevCount + nAdmitted}}""")
+            Sinks.upsertParquet(spark, corpusPath, admitted, Seq(idColName))
+          }
+        } finally admitted.unpersist()
+      }
+
   /** Batch replay of a change feed: the table [[changeFeedSink]] converges
     * to — latest change per key over the WHOLE feed. The equivalence
     * (stream-applied batches == one batch replay) is the pipeline's

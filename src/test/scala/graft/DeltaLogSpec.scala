@@ -279,4 +279,36 @@ class DeltaLogSpec extends SparkSpec {
     // a column with no stats entry never prunes (missing = keep)
     assert(Sinks.deltaPrunedFiles(spark, dir, "nope", 0, 1).size == all.size)
   }
+
+  test("cleanDeltaLog prunes pre-checkpoint history; state and future " +
+    "checkpoints survive the gap") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    (0 until 5).foreach { i =>
+      Sinks.upsertParquet(spark, dir,
+        Seq((i.toLong, i * 1.0)).toDF("k", "v"), Seq("k"),
+        checkpointInterval = 0)
+    }
+    // no checkpoint yet: cleanup must refuse (returns 0, deletes nothing)
+    assert(Sinks.cleanDeltaLog(dir) == 0)
+    assert(Sinks.deltaLogVersions(dir) == (0L to 4L))
+    Sinks.checkpointDeltaLog(spark, dir, 3L)
+    assert(Sinks.cleanDeltaLog(dir, keepTail = 1) == 2,
+      "versions 0,1 deleted; 2 kept as tail, 3 is the checkpoint")
+    assert(Sinks.deltaLogVersions(dir) == Seq(2L, 3L, 4L))
+    // current state still reconstructs (checkpoint base + tail replay)
+    assert(Sinks.readDeltaTableAt(spark, dir).orderBy("k").collect().toSeq
+      == Sinks.readUpsertTable(spark, dir).orderBy("k").collect().toSeq)
+    // a LATER commit + checkpoint builds on the checkpoint base, not the
+    // (now gapped) JSON history — the cleanup-then-checkpoint trap
+    Sinks.upsertParquet(spark, dir,
+      Seq((99L, 99.0)).toDF("k", "v"), Seq("k"), checkpointInterval = 0)
+    Sinks.checkpointDeltaLog(spark, dir)
+    assert(Sinks.cleanDeltaLog(dir) == 3, "2,3,4 below the new checkpoint")
+    val viaCp = Sinks.readDeltaTableAt(spark, dir).orderBy("k")
+      .collect().toSeq
+    assert(viaCp == Sinks.readUpsertTable(spark, dir).orderBy("k")
+      .collect().toSeq, "post-clean checkpoint state is complete")
+    assert(viaCp.map(_.getLong(0)).contains(0L),
+      "rows merged before the cleaned history survive in the state")
+  }
 }

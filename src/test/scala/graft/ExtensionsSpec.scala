@@ -99,6 +99,38 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("delta_at / delta_range TVFs: SQL time travel + pruned range scan") {
+    val prior = spark
+    // build the table with the ORIGINAL session before swapping
+    val dir = java.nio.file.Files.createTempDirectory("dtvf").toString + "/t"
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"))
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val now = s2.sql(s"SELECT * FROM delta_at('$dir') ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(now == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+      val v0 = s2.sql(s"SELECT * FROM delta_at('$dir', 0) ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(v0 == Seq((1L, 10.0), (2L, 20.0)), "version arg time-travels")
+      val ranged = s2.sql(
+        s"SELECT * FROM delta_range('$dir', 'k', 2, 3) ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ranged == Seq((2L, 25.0), (3L, 30.0)))
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("Tables.registerAll: fixture queryable through plain spark.sql") {
     Tables.registerAll(spark, sf001)
     assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) == 5L)

@@ -100,4 +100,36 @@ class GraftSqlSpec extends SparkSpec {
     val cols = spark.sql("SELECT * EXCEPT (v) FROM except_t").columns
     assert(cols.toSeq == Seq("k", "w"))
   }
+
+  test("maintenance statements: OPTIMIZE / CHECKPOINT / VACUUM lower " +
+    "onto the table upkeep primitives; queries fall through untouched") {
+    import graft.plans.GraftSql
+    val dir = java.nio.file.Files.createTempDirectory("sqlmaint")
+      .toString + "/t"
+    // many small files so OPTIMIZE has work
+    val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoal = spark.conf.get(coalKey, "true")
+    spark.conf.set(coalKey, "false")
+    try (0 until 3).foreach { i =>
+      graft.sources.Sinks.upsertParquet(spark, dir,
+        spark.range(i * 10, i * 10 + 10).toDF("k").repartition(8)
+          .withColumn("v", col("k") * 2), Seq("k"),
+        checkpointInterval = 0)
+    } finally spark.conf.set(coalKey, prevCoal)
+    val opt = GraftSql.sql(spark, s"OPTIMIZE '$dir'").head()
+    assert(opt.getString(1) == "OPTIMIZE" &&
+      opt.getLong(3) < opt.getLong(2), "compaction shrank the file count")
+    val cp = GraftSql.sql(spark, s"CHECKPOINT '$dir'").head()
+    assert(cp.getString(1) == "CHECKPOINT")
+    val cpV = cp.getLong(2)
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(
+      dir, "_delta_log", f"$cpV%020d.checkpoint.parquet")))
+    val vac = GraftSql.sql(spark, s"VACUUM '$dir' RETAIN 1 COMMITS").head()
+    assert(vac.getString(1) == "VACUUM" && vac.getLong(3) >= 1,
+      s"pre-checkpoint commits removed: ${vac.getLong(3)}")
+    // state still reconstructs after the upkeep cycle
+    assert(graft.sources.Sinks.readDeltaTableAt(spark, dir).count() == 30)
+    // non-maintenance text falls through to the query path
+    assert(GraftSql.sql(spark, "SELECT 1 AS one").head().getInt(0) == 1)
+  }
 }

@@ -435,6 +435,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((0L, None)), "sub-bigram docs score NULL")
   }
 
+  test("temperatureMix: alpha flattens domain shares; alpha=1 is " +
+    "proportional; deterministic") {
+    import spark.implicits._
+    // skewed domains: 160 big, 10 small
+    val df = ((1L to 160L).map(i => (i, "big")) ++
+      (201L to 210L).map(i => (i, "small"))).toDF("doc_id", "dom")
+    def shares(alpha: Double): (Double, Long) = {
+      val out = graft.operators.Sampling.temperatureMix(df, col("doc_id"),
+        col("dom"), alpha, targetRows = 1000)
+      val n = out.groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (n("small").toDouble / (n("small") + n("big")), n("small") + n("big"))
+    }
+    val (propShare, propTotal) = shares(1.0)
+    val (flatShare, flatTotal) = shares(0.5)
+    // natural share of small = 10/170 ≈ 0.059; alpha=0.5 boosts it
+    // toward sqrt-flattened ≈ 0.20
+    assert(propShare < 0.09, s"alpha=1 keeps natural share, got $propShare")
+    assert(flatShare > 0.15, s"alpha=0.5 must boost small, got $flatShare")
+    // expected totals hit the target within fractional-ticket noise
+    assert(math.abs(propTotal - 1000L) <= 60, s"total $propTotal")
+    assert(math.abs(flatTotal - 1000L) <= 60, s"total $flatTotal")
+    // alpha=1: every domain's weight is the same target/N scale-up
+    val w1 = graft.operators.Sampling.temperatureMix(df, col("doc_id"),
+      col("dom"), 1.0, targetRows = 340)
+    assert(w1.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("big" -> 320L, "small" -> 20L),
+      "alpha=1, integer weight 2.0 -> exactly two copies of every row")
+  }
+
   test("removeBoilerplate: domain-frequent lines drop, prose and " +
     "rare lines stay, thresholds respected") {
     val docs = Seq(

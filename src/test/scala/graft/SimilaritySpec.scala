@@ -232,4 +232,62 @@ class SimilaritySpec extends SparkSpec {
       "scale=1 dequantizes to the true dot")
     assert(run(corpus.repartition(5)) == out, "deterministic")
   }
+
+  test("pqTopK: ADC ranks the same-cluster neighbor first; ties break " +
+    "on id; deterministic under repartition") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),   // seed A
+      (1L, Seq(10.0, 10.0, 0.0, 0.0)),   // seed B
+      (2L, Seq(0.5, 0.5, 9.5, 9.5)),     // near A
+      (3L, Seq(9.5, 9.5, 0.5, 0.5))      // near B
+    ).toDF("vec_id", "vec")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(c, col("vec_id"), col("vec"),
+          c, col("vec_id"), col("vec"), k = 3, mSub = 2, nCodes = 2,
+          dim = 4)
+        .collect().map(r => ((r.getLong(0), r.getInt(3)),
+          (r.getLong(1), r.getDouble(2)))).toMap
+    val out = run(corpus)
+    // query 2 shares cluster-A codes with 0: its ADC to 0 is its distance
+    // to A's centroid, far below its distance to B's — 0 ranks first;
+    // 1 and 3 carry identical B codes (equal ADC), so id breaks the tie
+    assert(out((2L, 1))._1 == 0L)
+    assert(out((2L, 2))._1 == 1L && out((2L, 3))._1 == 3L)
+    assert(out((2L, 2))._2 == out((2L, 3))._2, "same codes -> same ADC")
+    assert(out((3L, 1))._1 == 1L, "query 3's cluster mate ranks first")
+    assert(run(corpus.repartition(5)) == out,
+      "decimal ADC sums are partition-order-invariant")
+  }
+
+  test("lshTopKMultiProbe: recall >= single-probe at identical band " +
+    "params; probes only widen the query side") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x.cast("double")).as("vec"))
+    val q = e.filter(col("vec_id") < 30)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+      q, col("vec_id"), col("vec"), k)
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.annRecall(exact, approx, k)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head()
+      r.getDouble(0)
+    }
+    val single = Similarity.lshTopKMultiProbe(e, col("vec_id"), col("vec"),
+      q, col("vec_id"), col("vec"), k, probes = 0)
+    val multi = Similarity.lshTopKMultiProbe(e, col("vec_id"), col("vec"),
+      q, col("vec_id"), col("vec"), k, probes = 2)
+    val (rs, rm) = (recallOf(single), recallOf(multi))
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // probes=0 equals the plain lshTopK pipeline restricted to the same
+    // query ids — the probe set degenerates to the own-bucket lookup
+    val plain = Similarity.lshTopK(e, col("vec_id"), col("vec"), k)
+      .filter(col("query_id") < 30)
+    val keyOf = (df: org.apache.spark.sql.DataFrame) => df
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyOf(single) == keyOf(plain),
+      "probes=0 reproduces the single-probe candidate semantics")
+  }
 }

@@ -219,6 +219,56 @@ class StreamsSpec extends SparkSpec {
     assert(corpus(5L) == "six seven eight nine ten")
   }
 
+  test("bloomDedupAdmissionSink: exact-dup admission through a persisted " +
+    "bitmap, capacity rebuild included") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("bloomadmit")
+      .toFile.getAbsolutePath
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      // tiny capacity: 4 expected items forces the double-capacity
+      // rebuild path once admissions pass the design point
+      .foreachBatch(Streams.bloomDedupAdmissionSink(
+        s"$base/corpus", s"$base/index", expectedItems = 4))
+      .outputMode(OutputMode.Append()).start()
+    val polls = Seq(
+      // poll 1: within-batch exact dup + uniques
+      Seq((1L, "alpha beta gamma"), (2L, "ALPHA  beta gamma"),
+        (3L, "one two three")),
+      // poll 2: cross-poll exact dup (only the persisted bitmap links
+      // the polls) + five new docs pushing admissions past the 64-bit
+      // minimum bitmap's ~6-item capacity
+      Seq((4L, "alpha beta gamma"), (5L, "six seven eight"),
+        (6L, "nine ten eleven"), (7L, "twelve thirteen"),
+        (8L, "fourteen fifteen"), (9L, "sixteen seventeen")),
+      // poll 3: the over-capacity count triggers the double-capacity
+      // rebuild from the corpus; dups of docs admitted in BOTH earlier
+      // polls must still reject and a fresh doc must still admit
+      Seq((10L, "one two three"), (11L, "twelve thirteen"),
+        (12L, "eighteen nineteen")))
+    try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val corpus = graft.sources.Sinks.readUpsertTable(spark, s"$base/corpus")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(corpus == Set(1L, 3L, 5L, 6L, 7L, 8L, 9L, 12L),
+      s"normalized within-batch dup (2), cross-poll dups (4, 10, 11) " +
+        s"rejected; got $corpus")
+    // the persisted index reflects every admitted doc: a brand-new
+    // session probing it sees all admitted fingerprints as maybe-present
+    val (w, m, k, fam) = graft.operators.Dedup.readBloomIndex(
+      spark, s"$base/index")
+    import spark.implicits._
+    val admittedTexts = Seq("alpha beta gamma", "one two three",
+      "six seven eight", "nine ten eleven", "twelve thirteen",
+      "fourteen fifteen", "sixteen seventeen", "eighteen nineteen")
+      .toDF("text")
+    val misses = admittedTexts.filter(!graft.operators.Dedup
+      .bloomMightContain(w, m, k, fam.hash(
+        graft.operators.TextAnalysis.normText(org.apache.spark.sql
+          .functions.col("text"))), fam)).count()
+    assert(misses == 0, "no false negatives after the capacity rebuild")
+  }
+
   test("indexedDedupAdmissionSink probes a persisted index across polls") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
