@@ -542,6 +542,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ---- clustering: deterministic k-means assignment — the cluster
+    // step topic balancing and SemDeDup-style pruning hang off (the
+    // ivfTopK trainer's output as a first-class frame) ----
+    "q188_kmeans_clusters" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Similarity.kmeansClusters(e, col("vec_id"), col("vec"),
+        k = 16, lloydIters = 1)
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -2405,6 +2416,37 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
   }
 
+  /** k-means assignment: q63's centroid-training CTEs, final nearest
+    * centroid per vector with its cosine.
+    */
+  private def q188Oracle: String = {
+    val cos = (a: String, b: String) =>
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0
+         |      OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+         |    ELSE list_dot_product($a, $b)
+         |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+         |    END""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+       |asg0 AS (
+       |  SELECT e.id, e.v, c0.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cid) AS rn
+       |  FROM e CROSS JOIN c0),
+       |m AS (
+       |  SELECT cid, t.i AS pos, ROUND(AVG(v[t.i]), 6) AS mx
+       |  FROM asg0, (SELECT UNNEST(range(1, 65)) AS i) t
+       |  WHERE rn = 1 GROUP BY cid, t.i),
+       |c AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m GROUP BY cid),
+       |asg AS (
+       |  SELECT e.id, c.cid, ${cos("e.v", "c.cv")} AS cs,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c)
+       |SELECT id AS vec_id, cid AS cluster_id, ROUND(cs, 4) AS sim
+       |FROM asg WHERE rn = 1""".stripMargin
+  }
+
   /** Product-quantization ANN: per-subspace seeds → one Lloyd pass
     * (6dp-rounded means) → encode → ADC. Subspace L2 is dot-assembled
     * (|a|² − 2ab + |b|²) and ADC terms snapshot to DECIMAL(28,10) before
@@ -3620,6 +3662,7 @@ object SparkEntry {
     "q35_ann_lsh" -> q35Oracle,
     "q185_ann_multiprobe" -> q185Oracle,
     "q186_ann_pq" -> q186Oracle,
+    "q188_kmeans_clusters" -> q188Oracle,
     "q40_embedding_neardup" -> q40Oracle,
 
     "q36_multimodal" ->

@@ -310,20 +310,24 @@ object Similarity {
     * lists and the probe sets); in a long-lived session pass
     * `materialize = false` and manage caching at the call site.
     */
-  def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
-              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 2,
-              lloydIters: Int = 1, materialize: Boolean = true): DataFrame = {
-    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+  /** Shared Lloyd trainer over a ("id", "vec") frame: smallest-id seeds,
+    * `lloydIters` cosine-assignment + 6dp-rounded-mean passes. Returns
+    * (cid, cvec) — the deterministic, cross-engine-replayable centroids
+    * [[ivfTopK]] and [[kmeansClusters]] both build on. The per-pass
+    * assignment join is `base × broadcast(centroids)` — the bounded
+    * broadcast nested loop that IS k-means' n·k distance computations.
+    */
+  private def lloydCentroids(base: DataFrame, nCentroids: Int,
+                             lloydIters: Int): DataFrame = {
     val seed = base.filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    val wAsg = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
-    def assign(cents: DataFrame, maxRank: Int): DataFrame =
-      base.crossJoin(broadcast(cents))
+    val wAsg = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    (0 until lloydIters).foldLeft(seed) { (c, _) =>
+      base.crossJoin(broadcast(c))
         .withColumn("__sim", cosine(col("vec"), col("cvec")))
         .withColumn("__cr", row_number().over(wAsg))
-        .filter(col("__cr") <= maxRank)
-    val cents = (0 until lloydIters).foldLeft(seed) { (c, _) =>
-      assign(c, 1)
+        .filter(col("__cr") === 1)
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
@@ -331,6 +335,41 @@ object Similarity {
         .select(col("cid"),
           transform(col("pm"), s => round(s.getField("m"), 6)).as("cvec"))
     }
+  }
+
+  /** Deterministic k-means cluster assignment over an embedding column —
+    * the clustering HALF of [[ivfTopK]] exposed as a first-class output,
+    * because a curation pipeline wants the clusters themselves: SemDeDup
+    * prunes within clusters, topic-balancing samples across them, and
+    * cluster sizes are the drift signal a corpus monitor watches.
+    * Output: (vec_id, cluster_id, sim) — every vector's nearest refined
+    * centroid by cosine (4dp).
+    */
+  def kmeansClusters(df: DataFrame, idCol: Column, vecCol: Column,
+                     k: Int = 16, lloydIters: Int = 1): DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.as("vec"))
+    val cents = lloydCentroids(base, k, lloydIters)
+    val wAsg = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__cr", row_number().over(wAsg))
+      .filter(col("__cr") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("cluster_id"),
+        round(col("__sim"), 4).as("sim"))
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 2,
+              lloydIters: Int = 1, materialize: Boolean = true): DataFrame = {
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val wAsg = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
+    def assign(cents: DataFrame, maxRank: Int): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine(col("vec"), col("cvec")))
+        .withColumn("__cr", row_number().over(wAsg))
+        .filter(col("__cr") <= maxRank)
+    val cents = lloydCentroids(base, nCentroids, lloydIters)
     // ONE final assignment pass: rank centroids per vector once, persist,
     // then slice — the inverted list is rank 1, the probe set rank <= nProbe
     val asg0 = assign(cents, nProbe).select(col("id"), col("cid"), col("__cr"))

@@ -696,6 +696,25 @@ object Sinks {
     victims.size
   }
 
+  /** Metadata-only COUNT(*) of a Delta-logged table: sum of the logged
+    * per-file `numRecords` stats — zero data files opened, the log IS the
+    * answer (how Delta engines serve `SELECT count(*)` in milliseconds on
+    * petabyte tables). Returns None when any live file lacks stats (a
+    * partial sum would be a wrong answer, not an approximation).
+    */
+  def deltaTableCount(spark: SparkSession, tablePath: String,
+                      version: Long = Long.MaxValue): Option[Long] = {
+    val adds = deltaLiveAdds(spark, tablePath, version)
+    val mapper = jsonMapper
+    val counts = adds.map { case (_, statsOpt) =>
+      statsOpt.flatMap { s =>
+        val n = mapper.readTree(s).get("numRecords")
+        if (n == null || n.isNull) None else Some(n.asLong())
+      }
+    }
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** The live files at `version` that can contain a value of `colName`
     * in `[lo, hi]`, judged by each file's logged footer stats — Delta
     * data skipping. A file with no stats (or none for this column) is

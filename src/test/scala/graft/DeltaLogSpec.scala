@@ -280,6 +280,22 @@ class DeltaLogSpec extends SparkSpec {
     assert(Sinks.deltaPrunedFiles(spark, dir, "nope", 0, 1).size == all.size)
   }
 
+  test("deltaTableCount answers COUNT(*) from the log alone") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      spark.range(0, 500).select(col("id").as("k"),
+        (col("id") % 3).as("v")), Seq("k"))
+    Sinks.upsertParquet(spark, dir,
+      spark.range(400, 700).select(col("id").as("k"),
+        (col("id") % 3).as("v")), Seq("k"))
+    assert(Sinks.deltaTableCount(spark, dir) == Some(700L),
+      "metadata count equals the merged row count")
+    assert(Sinks.deltaTableCount(spark, dir, 0L) == Some(500L),
+      "counts time-travel with the log")
+    assert(Sinks.deltaTableCount(spark, dir).get ==
+      Sinks.readDeltaTableAt(spark, dir).count())
+  }
+
   test("cleanDeltaLog prunes pre-checkpoint history; state and future " +
     "checkpoints survive the gap") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"
