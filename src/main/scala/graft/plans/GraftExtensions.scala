@@ -74,6 +74,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("delta_history"),
+      new ExpressionInfo("graft.sources", "delta_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "delta_history(path) takes 1 argument")
+        val path = GraftExtensions.litValue(args(0), "delta_history", 1)
+          .toString
+        graft.sources.Sinks.deltaHistory(SparkSession.active, path)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("delta_range"),
       new ExpressionInfo("graft.sources", "delta_range"),
       (args: Seq[Expression]) => {

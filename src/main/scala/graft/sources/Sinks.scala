@@ -696,6 +696,153 @@ object Sinks {
     victims.size
   }
 
+  /** WebDataset-style tar shards — the multimodal-training packaging
+    * convention (github.com/webdataset/webdataset: a sample is the group
+    * of tar entries sharing a basename; shards stream sequentially into
+    * a dataloader). Each row becomes one sample: entry `<key>.<ext>` per
+    * requested column (binary as-is, anything else cast through string
+    * bytes). Shard membership and within-shard order are CONTENT-HASHED
+    * (the [[graft.operators.Sampling.shuffleShard]] rule), so output
+    * bytes are identical under any input partitioning and every rerun —
+    * a shard file is a reproducible artifact, not an accident of task
+    * scheduling.
+    *
+    * Tar format is plain POSIX ustar written dependency-free (512-byte
+    * headers, octal sizes, mtime pinned to 0 for determinism, two zero
+    * blocks per archive tail). Each shard is written by exactly ONE task
+    * (hash-repartitioned on the shard id); a retried task truncates and
+    * rewrites its shards — idempotent. `outDir` must be a filesystem
+    * every executor can reach (local dir on local[*], shared FS on a
+    * cluster).
+    */
+  def writeTarShards(df: DataFrame, keyCol: Column,
+                     entries: Seq[(String, Column)], outDir: String,
+                     numShards: Int, seed: String = "tar"): Unit = {
+    require(numShards >= 1, "numShards must be >= 1")
+    require(entries.nonEmpty, "at least one (extension, column) entry")
+    val shard = pmod(graft.functions.F.hash64(
+        concat_ws("|", lit(seed), keyCol)), lit(numShards.toLong))
+      .cast("int")
+    val ord = graft.functions.F.hash64(
+      concat_ws("|", lit(seed + "#o"), keyCol))
+    val sel = df.select(keyCol.cast("string").as("__key"),
+        shard.as("__shard"), ord.as("__ord"),
+        array(entries.map { case (ext, c) =>
+          struct(lit(ext).as("ext"), c.cast("binary").as("data"))
+        }: _*).as("__entries"))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__ord"), col("__key"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    sel.foreachPartition { (it: Iterator[Row]) =>
+      var cur = -1
+      var out: java.io.OutputStream = null
+      def close(): Unit = if (out != null) {
+        out.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
+        out.close(); out = null
+      }
+      try {
+        it.foreach { r =>
+          val sh = r.getInt(1)
+          if (sh != cur) {
+            close(); cur = sh
+            out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(
+                new java.io.File(outDir, f"shard-$sh%05d.tar")))
+          }
+          val key = r.getString(0)
+          r.getSeq[Row](3).foreach { e =>
+            val data = e.getAs[Array[Byte]](1)
+            writeTarEntry(out, s"$key.${e.getString(0)}",
+              if (data == null) Array.emptyByteArray else data)
+          }
+        }
+      } finally close()
+    }
+  }
+
+  /** One POSIX ustar entry: 512-byte header (octal size, mtime 0,
+    * checksum over a space-filled checksum field), content, zero pad to
+    * the 512 boundary.
+    */
+  private def writeTarEntry(out: java.io.OutputStream, name: String,
+                            data: Array[Byte]): Unit = {
+    val nameBytes = name.getBytes("UTF-8")
+    require(nameBytes.length <= 100,
+      s"tar entry name exceeds ustar's 100 bytes: $name")
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    put("0000644\u0000", 100)                        // mode
+    put("0000000\u0000", 108)                        // uid
+    put("0000000\u0000", 116)                        // gid
+    put(f"${data.length}%011o" + "\u0000", 124)      // size
+    put("00000000000\u0000", 136)                    // mtime: pinned 0
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)   // chksum placeholder
+    h(156) = '0'                                     // typeflag: regular
+    put("ustar\u0000", 257)                          // magic
+    put("00", 263)                                   // version
+    val sum = h.map(b => b & 0xff).sum
+    put(f"$sum%06o" + "\u0000 ", 148)
+    out.write(h)
+    out.write(data)
+    val pad = (512 - data.length % 512) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** Commit history of a Delta-logged table — the `DESCRIBE HISTORY`
+    * surface: one row per logged JSON commit (version, timestamp,
+    * operation, files added/removed, rows added when stats were logged).
+    * Commits vacuumed by [[cleanDeltaLog]] are simply absent, like any
+    * engine's history past log retention.
+    */
+  def deltaHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val mapper = jsonMapper
+    val rows = deltaLogVersions(tablePath).map { v =>
+      val f = Paths.get(tablePath, "_delta_log", f"$v%020d.json")
+      var op: String = null; var ts = 0L
+      var nAdd = 0L; var nRemove = 0L
+      var rowsAdded: Option[Long] = Some(0L)
+      Files.readString(f).linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("commitInfo")) {
+          val ci = node.get("commitInfo")
+          op = ci.get("operation").asText()
+          ts = ci.get("timestamp").asLong()
+        }
+        if (node.has("add")) {
+          nAdd += 1
+          val a = node.get("add")
+          rowsAdded = rowsAdded.flatMap { acc =>
+            if (!a.has("stats")) None
+            else {
+              val n = mapper.readTree(a.get("stats").asText())
+                .get("numRecords")
+              if (n == null || n.isNull) None else Some(acc + n.asLong())
+            }
+          }
+        }
+        if (node.has("remove")) nRemove += 1
+      }
+      Row(v, new java.sql.Timestamp(ts), op, nAdd, nRemove,
+        rowsAdded.map(Long.box).orNull)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("timestamp", TimestampType, nullable = false),
+        StructField("operation", StringType),
+        StructField("files_added", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false),
+        StructField("rows_added", LongType))))
+  }
+
   /** Metadata-only COUNT(*) of a Delta-logged table: sum of the logged
     * per-file `numRecords` stats — zero data files opened, the log IS the
     * answer (how Delta engines serve `SELECT count(*)` in milliseconds on

@@ -74,7 +74,11 @@ class PlanAuditSpec extends SparkSpec {
     // q180: the SINGLE-ROW sample-size aggregate cross-joined with the
     // SINGLE-ROW precision/recall aggregate (q61's corpus-count pattern,
     // both sides one row by definition)
-    "q180_dedup_recall_sampled")
+    "q180_dedup_recall_sampled",
+    // q188: the k-means assignment = corpus × broadcast(16 centroid
+    // rows) — q63's IVF pattern exposed as a first-class clustering
+    // output; the n·k distance computations ARE the algorithm
+    "q188_kmeans_clusters")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile

@@ -487,4 +487,73 @@ class ScaleOpsSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "x", "y"), "helper cols dropped")
     assert(back.count() == 4096)
   }
+
+  /** Minimal ustar reader for the round-trip assertion: walks 512-byte
+    * headers, octal size field, returns (name, bytes) per entry.
+    */
+  private def readTar(f: java.nio.file.Path): Seq[(String, Array[Byte])] = {
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val name = new String(bytes, off, 100, "UTF-8").takeWhile(_ != 0)
+      val sizeStr = new String(bytes, off + 124, 12, "UTF-8")
+        .takeWhile(c => c != 0 && c != ' ')
+      val size = java.lang.Long.parseLong(sizeStr, 8).toInt
+      // ustar magic sanity on every header
+      assert(new String(bytes, off + 257, 5, "UTF-8") == "ustar", name)
+      out += name -> bytes.slice(off + 512, off + 512 + size)
+      off += 512 + ((size + 511) / 512) * 512
+    }
+    out.result()
+  }
+
+  test("writeTarShards: WebDataset samples round-trip; shard bytes are " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"text of doc $i", s"""{"id":$i}""")).toDF("id", "txt", "meta")
+    val dir = java.nio.file.Files.createTempDirectory("wds").toString
+    graft.sources.Sinks.writeTarShards(docs, col("id"),
+      Seq("txt" -> col("txt"), "json" -> col("meta")), s"$dir/a",
+      numShards = 4)
+    val shards = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(shards.nonEmpty && shards.length <= 4)
+    val entries = shards.flatMap(f => readTar(f.toPath)).toSeq
+    // every sample contributes its full entry group, grouped by basename
+    assert(entries.length == 80, s"40 samples x 2 entries: ${entries.length}")
+    val byName = entries.toMap
+    (1L to 40L).foreach { i =>
+      assert(new String(byName(s"$i.txt"), "UTF-8") == s"text of doc $i")
+      assert(new String(byName(s"$i.json"), "UTF-8") == s"""{"id":$i}""")
+    }
+    // same data, different input partitioning -> byte-identical shards
+    graft.sources.Sinks.writeTarShards(docs.repartition(7), col("id"),
+      Seq("txt" -> col("txt"), "json" -> col("meta")), s"$dir/b",
+      numShards = 4)
+    shards.foreach { f =>
+      val other = java.nio.file.Paths.get(s"$dir/b", f.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(other)),
+        s"${f.getName} must be reproducible byte-for-byte")
+    }
+  }
+
+  test("deltaHistory lists commits with operations and row counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString + "/t"
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Seq("k"))
+    graft.sources.Sinks.upsertParquet(spark, dir,
+      Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
+    val h = graft.sources.Sinks.deltaHistory(spark, dir)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(h.forall(_.getString(2) == "MERGE"))
+    assert(h(0).getLong(5) == 2L && h(1).getLong(5) == 3L,
+      "rows_added from logged stats")
+    assert(h.forall(r => r.getLong(3) > 0), "files_added positive")
+  }
 }
