@@ -553,6 +553,19 @@ object SparkEntry {
         k = 16, lloydIters = 1)
     }),
 
+    // ---- similarity: IVF-PQ — coarse centroid routing + residual PQ
+    // codes + probed-list ADC (the FAISS IVFx,PQy serving combination;
+    // Jégou 2011 §V) ----
+    "q189_ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.ivfPqTopK(e, col("vec_id"), col("vec"),
+          q, col("vec_id"), col("vec"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -2416,6 +2429,88 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
   }
 
+  /** IVF-PQ: q63's coarse-centroid CTEs → residual vectors → q186's
+    * per-subspace codebook recipe on the residuals → probed-list ADC.
+    * Every determinism device is shared with those two oracles (6dp
+    * centroid means, dot-assembled L2, DECIMAL ADC terms).
+    */
+  private def q189Oracle: String = {
+    val mSub = 8; val subDim = 8; val nCodes = 16; val nProbe = 2
+    val cos = (a: String, b: String) =>
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0
+         |      OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+         |    ELSE list_dot_product($a, $b)
+         |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+         |    END""".stripMargin
+    def l2 = (a: String, b: String) =>
+      s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+        s" + list_dot_product($b, $b))"
+    val rsubBranches = (0 until mSub).map { s =>
+      s"SELECT id, cid, $s AS sub, rvec[${s * subDim + 1}:${(s + 1) * subDim}] AS sv FROM rt"
+    }.mkString("\n  UNION ALL ")
+    val qsubBranches = (0 until mSub).map { s =>
+      s"SELECT qid, cid, $s AS sub, qres[${s * subDim + 1}:${(s + 1) * subDim}] AS sv FROM qp"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+       |asg0 AS (
+       |  SELECT e.id, e.v, c0.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cid) AS rn
+       |  FROM e CROSS JOIN c0),
+       |m AS (
+       |  SELECT cid, t.i AS pos, ROUND(AVG(v[t.i]), 6) AS mx
+       |  FROM asg0, (SELECT UNNEST(range(1, 65)) AS i) t
+       |  WHERE rn = 1 GROUP BY cid, t.i),
+       |c AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m GROUP BY cid),
+       |rt AS (SELECT id, cid,
+       |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS rvec
+       |  FROM (SELECT e.id, e.v, c.cid, c.cv,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |rsubs AS (
+       |  $rsubBranches),
+       |pc0 AS (SELECT sub, CAST(id AS INT) AS code, sv AS cv
+       |  FROM rsubs WHERE id < $nCodes),
+       |pasg0 AS (SELECT s.id, s.sub, s.sv, pc0.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+       |      ORDER BY ${l2("s.sv", "pc0.cv")} ASC, pc0.code) AS rn
+       |  FROM rsubs s JOIN pc0 USING (sub)),
+       |pm AS (SELECT sub, code, t.i AS pos, ROUND(AVG(sv[t.i]), 6) AS mx
+       |  FROM pasg0, (SELECT UNNEST(range(1, ${subDim + 1})) AS i) t
+       |  WHERE rn = 1 GROUP BY sub, code, t.i),
+       |pbooks AS (SELECT sub, code, list(mx ORDER BY pos) AS cv
+       |  FROM pm GROUP BY sub, code),
+       |enc AS (SELECT id, cid, sub, code FROM (
+       |  SELECT s.id, s.cid, s.sub, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+       |      ORDER BY ${l2("s.sv", "b.cv")} ASC, b.code) AS rn
+       |  FROM rsubs s JOIN pbooks b USING (sub)) WHERE rn = 1),
+       |qp AS (SELECT qid, cid,
+       |    list_transform(range(64), i -> qv[i+1] - cv[i+1]) AS qres
+       |  FROM (SELECT q.id AS qid, q.v AS qv, c.cid, c.cv,
+       |      ROW_NUMBER() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM (SELECT * FROM e WHERE id < 20) q CROSS JOIN c)
+       |  WHERE rn <= $nProbe),
+       |qsubs AS (
+       |  $qsubBranches),
+       |qtab AS (SELECT s.qid, s.cid, s.sub, b.code,
+       |    CAST(${l2("s.sv", "b.cv")} AS DECIMAL(28,10)) AS d
+       |  FROM qsubs s JOIN pbooks b USING (sub)),
+       |scored AS (SELECT q.qid AS query_id, enc.id AS corpus_id,
+       |    SUM(d) AS adcd
+       |  FROM enc JOIN qtab q
+       |    ON enc.cid = q.cid AND enc.sub = q.sub AND enc.code = q.code
+       |  WHERE q.qid <> enc.id GROUP BY 1, 2)
+       |SELECT query_id, corpus_id, CAST(adcd AS DOUBLE) AS adc,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adcd ASC, corpus_id) AS rn FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** k-means assignment: q63's centroid-training CTEs, final nearest
     * centroid per vector with its cosine.
     */
@@ -3663,6 +3758,7 @@ object SparkEntry {
     "q185_ann_multiprobe" -> q185Oracle,
     "q186_ann_pq" -> q186Oracle,
     "q188_kmeans_clusters" -> q188Oracle,
+    "q189_ann_ivfpq" -> q189Oracle,
     "q40_embedding_neardup" -> q40Oracle,
 
     "q36_multimodal" ->

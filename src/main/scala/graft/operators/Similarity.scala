@@ -482,6 +482,109 @@ object Similarity {
         col("adcd").cast("double").as("adc"), col("rank"))
   }
 
+  /** IVF-PQ ANN — the [[ivfTopK]] × [[pqTopK]] composition that serves
+    * billion-vector corpora (Jégou et al. 2011 §V; the FAISS `IVFx,PQy`
+    * index): a coarse quantizer routes every vector to its nearest
+    * centroid (cosine, the [[lloydCentroids]] trainer), the RESIDUAL
+    * vector − centroid is PQ-encoded per subspace, and a query probes
+    * only its `nProbe` nearest lists, scoring candidates by ADC against
+    * per-(query, probed-centroid) residual distance tables. Coarse
+    * routing bounds the candidates; residual PQ bounds the bytes — a
+    * corpus vector costs `mSub` codes + one centroid id at rest.
+    *
+    * Same determinism armor as [[pqTopK]]: 6dp-rounded centroids and
+    * codebooks, dot-assembled subspace L2, DECIMAL-snapshotted ADC
+    * terms.
+    *
+    * Output: (query_id, corpus_id, adc, rank), rank ≤ k per query by
+    * ascending ADC over the probed lists.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+                queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                k: Int = 10, nCentroids: Int = 16, nProbe: Int = 2,
+                mSub: Int = 8, nCodes: Int = 16, dim: Int = 64,
+                lloydIters: Int = 1,
+                materialize: Boolean = true): DataFrame = {
+    require(dim % mSub == 0, s"dim $dim must divide into $mSub subspaces")
+    val subDim = dim / mSub
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val qBase = queries.select(qIdCol.as("qid"), qVecCol.as("qvec"))
+    val cents = lloydCentroids(base, nCentroids, lloydIters)
+    val wAsg = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    // coarse routing + residuals
+    val resid0 = base.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__cr", row_number().over(wAsg))
+      .filter(col("__cr") === 1)
+      .select(col("id"), col("cid"),
+        zip_with(col("vec"), col("cvec"), (x, c) => x - c).as("rvec"))
+    val resid = if (materialize) resid0.persist() else resid0
+    def subsOf(df: DataFrame, vecName: String, extra: Seq[String]) =
+      df.select((extra.map(col) :+
+        explode(array((0 until mSub).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecName), s * subDim + 1, subDim).as("sv"))): _*))
+          .as("u")): _*)
+        .select((extra.map(col) :+ col("u.sub").as("sub") :+
+          col("u.sv").as("sv")): _*)
+    def l2sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    // residual PQ codebooks (trained corpus-wide, the standard shared-
+    // codebook IVFPQ variant): seeds = residuals of the smallest ids
+    val rSubs = subsOf(resid, "rvec", Seq("id"))
+    val seed = rSubs.filter(col("id") < nCodes)
+      .select(col("sub"), col("id").cast("int").as("code"),
+        col("sv").as("cv"))
+    val wCode = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__d").asc, col("code"))
+    def assignCodes(books: DataFrame): DataFrame =
+      rSubs.join(broadcast(books), "sub")
+        .withColumn("__d", l2sq(col("sv"), col("cv")))
+        .withColumn("__cr", row_number().over(wCode))
+        .filter(col("__cr") === 1)
+    val books = (0 until lloydIters).foldLeft(seed) { (cb, _) =>
+      assignCodes(cb)
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), s => round(s.getField("m"), 6)).as("cv"))
+    }
+    val enc0 = assignCodes(books)
+      .join(resid.select(col("id"), col("cid")), "id")
+      .select(col("id"), col("cid"), col("sub"), col("code"))
+    val enc = if (materialize) enc0.persist() else enc0
+    // query probes: nProbe nearest centroids; per probed list the query
+    // residual (qvec − centroid) drives that list's distance table
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val qProbes = qBase.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("__cr", row_number().over(wProbe))
+      .filter(col("__cr") <= nProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qvec"), col("cvec"), (x, c) => x - c).as("qres"))
+    val qTab = subsOf(qProbes, "qres", Seq("qid", "cid"))
+      .join(broadcast(books), "sub")
+      .select(col("qid"), col("cid"), col("sub"), col("code"),
+        l2sq(col("sv"), col("cv")).cast("decimal(28,10)").as("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adcd").asc, col("corpus_id").asc)
+    enc.join(broadcast(qTab), Seq("cid", "sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("corpus_id"))
+      .agg(sum(col("d")).as("adcd"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        col("adcd").cast("double").as("adc"), col("rank"))
+  }
+
   /** `lshTopK` with band width scaled to the measured corpus size (one
     * count job — metadata-scale — against a quadratic within-bucket blowup
     * at fixed width). The declared benchmark query pins `bits` instead so

@@ -78,7 +78,11 @@ class PlanAuditSpec extends SparkSpec {
     // q188: the k-means assignment = corpus × broadcast(16 centroid
     // rows) — q63's IVF pattern exposed as a first-class clustering
     // output; the n·k distance computations ARE the algorithm
-    "q188_kmeans_clusters")
+    "q188_kmeans_clusters",
+    // q189: IVF-PQ's coarse routing AND query probing are both
+    // corpus/queries × broadcast(16 centroid rows) — q63's bounded
+    // pattern twice in one plan
+    "q189_ann_ivfpq")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile

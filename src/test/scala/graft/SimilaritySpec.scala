@@ -260,6 +260,32 @@ class SimilaritySpec extends SparkSpec {
       "decimal ADC sums are partition-order-invariant")
   }
 
+  test("ivfPqTopK: probed-list ADC finds true near neighbors; " +
+    "deterministic under repartition") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x.cast("double")).as("vec"))
+    val q = e.filter(col("vec_id") < 30)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+      q, col("vec_id"), col("vec"), k)
+    val approx = Similarity.ivfPqTopK(e, col("vec_id"), col("vec"),
+      q, col("vec_id"), col("vec"), k)
+    val r = Similarity.annRecall(exact, approx, k)
+      .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    // coarse 16-list routing with nProbe=2 + 8x16 residual codebooks on
+    // a 500-vector corpus: a real compression, so the bar is "clearly
+    // better than chance", not brute-force parity
+    assert(r > 0.3, s"IVF-PQ recall@10 $r suspiciously low")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getInt(3))).toSet
+    val a = key(approx)
+    val b = key(Similarity.ivfPqTopK(e.repartition(13), col("vec_id"),
+      col("vec"), q, col("vec_id"), col("vec"), k))
+    assert(a == b, "decimal ADC + rounded codebooks: partition-invariant")
+  }
+
   test("lshTopKMultiProbe: recall >= single-probe at identical band " +
     "params; probes only widen the query side") {
     val e = Tables.embeddings(spark, sf001)
