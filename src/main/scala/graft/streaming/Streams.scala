@@ -536,6 +536,48 @@ object Streams {
         } finally admitted.unpersist()
       }
 
+  /** Streaming cluster-drift monitor: every micro-batch's embeddings are
+    * assigned to FIXED reference centroids (trained once on a baseline
+    * corpus with [[graft.operators.Similarity.kmeansClusters]]'s trainer
+    * and passed in as plain rows — broadcast, never retrained online),
+    * and the per-cluster admission histogram appends to a stats table
+    * keyed by batch. Drift shows up as the histogram shifting against
+    * the baseline — the early-warning signal that an embedding corpus'
+    * topic mix is moving (new crawl source, upstream encoder change)
+    * BEFORE any downstream model notices. Engine state is zero (the
+    * stats TABLE is the state, the [[changeFeedSink]] principle); cost
+    * per trigger is |batch| × broadcast(k centroids) — the bounded
+    * assignment loop, batch-sized.
+    */
+  def clusterDriftSink(centroids: Seq[(Long, Seq[Double])],
+                       statsPath: String,
+                       idColName: String = "vec_id",
+                       vecColName: String = "vec")
+      : (DataFrame, Long) => Unit = {
+    require(centroids.nonEmpty, "need at least one reference centroid")
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val cents = centroids.toDF("cid", "cvec")
+        val sim = graft.operators.Similarity.cosine(
+          col(vecColName), col("cvec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idColName))
+          .orderBy(col("__sim").desc, col("cid"))
+        val hist = batch.crossJoin(broadcast(cents))
+          .withColumn("__sim", sim)
+          .withColumn("__cr",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__cr") === 1)
+          .groupBy(col("cid").as("cluster_id"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("__sim")), 4).as("mean_sim"))
+          .withColumn("batch_id", lit(batchId))
+        hist.write.mode("append").parquet(statsPath)
+      }
+  }
+
   /** Batch replay of a change feed: the table [[changeFeedSink]] converges
     * to — latest change per key over the WHOLE feed. The equivalence
     * (stream-applied batches == one batch replay) is the pipeline's

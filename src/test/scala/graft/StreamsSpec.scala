@@ -219,6 +219,34 @@ class StreamsSpec extends SparkSpec {
     assert(corpus(5L) == "six seven eight nine ten")
   }
 
+  test("clusterDriftSink: fixed-centroid histograms expose a " +
+    "distribution shift across polls") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+      .toFile.getAbsolutePath + "/stats"
+    // two reference centroids on opposite axes
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val q = mem.toDF.toDF("vec_id", "vec").writeStream
+      .foreachBatch(Streams.clusterDriftSink(cents, dir))
+      .outputMode(OutputMode.Append()).start()
+    val polls = Seq(
+      // poll 0: balanced
+      Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)),
+        (3L, Seq(0.8, 0.2)), (4L, Seq(0.2, 0.8))),
+      // poll 1: drifted — everything lands on cluster 1
+      Seq((5L, Seq(0.1, 0.9)), (6L, Seq(0.0, 1.0)), (7L, Seq(0.2, 0.8))))
+    try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val hist = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(3), r.getLong(0)) -> r.getLong(1))
+      .toMap
+    assert(hist((0L, 0L)) == 2L && hist((0L, 1L)) == 2L,
+      s"poll 0 balanced: $hist")
+    assert(!hist.contains((1L, 0L)) && hist((1L, 1L)) == 3L,
+      s"poll 1 fully drifted to cluster 1: $hist")
+  }
+
   test("bloomDedupAdmissionSink: exact-dup admission through a persisted " +
     "bitmap, capacity rebuild included") {
     implicit val sq = spark.sqlContext
