@@ -859,7 +859,11 @@ object Dedup {
     val ln2 = math.log(2.0)
     val mRaw = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
     val m = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
-    val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
+    // upper clamp matters for degenerate corpora: the 64-bit floor makes
+    // m/n huge at n≲4, and the "optimal" k would exceed the 32-probe
+    // bound (extra probes past 32 only cost time — fpp is already ~0)
+    val k = math.min(32,
+      math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt))
     (m, k)
   }
 

@@ -564,6 +564,18 @@ object Sinks {
           v
         } else -1L
       }
+    // a read that could NOT use a checkpoint must have the full JSON
+    // history from version 0 — after cleanDeltaLog the pre-checkpoint
+    // commits are gone, and replaying a gapped history silently yields a
+    // PARTIAL snapshot for partition-scoped commits. Fail like any
+    // engine's time travel past log retention.
+    if (cpVersion < 0) {
+      val first = deltaLogVersions(tablePath).headOption
+      require(first.forall(_ == 0L),
+        s"version $version of $tablePath predates the retained log " +
+          s"(history starts at commit ${first.get}, no usable " +
+          "checkpoint) — vacuumed by cleanDeltaLog")
+    }
     val tailMeta = replayJsonRange(tablePath, cpVersion, version, live)
     (live, tailMeta.orElse(meta))
   }

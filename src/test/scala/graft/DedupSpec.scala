@@ -264,6 +264,25 @@ class DedupSpec extends SparkSpec {
     assert(fp <= 0.03, s"fp rate $fp exceeds 3x design fpp 0.01")
   }
 
+  test("bloomIncrementalExact survives degenerate corpora (0 and 1 docs)") {
+    import spark.implicits._
+    val batch = Seq((1L, "only doc"), (2L, "other doc")).toDF("doc_id", "text")
+    // k would be ~44 unclamped at n=1 — the sizing clamp keeps it legal
+    val (m1, k1) = Dedup.bloomSizing(1, 0.01)
+    assert(k1 <= 32 && m1 == 64)
+    val one = Seq((9L, "only doc")).toDF("doc_id", "text")
+    val out1 = Dedup.bloomIncrementalExact(one, batch,
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out1 == Map(1L -> false, 2L -> true),
+      "doc 1 duplicates the single corpus doc")
+    val empty = one.limit(0)
+    val out0 = Dedup.bloomIncrementalExact(empty, batch,
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out0 == Map(1L -> true, 2L -> true), "empty corpus admits all")
+  }
+
   test("bloom index round-trips through parquet + meta sidecar") {
     import spark.implicits._
     val keys = (1L to 500L).toDF("k")

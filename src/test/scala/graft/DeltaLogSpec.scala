@@ -326,5 +326,12 @@ class DeltaLogSpec extends SparkSpec {
       .collect().toSeq, "post-clean checkpoint state is complete")
     assert(viaCp.map(_.getLong(0)).contains(0L),
       "rows merged before the cleaned history survive in the state")
+    // time travel BELOW the retained history fails loudly — a gapped
+    // JSON replay would silently yield a partial snapshot for
+    // partition-scoped commits, so the reader refuses instead
+    val err = intercept[IllegalArgumentException] {
+      Sinks.readDeltaTableAt(spark, dir, 1L)
+    }
+    assert(err.getMessage.contains("vacuumed"), err.getMessage)
   }
 }
