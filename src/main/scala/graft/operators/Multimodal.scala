@@ -407,6 +407,159 @@ object Multimodal {
     * expected bytes per task even out regardless of input file layout.
     * Image rows decode for REAL (JDK codecs); A/V rows take the stub.
     */
+  // ---- perceptual image hashing (near-dup dedup for the image modality)
+
+  /** 32×32 grayscale area-average resample of a decoded image — integer
+    * box averaging (no Graphics2D smoothing, whose kernels vary by JVM),
+    * luma-weighted for color rasters. The fixed resample is what makes
+    * the hash robust to re-encoding and mild resizing: two saves of the
+    * same photo land on (nearly) the same 1024 cells.
+    */
+  private def resampleGray32(img: java.awt.image.BufferedImage): Array[Double] = {
+    val n = 32
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val out = new Array[Double](n * n)
+    var cy = 0
+    while (cy < n) {
+      val y0 = cy * h / n; val y1 = math.max((cy + 1) * h / n, y0 + 1)
+      var cx = 0
+      while (cx < n) {
+        val x0 = cx * w / n; val x1 = math.max((cx + 1) * w / n, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            sum += (if (bands >= 3)
+              (299 * raster.getSample(x, y, 0) +
+                587 * raster.getSample(x, y, 1) +
+                114 * raster.getSample(x, y, 2)) / 1000
+            else raster.getSample(x, y, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val cells = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        out(cy * n + cx) = sum.toDouble / math.max(cells, 1L)
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit DCT perceptual hash (the standard pHash recipe): decode →
+    * 32×32 grayscale → 2-D DCT-II → keep the 8×8 low-frequency block →
+    * bit = coefficient above the median of the 63 non-DC coefficients
+    * (the DC bit is pinned 0 — overall brightness must not vote).
+    * Deterministic: fixed resample, fixed summation order, JDK-only.
+    * None for undecodable bytes — one bad blob must not kill a scan.
+    *
+    * Honesty note on stability: bits whose coefficients sit NEAR the
+    * median are fragile, and low-texture images (flat fields, pure
+    * gradients) have many near-zero coefficients, so small edits can
+    * move many bits there. The robust contract is re-encoding/resizing
+    * of the SAME content (natural images have spread-out spectra);
+    * tune `maxHamming` against measured corpus distances, exactly like
+    * LSH band counts.
+    */
+  def imagePHash(bytes: Array[Byte]): Option[Long] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val n = 32
+      val g = resampleGray32(img)
+      val cosT = Array.tabulate(8, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) { s += g(y * n + x) * cosT(u)(x) * cosT(v)(y); x += 1 }
+            y += 1
+          }
+          coef(v * 8 + u) = s
+          v += 1
+        }
+        u += 1
+      }
+      val nonDc = coef.drop(1).sorted
+      val med = nonDc(31) // 63 values, true median
+      var hash = 0L
+      var i = 1
+      while (i < 64) { if (coef(i) > med) hash |= (1L << i); i += 1 }
+      hash
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-image perceptual hashes: (media_id, phash), rows whose bytes do
+    * not decode are dropped (they cannot near-dup anything). Same
+    * per-partition batched decode shape as [[extractFeatures]].
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame,
+                  idColName: String = "media_id",
+                  contentColName: String = "content"): DataFrame = {
+    val rdd = media.select(idColName, contentColName)
+      .repartition(col(idColName)).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          Option(r.getAs[Array[Byte]](1))
+            .flatMap(imagePHash)
+            .map(h => Row(r.getLong(0), h))
+        }
+      }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Image near-duplicate pairs at corpus scale: pHash banding (the
+    * pigeonhole rule — two hashes within Hamming distance `maxHamming`
+    * agree on at least one of `maxHamming + 1` bit slices) buckets
+    * candidates, [[Dedup.boundedBucketPairs]] caps hot buckets, and the
+    * exact Hamming distance verifies. The same shuffle discipline as
+    * text SimHash — no decode output ever self-joins unbanded.
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3,
+                        idColName: String = "media_id",
+                        contentColName: String = "content",
+                        maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      "maxHamming must be in [0, 64)")
+    val bands = maxHamming + 1
+    val hashes = imageHashes(spark, media, idColName, contentColName)
+    val slices = (0 until bands).map { b =>
+      val start = b * 64 / bands
+      val len = (b + 1) * 64 / bands - start
+      struct(lit(b).as("band"),
+        call_function("shiftright", col("phash"), lit(start))
+          .bitwiseAND(lit((1L << len) - 1)).as("bucket"))
+    }
+    val banded = hashes.select(col("id"), col("phash"),
+        explode(array(slices: _*)).as("u"))
+      .select(col("id"), col("phash"), col("u.band").as("band"),
+        col("u.bucket").as("bucket"))
+    Dedup.boundedBucketPairs(banded, Seq("band", "bucket"), maxBucket,
+        Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb")))
+      .distinct()
+      .withColumn("hamming",
+        call_function("bit_count",
+          col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 8): DataFrame = {
     val rdd = media.select("media_id", "media_type", "content")

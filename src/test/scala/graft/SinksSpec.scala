@@ -274,4 +274,45 @@ class SinksSpec extends SparkSpec {
     // every row lands exactly once across the shard files
     assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 300)
   }
+
+  test("imagePHash: resize-tolerant, content-sensitive; near-dup pairs " +
+    "find the resized copy and skip different content") {
+    import spark.implicits._
+    // deterministic grayscale PNG with a programmable raster
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        r.setSample(x, y, 0, f(x, y) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grad(x: Int, y: Int) = (x * 2 + y) % 256
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.imagePHash(png(64, 64)(grad)).get
+    // same content at a different size -> tiny Hamming distance
+    val resized = Multimodal.imagePHash(png(128, 128)((x, y) =>
+      grad(x / 2, y / 2))).get
+    assert(ham(base, resized) <= 3, s"resize moved ${ham(base, resized)} bits")
+    // genuinely different content -> far
+    val checker = Multimodal.imagePHash(png(64, 64)((x, y) =>
+      if ((x / 4 + y / 4) % 2 == 0) 255 else 0)).get
+    assert(ham(base, checker) > 10, s"checker only ${ham(base, checker)} away")
+    assert(ham(base, base) == 0 && Multimodal.imagePHash(
+      Array[Byte](1, 2, 3)).isEmpty)
+    // pair operator: banding + bounded buckets + exact Hamming verify
+    val media = Seq(
+      (1L, png(64, 64)(grad)),
+      (2L, png(128, 128)((x, y) => grad(x / 2, y / 2))),
+      (3L, png(64, 64)((x, y) => if ((x / 4 + y / 4) % 2 == 0) 255 else 0)),
+      (4L, png(32, 32)((x, y) => (255 - x * 3 - y) & 0xff))
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the resized copy must pair")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "the checkerboard pairs with nothing")
+  }
 }
