@@ -533,11 +533,21 @@ object Multimodal {
                         maxHamming: Int = 3,
                         idColName: String = "media_id",
                         contentColName: String = "content",
-                        maxBucket: Int = 64): DataFrame = {
+                        maxBucket: Int = 64): DataFrame =
+    hashNearDupPairs(imageHashes(spark, media, idColName, contentColName),
+      maxHamming, maxBucket)
+
+  /** Shared 64-bit-signature near-dup machinery: pigeonhole banding
+    * (`maxHamming + 1` bit slices — two signatures within the bound
+    * agree on at least one slice), hot buckets capped through
+    * [[Dedup.boundedBucketPairs]], exact Hamming verify. `hashes` is
+    * (id, phash).
+    */
+  private def hashNearDupPairs(hashes: DataFrame, maxHamming: Int,
+                               maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       "maxHamming must be in [0, 64)")
     val bands = maxHamming + 1
-    val hashes = imageHashes(spark, media, idColName, contentColName)
     val slices = (0 until bands).map { b =>
       val start = b * 64 / bands
       val len = (b + 1) * 64 / bands - start
@@ -559,6 +569,105 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** 64-bit audio fingerprint: decode 16-bit PCM, mix channels, split
+    * the sample stream into 65 equal windows, mean energy per window,
+    * bit i = energy(i+1) > energy(i) — the energy-delta-sign signature
+    * (the Shazam-family shape reduced to one band; Wang 2003). Positive
+    * volume scaling multiplies every window's energy equally, so the
+    * comparisons — and the fingerprint — are GAIN-INVARIANT by
+    * construction. Honest bounds: it is NOT time-shift-invariant (no
+    * overlapping windows) and one energy profile can collide across
+    * different audio; tune `maxHamming` against measured distances like
+    * any LSH parameter. None for undecodable or sub-130-sample payloads.
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = ais.read(buf) }
+          val pcm = bos.toByteArray
+          val ch = f.getChannels
+          val nFrames = (pcm.length / 2) / ch
+          if (nFrames < 130) None
+          else {
+            // channel-mixed frame values
+            val frames = new Array[Long](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var s = 0L
+              var c = 0
+              while (c < ch) {
+                val o = 2 * (i * ch + c)
+                s += (((pcm(o + 1) & 0xff) << 8) | (pcm(o) & 0xff)).toShort
+                c += 1
+              }
+              frames(i) = s
+              i += 1
+            }
+            val e = new Array[Double](65)
+            var w = 0
+            while (w < 65) {
+              val a = w * nFrames / 65
+              val b = math.max((w + 1) * nFrames / 65, a + 1)
+              var s = 0.0
+              var j = a
+              while (j < math.min(b, nFrames)) {
+                s += frames(j).toDouble * frames(j); j += 1
+              }
+              e(w) = s / (math.min(b, nFrames) - a)
+              w += 1
+            }
+            var hash = 0L
+            var k = 0
+            while (k < 64) { if (e(k + 1) > e(k)) hash |= (1L << k); k += 1 }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-clip audio fingerprints: (id, phash), undecodable rows dropped —
+    * [[imageHashes]]' audio sibling.
+    */
+  def audioHashes(spark: SparkSession, media: DataFrame,
+                  idColName: String = "media_id",
+                  contentColName: String = "content"): DataFrame = {
+    val rdd = media.select(idColName, contentColName)
+      .repartition(col(idColName)).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          Option(r.getAs[Array[Byte]](1))
+            .flatMap(audioFingerprint)
+            .map(h => Row(r.getLong(0), h))
+        }
+      }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Audio near-duplicate pairs — [[imageNearDupPairs]]' audio sibling
+    * over [[audioFingerprint]] signatures, same banding/cap/verify.
+    */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3,
+                        idColName: String = "media_id",
+                        contentColName: String = "content",
+                        maxBucket: Int = 64): DataFrame =
+    hashNearDupPairs(audioHashes(spark, media, idColName, contentColName),
+      maxHamming, maxBucket)
 
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 8): DataFrame = {

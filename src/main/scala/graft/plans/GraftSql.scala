@@ -51,6 +51,8 @@ object GraftSql {
     *     staging dirs and pre-checkpoint JSON commits
     *     ([[graft.sources.Sinks.cleanStagedUpserts]] +
     *     [[graft.sources.Sinks.cleanDeltaLog]])
+    *   DESCRIBE HISTORY '<path>'             → the commit log as a frame
+    *     ([[graft.sources.Sinks.deltaHistory]])
     *
     * Each returns a one-row summary frame. Anything else returns None
     * and falls through to the query path — valid Spark SQL never
@@ -62,7 +64,10 @@ object GraftSql {
     val Opt = """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
     val Cp = """(?is)\s*CHECKPOINT\s+'([^']+)'(?:\s+AT\s+(\d+))?\s*;?\s*""".r
     val Vac = """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*;?\s*""".r
+    val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
     text match {
+      case Hist(path) =>
+        Some(graft.sources.Sinks.deltaHistory(spark, path))
       case Opt(path, target) =>
         val tb = Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024)
         val (before, after) =

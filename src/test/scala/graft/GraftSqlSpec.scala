@@ -129,6 +129,11 @@ class GraftSqlSpec extends SparkSpec {
       s"pre-checkpoint commits removed: ${vac.getLong(3)}")
     // state still reconstructs after the upkeep cycle
     assert(graft.sources.Sinks.readDeltaTableAt(spark, dir).count() == 30)
+    // DESCRIBE HISTORY shows the retained commits with operations
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY '$dir'")
+      .orderBy("version").collect()
+    assert(hist.nonEmpty &&
+      hist.map(_.getString(2)).toSet.subsetOf(Set("MERGE", "OPTIMIZE")))
     // non-maintenance text falls through to the query path
     assert(GraftSql.sql(spark, "SELECT 1 AS one").head().getInt(0) == 1)
   }

@@ -315,4 +315,50 @@ class SinksSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
       "the checkerboard pairs with nothing")
   }
+
+  test("audioFingerprint: gain-invariant, content-sensitive; near-dup " +
+    "pairs find the louder copy") {
+    import spark.implicits._
+    def wav(n: Int)(f: Int => Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = f(i)
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a swelling-then-fading tone profile
+    def tone(i: Int) = {
+      val env = if (i < 3000) i / 30 else (6500 - i) / 35
+      (math.sin(i * 0.3) * env).toInt
+    }
+    val base = Multimodal.audioFingerprint(wav(6500)(tone)).get
+    // same audio at double volume -> IDENTICAL fingerprint
+    val loud = Multimodal.audioFingerprint(wav(6500)(i => tone(i) * 2)).get
+    assert(ham(base, loud) == 0, "gain must not move any bit")
+    // different energy profile -> far
+    val other = Multimodal.audioFingerprint(wav(6500)(i =>
+      (math.sin(i * 0.3) * (if ((i / 500) % 2 == 0) 100 else 5)).toInt)).get
+    assert(ham(base, other) > 10, s"other only ${ham(base, other)} away")
+    assert(Multimodal.audioFingerprint(wav(100)(_ => 1)).isEmpty,
+      "sub-130-sample payloads refuse")
+    val media = Seq(
+      (1L, wav(6500)(tone)),
+      (2L, wav(6500)(i => tone(i) * 2)),
+      (3L, wav(6500)(i =>
+        (math.sin(i * 0.3) * (if ((i / 500) % 2 == 0) 100 else 5)).toInt))
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.audioNearDupPairs(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the gain-scaled copy pairs: $pairs")
+  }
 }
