@@ -566,6 +566,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ---- URL canonicalization + exact URL dedup: messy crawl URLs
+    // (case, www, default port, trailing slash, tracking params,
+    // fragments, param order) collapse to one canonical key — the
+    // closed-form oracle states the expected canonical output and the
+    // group structure proves the collapse ----
+    "q190_url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com:443/Path"), pmod(col("doc_id"), lit(13)).cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("/"))
+            .otherwise(lit("")),
+          lit("?utm_source=x&b=2&a=1"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("#frag"))
+            .otherwise(lit(""))).as("url"))
+      TextAnalysis.urlDedup(docs, col("doc_id"), col("url"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -3771,6 +3789,19 @@ object SparkEntry {
     "q186_ann_pq" -> q186Oracle,
     "q188_kmeans_clusters" -> q188Oracle,
     "q189_ann_ivfpq" -> q189Oracle,
+
+    // URL dedup: the oracle states the closed-form canonical URL the
+    // messy synthetic input must collapse to (scheme+host lowercased,
+    // www/port/trailing-slash/fragment/tracking gone, params sorted)
+    "q190_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    'https://example' || (doc_id % 7) || '.com/Path' ||
+        |    (doc_id % 13) || '?a=1&b=2' AS curl
+        |  FROM documents),
+        |g AS (SELECT curl, min(doc_id) AS keep_id, count(*) AS n_dups
+        |  FROM c GROUP BY curl)
+        |SELECT c.doc_id, c.curl, g.keep_id, CAST(g.n_dups AS BIGINT) AS n_dups
+        |FROM c JOIN g USING (curl)""".stripMargin,
     "q40_embedding_neardup" -> q40Oracle,
 
     "q36_multimodal" ->

@@ -762,6 +762,50 @@ object TextAnalysis {
       regexp_replace(noEmail, phonePattern, "<PHONE>").as("redacted"))
   }
 
+  /** Canonical URL — the web-corpus URL-dedup preprocessing step: the
+    * same page crawled as `HTTPS://WWW.Site.com:443/a/?utm_source=x&b=2
+    * &a=1#frag` and `https://site.com/a?a=1&b=2` must collapse to ONE
+    * key before any exact/near dedup runs. Normalizations (each pure
+    * codegen string/array functions — no UDF, scan speed):
+    * scheme+host lowercased, `www.` and default ports (`:80`/`:443`)
+    * stripped, trailing path `/` dropped (root stays `/`), empty path
+    * becomes `/`, fragment dropped, query params SORTED with tracking
+    * params (`utm_*`, `fbclid`, `gclid`, `msclkid`) removed.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostRaw, "^www\\.", ""), ":(80|443)$", "")
+    val pathRaw = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val pathClean = when(pathRaw === "", lit("/"))
+      .otherwise(when(length(pathRaw) > 1 &&
+          pathRaw.substr(length(pathRaw), lit(1)) === "/",
+        pathRaw.substr(lit(1), length(pathRaw) - 1)).otherwise(pathRaw))
+    val queryRaw = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(queryRaw, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"))
+    val query = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&")))
+      .otherwise(lit(""))
+    when(scheme === "" || host === "", lower(url)) // not a URL: lowercase as-is
+      .otherwise(concat(scheme, lit("://"), host, pathClean, query))
+  }
+
+  /** Exact URL dedup on the canonical form: every row keeps its
+    * canonical URL and the smallest doc_id sharing it — the grouping
+    * key a crawl-frontier / recrawl-collapse step joins on. One hash
+    * aggregate + one equi-join (the [[graft.operators.Dedup.exact]]
+    * shape at URL grain).
+    */
+  def urlDedup(df: DataFrame, idCol: Column, urlCol: Column): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), canonicalUrl(urlCol).as("curl"))
+    val groups = base.groupBy(col("curl"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    base.join(groups, "curl")
+      .select(col("doc_id"), col("curl"), col("keep_id"), col("n_dups"))
+  }
+
   /** Domain-scoped boilerplate line removal — the CCNet/RefinedWeb move
     * (Wenzek et al. 2020, arXiv:1911.00359 §3; Penedo et al. 2023,
     * arXiv:2306.01116 §4): a LINE recurring across many documents of the

@@ -466,6 +466,27 @@ class OperatorsSpec extends SparkSpec {
       "alpha=1, integer weight 2.0 -> exactly two copies of every row")
   }
 
+  test("canonicalUrl: case/www/port/slash/fragment/tracking/param-order " +
+    "all normalize; non-URLs lowercase as-is") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM:443/A/?utm_source=t&b=2&a=1#f",
+        "https://ex.com/A?a=1&b=2"),
+      ("http://ex.com:80", "http://ex.com/"),
+      ("http://ex.com/", "http://ex.com/"),
+      ("http://ex.com/a/b/", "http://ex.com/a/b"),
+      ("http://ex.com:8080/x", "http://ex.com:8080/x"), // non-default port stays
+      ("https://ex.com/?fbclid=1&gclid=2&utm_campaign=3",
+        "https://ex.com/"),
+      ("https://ex.com/p?z=1&y=2&z=0", "https://ex.com/p?y=2&z=0&z=1"),
+      ("Not A Url", "not a url"))
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.operators.TextAnalysis.canonicalUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2), out.zip(cases.map(_._2))
+      .filter(p => p._1 != p._2).mkString("; "))
+  }
+
   test("removeBoilerplate: domain-frequent lines drop, prose and " +
     "rare lines stay, thresholds respected") {
     val docs = Seq(
