@@ -584,6 +584,36 @@ object SparkEntry {
       TextAnalysis.urlDedup(docs, col("doc_id"), col("url"))
     }),
 
+    // ---- composed web-curation pipeline: URL-canonical dedup picks one
+    // doc per crawl-duplicate group, boilerplate lines are removed
+    // domain-scoped over the SURVIVORS, and the Gopher gate scores the
+    // cleaned text — one oracle proves the three new operators compose
+    // (q169's funnel pattern over the round's web-curation surface) ----
+    "q191_web_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("HTTPS://WWW.Example"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com:443/Path"), pmod(col("doc_id"), lit(13)).cast("string"),
+          lit("?utm_source=x&b=2&a=1")).as("url"),
+        concat_ws("\n", col("text"),
+          concat(lit("visit "), col("source"), lit(" dot com")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("unique tail "),
+              col("doc_id").cast("string")))).as("text"))
+      val survivors = TextAnalysis.urlDedup(docs, col("doc_id"), col("url"))
+        .filter(col("doc_id") === col("keep_id")).select("doc_id")
+      val cleaned = TextAnalysis.removeBoilerplate(
+        docs.join(survivors, "doc_id"), col("doc_id"), col("text"),
+        col("source"), maxDocFrac = 0.5, minDocs = 3)
+      TextAnalysis.gopherFilter(cleaned, col("doc_id"), col("text"),
+          minWords = 20)
+        .join(cleaned.select(col("doc_id"), col("n_lines"),
+          col("n_removed")), "doc_id")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          col("n_words"), col("keep"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -3802,6 +3832,75 @@ object SparkEntry {
         |  FROM c GROUP BY curl)
         |SELECT c.doc_id, c.curl, g.keep_id, CAST(g.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN g USING (curl)""".stripMargin,
+
+    // composed web-curation pipeline: q190's closed-form canonical key
+    // -> survivor pick -> q184's line rule over survivors -> q163's
+    // Gopher stats over the cleaned text (minWords 20)
+    "q191_web_curation_pipeline" ->
+      raw"""WITH u AS (SELECT doc_id, source AS domain,
+        |    'https://example' || (doc_id % 7) || '.com/Path' ||
+        |    (doc_id % 13) || '?a=1&b=2' AS curl,
+        |    text || chr(10) || 'visit ' || source || ' dot com' ||
+        |    chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter'
+        |         ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END
+        |      AS text
+        |  FROM documents),
+        |sv AS (SELECT u.* FROM u
+        |  JOIN (SELECT curl, min(doc_id) AS keep_id FROM u GROUP BY curl) g
+        |  ON u.curl = g.curl AND u.doc_id = g.keep_id),
+        |ls AS (SELECT doc_id, domain,
+        |    string_split(text, chr(10)) AS arr FROM sv),
+        |lines AS (SELECT doc_id, domain,
+        |    unnest(list_transform(range(len(arr)),
+        |      i -> {'pos': i, 'line': arr[i+1]})) AS u
+        |  FROM ls),
+        |l2 AS (SELECT doc_id, domain, u.pos AS pos, u.line AS line,
+        |    trim(regexp_replace(lower(u.line), '\s+', ' ', 'g')) AS lnorm
+        |  FROM lines),
+        |dd AS (SELECT domain, count(DISTINCT doc_id) AS n_docs
+        |  FROM sv GROUP BY domain),
+        |bo AS (SELECT domain, lnorm
+        |  FROM l2 JOIN dd USING (domain)
+        |  WHERE len(lnorm) > 0
+        |  GROUP BY domain, lnorm, n_docs
+        |  HAVING count(DISTINCT doc_id) >= 3
+        |    AND count(DISTINCT doc_id) * 1.0 / n_docs > 0.5),
+        |kept AS (SELECT l2.*
+        |  FROM l2 LEFT JOIN bo
+        |    ON l2.domain = bo.domain AND l2.lnorm = bo.lnorm
+        |  WHERE bo.lnorm IS NULL),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |    len(string_split(text, chr(10))) AS n_lines FROM sv),
+        |cl AS (SELECT t.doc_id, coalesce(a.clean_text, '') AS text,
+        |    CAST(t.n_lines AS BIGINT) AS n_lines,
+        |    CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |  FROM tot t LEFT JOIN agg a USING (doc_id)),
+        |t2 AS (SELECT doc_id, n_lines, n_removed,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |      ' ') AS toks
+        |  FROM cl),
+        |m AS (SELECT doc_id, n_lines, n_removed,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(toks, w -> length(w)))
+        |        AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(toks,
+        |        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS alpha_frac,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it',
+        |       'for','on','with','as','at','by','from','that','this'], w)))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM t2)
+        |SELECT doc_id, n_lines, n_removed, n_words,
+        |  (n_words BETWEEN 20 AND 100000)
+        |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS keep
+        |FROM m""".stripMargin,
     "q40_embedding_neardup" -> q40Oracle,
 
     "q36_multimodal" ->
