@@ -745,6 +745,20 @@ object Sinks {
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__ord"), col("__key"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // pre-clean: a rerun over different data (or a smaller numShards)
+    // must not leave STALE shard files — an empty shard writes nothing,
+    // so a leftover would silently join the new artifact
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      try ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("shard-") && n.endsWith(".tar")
+        }
+        .toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally ls.close()
+    }
     sel.foreachPartition { (it: Iterator[Row]) =>
       var cur = -1
       var out: java.io.OutputStream = null

@@ -539,6 +539,15 @@ class ScaleOpsSpec extends SparkSpec {
         java.nio.file.Files.readAllBytes(other)),
         s"${f.getName} must be reproducible byte-for-byte")
     }
+    // a rerun with FEWER samples pre-cleans stale shard files (an empty
+    // shard writes nothing — a leftover would silently join the output)
+    graft.sources.Sinks.writeTarShards(docs.limit(1), col("id"),
+      Seq("txt" -> col("txt")), s"$dir/a", numShards = 4)
+    val after = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.endsWith(".tar"))
+    assert(after.length == 1 &&
+      after.flatMap(f => readTar(f.toPath)).length == 1,
+      "stale shards from the larger run must be gone")
   }
 
   test("deltaHistory lists commits with operations and row counts") {
