@@ -784,6 +784,25 @@ object Sinks {
         }
       } finally close()
     }
+    // shard manifest — the WebDataset convention dataloaders read to
+    // size epochs without opening tars: per-shard sample counts plus
+    // totals, written AFTER the shards so a manifest never names a
+    // file that failed to write. One tiny agg over the already-derived
+    // shard keys; rows-per-shard is numShards-bounded.
+    val counts = sel.groupBy(col("__shard")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val manifest = counts.map { case (sh, n) =>
+      s"""{"shard":"${f"shard-$sh%05d.tar"}","samples":$n}"""
+    }.mkString("[\n", ",\n", s"""\n]""")
+    val body = s"""{"num_shards":${counts.length},""" +
+      s""""total_samples":${counts.map(_._2).sum},""" +
+      s""""entries_per_sample":${entries.length},"shards":$manifest}"""
+    val tmp = java.nio.file.Paths.get(outDir, "_manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(outDir, "_manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** One POSIX ustar entry: 512-byte header (octal size, mtime 0,

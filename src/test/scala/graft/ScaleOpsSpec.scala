@@ -539,6 +539,22 @@ class ScaleOpsSpec extends SparkSpec {
         java.nio.file.Files.readAllBytes(other)),
         s"${f.getName} must be reproducible byte-for-byte")
     }
+    // the shard manifest names every shard with its sample count
+    val man = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/a", "_manifest.json")))
+    assert(man.get("total_samples").asLong == 40L &&
+      man.get("entries_per_sample").asInt == 2)
+    import scala.jdk.CollectionConverters._
+    val manShards = man.get("shards").elements().asScala
+      .map(s => s.get("shard").asText() -> s.get("samples").asLong()).toMap
+    assert(manShards.keySet == shards.map(_.getName).toSet)
+    assert(manShards.values.sum == 40L)
+    shards.foreach { f =>
+      assert(readTar(f.toPath).size.toLong ==
+        manShards(f.getName) * 2, s"${f.getName} entry count vs manifest")
+    }
+
     // a rerun with FEWER samples pre-cleans stale shard files (an empty
     // shard writes nothing — a leftover would silently join the output)
     graft.sources.Sinks.writeTarShards(docs.limit(1), col("id"),
