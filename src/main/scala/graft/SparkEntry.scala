@@ -614,6 +614,32 @@ object SparkEntry {
           col("n_words"), col("keep"))
     }),
 
+    // ---- metadata-only COUNT(*): q183's Delta table answers its row
+    // count from the log's per-file numRecords stats — zero data files
+    // opened; the oracle recomputes the same count from the raw fixture
+    // (distinct order keys), proving the logged stats are the truth ----
+    "q192_delta_metadata_count" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q183_" + new java.io.File(d).getName).toString
+      val marker = java.nio.file.Paths.get(root, "_graft_q183_built.json")
+      val stamp = s"""{"src":"$d","layout":"clusterBy-v1"}"""
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == stamp
+      if (!fresh) {
+        val sums = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+        graft.sources.Sinks.upsertParquet(s, root, sums,
+          keys = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"))
+        java.nio.file.Files.writeString(marker, stamp)
+      }
+      val n = graft.sources.Sinks.deltaTableCount(s, root)
+        .getOrElse(sys.error(s"stats gap in $root — metadata count " +
+          "must be total or absent, never partial"))
+      s.range(1).select(lit(n).as("n_rows"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -3832,6 +3858,12 @@ object SparkEntry {
         |  FROM c GROUP BY curl)
         |SELECT c.doc_id, c.curl, g.keep_id, CAST(g.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN g USING (curl)""".stripMargin,
+
+    // metadata-only COUNT(*): the logged stats must sum to the true
+    // distinct-key count of the table q183 built from lineitem
+    "q192_delta_metadata_count" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
 
     // composed web-curation pipeline: q190's closed-form canonical key
     // -> survivor pick -> q184's line rule over survivors -> q163's
