@@ -74,6 +74,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("delta_count"),
+      new ExpressionInfo("graft.sources", "delta_count"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "delta_count(path[, version]) takes 1 or 2 arguments")
+        val path = GraftExtensions.litValue(args(0), "delta_count", 1)
+          .toString
+        val v = if (args.length == 2)
+          GraftExtensions.litValue(args(1), "delta_count", 2) match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"delta_count version must be numeric, got $other")
+          }
+        else Long.MaxValue
+        val spark = SparkSession.active
+        val n = graft.sources.Sinks.deltaTableCount(spark, path, v)
+          .getOrElse(throw new IllegalStateException(
+            s"$path has live files without numRecords stats — " +
+              "metadata count would be partial; use count(*) over " +
+              "delta_at instead"))
+        spark.range(1).select(
+          org.apache.spark.sql.functions.lit(n).as("n_rows"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("delta_history"),
       new ExpressionInfo("graft.sources", "delta_history"),
       (args: Seq[Expression]) => {

@@ -125,6 +125,13 @@ class ExtensionsSpec extends SparkSpec {
         s"SELECT * FROM delta_range('$dir', 'k', 2, 3) ORDER BY k")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(ranged == Seq((2L, 25.0), (3L, 30.0)))
+      // metadata-only count, current and time-traveled
+      assert(s2.sql(s"SELECT * FROM delta_count('$dir')")
+        .head().getLong(0) == 3L)
+      assert(s2.sql(s"SELECT * FROM delta_count('$dir', 0)")
+        .head().getLong(0) == 2L)
+      // history TVF lists both commits
+      assert(s2.sql(s"SELECT * FROM delta_history('$dir')").count() == 2L)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
