@@ -640,6 +640,81 @@ object SparkEntry {
       s.range(1).select(lit(n).as("n_rows"))
     }),
 
+    // ---- hash-grain near-dup pairs (verdict r7 #1): the PRODUCTION
+    // banding/cap/verify operator behind imageNearDupPairs, anchored at
+    // (id, 64-bit signature) grain where DuckDB CAN express it —
+    // signatures derive from the cross-engine md5 hash64 plus injected
+    // 1-bit / 2-bit variants, so near pairs provably exist and the
+    // oracle's all-pairs Hamming join states the complete answer the
+    // pigeonhole banding must reproduce ----
+    "q193_image_hash_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        F.hash64(col("text")).as("h"))
+      val hashes = base
+        .select((col("doc_id") * 4).as("id"), col("h").as("phash"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 4 + 1).as("id"),
+            col("h").bitwiseXOR(expr(
+              "shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"))
+              .as("phash")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 4 + 2).as("id"),
+            col("h").bitwiseXOR(expr(
+              "shiftleft(cast(3 as bigint), cast(doc_id % 59 as int))"))
+              .as("phash")))
+      // maxBucket high: no bucket caps, so banding is COMPLETE and the
+      // all-pairs oracle is the exact expected output
+      Multimodal.hashNearDupPairs(hashes, maxHamming = 2,
+        maxBucket = 1 << 20)
+    }),
+
+    // ---- the maxHamming=0 (exact-signature) path of the same operator
+    // (audio fingerprint grain): bands=1 slices the FULL 64-bit hash, so
+    // the bucket key is the signature itself — the len==64 mask edge
+    // case — and injected exact-dup variants must pair through the
+    // DEFAULT bucket cap (each distinct signature is its own bucket) ----
+    "q194_audio_hash_neardup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"),
+        F.hash64(concat(lit("audio:"), col("vec_id").cast("string")))
+          .as("h"))
+      val hashes = base
+        .select((col("vec_id") * 2).as("id"), col("h").as("phash"))
+        .unionByName(base.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") * 2 + 1).as("id"), col("h").as("phash")))
+      Multimodal.hashNearDupPairs(hashes, maxHamming = 0)
+    }),
+
+    // ---- hash-grain dedup CLUSTERS (verdict r7 #8): pairs →
+    // connected components → min-id survivor, oracle-expressible at
+    // exact grain because signature equality is transitive — cluster =
+    // min id per signature value, every input id labeled ----
+    "q195_hash_dedup_clusters" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"),
+        F.hash64(concat(lit("audio:"), col("vec_id").cast("string")))
+          .as("h"))
+      val hashes = base
+        .select((col("vec_id") * 2).as("id"), col("h").as("phash"))
+        .unionByName(base.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") * 2 + 1).as("id"), col("h").as("phash")))
+      Multimodal.hashDedupClusters(hashes, maxHamming = 0)
+    }),
+
+    // ---- video-dedup core at frame-signature grain (verdict r7 #2):
+    // frameOverlapPairs — the aggregation behind videoNearDupPairs
+    // (whose MJPEG frame decode is spec-gated, like imagePHash) —
+    // anchored with SQL-derivable per-video frame signatures: videos
+    // share a frame iff their doc groups draw the same 1-of-97
+    // signature, and the oracle's all-pairs overlap count is the
+    // complete answer the banding must reproduce ----
+    "q196_video_frame_overlap" -> ((s, d) => {
+      val frames = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(40)).as("video_id"),
+        F.hash64(concat(lit("frame:"),
+          pmod(col("doc_id"), lit(97)).cast("string"))).as("phash"))
+      Multimodal.frameOverlapPairs(frames, maxHamming = 2, minShared = 3,
+        maxBucket = 1 << 20)
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -3858,6 +3933,77 @@ object SparkEntry {
         |  FROM c GROUP BY curl)
         |SELECT c.doc_id, c.curl, g.keep_id, CAST(g.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN g USING (curl)""".stripMargin,
+
+    // hash-grain near-dup pairs: the all-pairs Hamming-≤2 self-join is
+    // the complete answer the banded operator must reproduce (no bucket
+    // caps at q193's maxBucket)
+    "q193_image_hash_neardup" ->
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id * 4 AS id, h AS phash FROM b
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1,
+        |    xor(h, 1::BIGINT << CAST(doc_id % 60 AS INTEGER))
+        |  FROM b WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2,
+        |    xor(h, 3::BIGINT << CAST(doc_id % 59 AS INTEGER))
+        |  FROM b WHERE doc_id % 7 = 0)
+        |SELECT a.id AS id_a, c.id AS id_b,
+        |  CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h c ON a.id < c.id
+        |WHERE bit_count(xor(a.phash, c.phash)) <= 2""".stripMargin,
+
+    // exact-signature pairs (maxHamming=0): equal-hash pairs only
+    "q194_audio_hash_neardup" ->
+      """WITH h AS (
+        |  SELECT vec_id * 2 AS id,
+        |    ('0x' || substr(md5('audio:' || CAST(vec_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS phash
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id * 2 + 1,
+        |    ('0x' || substr(md5('audio:' || CAST(vec_id AS VARCHAR)),
+        |      1, 15))::BIGINT
+        |  FROM embeddings WHERE vec_id % 7 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.phash = b.phash AND a.id < b.id""".stripMargin,
+
+    // dedup clusters at exact grain: equality is transitive, so the
+    // connected component of an id is min(id) over its signature group,
+    // and the survivor is the min itself
+    "q195_hash_dedup_clusters" ->
+      """WITH h AS (
+        |  SELECT vec_id * 2 AS id,
+        |    ('0x' || substr(md5('audio:' || CAST(vec_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS phash
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id * 2 + 1,
+        |    ('0x' || substr(md5('audio:' || CAST(vec_id AS VARCHAR)),
+        |      1, 15))::BIGINT
+        |  FROM embeddings WHERE vec_id % 7 = 0)
+        |SELECT id, min(id) OVER (PARTITION BY phash) AS cluster_id,
+        |  id = min(id) OVER (PARTITION BY phash) AS is_survivor
+        |FROM h""".stripMargin,
+
+    // frame-overlap video pairs: distinct canonical signature matches
+    // per ordered video pair, thresholded — the all-pairs statement of
+    // frameOverlapPairs' banded computation
+    "q196_video_frame_overlap" ->
+      """WITH f AS (SELECT DISTINCT doc_id % 40 AS video_id,
+        |    ('0x' || substr(md5('frame:' || CAST(doc_id % 97 AS VARCHAR)),
+        |      1, 15))::BIGINT AS phash
+        |  FROM documents),
+        |m AS (SELECT DISTINCT a.video_id AS va, b.video_id AS vb,
+        |    least(a.phash, b.phash) AS p1, greatest(a.phash, b.phash) AS p2
+        |  FROM f a JOIN f b
+        |    ON a.video_id < b.video_id
+        |   AND bit_count(xor(a.phash, b.phash)) <= 2)
+        |SELECT va AS id_a, vb AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM m GROUP BY va, vb HAVING count(*) >= 3""".stripMargin,
 
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem

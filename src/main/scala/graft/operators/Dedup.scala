@@ -942,7 +942,12 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val gen = s"words-${java.util.UUID.randomUUID().toString.take(8)}"
     Files.createDirectories(Paths.get(path))
-    words.toSeq.toDF("word").coalesce(1)
+    // an explicit word index travels with each row: the reader sorts by
+    // it rather than trusting row order out of a parquet scan, so no
+    // row-group split or reader change can silently permute the bitmap
+    // (a scrambled bitmap = false negatives = exact dups admitted)
+    words.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("idx", "word").coalesce(1)
       .write.mode("overwrite").parquet(Paths.get(path, gen).toString)
     val famName = fam match {
       case XxHash => "xxhash"
@@ -980,11 +985,19 @@ object Dedup {
       case _ => XxHash
     }
     val words = new Array[Long]((mBits / 64L).toInt)
-    // the coalesce(1) write preserves index order within the single part
-    spark.read.parquet(
-        java.nio.file.Paths.get(path, meta.get("dir").asText()).toString)
-      .collect()
-      .zipWithIndex.foreach { case (r, i) => words(i) = r.getLong(0) }
+    val df = spark.read.parquet(
+      java.nio.file.Paths.get(path, meta.get("dir").asText()).toString)
+    // place each word by its persisted idx — never by scan row order
+    // (legacy single-column indices fall back to the coalesce(1) order
+    // they were written with)
+    if (df.columns.contains("idx"))
+      df.select("idx", "word").collect().foreach { r =>
+        words(r.getInt(0)) = r.getLong(1)
+      }
+    else
+      df.collect().zipWithIndex.foreach { case (r, i) =>
+        words(i) = r.getLong(0)
+      }
     (words, mBits, k, fam)
   }
 

@@ -163,7 +163,7 @@ object Sinks {
           Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
           publishManifest(root.resolve("_symlink_format_manifest"), genDir)
-          appendDeltaCommit(root, Seq(genDir), Seq(""),
+          appendDeltaCommit(spark, root, Seq(genDir), Seq(""),
             merged.schema.json, "MERGE", pinnedVersion = Some(nextNum))
           vacuumGenerations(root, nextNum, keepGenerations)
           committed = true
@@ -338,6 +338,15 @@ object Sinks {
     * 64 chars are omitted too (Delta truncates with a ceiling rule;
     * omitting sidesteps the correctness trap entirely).
     */
+  /** Compare two strings in UTF-8 byte (= Unicode code-point) order —
+    * the ordering parquet footer binary stats use. Differs from Java's
+    * natural UTF-16 comparison only for supplementary-plane characters.
+    */
+  private[sources] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def parquetFileStats(file: java.nio.file.Path): Option[String] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -361,7 +370,14 @@ object Sinks {
         val byCol = scala.collection.mutable.LinkedHashMap[String, ColState]()
         val schema = footer.getFileMetaData.getSchema
         def lt(a: Any, b: Any): Boolean = (a, b) match {
-          case (x: String, y: String) => x < y
+          // UTF-8 BYTE order, not Java's UTF-16 char order: parquet
+          // footer binary stats are byte-ordered, and supplementary-plane
+          // characters (UTF-16 surrogate pairs) sort differently in the
+          // two orders. Merging blocks in one order and pruning in the
+          // other could wrongly drop a file — pruning's one forbidden
+          // failure — so the merge and [[deltaPrunedFiles]] share
+          // [[utf8Compare]].
+          case (x: String, y: String) => utf8Compare(x, y) < 0
           case (x: java.lang.Boolean, y: java.lang.Boolean) =>
             !x.booleanValue() && y.booleanValue()
           case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
@@ -928,7 +944,9 @@ object Sinks {
       case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
       case (x: Number, y: Double) => Some(java.lang.Double.compare(x.doubleValue(), y))
       case (x: Number, y: Number) => Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      // byte order to match the footer stats this prune consumes —
+      // see the comment in [[parquetFileStats]]'s merge
+      case (x: String, y: String) => Some(utf8Compare(x, y))
       case _ => None
     }
     deltaLiveAdds(spark, tablePath, version).filter { case (_, statsOpt) =>
@@ -981,7 +999,8 @@ object Sinks {
     * generation number (gen-numbered tables); `None` appends at the next
     * sequential version (the partitioned table's batch commits).
     */
-  private def appendDeltaCommit(root: java.nio.file.Path,
+  private def appendDeltaCommit(spark: SparkSession,
+                                root: java.nio.file.Path,
                                 newGenDirs: Seq[java.nio.file.Path],
                                 replacePrefixes: Seq[String],
                                 schemaJson: String, opName: String,
@@ -991,7 +1010,19 @@ object Sinks {
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
     val logged = deltaLogVersions(root.toString)
-    val live = deltaLiveFiles(root.toString)
+    // the base live set MUST come from the checkpoint-aware state
+    // reconstruction: after cleanDeltaLog prunes pre-checkpoint JSONs, a
+    // raw JSON replay (deltaLiveFiles) yields a PARTIAL set, and a
+    // partition-scoped commit would then miss removes for partitions last
+    // rewritten before the checkpoint — duplicated rows for protocol
+    // readers. deltaStateWithMeta also carries the read path's loud
+    // gapped-history require, so a write can never silently commit
+    // against a truncated view of the table.
+    val live: Seq[String] =
+      if (logged.isEmpty &&
+          !Files.exists(logDir.resolve("_last_checkpoint"))) Seq.empty
+      else deltaStateWithMeta(spark, root.toString, Long.MaxValue)
+        ._1.keys.toSeq
     val mapper = jsonMapper
     val tableId =
       java.util.UUID.nameUUIDFromBytes(
@@ -1261,7 +1292,7 @@ object Sinks {
           // one Delta commit for the whole batch: adds for every affected
           // partition's new generation, removes scoped to those partitions
           // (untouched partitions' files stay live in the log, untouched)
-          appendDeltaCommit(root, committedGenDirs.result(),
+          appendDeltaCommit(spark, root, committedGenDirs.result(),
             committedPrefixes.result(), merged.schema.json, "MERGE",
             pinnedVersion = None)
           committed = true
@@ -1581,7 +1612,7 @@ object Sinks {
           publishManifest(root.resolve("_symlink_format_manifest"), newGen)
           // same rows, new files: a Delta OPTIMIZE commit (dataChange
           // false — incremental consumers know no rows changed)
-          appendDeltaCommit(root, Seq(newGen), Seq(""),
+          appendDeltaCommit(spark, root, Seq(newGen), Seq(""),
             compacted.schema.json, "OPTIMIZE",
             pinnedVersion = Some(nextNum), dataChange = false)
           vacuumGenerations(root, nextNum, keepGenerations)

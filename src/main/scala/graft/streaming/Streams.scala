@@ -277,6 +277,36 @@ object Streams {
     * Rows carrying the batch's own ids are excluded on both frames so a
     * partial previous attempt cannot make a retried batch reject itself.
     */
+  /** Literal/join crossover for driver-held key filters: at or below
+    * this many keys the filter is a literal IN (which is what lets the
+    * bucketed scan prune files — bucket pruning only fires on literal
+    * predicates, and with few values it selects few buckets); above it,
+    * pruning would select nearly every file bucket anyway while the
+    * literal list becomes a six-figure expression tree the analyzer and
+    * codegen must carry, so the filter switches to a broadcast hash
+    * semi/anti join against a tiny driver-built frame — same rows, plan
+    * size O(1) in the key count.
+    */
+  private[graft] val MaxLiteralKeys = 1024
+
+  /** A semi/anti membership filter that stays a literal IN while small
+    * (bucket-pruning-friendly) and becomes a broadcast join past
+    * [[MaxLiteralKeys]] (plan-size-safe). `negate=false` keeps matching
+    * rows (semi), `negate=true` drops them (anti).
+    */
+  private[graft] def keysFilter(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, colName: String,
+                         keys: Seq[Long], negate: Boolean): DataFrame =
+    if (keys.length <= MaxLiteralKeys) {
+      val in = col(colName).isInCollection(keys)
+      df.filter(if (negate) !in else in)
+    } else {
+      val keyFrame = broadcast(
+        spark.createDataset(keys)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF(colName))
+      df.join(keyFrame, Seq(colName), if (negate) "left_anti" else "left_semi")
+    }
+
   private[graft] def prunedIndexProbe(spark: org.apache.spark.sql.SparkSession,
                                       shTable: String, bandsTable: String,
                                       batchBands: DataFrame,
@@ -293,9 +323,10 @@ object Streams {
       (shFull.join(batchIds, Seq("id"), "left_anti"),
         bandsFull.join(batchIds, Seq("id"), "left_anti"))
     } else {
-      val bandsPruned = bandsFull
-        .filter(col("bucket").isInCollection(bucketVals.toIndexedSeq))
-        .join(batchIds, Seq("id"), "left_anti")
+      val bandsPruned =
+        keysFilter(spark, bandsFull, "bucket", bucketVals.toIndexedSeq,
+            negate = false)
+          .join(batchIds, Seq("id"), "left_anti")
       val candIds = bandsPruned
         .join(batchBands.select("band", "bucket").distinct(),
           Seq("band", "bucket"), "left_semi")
@@ -304,7 +335,8 @@ object Streams {
       val shPruned =
         if (candIds.length > maxProbeKeys)
           shFull.join(batchIds, Seq("id"), "left_anti")
-        else shFull.filter(col("id").isInCollection(candIds.toIndexedSeq))
+        else keysFilter(spark, shFull, "id", candIds.toIndexedSeq,
+            negate = false)
           .join(batchIds, Seq("id"), "left_anti")
       (shPruned, bandsPruned)
     }
@@ -326,23 +358,21 @@ object Streams {
   private def compactReadmittedIds(spark: org.apache.spark.sql.SparkSession,
                                    shTable: String, bandsTable: String,
                                    admittedIds: Array[Long],
-                                   currentBatch: Long,
-                                   maxProbeKeys: Int): Unit = {
+                                   currentBatch: Long): Unit = {
     val shT = spark.table(shTable)
+    // literal IN below the crossover (id-bucket-pruned scan), broadcast
+    // semi join above it (plan-size-safe) — [[keysFilter]]'s contract
     val membership =
-      if (admittedIds.length <= maxProbeKeys)
-        shT.filter(col("id").isInCollection(admittedIds.toIndexedSeq))
-      else // oversized batch: full-scan membership join (correct, unpruned)
-        shT.join(spark.createDataset(admittedIds.toIndexedSeq)(
-          org.apache.spark.sql.Encoders.scalaLong).toDF("id"), "id")
+      keysFilter(spark, shT, "id", admittedIds.toIndexedSeq, negate = false)
     val stale = membership.filter(col("batch") =!= currentBatch)
       .select("id", "batch").collect()
     if (stale.nonEmpty) {
       val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
       for (p <- stale.map(_.getLong(1)).distinct.sorted;
            tbl <- Seq(shTable, bandsTable)) {
-        val keep = spark.table(tbl)
-          .filter(col("batch") === p && !col("id").isInCollection(staleIds))
+        val keep = keysFilter(spark,
+            spark.table(tbl).filter(col("batch") === p),
+            "id", staleIds, negate = true)
           .drop("batch").localCheckpoint(true)
         graft.sources.Sinks.overwriteBucketedPartition(spark, tbl, p, keep)
       }
@@ -423,7 +453,7 @@ object Streams {
             val admittedIds = admitted.select(col(idColName).as("id"))
             compactReadmittedIds(spark, shTable, bandsTable,
               admitted.select(col(idColName)).collect().map(_.getLong(0)),
-              batchId, maxProbeKeys)
+              batchId)
             graft.sources.Sinks.upsertParquet(spark, corpusPath, admitted,
               Seq(idColName))
             graft.sources.Sinks.overwriteBucketedPartition(spark, shTable,
@@ -574,7 +604,16 @@ object Streams {
           .agg(count(lit(1)).as("n"),
             round(avg(col("__sim")), 4).as("mean_sim"))
           .withColumn("batch_id", lit(batchId))
-        hist.write.mode("append").parquet(statsPath)
+        // IDEMPOTENT per batch_id: a retried/replayed micro-batch must
+        // replace its own histogram partition, not append a duplicate —
+        // double-counted rows would fabricate the very drift signal this
+        // sink exists to detect. Dynamic overwrite touches only the
+        // partitions present in the batch (exactly one: this batch_id);
+        // all other batches' partitions stay untouched — the same
+        // exactly-once discipline as the admission sinks.
+        hist.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(statsPath)
       }
   }
 

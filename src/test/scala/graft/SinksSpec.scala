@@ -361,4 +361,135 @@ class SinksSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)),
       s"only the gain-scaled copy pairs: $pairs")
   }
+
+  test("hashNearDupPairs: maxHamming=0 single-band mask keeps exact-dup " +
+    "pairs past the bucket cap") {
+    // 200 distinct signatures + one exact-dup pair NOT involving the
+    // min id: under the (1L<<64)==1 mask bug every signature landed in
+    // bucket 0, the 202-row bucket blew the cap, and the star fallback
+    // (pairs around the min id only) silently lost (900, 901)
+    val hashes = ((0L until 200L).map(i => (i, i * 0x9E3779B97F4A7C15L)) ++
+      Seq((900L, 0x1234567890ABCDEFL), (901L, 0x1234567890ABCDEFL)))
+      .toDF("id", "phash")
+    val pairs = Multimodal.hashNearDupPairs(hashes, maxHamming = 0,
+        maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((900L, 901L, 0)),
+      s"exactly the exact-dup pair at hamming 0: $pairs")
+  }
+
+  test("imageDedupClusters: resized copy clusters with its original, " +
+    "min id survives") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        r.setSample(x, y, 0, f(x, y) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grad(x: Int, y: Int) = (x * 2 + y) % 256
+    val media = Seq(
+      (1L, png(64, 64)(grad)),
+      (2L, png(128, 128)((x, y) => grad(x / 2, y / 2))),
+      (3L, png(64, 64)((x, y) => if ((x / 4 + y / 4) % 2 == 0) 255 else 0))
+    ).toDF("media_id", "content")
+    val cl = Multimodal.imageDedupClusters(spark, media, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(cl(1L) == ((1L, true)), "min id labels and survives")
+    assert(cl(2L) == ((1L, false)), "the resized copy joins cluster 1")
+    assert(cl(3L) == ((3L, true)), "the checkerboard is its own cluster")
+  }
+
+  test("media decode is map-only by default: no shuffle before decode, " +
+    "rebalance opts in") {
+    // shuffle-free fixture (a parallelized local frame): any
+    // ShuffledRowRDD in the lineage can only come from the operator
+    val media = (1L to 20L).map(i =>
+        (i, Multimodal.syntheticPng((i % 30).toInt + 16, (i % 20).toInt + 16)))
+      .toDF("media_id", "content")
+    val lineage = Multimodal.imageHashes(spark, media)
+      .rdd.toDebugString
+    assert(!lineage.contains("ShuffledRowRDD"),
+      s"default decode must not shuffle the blobs:\n$lineage")
+    val rebalanced = Multimodal.imageHashes(spark, media, rebalance = true)
+      .rdd.toDebugString
+    assert(rebalanced.contains("ShuffledRowRDD"),
+      s"rebalance=true must hash-repartition:\n$rebalanced")
+  }
+
+  test("MJPEG-AVI: real frame decode round-trips; re-encoded clips pair, " +
+    "different content does not") {
+    // textured (spread-spectrum) frames — pHash's robust contract is
+    // natural-image-like content, not flat gradients (documented
+    // fragility in imagePHash's scaladoc)
+    def pixel(f: Int, x: Int, y: Int) =
+      ((math.sin(x * 0.35 + f) + math.sin(y * 0.28) +
+        math.sin((x + y) * 0.11 + f * 0.7)) * 40 + 128).toInt
+    val clip = Multimodal.syntheticMjpegAvi(64, 64, nFrames = 4, pixel)
+    assert(new String(clip.take(4), "US-ASCII") == "RIFF" &&
+      new String(clip.slice(8, 12), "US-ASCII") == "AVI ")
+    // container metadata still parses from the full MJPG container
+    assert(Multimodal.decodeVideoMeta(clip).contains(("avi", 64, 64, 160L)))
+    // REAL frame decode: 4 frames at the declared dims
+    val frames = Multimodal.decodeMjpegFrames(clip).get
+    assert(frames.length == 4)
+    assert(frames.forall(f => f.getWidth == 64 && f.getHeight == 64))
+    // decoded frame content matches the source raster perceptually:
+    // per-frame pHash within 3 bits of the lossless source's hash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 4).foreach { f =>
+      val src = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = src.getRaster
+      for (y <- 0 until 64; x <- 0 until 64)
+        r.setSample(x, y, 0, pixel(f, x, y))
+      val d = ham(Multimodal.pHashOfImage(frames(f)),
+        Multimodal.pHashOfImage(src))
+      assert(d <= 3, s"frame $f decoded ${d} bits off its source raster")
+    }
+    // non-MJPG payloads refuse honestly
+    assert(Multimodal.decodeMjpegFrames(
+      Multimodal.syntheticAvi(64, 64, 4)).isEmpty, "frameless AVI")
+    assert(Multimodal.decodeMjpegFrames(
+      Multimodal.syntheticMp4(64, 64, 100)).isEmpty)
+    assert(Multimodal.decodeMjpegFrames("junk".getBytes).isEmpty)
+
+    // the dedup contract: a RE-ENCODED copy (lower JPEG quality) pairs
+    // with the original on frame-hash overlap; different content doesn't
+    val reenc = Multimodal.syntheticMjpegAvi(64, 64, 4, pixel,
+      jpegQuality = 0.6f)
+    def other(f: Int, x: Int, y: Int) =
+      ((math.sin(x * 0.9 + 2 * f) * math.sin(y * 0.8)) * 90 + 128).toInt
+    val media = Seq(
+      (1L, clip), (2L, reenc),
+      (3L, Multimodal.syntheticMjpegAvi(64, 64, 4, other))
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.videoNearDupPairs(spark, media,
+        maxHamming = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the re-encoded copy pairs: $pairs")
+
+    // extractFeatures: the MJPG clip's feature is the REAL pixel-pooled
+    // vector, not the byte-histogram stub
+    val feats = Multimodal.extractFeatures(spark,
+        media.select($"media_id", lit("video").as("media_type"),
+          $"content"))
+      .orderBy("media_id").collect()
+    val stub = Multimodal.decodeStub(clip, 8).toSeq
+    def feat(i: Int): Seq[Float] =
+      feats(i).getSeq[Float](feats(i).fieldIndex("feature")).toSeq
+    assert(feat(0) != stub, "MJPG feature must not be the stub")
+    // pixel-pooled features of the two encodings of the SAME content
+    // nearly coincide (JPEG artifacts only); the stub's byte histograms
+    // of different encodings would not
+    val fa = feat(0)
+    val fb = feat(1)
+    assert(fa.zip(fb).forall { case (a, b) => math.abs(a - b) < 0.02 },
+      s"re-encoded pooled features must nearly coincide: $fa vs $fb")
+  }
 }

@@ -238,13 +238,25 @@ class StreamsSpec extends SparkSpec {
       Seq((5L, Seq(0.1, 0.9)), (6L, Seq(0.0, 1.0)), (7L, Seq(0.2, 0.8))))
     try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
-    val hist = spark.read.parquet(dir)
-      .collect().map(r => (r.getLong(3), r.getLong(0)) -> r.getLong(1))
+    def readHist() = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Number]("batch_id").longValue(),
+        r.getAs[Long]("cluster_id")) -> r.getAs[Long]("n"))
       .toMap
+    val hist = readHist()
     assert(hist((0L, 0L)) == 2L && hist((0L, 1L)) == 2L,
       s"poll 0 balanced: $hist")
     assert(!hist.contains((1L, 0L)) && hist((1L, 1L)) == 3L,
       s"poll 1 fully drifted to cluster 1: $hist")
+    // a REPLAYED micro-batch (crash-recovery re-fires foreachBatch with
+    // the same batch_id) must overwrite its own partition, not append —
+    // the histogram is unchanged, not double-counted
+    Streams.clusterDriftSink(cents, dir)(
+      spark.createDataFrame(Seq(
+        (5L, Seq(0.1, 0.9)), (6L, Seq(0.0, 1.0)), (7L, Seq(0.2, 0.8))))
+        .toDF("vec_id", "vec"), 1L)
+    val replayed = readHist()
+    assert(replayed == hist, s"replay of batch 1 must be idempotent: " +
+      s"$replayed vs $hist")
   }
 
   test("bloomDedupAdmissionSink: exact-dup admission through a persisted " +
@@ -476,6 +488,45 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(corpus == Set(1L, 2L, 3L, 4L, 5L, 6L, 8L),
       s"dup (7) rejected, fresh (8) admitted: $corpus")
+  }
+
+  test("keysFilter: >1k keys becomes a broadcast join, not a giant IN; " +
+    "small key sets stay literal") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("keysflt")
+      .toFile.getAbsolutePath
+    spark.range(0, 10000).selectExpr("id", "id * 2 as v")
+      .write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+
+    // ABOVE the crossover: the filter must be a broadcast hash join —
+    // the plan carries one tiny relation, not a 5000-arm IN expression
+    val bigKeys = (0L until 5000L).map(_ * 2)
+    val big = Streams.keysFilter(spark, base, "id", bigKeys, negate = false)
+    big.collect()
+    val bigPlan = allNodes(big.queryExecution.executedPlan)
+    assert(bigPlan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"oversized key set must broadcast-join:\n${big.queryExecution.executedPlan}")
+    assert(!big.queryExecution.optimizedPlan.toString.contains(" IN ("),
+      "no literal IN list for an oversized key set")
+    assert(big.count() == 5000)
+
+    // negated: broadcast anti join, same plan-size bound
+    val bigNeg = Streams.keysFilter(spark, base, "id", bigKeys, negate = true)
+    assert(allNodes(bigNeg.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "oversized negated key set must broadcast anti-join")
+    assert(bigNeg.count() == 5000) // drops the 5000 even ids, keeps the odd
+
+    // AT/BELOW the crossover: stays a literal predicate (what bucketed
+    // scans can prune on) — no join anywhere in the plan
+    val smallKeys = (0L until Streams.MaxLiteralKeys.toLong)
+    val small = Streams.keysFilter(spark, base, "id", smallKeys,
+      negate = false)
+    assert(!allNodes(small.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "small key set must stay a literal filter")
+    assert(small.count() == Streams.MaxLiteralKeys)
   }
 
   test("indexedDedupAdmissionSink: re-admitting an id compacts its old index rows") {
