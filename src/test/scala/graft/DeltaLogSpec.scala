@@ -334,4 +334,40 @@ class DeltaLogSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("vacuumed"), err.getMessage)
   }
+
+  test("post-VACUUM partition rewrite removes the files a pre-checkpoint " +
+    "commit added (the write path is checkpoint-aware)") {
+    // the r7-advice trap: partition A is last rewritten BEFORE the
+    // checkpoint; after cleanDeltaLog prunes the pre-checkpoint JSONs, a
+    // commit that rewrites A again can only learn A's live files from the
+    // CHECKPOINT — a raw JSON replay would emit no removes for them, and
+    // protocol readers would see both generations (duplicated rows)
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds")                       // v0: A and B born
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((2L, "B", 5.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds")                       // v1: touches only B
+    val aFilesV0 = Sinks.deltaLiveFiles(dir)
+      .filter(_.startsWith("p=A/")).toSet
+    assert(aFilesV0.nonEmpty)
+    Sinks.checkpointDeltaLog(spark, dir)    // checkpoint at v1
+    assert(Sinks.cleanDeltaLog(dir) == 1, "v0's JSON pruned")
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "A", 9.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds")                       // v2: rewrites A post-vacuum
+    val v2 = actions(dir, 2L)
+    val removed = v2.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText).toSet
+    assert(aFilesV0.subsetOf(removed),
+      s"v2 must remove A's pre-checkpoint files: removed=$removed " +
+        s"expected at least $aFilesV0")
+    // a protocol reader reconstructing through the checkpoint sees
+    // exactly one generation of A — no duplicated rows
+    val viaLog = Sinks.readDeltaTableAt(spark, dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaLog == Seq((1L, 9.0), (2L, 5.0)),
+      s"one row per key through the log: $viaLog")
+  }
 }
