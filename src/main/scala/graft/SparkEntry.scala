@@ -715,6 +715,49 @@ object SparkEntry {
         maxBucket = 1 << 20)
     }),
 
+    // ---- fixed-point PageRank over a synthetic domain link graph:
+    // integer (BIGINT) power iteration is exact and order-invariant at
+    // any parallelism, so five Spark iterations hash-match five
+    // unrolled CTE stages in DuckDB value-for-value — float PageRank
+    // could never cross-engine-match (sum(double) is reduction-order-
+    // dependent). Nodes 35-39 are dangling (link targets only) so the
+    // uniform redistribution term is exercised, not just the join ----
+    "q197_pagerank_domains" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val under35 = pmod(col("doc_id"), lit(40)) < 35
+      val e1 = docs.filter(under35)
+        .select(pmod(col("doc_id"), lit(40)).as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(40)).as("dst"))
+      val e2 = docs.filter(pmod(col("doc_id"), lit(3)) === 0 && under35)
+        .select(pmod(col("doc_id"), lit(40)).as("src"),
+          pmod(col("doc_id") * 13 + 7, lit(40)).as("dst"))
+      Graphs.pageRankFixedPoint(e1.unionByName(e2), iters = 5)
+    }),
+
+    // ---- persisted IVF serving index (build once per fixture, search
+    // per run): centroids parquet + cid-bucketed inverted-list table —
+    // the probed search reads only probed lists' file buckets, and the
+    // answer must equal the in-memory ivfTopK (one oracle anchors both,
+    // the q171 BM25 serving-index precedent) ----
+    "q198_ann_ivf_serving" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q198_" + new java.io.File(d).getName).toString
+      val marker = java.nio.file.Paths.get(root, "_graft_q198_built.json")
+      val stamp = s"""{"src":"$d","layout":"ivf-lists-v1"}"""
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == stamp
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      if (!fresh) {
+        Similarity.buildIvfIndex(s, e, col("vec_id"), col("vec"), root)
+        java.nio.file.Files.writeString(marker, stamp)
+      }
+      Similarity.ivfIndexSearch(s, root, e, col("vec_id"), col("vec"),
+          k = 5, nProbe = 2, excludeSelf = true)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -2398,6 +2441,101 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB replay of the deterministic IVF pipeline (q63's oracle,
+    * shared by q198's persisted-index serving search — the on-disk
+    * bucketed index must reproduce the in-memory operator exactly):
+    * smallest-id centroid seeds, one Lloyd round with 6dp-rounded
+    * means, rank-1 inverted lists, rank-≤2 probes, exact cosine top-5.
+    */
+  private def q63Oracle: String = {
+    val cos = (a: String, b: String) =>
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0
+         |      OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+         |    ELSE list_dot_product($a, $b)
+         |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+         |    END""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+       |asg0 AS (
+       |  SELECT e.id, e.v, c0.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cid) AS rn
+       |  FROM e CROSS JOIN c0),
+       |m AS (
+       |  SELECT cid, t.i AS pos, ROUND(AVG(v[t.i]), 6) AS mx
+       |  FROM asg0, (SELECT UNNEST(range(1, 65)) AS i) t
+       |  WHERE rn = 1 GROUP BY cid, t.i),
+       |c AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m GROUP BY cid),
+       |asg AS (
+       |  SELECT e.id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c),
+       |lists AS (SELECT id, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cid FROM asg WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, l.id AS corpus_id
+       |  FROM probes p JOIN lists l ON p.cid = l.cid
+       |  WHERE p.query_id <> l.id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.corpus_id, ${cos("a.v", "b.v")} AS cos
+       |  FROM cand cd JOIN e a ON a.id = cd.query_id
+       |               JOIN e b ON b.id = cd.corpus_id)
+       |SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** DuckDB spelling of q197's fixed-point PageRank: the SAME integer
+    * power iteration as [[graft.operators.Graphs.pageRankFixedPoint]],
+    * unrolled into `iters` chained CTE stages (`//` is DuckDB floor
+    * division = Spark `DIV` on the non-negative BIGINTs used here; the
+    * HUGEINT that DuckDB's sum(BIGINT) produces is exact and the final
+    * projection casts back to BIGINT). The dangling-mass term is a
+    * scalar subquery per stage — the SQL statement of the Spark side's
+    * one-row driver aggregate.
+    */
+  private def q197Oracle: String = {
+    val scale = 1000000000000L; val dn = 85; val dd = 100; val iters = 5
+    val edges =
+      """SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+        |  FROM documents WHERE doc_id % 40 < 35
+        |  UNION ALL
+        |  SELECT doc_id % 40, (doc_id * 13 + 7) % 40
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 40 < 35
+        |) WHERE src <> dst""".stripMargin
+    val header =
+      s"""WITH e AS ($edges),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nd AS (SELECT nodes.id, coalesce(d.deg, 0) AS deg
+         |  FROM nodes LEFT JOIN
+         |    (SELECT src AS id, count(*) AS deg FROM e GROUP BY src) d
+         |    USING (id)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, $scale // (SELECT n FROM nn) AS rank
+         |  FROM nodes)""".stripMargin
+    val stages = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT nd.id,
+         |    ((($dd - $dn) * $scale) // ($dd * (SELECT n FROM nn)))
+         |      + ($dn * (coalesce(c.csum, 0)
+         |        + ((SELECT coalesce(sum(r.rank), 0) FROM $p r
+         |            JOIN nd USING (id) WHERE nd.deg = 0)
+         |           // (SELECT n FROM nn))
+         |      )) // $dd AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank // nd2.deg) AS csum
+         |    FROM $p r JOIN nd nd2 ON r.id = nd2.id JOIN e ON e.src = r.id
+         |    WHERE nd2.deg > 0 GROUP BY e.dst) c USING (id))""".stripMargin
+    }
+    header + ",\n" + stages.mkString(",\n") +
+      s"\nSELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters"
+  }
+
   // ---- DuckDB oracle fragments for hash-bucketed operators --------------
   // These replicate graft's CrossEngineHash (md5-derived 60-bit values) and
   // the deterministic LSH hyperplanes, so q28/q29/q35 — whole hash-bucketed
@@ -4005,6 +4143,10 @@ object SparkEntry {
         |SELECT va AS id_a, vb AS id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM m GROUP BY va, vb HAVING count(*) >= 3""".stripMargin,
 
+    // fixed-point PageRank: the same five integer power iterations,
+    // unrolled as chained CTEs (generated — see q197Oracle)
+    "q197_pagerank_domains" -> q197Oracle,
+
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem
     "q192_delta_metadata_count" ->
@@ -4563,45 +4705,13 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
-    "q63_ann_ivf" -> {
-      val cos = (a: String, b: String) =>
-        s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0
-           |      OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
-           |    ELSE list_dot_product($a, $b)
-           |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
-           |    END""".stripMargin
-      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
-         |asg0 AS (
-         |  SELECT e.id, e.v, c0.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY e.id
-         |      ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cid) AS rn
-         |  FROM e CROSS JOIN c0),
-         |m AS (
-         |  SELECT cid, t.i AS pos, ROUND(AVG(v[t.i]), 6) AS mx
-         |  FROM asg0, (SELECT UNNEST(range(1, 65)) AS i) t
-         |  WHERE rn = 1 GROUP BY cid, t.i),
-         |c AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m GROUP BY cid),
-         |asg AS (
-         |  SELECT e.id, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY e.id
-         |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
-         |  FROM e CROSS JOIN c),
-         |lists AS (SELECT id, cid FROM asg WHERE rn = 1),
-         |probes AS (SELECT id AS query_id, cid FROM asg WHERE rn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, l.id AS corpus_id
-         |  FROM probes p JOIN lists l ON p.cid = l.cid
-         |  WHERE p.query_id <> l.id),
-         |scored AS (
-         |  SELECT cd.query_id, cd.corpus_id, ${cos("a.v", "b.v")} AS cos
-         |  FROM cand cd JOIN e a ON a.id = cd.query_id
-         |               JOIN e b ON b.id = cd.corpus_id)
-         |SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, corpus_id) AS rn FROM scored) t
-         |WHERE rn <= 5""".stripMargin
-    },
+    "q63_ann_ivf" -> q63Oracle,
+
+    // persisted-IVF serving search: same parameters as q63 against the
+    // SAME deterministic trainer, so the bucketed on-disk index must
+    // reproduce the in-memory operator value-for-value — one oracle
+    // anchors both forms (the BM25 serving-index precedent)
+    "q198_ann_ivf_serving" -> q63Oracle,
 
     "q64_train_split" ->
       """WITH s AS (

@@ -392,6 +392,165 @@ object Similarity {
       .withColumn("cos", round(col("cos"), 4))
   }
 
+  // ---- persisted IVF serving index --------------------------------------
+
+  /** Catalog table name for an IVF index path (same hashing scheme as
+    * the streaming dedup index tables).
+    */
+  def ivfIndexTableName(indexPath: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexPath.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    s"graft_ivf_idx_${h}_lists"
+  }
+
+  /** Register (idempotently) the inverted-list table over `indexPath` —
+    * bucketed by `cid` so a probed search reads only the probed lists'
+    * file buckets, partitioned by ingest `batch` so appends land as
+    * idempotent partition overwrites. Pure DDL over the existing path:
+    * a FRESH session (serving process restart) re-attaches to an index
+    * built elsewhere without touching the data, and `MSCK REPAIR`
+    * recovers the batch partitions already on disk.
+    */
+  private def ensureIvfListsTable(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, buckets: Int): String = {
+    val table = ivfIndexTableName(indexPath)
+    if (!spark.catalog.tableExists(table)) {
+      val path = s"$indexPath/lists"
+      // pre-create the directory: table resolution lists the path, and a
+      // first build would otherwise log a (harmless, retried) missing-
+      // file error before the first insert creates it
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      spark.sql(
+        s"""CREATE TABLE $table (cid BIGINT, id BIGINT, vec ARRAY<DOUBLE>,
+           |  batch BIGINT)
+           |USING parquet OPTIONS (path '$path')
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (cid) SORTED BY (cid) INTO $buckets BUCKETS
+           |""".stripMargin)
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        spark.sql(s"MSCK REPAIR TABLE $table")
+    }
+    table
+  }
+
+  private def assignToCentroids(base: DataFrame, cents: DataFrame,
+                                maxRank: Int): DataFrame = {
+    val wAsg = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__cr", row_number().over(wAsg))
+      .filter(col("__cr") <= maxRank)
+  }
+
+  /** Build (or rebuild) a PERSISTED IVF index under `indexPath`: the
+    * trained centroids as one small parquet (broadcast at query time)
+    * plus the inverted lists as a cid-bucketed catalog table — the
+    * billion-vector serving layout where a query's I/O is `nProbe`
+    * lists' file buckets, never the corpus ([[ivfIndexSearch]] carries
+    * the plan proof). Same deterministic Lloyd trainer as [[ivfTopK]]/
+    * [[kmeansClusters]] (smallest-id seeds, 6dp-rounded means), so a
+    * search over the persisted index reproduces the in-memory
+    * operator's answer exactly — the equivalence the q198 oracle and
+    * ScaleOpsSpec pin.
+    */
+  def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                    corpus: DataFrame, idCol: Column, vecCol: Column,
+                    indexPath: String, nCentroids: Int = 16,
+                    lloydIters: Int = 1, buckets: Int = 16): Unit = {
+    // a rebuild is a RETRAIN: prior lists (including append partitions
+    // assigned against the OLD centroids) must not survive it
+    val table = ivfIndexTableName(indexPath)
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    val listsDir = java.nio.file.Paths.get(s"$indexPath/lists")
+    if (java.nio.file.Files.isDirectory(listsDir)) {
+      val walk = java.nio.file.Files.walk(listsDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    val base = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val cents = lloydCentroids(base, nCentroids, lloydIters)
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids")
+    ensureIvfListsTable(spark, indexPath, buckets)
+    val lists = assignToCentroids(base,
+        spark.read.parquet(s"$indexPath/centroids"), 1)
+      .select(col("cid"), col("id"), col("vec"))
+    graft.sources.Sinks.overwriteBucketedPartition(spark, table, 0L, lists)
+  }
+
+  /** Append a batch of vectors to a persisted IVF index: assign against
+    * the EXISTING centroids (no retrain — the serving contract; rebuild
+    * with [[buildIvfIndex]] when the drift monitor says the centroids
+    * moved) and land the rows as the next `batch` partition — an
+    * idempotent partition overwrite, so a retried ingest converges.
+    * Cost tracks the batch: one broadcast-centroid assignment pass plus
+    * the bucketed write; the stored corpus is never read or shuffled.
+    */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, idCol: Column, vecCol: Column,
+                     indexPath: String, buckets: Int = 16): Long = {
+    val table = ensureIvfListsTable(spark, indexPath, buckets)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val next = spark.table(table).select(col("batch")).distinct()
+      .agg(coalesce(max(col("batch")), lit(-1L))).head().getLong(0) + 1L
+    val rows = assignToCentroids(
+        batch.select(idCol.as("id"), vecCol.as("vec")), cents, 1)
+      .select(col("cid"), col("id"), col("vec"))
+    graft.sources.Sinks.overwriteBucketedPartition(spark, table, next, rows)
+    next
+  }
+
+  /** Probed ANN search against a PERSISTED IVF index. Per query:
+    * rank the broadcast centroids, keep the top `nProbe`; the union of
+    * probed `cid`s (≤ nCentroids values — always a literal IN, which is
+    * what lets the bucketed scan prune: `SelectedBucketsCount` shows
+    * only the probed lists' buckets are read) gates the list scan; the
+    * candidates join back to their probing queries ON `cid` — the scan's
+    * own HashPartitioning(cid) satisfies the join, so the CORPUS SIDE
+    * NEVER SHUFFLES — then exact cosine re-ranks and top-k cuts.
+    * `excludeSelf` drops candidate == query id (corpus-as-queries
+    * evaluation, [[ivfTopK]] parity).
+    *
+    * Output: (query_id, corpus_id, cos 4dp, rank ≤ k).
+    */
+  def ivfIndexSearch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queries: DataFrame,
+                     qIdCol: Column, qVecCol: Column,
+                     k: Int = 10, nProbe: Int = 2,
+                     excludeSelf: Boolean = false,
+                     buckets: Int = 16): DataFrame = {
+    val table = ensureIvfListsTable(spark, indexPath, buckets)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val q = queries.select(qIdCol.as("id"), qVecCol.as("vec"))
+    val probes = assignToCentroids(q, cents, nProbe)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("cid"))
+    // ≤ nCentroids distinct values — bounded driver traffic by design
+    val probedCids = probes.select("cid").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val lists = spark.table(table)
+      .filter(col("cid").isInCollection(probedCids))
+      .select(col("cid"), col("id").as("corpus_id"), col("vec").as("cvec"))
+    val cand = lists.join(probes, "cid")
+    val filtered =
+      if (excludeSelf) cand.filter(col("query_id") =!= col("corpus_id"))
+      else cand
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    filtered
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      // no dedup needed: every corpus vector lives in exactly ONE list
+      // (rank-1 assignment), so a (query, corpus) pair arises once
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): vectors split into `mSub` subvectors;
     * each subspace trains its own `nCodes`-entry codebook (deterministic

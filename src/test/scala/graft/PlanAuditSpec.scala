@@ -82,7 +82,12 @@ class PlanAuditSpec extends SparkSpec {
     // q189: IVF-PQ's coarse routing AND query probing are both
     // corpus/queries × broadcast(16 centroid rows) — q63's bounded
     // pattern twice in one plan
-    "q189_ann_ivfpq")
+    "q189_ann_ivfpq",
+    // q198: the persisted-index serving search ranks queries against
+    // broadcast(16 centroid rows) to pick probe lists — q63's bounded
+    // assignment pattern; the list scan itself is a bucket-pruned
+    // hash-join, never nested-loop
+    "q198_ann_ivf_serving")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile

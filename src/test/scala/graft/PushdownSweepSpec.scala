@@ -30,7 +30,11 @@ class PushdownSweepSpec extends SparkSpec {
     "FLOOR(", "floor(", "from_json(", "unix_date(", "date_trunc(",
     "RLIKE", "try_cast(", "exists(", "CASE WHEN", "coalesce(",
     "substring(", "length(", "lower(", "trim(", "lpad(", "conv(",
-    "date_add(")
+    "date_add(",
+    // arithmetic-derived ids (q193/q194's `doc_id * 4` surrogate keys):
+    // a predicate over a computed product can never push, and a plain
+    // single-column predicate never renders with an infix `*`
+    " * ")
 
   /** Split a rendered DataFilters list on TOP-LEVEL commas (depth-aware —
     * commas inside function calls stay put). The plan renderer truncates

@@ -8,6 +8,73 @@ import graft.sources.Sinks
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("persisted IVF index: probed search is bucket-pruned and equals " +
+    "the in-memory operator; appends assign against fixed centroids") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("ivfidx").toString + "/idx"
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("vec"))
+    Similarity.buildIvfIndex(spark, e, col("vec_id"), col("vec"), dir)
+
+    // the serving contract: the on-disk index reproduces the in-memory
+    // operator value-for-value (same trainer, same probes, same top-k)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val mem = Similarity.ivfTopK(e, col("vec_id"), col("vec"), k = 5)
+      .collect().map(key).toSet
+    val served = Similarity.ivfIndexSearch(spark, dir, e,
+        col("vec_id"), col("vec"), k = 5, nProbe = 2, excludeSelf = true)
+      .collect().map(key).toSet
+    assert(served == mem,
+      s"persisted search diverged: ${(served diff mem).take(3)} vs " +
+        s"${(mem diff served).take(3)}")
+
+    // plan proof: a small query batch probes few centroids, and the
+    // bucketed list scan reads ONLY those buckets
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey, "true")
+    spark.conf.set(autoKey, "false")
+    try {
+      val res = Similarity.ivfIndexSearch(spark, dir,
+        e.filter(col("vec_id") < 2), col("vec_id"), col("vec"),
+        k = 3, nProbe = 2)
+      val plan = res.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+        .getOrElse(fail(s"no SelectedBucketsCount in probe plan:\n$plan"))
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"probed search must read a strict subset of buckets: ${m.matched}")
+      assert(res.count() > 0)
+    } finally spark.conf.set(autoKey, prev)
+
+    // append: a clone of vector 7 lands in vector 7's list (assigned
+    // against the FIXED centroids) and is immediately searchable at
+    // cosine 1.0; the stored corpus was never rewritten
+    val clone = e.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("vec"))
+    val batch = Similarity.ivfIndexAppend(spark, clone,
+      col("vec_id"), col("vec"), dir)
+    assert(batch == 1L)
+    val hit = Similarity.ivfIndexSearch(spark, dir,
+        e.filter(col("vec_id") === 7), col("vec_id"), col("vec"),
+        k = 1, nProbe = 1, excludeSelf = true)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(hit.toSeq == Seq((100007L, 1.0)),
+      s"the appended clone must be the top hit: ${hit.toSeq}")
+    // retried append (same batch partition rewritten) converges —
+    // idempotent overwrite, no duplicate rows
+    val table = Similarity.ivfIndexTableName(dir)
+    graft.sources.Sinks.overwriteBucketedPartition(spark, table, batch,
+      spark.table(table).filter(col("batch") === batch)
+        .drop("batch").localCheckpoint(true))
+    assert(spark.table(table).filter(col("id") === 100007L).count() == 1)
+    assert(Similarity.ivfIndexSearch(spark, dir,
+        e.filter(col("vec_id") === 7), col("vec_id"), col("vec"),
+        k = 1, nProbe = 1, excludeSelf = true)
+      .collect().map(_.getLong(1)).toSeq == Seq(100007L))
+  }
+
   test("saltedAggregate equals plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong))
       .toDF("k", "v")
