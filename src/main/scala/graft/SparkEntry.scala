@@ -758,6 +758,27 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ---- incremental media-signature dedup (batch vs corpus): a new
+    // ingest batch of 64-bit signatures admits against an existing
+    // corpus — corpus never self-joins, cost tracks the batch. At
+    // maxHamming=0 connectivity is signature equality (transitive), so
+    // the oracle states admission/dup_of in plain SQL: batch ids are
+    // offset +10000 (disjoint id spaces, the operator's contract);
+    // signatures 120-149 collide with the corpus (rejected, dup_of =
+    // min corpus id), 150-179 are fresh with within-batch dup groups
+    // (min batch id admitted) ----
+    "q199_incremental_hash_dedup" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        F.hash64(concat(lit("m:"),
+          pmod(col("vec_id"), lit(150)).cast("string"))).as("phash"))
+      val batch = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select((col("doc_id") + 10000).as("id"),
+          F.hash64(concat(lit("m:"),
+            (pmod(col("doc_id"), lit(60)) + 120).cast("string")))
+            .as("phash"))
+      Multimodal.incrementalHashDedup(corpus, batch, maxHamming = 0)
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -4146,6 +4167,34 @@ object SparkEntry {
     // fixed-point PageRank: the same five integer power iterations,
     // unrolled as chained CTEs (generated — see q197Oracle)
     "q197_pagerank_domains" -> q197Oracle,
+
+    // incremental hash dedup at exact grain: admission and dup_of from
+    // signature-group minima (equality is transitive)
+    "q199_incremental_hash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS id,
+        |    ('0x' || substr(md5('m:' || CAST(vec_id % 150 AS VARCHAR)),
+        |      1, 15))::BIGINT AS phash
+        |  FROM embeddings),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS id,
+        |    ('0x' || substr(md5('m:' ||
+        |      CAST(doc_id % 60 + 120 AS VARCHAR)), 1, 15))::BIGINT AS phash
+        |  FROM documents WHERE doc_id < 200),
+        |cm AS (SELECT phash, min(id) AS corpus_min
+        |  FROM corpus GROUP BY phash),
+        |g AS (SELECT b.id, b.phash, cm.corpus_min,
+        |    min(b.id) OVER (PARTITION BY b.phash) AS batch_min,
+        |    count(*) OVER (PARTITION BY b.phash) AS n_batch
+        |  FROM batch b LEFT JOIN cm USING (phash))
+        |SELECT id,
+        |  CASE WHEN corpus_min IS NOT NULL THEN FALSE
+        |       WHEN n_batch > 1 AND id <> batch_min THEN FALSE
+        |       ELSE TRUE END AS is_admitted,
+        |  CASE WHEN corpus_min IS NOT NULL THEN corpus_min
+        |       WHEN n_batch > 1 AND id <> batch_min THEN batch_min
+        |       ELSE NULL END AS dup_of
+        |FROM g""".stripMargin,
 
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem

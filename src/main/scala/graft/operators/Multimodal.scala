@@ -831,6 +831,94 @@ object Multimodal {
       imageHashes(spark, media, idColName, contentColName, rebalance),
       maxHamming, maxBucket)
 
+  /** Incremental (batch-vs-corpus) dedup at 64-bit-signature grain —
+    * [[graft.operators.Dedup.incrementalDedup]]'s media sibling: a new
+    * ingest batch of signatures (pHash, audio fingerprint, frame hash)
+    * is admitted against an existing corpus WITHOUT the corpus ever
+    * self-joining. Probe-first discipline: corpus band rows are
+    * restricted to the batch's touched buckets (left_semi) before the
+    * occupancy cap, so per-ingest cost tracks the batch. Near edges
+    * (batch↔corpus and batch↔batch, Hamming ≤ `maxHamming`) feed
+    * [[Dedup.connectedComponents]]; a batch signature connected to any
+    * corpus signature is rejected with `dup_of` = the smallest matching
+    * corpus id, within-batch groups keep the smallest batch id.
+    * Corpus and batch id spaces must be disjoint (same contract as the
+    * text operator). At maxHamming=0 connectivity is signature
+    * equality (transitive), which is what lets the q199 oracle state
+    * the expected output in plain SQL.
+    * Output: (id, is_admitted, dup_of) for every batch row.
+    */
+  /** The banded form of an (id, phash) frame — one row per pigeonhole
+    * slice: (id, phash, band, bucket). This is the at-rest layout of a
+    * persisted signature index (bucket-pruned streaming probes scan it
+    * by `bucket`), and the probe-side frame of the incremental dedup.
+    * `maxHamming` must match between index build and probe — it fixes
+    * the band count.
+    */
+  def bandedHashes(hashes: DataFrame, maxHamming: Int): DataFrame =
+    hashes.select(col("id"), col("phash"),
+        explode(array(bandSlices(maxHamming, col("phash")): _*)).as("u"))
+      .select(col("id"), col("phash"), col("u.band").as("band"),
+        col("u.bucket").as("bucket"))
+
+  def incrementalHashDedup(corpusHashes: DataFrame, batchHashes: DataFrame,
+                           maxHamming: Int = 3,
+                           maxBucket: Int = 64): DataFrame =
+    incrementalHashDedupAgainstIndex(
+      bandedHashes(corpusHashes, maxHamming), batchHashes, maxHamming,
+      maxBucket)
+
+  /** [[incrementalHashDedup]] with the corpus side ALREADY banded —
+    * the form a persisted signature index stores, so a streaming sink
+    * can hand in a bucket-pruned scan of the stored index instead of
+    * re-banding the corpus every trigger.
+    */
+  def incrementalHashDedupAgainstIndex(corpusBanded: DataFrame,
+                                       batchHashes: DataFrame,
+                                       maxHamming: Int = 3,
+                                       maxBucket: Int = 64): DataFrame = {
+    def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+    val bandedB = bandedHashes(batchHashes, maxHamming)
+    // probe-first: only corpus rows in batch-touched buckets enter the
+    // cap window — the per-trigger sort is O(probed buckets)
+    val bandedC = corpusBanded
+      .join(bandedB.select("band", "bucket").distinct(),
+        Seq("band", "bucket"), "left_semi")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val cappedC = bandedC
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val candBC = bandedB.select(col("id").as("id_b"),
+        col("phash").as("pb"), col("band"), col("bucket"))
+      .join(cappedC.select(col("id").as("id_c"), col("phash").as("pc"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("id_b"), col("id_c"), col("pb"), col("pc")).distinct()
+      .filter(ham(col("pb"), col("pc")) <= maxHamming)
+      .select(col("id_b").as("src"), col("id_c").as("dst"))
+    val candBB = Dedup.boundedBucketPairs(bandedB, Seq("band", "bucket"),
+        maxBucket, Seq(col("a.id").as("id_b"), col("b.id").as("id_c"),
+          col("a.phash").as("pb"), col("b.phash").as("pc")))
+      .distinct()
+      .filter(ham(col("pb"), col("pc")) <= maxHamming)
+      .select(col("id_b").as("src"), col("id_c").as("dst"))
+    val cc = Dedup.connectedComponents(candBC.union(candBB))
+    val compCorpusMin = cc
+      .join(corpusBanded.select(col("id")).distinct(), "id")
+      .groupBy(col("component")).agg(min(col("id")).as("corpus_min"))
+    batchHashes.select(col("id")).distinct()
+      .join(cc, Seq("id"), "left")
+      .join(compCorpusMin, Seq("component"), "left")
+      .select(col("id"),
+        (col("component").isNull ||
+          (col("corpus_min").isNull && col("id") === col("component")))
+          .as("is_admitted"),
+        when(col("corpus_min").isNotNull, col("corpus_min"))
+          .when(col("id") =!= col("component"), col("component"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
+  }
+
   /** Per-frame perceptual hashes for MJPEG-AVI clips: one
     * (video_id, frame_idx, phash) row per decodable frame — real JPEG
     * decode ([[decodeMjpegFrames]]) + the image [[pHashOfImage]], inside

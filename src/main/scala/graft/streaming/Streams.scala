@@ -491,6 +491,94 @@ object Streams {
     * double capacity — amortized O(1) per admitted doc, and the fpp
     * contract holds at any corpus size instead of silently degrading.
     */
+  /** Catalog table name for a media-signature index path. */
+  def mediaIndexTableName(indexPath: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexPath.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    s"graft_media_idx_${h}_bands"
+  }
+
+  /** Streaming MEDIA near-dup admission — [[indexedDedupAdmissionSink]]
+    * at 64-bit-signature grain: each micro-batch of media blobs is
+    * decoded map-only (no exchange before decode), hashed with `hasher`
+    * (image pHash by default; audio fingerprint or any
+    * `bytes => Option[signature]` plugs in), deduped within itself AND
+    * against the PERSISTED banded-signature index
+    * ([[graft.operators.Multimodal.incrementalHashDedupAgainstIndex]]),
+    * and only admitted rows merge into the corpus table. The index is a
+    * bucket-bucketed catalog table partitioned by ingest batch: the
+    * probe restricts to the batch's bucket values through the literal/
+    * broadcast [[keysFilter]] crossover, so per-trigger index I/O
+    * tracks the batch's probed buckets, not the corpus. Engine state is
+    * zero — the tables are the state.
+    *
+    * Idempotence: index rows carrying the batch's own ids are excluded
+    * from the probe (a partial previous attempt cannot make a retried
+    * batch reject itself), the corpus merge is keyed, and the batch's
+    * index rows land as a partition overwrite — replays converge in
+    * any crash ordering. Undecodable blobs are dropped (they cannot
+    * near-dup anything, and admitting them is a policy choice left to
+    * the caller).
+    */
+  def mediaDedupAdmissionSink(corpusPath: String, indexPath: String,
+                              maxHamming: Int = 3, maxBucket: Int = 64,
+                              indexBuckets: Int = 64,
+                              idColName: String = "media_id",
+                              contentColName: String = "content",
+                              hasher: Array[Byte] => Option[Long] =
+                                graft.operators.Multimodal.imagePHash _)
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
+    if (!batch0.isEmpty) {
+      val spark = batch0.sparkSession
+      val Multimodal = graft.operators.Multimodal
+      val Sinks = graft.sources.Sinks
+      val batch = batch0.localCheckpoint(true)
+      // map-only signature extraction — the imageHashes shape, hasher-
+      // generic; rows that do not decode yield no signature
+      val hashes = spark.createDataFrame(
+        batch.select(col(idColName), col(contentColName)).rdd
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.flatMap { r =>
+              Option(r.getAs[Array[Byte]](1)).flatMap(hasher)
+                .map(h => org.apache.spark.sql.Row(r.getLong(0), h))
+            }
+          },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("phash",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .localCheckpoint(true)
+      val table = mediaIndexTableName(indexPath)
+      Sinks.ensureBucketedIndexTable(spark, table, s"$indexPath/bands",
+        Multimodal.bandedHashes(hashes.limit(0), maxHamming),
+        "bucket", indexBuckets)
+      val bucketVals = Multimodal.bandedHashes(hashes, maxHamming)
+        .select("bucket").distinct().collect().map(_.getLong(0))
+        .toIndexedSeq
+      val batchIds = hashes.select("id")
+      val corpusBanded = keysFilter(spark,
+          spark.table(table).select("id", "phash", "band", "bucket"),
+          "bucket", bucketVals, negate = false)
+        .join(batchIds, Seq("id"), "left_anti") // retry self-exclusion
+      val verdict = Multimodal.incrementalHashDedupAgainstIndex(
+          corpusBanded, hashes, maxHamming, maxBucket)
+        .localCheckpoint(true)
+      val admittedIds = verdict.filter(col("is_admitted")).select("id")
+      val admitted = batch.join(
+        admittedIds.withColumnRenamed("id", idColName), idColName)
+      if (!admitted.isEmpty)
+        Sinks.upsertParquet(spark, corpusPath, admitted, Seq(idColName))
+      // the batch's index partition is written LAST and unconditionally
+      // (possibly empty): a replay erases any partial earlier write
+      Sinks.overwriteBucketedPartition(spark, table, batchId,
+        Multimodal.bandedHashes(hashes.join(admittedIds, "id"), maxHamming)
+          .localCheckpoint(true))
+    }
+  }
+
   def bloomDedupAdmissionSink(corpusPath: String, indexPath: String,
                               idColName: String = "doc_id",
                               textColName: String = "text",

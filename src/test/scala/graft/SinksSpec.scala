@@ -362,6 +362,28 @@ class SinksSpec extends SparkSpec {
       s"only the gain-scaled copy pairs: $pairs")
   }
 
+  test("incrementalHashDedup: near batch signatures reject against the " +
+    "corpus; within-batch near groups keep the min id") {
+    val h = 0x0F0F0F0F0F0F0F0FL
+    val f = 0x123456789ABCDEF0L
+    val corpus = Seq((1L, h), (2L, h)).toDF("id", "phash")
+    val batch = Seq(
+      (100L, h ^ 2L),          // 1 bit off a corpus sig -> rejected, dup_of 1
+      (101L, f),               // fresh -> admitted
+      (102L, f ^ (1L << 40)),  // 1 bit off 101 -> rejected, dup_of 101
+      (103L, ~h)               // far from everything -> admitted
+    ).toDF("id", "phash")
+    val out = graft.operators.Multimodal
+      .incrementalHashDedup(corpus, batch, maxHamming = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out(100L) == ((false, Some(1L))), s"$out")
+    assert(out(101L) == ((true, None)), s"$out")
+    assert(out(102L) == ((false, Some(101L))), s"$out")
+    assert(out(103L) == ((true, None)), s"$out")
+  }
+
   test("hashNearDupPairs: maxHamming=0 single-band mask keeps exact-dup " +
     "pairs past the bucket cap") {
     // 200 distinct signatures + one exact-dup pair NOT involving the

@@ -490,6 +490,63 @@ class StreamsSpec extends SparkSpec {
       s"dup (7) rejected, fresh (8) admitted: $corpus")
   }
 
+  test("mediaDedupAdmissionSink: near-dup images rejected against the " +
+    "persisted signature index; replay converges") {
+    implicit val sq = spark.sqlContext
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        r.setSample(x, y, 0, f(x, y) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // textured patterns (pHash's robust contract — see imagePHash docs)
+    def texA(x: Int, y: Int) =
+      ((math.sin(x * 0.35) + math.sin(y * 0.28) +
+        math.sin((x + y) * 0.11)) * 40 + 128).toInt
+    def texB(x: Int, y: Int) =
+      ((math.sin(x * 0.9) * math.sin(y * 0.8)) * 90 + 128).toInt
+    def texC(x: Int, y: Int) =
+      ((math.sin(x * 0.15 + 2) * math.sin(y * 0.5 + 1)) * 80 + 128).toInt
+    val base = java.nio.file.Files.createTempDirectory("mediaadmit")
+      .toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val sink = Streams.mediaDedupAdmissionSink(
+      s"$base/corpus", s"$base/index", maxHamming = 3)
+    val q = mem.toDF.toDF("media_id", "content").writeStream
+      .foreachBatch(sink).outputMode(OutputMode.Append()).start()
+    val polls = Seq(
+      Seq((1L, png(64, 64)(texA)), (2L, png(64, 64)(texB))),
+      // 3 is a RESIZED copy of 1 (near-dup across polls); 4 is fresh;
+      // 5 does not decode at all
+      Seq((3L, png(128, 128)((x, y) => texA(x / 2, y / 2))),
+        (4L, png(64, 64)(texC)), (5L, Array[Byte](1, 2, 3))))
+    try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    def corpusIds() = graft.sources.Sinks
+      .readUpsertTable(spark, s"$base/corpus")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == Set(1L, 2L, 4L),
+      s"resized copy (3) rejected, undecodable (5) dropped: ${corpusIds()}")
+    // the index holds exactly maxHamming+1 band rows per admitted id
+    val idx = spark.table(Streams.mediaIndexTableName(s"$base/index"))
+    assert(idx.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 4L, 2L -> 4L, 4L -> 4L))
+    // replay of poll 1 (crash-recovery re-fire) converges: same corpus,
+    // no duplicated index rows
+    sink(Seq((3L, png(128, 128)((x, y) => texA(x / 2, y / 2))),
+      (4L, png(64, 64)(texC)), (5L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "content"), 1L)
+    assert(corpusIds() == Set(1L, 2L, 4L))
+    assert(spark.table(Streams.mediaIndexTableName(s"$base/index"))
+      .groupBy("id").count().filter(col("count") > 4).isEmpty,
+      "replay must not duplicate index rows")
+  }
+
   test("keysFilter: >1k keys becomes a broadcast join, not a giant IN; " +
     "small key sets stay literal") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
