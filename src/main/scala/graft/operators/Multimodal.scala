@@ -1006,7 +1006,12 @@ object Multimodal {
     * different audio; tune `maxHamming` against measured distances like
     * any LSH parameter. None for undecodable or sub-130-sample payloads.
     */
-  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+  /** Decode 16-bit little-endian PCM to channel-mixed frame values plus
+    * the sample rate — the shared front end of both audio fingerprints.
+    * None for non-PCM payloads or clips under `minFrames`.
+    */
+  private def decodePcmFrames(bytes: Array[Byte],
+                              minFrames: Int): Option[(Float, Array[Long])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -1023,9 +1028,8 @@ object Multimodal {
           val pcm = bos.toByteArray
           val ch = f.getChannels
           val nFrames = (pcm.length / 2) / ch
-          if (nFrames < 130) None
+          if (nFrames < minFrames) None
           else {
-            // channel-mixed frame values
             val frames = new Array[Long](nFrames)
             var i = 0
             while (i < nFrames) {
@@ -1039,27 +1043,94 @@ object Multimodal {
               frames(i) = s
               i += 1
             }
-            val e = new Array[Double](65)
-            var w = 0
-            while (w < 65) {
-              val a = w * nFrames / 65
-              val b = math.max((w + 1) * nFrames / 65, a + 1)
-              var s = 0.0
-              var j = a
-              while (j < math.min(b, nFrames)) {
-                s += frames(j).toDouble * frames(j); j += 1
-              }
-              e(w) = s / (math.min(b, nFrames) - a)
-              w += 1
-            }
-            var hash = 0L
-            var k = 0
-            while (k < 64) { if (e(k + 1) > e(k)) hash |= (1L << k); k += 1 }
-            Some(hash)
+            Some((f.getSampleRate, frames))
           }
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodePcmFrames(bytes, minFrames = 130).map { case (_, frames) =>
+      val nFrames = frames.length
+      val e = new Array[Double](65)
+      var w = 0
+      while (w < 65) {
+        val a = w * nFrames / 65
+        val b = math.max((w + 1) * nFrames / 65, a + 1)
+        var s = 0.0
+        var j = a
+        while (j < math.min(b, nFrames)) {
+          s += frames(j).toDouble * frames(j); j += 1
+        }
+        e(w) = s / (math.min(b, nFrames) - a)
+        w += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) { if (e(k + 1) > e(k)) hash |= (1L << k); k += 1 }
+      hash
+    }
+
+  /** 64-bit SPECTRAL audio fingerprint — the Haitsma–Kalker robust-hash
+    * shape ("A Highly Robust Audio Fingerprint System", 2002) reduced
+    * to one clip signature: 9 time windows × 9 log-spaced frequency
+    * bands (Goertzel power at each band center), bit(w, b) = sign of
+    * the time-delta of the band-delta,
+    * `(E(w,b) − E(w,b+1)) − (E(w+1,b) − E(w+1,b+1)) > 0` — 8×8 = 64
+    * bits. GAIN-INVARIANT by construction (positive scaling multiplies
+    * every energy by the same factor; double differences keep their
+    * sign) and FREQUENCY-SENSITIVE where [[audioFingerprint]]'s single
+    * broadband energy profile is not: two clips with the same loudness
+    * envelope but different spectra (a hum vs speech) now separate.
+    * Honest bounds: one signature per clip is not time-shift-invariant
+    * and is far coarser than a production per-frame constellation —
+    * tune `maxHamming` against measured distances, like any LSH
+    * parameter. Plugs into [[hashNearDupPairs]] /
+    * [[incrementalHashDedup]] / the streaming media admission sink as a
+    * `bytes => Option[Long]` hasher.
+    */
+  def audioSpectralFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodePcmFrames(bytes, minFrames = 512).map { case (rate, frames) =>
+      val nFrames = frames.length
+      val nW = 9; val nB = 9
+      // log-spaced band centers from 300 Hz to ~rate/2·0.9, Goertzel
+      // power per (window, band)
+      val fMin = 300.0
+      val fMax = math.min(rate / 2.0 * 0.9, 3600.0)
+      val e = Array.ofDim[Double](nW, nB)
+      var w = 0
+      while (w < nW) {
+        val a = w * nFrames / nW
+        val b = math.max((w + 1) * nFrames / nW, a + 1)
+        val len = math.min(b, nFrames) - a
+        var bi = 0
+        while (bi < nB) {
+          val freq = fMin * math.pow(fMax / fMin, bi.toDouble / (nB - 1))
+          val omega = 2.0 * math.Pi * freq / rate
+          val coeff = 2.0 * math.cos(omega)
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+          var j = a
+          while (j < a + len) {
+            s0 = frames(j).toDouble + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            j += 1
+          }
+          e(w)(bi) = (s1 * s1 + s2 * s2 - coeff * s1 * s2) / len
+          bi += 1
+        }
+        w += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        val w0 = i / 8; val b0 = i % 8
+        val d = (e(w0)(b0) - e(w0)(b0 + 1)) -
+          (e(w0 + 1)(b0) - e(w0 + 1)(b0 + 1))
+        if (d > 0) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
 
   /** Per-clip audio fingerprints: (id, phash), undecodable rows dropped —
     * [[imageHashes]]' audio sibling.

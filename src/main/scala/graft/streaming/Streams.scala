@@ -569,6 +569,29 @@ object Streams {
       val admittedIds = verdict.filter(col("is_admitted")).select("id")
       val admitted = batch.join(
         admittedIds.withColumnRenamed("id", idColName), idColName)
+      // RE-ADMITTED ids (an update re-ingesting an existing media_id
+      // with new bytes) would strand their OLD signature's band rows in
+      // the original batch partition — future batches could be rejected
+      // against content no longer in the corpus. Rewrite only the
+      // partitions actually holding stale rows (the text sink's
+      // compactReadmittedIds discipline at signature grain).
+      val admittedArr = admittedIds.collect().map(_.getLong(0))
+      if (admittedArr.nonEmpty) {
+        val stale = keysFilter(spark, spark.table(table), "id",
+            admittedArr.toIndexedSeq, negate = false)
+          .filter(col("batch") =!= batchId)
+          .select("id", "batch").collect()
+        if (stale.nonEmpty) {
+          val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
+          stale.map(_.getLong(1)).distinct.sorted.foreach { p =>
+            val keep = keysFilter(spark,
+                spark.table(table).filter(col("batch") === p),
+                "id", staleIds, negate = true)
+              .drop("batch").localCheckpoint(true)
+            Sinks.overwriteBucketedPartition(spark, table, p, keep)
+          }
+        }
+      }
       if (!admitted.isEmpty)
         Sinks.upsertParquet(spark, corpusPath, admitted, Seq(idColName))
       // the batch's index partition is written LAST and unconditionally

@@ -362,6 +362,61 @@ class SinksSpec extends SparkSpec {
       s"only the gain-scaled copy pairs: $pairs")
   }
 
+  test("audioSpectralFingerprint: gain-invariant AND frequency-sensitive " +
+    "where the broadband fingerprint is blind") {
+    def wav(n: Int)(f: Int => Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = f(i)
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical amplitude envelope, different carrier frequency:
+    // 440 Hz vs 1400 Hz at 8 kHz (0.345 vs 1.1 rad/sample)
+    def env(i: Int) = if (i < 3000) i / 30 else (6500 - i) / 35
+    def tone(om: Double)(i: Int) = (math.sin(i * om) * env(i)).toInt
+    val low = Multimodal.audioSpectralFingerprint(wav(6500)(tone(0.345))).get
+    val high = Multimodal.audioSpectralFingerprint(wav(6500)(tone(1.1))).get
+    // the broadband (single-band) fingerprint cannot tell them apart —
+    // that blindness is exactly what the spectral form fixes
+    val bbLow = Multimodal.audioFingerprint(wav(6500)(tone(0.345))).get
+    val bbHigh = Multimodal.audioFingerprint(wav(6500)(tone(1.1))).get
+    assert(ham(bbLow, bbHigh) <= 4,
+      s"broadband is envelope-only (sanity): ${ham(bbLow, bbHigh)}")
+    assert(ham(low, high) > 10,
+      s"spectral must separate the carriers: ${ham(low, high)}")
+    // gain invariance: double volume -> identical signature
+    val loud = Multimodal.audioSpectralFingerprint(
+      wav(6500)(i => tone(0.345)(i) * 2)).get
+    assert(ham(low, loud) == 0, "gain must not move any bit")
+    // deterministic; refuses non-audio and too-short clips
+    assert(Multimodal.audioSpectralFingerprint(wav(6500)(tone(0.345)))
+      .contains(low))
+    assert(Multimodal.audioSpectralFingerprint("junk".getBytes).isEmpty)
+    assert(Multimodal.audioSpectralFingerprint(wav(300)(_ => 5)).isEmpty)
+    // plugs into the generic hash-pair machinery as a hasher
+    val media = Seq((1L, wav(6500)(tone(0.345))),
+      (2L, wav(6500)(i => tone(0.345)(i) * 3)),
+      (3L, wav(6500)(tone(1.1)))).toDF("media_id", "content")
+    val hashes = media.collect().flatMap { r =>
+      Multimodal.audioSpectralFingerprint(r.getAs[Array[Byte]](1))
+        .map(h => (r.getLong(0), h))
+    }.toSeq.toDF("id", "phash")
+    val pairs = Multimodal.hashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the gain-scaled copy pairs: $pairs")
+  }
+
   test("incrementalHashDedup: near batch signatures reject against the " +
     "corpus; within-batch near groups keep the min id") {
     val h = 0x0F0F0F0F0F0F0F0FL

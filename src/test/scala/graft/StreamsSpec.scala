@@ -547,6 +547,48 @@ class StreamsSpec extends SparkSpec {
       "replay must not duplicate index rows")
   }
 
+  test("mediaDedupAdmissionSink: re-admitting a media id compacts its " +
+    "old signature rows") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        r.setSample(x, y, 0, f(x, y) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def texA(x: Int, y: Int) =
+      ((math.sin(x * 0.35) + math.sin(y * 0.28) +
+        math.sin((x + y) * 0.11)) * 40 + 128).toInt
+    def texB(x: Int, y: Int) =
+      ((math.sin(x * 0.9) * math.sin(y * 0.8)) * 90 + 128).toInt
+    val base = java.nio.file.Files.createTempDirectory("mediaupd")
+      .toFile.getAbsolutePath
+    val sink = Streams.mediaDedupAdmissionSink(
+      s"$base/corpus", s"$base/index", maxHamming = 3)
+    sink(Seq((1L, png(64, 64)(texA))).toDF("media_id", "content"), 0L)
+    // media 1 is UPDATED with different content: must not be rejected
+    // against its own old signature, and the old rows must leave
+    sink(Seq((1L, png(64, 64)(texB))).toDF("media_id", "content"), 1L)
+    val table = Streams.mediaIndexTableName(s"$base/index")
+    val byBatch = spark.table(table)
+      .selectExpr("id", "cast(batch as bigint) as batch").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byBatch == Set((1L, 1L)),
+      s"old batch-0 signature rows compacted out: $byBatch")
+    // content matching the OLD signature is admissible again; content
+    // matching the NEW signature is rejected
+    sink(Seq((10L, png(64, 64)(texA)), (11L, png(64, 64)(texB)))
+      .toDF("media_id", "content"), 2L)
+    val corpus = graft.sources.Sinks
+      .readUpsertTable(spark, s"$base/corpus")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 10L),
+      s"old-signature media admitted, new-signature dup rejected: $corpus")
+  }
+
   test("keysFilter: >1k keys becomes a broadcast join, not a giant IN; " +
     "small key sets stay literal") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
