@@ -753,8 +753,13 @@ object SparkEntry {
         Similarity.buildIvfIndex(s, e, col("vec_id"), col("vec"), root)
         java.nio.file.Files.writeString(marker, stamp)
       }
-      Similarity.ivfIndexSearch(s, root, e, col("vec_id"), col("vec"),
-          k = 5, nProbe = 2, excludeSelf = true)
+      // the SERVING shape: a fixed probe batch against a growing stored
+      // corpus (q189's evaluation harness) — per-query cost must not
+      // scale with the corpus; full corpus-as-queries equivalence with
+      // the in-memory operator is pinned in ScaleOpsSpec
+      Similarity.ivfIndexSearch(s, root, e.filter(col("vec_id") < 20),
+          col("vec_id"), col("vec"), k = 5, nProbe = 2,
+          excludeSelf = true)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -777,6 +782,22 @@ object SparkEntry {
             (pmod(col("doc_id"), lit(60)) + 120).cast("string")))
             .as("phash"))
       Multimodal.incrementalHashDedup(corpus, batch, maxHamming = 0)
+    }),
+
+    // ---- image quality gate over REAL decoded rasters: the synthetic
+    // PNGs' pixel(x,y) = x+y gradient has closed-form mean and
+    // variance (mean = (w+h-2)/2; var = (w²-1)/12 + (h²-1)/12 via
+    // independence), so DuckDB recomputes every stat and the keep
+    // verdict ARITHMETICALLY — proving the decode, the stats loop, and
+    // the gate rule in one row-for-row match (q36's closed-form-decode
+    // technique applied to the curation gate). The SQL mirrors the
+    // JVM's exact operation order: integer-exact sums, one double
+    // division each, same subtract/sqrt ----
+    "q200_image_quality_gate" -> ((s, d) => {
+      val media = Multimodal.withMediaPayloads(
+        Multimodal.fromDocuments(Tables.documents(s, d)))
+        .filter(col("media_type") === "image")
+      Multimodal.imageQualityGate(s, media)
     }),
 
     // ---- streaming-equivalent batch sessionization (gap islands) ----
@@ -4196,6 +4217,31 @@ object SparkEntry {
         |       ELSE NULL END AS dup_of
         |FROM g""".stripMargin,
 
+    // image quality gate: closed-form stats of the x+y gradient raster.
+    // sum = n(w+h-2)/2 and sumSq = h·Σx² + 2ΣxΣy + w·Σy² are
+    // integer-exact; one double division each + the same subtract/sqrt
+    // reproduces the JVM's doubles bit-for-bit
+    "q200_image_quality_gate" ->
+      """WITH img AS (SELECT doc_id AS id,
+        |    doc_id % 96 + 16 AS w, doc_id % 64 + 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT id, w, h,
+        |    CAST(w * h * (w + h - 2) / 2 AS DOUBLE) / (w * h) AS mean_g,
+        |    CAST(h * ((w-1) * w * (2*w-1) / 6)
+        |       + 2 * (w * (w-1) / 2) * (h * (h-1) / 2)
+        |       + w * ((h-1) * h * (2*h-1) / 6) AS DOUBLE) / (w * h) AS m2
+        |  FROM img),
+        |t AS (SELECT id, w, h, mean_g,
+        |    sqrt(greatest(m2 - mean_g * mean_g, 0.0)) AS std_g
+        |  FROM s)
+        |SELECT id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  round(mean_g * 100) / 100 AS mean_gray,
+        |  round(std_g * 100) / 100 AS std_gray,
+        |  (w >= 32 AND h >= 32
+        |    AND greatest(w, h) * 1.0 / least(w, h) <= 4.0
+        |    AND std_g >= 8.0) AS keep
+        |FROM t""".stripMargin,
+
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem
     "q192_delta_metadata_count" ->
@@ -4756,11 +4802,13 @@ object SparkEntry {
 
     "q63_ann_ivf" -> q63Oracle,
 
-    // persisted-IVF serving search: same parameters as q63 against the
-    // SAME deterministic trainer, so the bucketed on-disk index must
-    // reproduce the in-memory operator value-for-value — one oracle
-    // anchors both forms (the BM25 serving-index precedent)
-    "q198_ann_ivf_serving" -> q63Oracle,
+    // persisted-IVF serving search: q63's pipeline restricted to the
+    // fixed 20-query probe batch — the bucketed on-disk index must
+    // reproduce the in-memory operator value-for-value (the BM25
+    // serving-index precedent); per-query ranks are unaffected by the
+    // outer filter
+    "q198_ann_ivf_serving" ->
+      s"SELECT * FROM (\n$q63Oracle\n) t WHERE query_id < 20",
 
     "q64_train_split" ->
       """WITH s AS (

@@ -698,6 +698,80 @@ object Multimodal {
       hash
   }
 
+  /** Per-image statistics for quality gating: (width, height, gray
+    * mean, gray population stddev) — luma-weighted for color rasters,
+    * the same gray mapping as [[resampleGray32]].
+    */
+  def imageStats(bytes: Array[Byte]): Option[(Int, Int, Double, Double)] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0; var sumSq = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = if (bands >= 3)
+            (299 * raster.getSample(x, y, 0) +
+              587 * raster.getSample(x, y, 1) +
+              114 * raster.getSample(x, y, 2)) / 1000.0
+          else raster.getSample(x, y, 0).toDouble
+          sum += g; sumSq += g * g
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = sum / n
+      val variance = math.max(sumSq / n - mean * mean, 0.0)
+      (w, h, mean, math.sqrt(variance))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Gopher-style quality gate for the IMAGE modality: decode map-only
+    * (no exchange by default), keep images inside dimension and aspect
+    * bounds with at least `minStd` gray contrast — solid fills,
+    * tracking pixels, and banner-strip aspect ratios carry no training
+    * signal, and at crawl scale they are a large fraction of blobs.
+    * Output: (id, width, height, mean_gray, std_gray, keep); rows that
+    * do not decode carry null stats and keep=false (the honest answer,
+    * never an exception).
+    */
+  def imageQualityGate(spark: SparkSession, media: DataFrame,
+                       idColName: String = "media_id",
+                       contentColName: String = "content",
+                       minWidth: Int = 32, minHeight: Int = 32,
+                       maxAspect: Double = 4.0, minStd: Double = 8.0,
+                       rebalance: Boolean = false): DataFrame = {
+    val selected = media.select(idColName, contentColName)
+    val laid = if (rebalance) selected.repartition(col(idColName))
+               else selected
+    val rdd = laid.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val stats = Option(r.getAs[Array[Byte]](1)).flatMap(imageStats)
+        stats match {
+          case Some((w, h, mean, std)) =>
+            val aspect = math.max(w, h).toDouble / math.max(math.min(w, h), 1)
+            val keep = w >= minWidth && h >= minHeight &&
+              aspect <= maxAspect && std >= minStd
+            Row(r.getLong(0), w, h,
+              math.rint(mean * 100) / 100, math.rint(std * 100) / 100,
+              keep)
+          case None => Row(r.getLong(0), null, null, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_gray", DoubleType, nullable = true),
+      StructField("std_gray", DoubleType, nullable = true),
+      StructField("keep", BooleanType, nullable = false))))
+  }
+
   /** Per-image perceptual hashes: (media_id, phash), rows whose bytes do
     * not decode are dropped (they cannot near-dup anything). Same
     * per-partition batched decode shape as [[extractFeatures]].
@@ -978,6 +1052,80 @@ object Multimodal {
       .agg(countDistinct(least(col("pa"), col("pb")),
         greatest(col("pa"), col("pb"))).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Incremental (batch-vs-corpus) VIDEO dedup at frame-signature
+    * grain: a batch clip is rejected when it shares ≥ `minShared`
+    * distinct frame signatures (within Hamming `maxHamming`) with any
+    * single corpus clip — or, within the batch, with an
+    * earlier-admitted clip ([[frameOverlapPairs]]' threshold as an
+    * admission rule, [[incrementalHashDedup]]'s component labeling).
+    * `corpusFrames`/`batchFrames` are (video_id, phash) frames — id
+    * spaces disjoint. Probe-first: corpus rows restrict to the batch's
+    * touched buckets before capping, so per-ingest cost tracks the
+    * batch. Output: (id, is_admitted, dup_of) per batch video.
+    */
+  def incrementalFrameDedup(corpusFrames: DataFrame,
+                            batchFrames: DataFrame,
+                            maxHamming: Int = 3, minShared: Int = 2,
+                            maxBucket: Int = 1024): DataFrame =
+    incrementalFrameDedupAgainstIndex(
+      bandedHashes(corpusFrames.select(col("video_id").as("id"),
+        col("phash")).distinct(), maxHamming),
+      batchFrames, maxHamming, minShared, maxBucket)
+
+  /** [[incrementalFrameDedup]] with the corpus side already banded
+    * (the persisted frame-index layout — one row per distinct
+    * (video, signature) per band slice).
+    */
+  def incrementalFrameDedupAgainstIndex(corpusBanded: DataFrame,
+                                        batchFrames: DataFrame,
+                                        maxHamming: Int = 3,
+                                        minShared: Int = 2,
+                                        maxBucket: Int = 1024): DataFrame = {
+    def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+    val bandedB = bandedHashes(
+      batchFrames.select(col("video_id").as("id"), col("phash")).distinct(),
+      maxHamming)
+    val bandedC = corpusBanded
+      .join(bandedB.select("band", "bucket").distinct(),
+        Seq("band", "bucket"), "left_semi")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val cappedC = bandedC
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    def overlapEdges(left: DataFrame, right: DataFrame): DataFrame =
+      left.select(col("id").as("id_b"), col("phash").as("pb"),
+          col("band"), col("bucket"))
+        .join(right.select(col("id").as("id_c"), col("phash").as("pc"),
+          col("band"), col("bucket")), Seq("band", "bucket"))
+        .filter(col("id_b") =!= col("id_c"))
+        .select(col("id_b"), col("id_c"), col("pb"), col("pc")).distinct()
+        .filter(ham(col("pb"), col("pc")) <= maxHamming)
+        .groupBy(col("id_b"), col("id_c"))
+        .agg(countDistinct(least(col("pb"), col("pc")),
+          greatest(col("pb"), col("pc"))).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(col("id_b").as("src"), col("id_c").as("dst"))
+    val bc = overlapEdges(bandedB, cappedC)
+    val bb = overlapEdges(bandedB, bandedB)
+      .filter(col("src") < col("dst")) // one edge per unordered pair
+    val cc = Dedup.connectedComponents(bc.union(bb))
+    val compCorpusMin = cc
+      .join(corpusBanded.select(col("id")).distinct(), "id")
+      .groupBy(col("component")).agg(min(col("id")).as("corpus_min"))
+    batchFrames.select(col("video_id").as("id")).distinct()
+      .join(cc, Seq("id"), "left")
+      .join(compCorpusMin, Seq("component"), "left")
+      .select(col("id"),
+        (col("component").isNull ||
+          (col("corpus_min").isNull && col("id") === col("component")))
+          .as("is_admitted"),
+        when(col("corpus_min").isNotNull, col("corpus_min"))
+          .when(col("id") =!= col("component"), col("component"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
   }
 
   /** Video near-duplicate pairs end-to-end: real MJPEG frame decode →

@@ -491,6 +491,34 @@ object Streams {
     * double capacity — amortized O(1) per admitted doc, and the fpp
     * contract holds at any corpus size instead of silently degrading.
     */
+  /** Remove a re-admitted id's signature rows from EARLIER batch
+    * partitions of a banded-signature index table — shared by the media
+    * and video admission sinks. Detection is one id-filtered probe
+    * (literal/broadcast crossover); only partitions actually holding
+    * stale rows are rewritten, via the same idempotent partition
+    * overwrite the ingest uses.
+    */
+  private def compactStaleSignatureRows(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      admittedIds: Array[Long], currentBatch: Long): Unit =
+    if (admittedIds.nonEmpty) {
+      val stale = keysFilter(spark, spark.table(table), "id",
+          admittedIds.toIndexedSeq, negate = false)
+        .filter(col("batch") =!= currentBatch)
+        .select("id", "batch").collect()
+      if (stale.nonEmpty) {
+        val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
+        stale.map(_.getLong(1)).distinct.sorted.foreach { p =>
+          val keep = keysFilter(spark,
+              spark.table(table).filter(col("batch") === p),
+              "id", staleIds, negate = true)
+            .drop("batch").localCheckpoint(true)
+          graft.sources.Sinks.overwriteBucketedPartition(spark, table, p,
+            keep)
+        }
+      }
+    }
+
   /** Catalog table name for a media-signature index path. */
   def mediaIndexTableName(indexPath: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -575,23 +603,8 @@ object Streams {
       // against content no longer in the corpus. Rewrite only the
       // partitions actually holding stale rows (the text sink's
       // compactReadmittedIds discipline at signature grain).
-      val admittedArr = admittedIds.collect().map(_.getLong(0))
-      if (admittedArr.nonEmpty) {
-        val stale = keysFilter(spark, spark.table(table), "id",
-            admittedArr.toIndexedSeq, negate = false)
-          .filter(col("batch") =!= batchId)
-          .select("id", "batch").collect()
-        if (stale.nonEmpty) {
-          val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
-          stale.map(_.getLong(1)).distinct.sorted.foreach { p =>
-            val keep = keysFilter(spark,
-                spark.table(table).filter(col("batch") === p),
-                "id", staleIds, negate = true)
-              .drop("batch").localCheckpoint(true)
-            Sinks.overwriteBucketedPartition(spark, table, p, keep)
-          }
-        }
-      }
+      compactStaleSignatureRows(spark, table,
+        admittedIds.collect().map(_.getLong(0)), batchId)
       if (!admitted.isEmpty)
         Sinks.upsertParquet(spark, corpusPath, admitted, Seq(idColName))
       // the batch's index partition is written LAST and unconditionally
@@ -599,6 +612,75 @@ object Streams {
       Sinks.overwriteBucketedPartition(spark, table, batchId,
         Multimodal.bandedHashes(hashes.join(admittedIds, "id"), maxHamming)
           .localCheckpoint(true))
+    }
+  }
+
+  /** Catalog table name for a video frame-signature index path. */
+  def videoIndexTableName(indexPath: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexPath.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    s"graft_video_idx_${h}_bands"
+  }
+
+  /** Streaming VIDEO near-dup admission — [[mediaDedupAdmissionSink]]
+    * at frame-signature grain: each micro-batch of clips is frame-
+    * decoded map-only (MJPEG via the JDK —
+    * [[graft.operators.Multimodal.videoFrameHashes]]), per-frame
+    * pHashes are banded, and a clip is rejected when it shares ≥
+    * `minShared` near-identical frame signatures with any single
+    * already-admitted clip (or an earlier clip in the same batch) —
+    * [[graft.operators.Multimodal.incrementalFrameDedupAgainstIndex]]
+    * probing the persisted bucketed frame index, bucket-restricted to
+    * the batch's touched values. Same idempotence discipline as the
+    * media sink: probe self-exclusion, keyed corpus merge, partition-
+    * overwrite index writes, stale-row compaction for re-admitted ids.
+    * Clips in codecs the JDK cannot decode yield no frames and are NOT
+    * admitted (admission requires signatures; route undecodable blobs
+    * to a quarantine table upstream if they must be kept).
+    */
+  def videoDedupAdmissionSink(corpusPath: String, indexPath: String,
+                              maxHamming: Int = 3, minShared: Int = 2,
+                              maxBucket: Int = 1024,
+                              indexBuckets: Int = 64,
+                              idColName: String = "media_id",
+                              contentColName: String = "content")
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
+    if (!batch0.isEmpty) {
+      val spark = batch0.sparkSession
+      val Multimodal = graft.operators.Multimodal
+      val Sinks = graft.sources.Sinks
+      val batch = batch0.localCheckpoint(true)
+      // distinct (clip, frame signature) rows — map-only decode
+      val frames = Multimodal.videoFrameHashes(spark, batch,
+          idColName, contentColName)
+        .select(col("video_id").as("id"), col("phash")).distinct()
+        .localCheckpoint(true)
+      val bandedB = Multimodal.bandedHashes(frames, maxHamming)
+        .localCheckpoint(true)
+      val table = videoIndexTableName(indexPath)
+      Sinks.ensureBucketedIndexTable(spark, table, s"$indexPath/bands",
+        bandedB.limit(0), "bucket", indexBuckets)
+      val bucketVals = bandedB.select("bucket").distinct().collect()
+        .map(_.getLong(0)).toIndexedSeq
+      val corpusBanded = keysFilter(spark,
+          spark.table(table).select("id", "phash", "band", "bucket"),
+          "bucket", bucketVals, negate = false)
+        .join(frames.select("id").distinct(), Seq("id"), "left_anti")
+      val verdict = Multimodal.incrementalFrameDedupAgainstIndex(
+          corpusBanded,
+          frames.select(col("id").as("video_id"), col("phash")),
+          maxHamming, minShared, maxBucket)
+        .localCheckpoint(true)
+      val admittedIds = verdict.filter(col("is_admitted")).select("id")
+      compactStaleSignatureRows(spark, table,
+        admittedIds.collect().map(_.getLong(0)), batchId)
+      val admitted = batch.join(
+        admittedIds.withColumnRenamed("id", idColName), idColName)
+      if (!admitted.isEmpty)
+        Sinks.upsertParquet(spark, corpusPath, admitted, Seq(idColName))
+      Sinks.overwriteBucketedPartition(spark, table, batchId,
+        bandedB.join(admittedIds, "id").localCheckpoint(true))
     }
   }
 

@@ -417,6 +417,67 @@ class SinksSpec extends SparkSpec {
       s"only the gain-scaled copy pairs: $pairs")
   }
 
+  test("incrementalFrameDedup: clips sharing >= minShared near frames " +
+    "reject; one shared frame is not enough") {
+    val (a, b, c) = (0x1111111111111111L, 0x2222222222222222L,
+      0x3333333333333333L)
+    val (p, q) = (0x4444444444444444L, 0x5555555555555555L)
+    val corpus = Seq((1L, a), (1L, b), (1L, c), (2L, 0x6666666666666666L))
+      .toDF("video_id", "phash")
+    val batch = Seq(
+      (100L, a ^ 2L), (100L, b ^ 4L), (100L, 0x7777777777777777L),
+      // 100 shares 2 near frames with corpus video 1 -> rejected
+      (101L, p), (101L, q),              // fresh -> admitted
+      (102L, p ^ 8L), (102L, q ^ 16L),   // 2 near frames of 101 -> rejected
+      (103L, c ^ 2L), (103L, 0x0123456789ABCDEFL)
+      // 103 shares only ONE frame with video 1 -> below minShared, admitted
+    ).toDF("video_id", "phash")
+    val out = graft.operators.Multimodal
+      .incrementalFrameDedup(corpus, batch, maxHamming = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out(100L) == ((false, Some(1L))), s"$out")
+    assert(out(101L) == ((true, None)), s"$out")
+    assert(out(102L) == ((false, Some(101L))), s"$out")
+    assert(out(103L) == ((true, None)), s"$out")
+  }
+
+  test("imageQualityGate: dims, aspect, and contrast rules; undecodable " +
+    "rows carry null stats and keep=false") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        r.setSample(x, y, 0, f(x, y) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def tex(x: Int, y: Int) =
+      ((math.sin(x * 0.35) + math.sin(y * 0.28)) * 50 + 128).toInt
+    val media = Seq(
+      (1L, png(64, 64)(tex)),               // keeps
+      (2L, png(64, 64)((_, _) => 128)),     // flat: fails contrast
+      (3L, png(16, 16)(tex)),               // fails min dims
+      (4L, png(200, 40)(tex)),              // aspect 5 > 4
+      (5L, "not an image".getBytes)         // undecodable
+    ).toDF("media_id", "content")
+    val out = graft.operators.Multimodal
+      .imageQualityGate(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(5), "textured 64x64 must keep")
+    assert(!out(2L).getBoolean(5) && out(2L).getDouble(4) == 0.0,
+      "flat image fails the contrast floor")
+    assert(!out(3L).getBoolean(5), "16x16 fails min dims")
+    assert(!out(4L).getBoolean(5), "5:1 aspect fails")
+    assert(!out(5L).getBoolean(5) && out(5L).isNullAt(1),
+      "undecodable: null stats, keep=false")
+    // stats are real: the flat image's mean is its fill value
+    assert(out(2L).getDouble(3) == 128.0)
+  }
+
   test("incrementalHashDedup: near batch signatures reject against the " +
     "corpus; within-batch near groups keep the min id") {
     val h = 0x0F0F0F0F0F0F0F0FL

@@ -589,6 +589,51 @@ class StreamsSpec extends SparkSpec {
       s"old-signature media admitted, new-signature dup rejected: $corpus")
   }
 
+  test("videoDedupAdmissionSink: re-encoded clips rejected on frame " +
+    "overlap; replay converges") {
+    def pixel(f: Int, x: Int, y: Int) =
+      ((math.sin(x * 0.35 + f) + math.sin(y * 0.28) +
+        math.sin((x + y) * 0.11 + f * 0.7)) * 40 + 128).toInt
+    def other(f: Int, x: Int, y: Int) =
+      ((math.sin(x * 0.9 + 2 * f) * math.sin(y * 0.8)) * 90 + 128).toInt
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files.createTempDirectory("videoadmit")
+      .toFile.getAbsolutePath
+    val sink = Streams.videoDedupAdmissionSink(
+      s"$base/corpus", s"$base/index", maxHamming = 3, minShared = 2)
+    sink(Seq(
+      (1L, M.syntheticMjpegAvi(64, 64, 4, pixel)),
+      (2L, M.syntheticMjpegAvi(64, 64, 4, other)))
+      .toDF("media_id", "content"), 0L)
+    // poll 1: a re-encoded copy of clip 1 (lower JPEG quality), a fresh
+    // clip, and an undecodable payload
+    val poll1 = Seq(
+      (3L, M.syntheticMjpegAvi(64, 64, 4, pixel, jpegQuality = 0.6f)),
+      (4L, M.syntheticMjpegAvi(64, 64, 4,
+        (f, x, y) => ((math.sin(x * 0.2 + f) * math.sin(y * 0.45)) * 80
+          + 128).toInt)),
+      (5L, Array[Byte](9, 9, 9))).toDF("media_id", "content")
+    sink(poll1, 1L)
+    def corpusIds() = graft.sources.Sinks
+      .readUpsertTable(spark, s"$base/corpus")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == Set(1L, 2L, 4L),
+      s"re-encoded clip (3) rejected, undecodable (5) dropped: " +
+        corpusIds())
+    // replay of poll 1 converges: same corpus, no duplicated index rows
+    sink(poll1, 1L)
+    assert(corpusIds() == Set(1L, 2L, 4L))
+    val perClip = spark
+      .table(Streams.videoIndexTableName(s"$base/index"))
+      .select("id", "phash").distinct()
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perClip.keySet == Set(1L, 2L, 4L),
+      s"index holds admitted clips only: $perClip")
+    assert(perClip.values.forall(n => n >= 1 && n <= 4),
+      s"at most one signature per distinct frame: $perClip")
+  }
+
   test("keysFilter: >1k keys becomes a broadcast join, not a giant IN; " +
     "small key sets stay literal") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
