@@ -800,6 +800,91 @@ object SparkEntry {
       Multimodal.imageQualityGate(s, media)
     }),
 
+    // ---- WARC round-trip through the PRODUCTION parser (the Common
+    // Crawl container): each partition's docs serialize into one
+    // in-memory .warc.gz (one gzip member per record, the CC layout)
+    // and parse back with the streaming record parser — what lands
+    // equals a disk scan of those bytes, and DuckDB states the
+    // expected rows directly from the fixture ----
+    "q201_warc_roundtrip" -> ((s, d) => {
+      val triples = Tables.documents(s, d).select(
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        encode(col("text"), "UTF-8").as("body"))
+      graft.sources.Warc.roundTrip(s, triples)
+        .withColumn("http_status", col("http_status").cast("long"))
+    }),
+
+    // ---- domain-blocklist URL filter (UT1-style curation): host-or-
+    // subdomain suffix matching via the exploded label-suffix chain +
+    // one broadcast equi-join — never a regex-per-rule scan; longest
+    // matching rule wins the audit column ----
+    "q202_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com/p")).as("url"))
+      val rules = Seq("example0.com", "example2.com", "h1.example3.com")
+        .toDF("domain")
+      TextAnalysis.domainBlocklistFilter(docs, col("doc_id"), col("url"),
+        rules)
+    }),
+
+    // ---- offset-coherent landmark matching (the Shazam vote
+    // histogram): the aggregation stage behind audioMatchPairs — whose
+    // PCM constellation extraction is spec-gated like every media
+    // decode — anchored over SQL-derivable (id, lkey, toff) landmarks
+    // with injected offset-7 shifted copies; maxKeyFreq high ⇒ no
+    // stopword drop, so the oracle's all-pairs vote histogram is the
+    // complete answer ----
+    "q203_landmark_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(pmod(col("doc_id"), lit(20)).as("id"),
+        pmod(col("doc_id") * 7 + 3, lit(50)).cast("int").as("lkey"),
+        pmod(floor(col("doc_id") / 20).cast("long"), lit(40)).cast("int")
+          .as("toff"))
+      val shifted = docs.filter(pmod(col("doc_id"), lit(20)) < 5)
+        .select((pmod(col("doc_id"), lit(20)) + 100).as("id"),
+          pmod(col("doc_id") * 7 + 3, lit(50)).cast("int").as("lkey"),
+          (pmod(floor(col("doc_id") / 20).cast("long"), lit(40)) + 7)
+            .cast("int").as("toff"))
+      Multimodal.landmarkMatchPairs(base.unionByName(shifted),
+        minVotes = 5, maxKeyFreq = 1 << 20)
+    }),
+
+    // ---- persisted constellation serving index (build once per
+    // fixture, probe per run — the q198/q171 serving precedent at
+    // landmark grain): the ingest batch (three offset-9 shifted copies
+    // of corpus clips 0-2 plus its own fresh landmarks) probes the
+    // bucket-pruned stored corpus; the answer must equal the all-pairs
+    // cross-vote SQL ----
+    "q204_landmark_serving" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q204_" + new java.io.File(d).getName).toString
+      val marker = java.nio.file.Paths.get(root, "_graft_q204_built.json")
+      val stamp = s"""{"src":"$d","layout":"lmk-v1"}"""
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == stamp
+      val docs = Tables.documents(s, d)
+      if (!fresh) {
+        val corpus = docs.select(pmod(col("doc_id"), lit(50)).as("id"),
+          pmod(col("doc_id") * 11 + 3, lit(200)).cast("int").as("lkey"),
+          pmod(floor(col("doc_id") / 50).cast("long"), lit(30)).cast("int")
+            .as("toff"))
+        Multimodal.landmarkWriteIndex(s, corpus, root)
+        java.nio.file.Files.writeString(marker, stamp)
+      }
+      val batch = docs.filter(pmod(col("doc_id"), lit(50)) < 3)
+        .select((pmod(col("doc_id"), lit(50)) + 2000).as("id"),
+          pmod(col("doc_id") * 11 + 3, lit(200)).cast("int").as("lkey"),
+          (pmod(floor(col("doc_id") / 50).cast("long"), lit(30)) + 9)
+            .cast("int").as("toff"))
+      Multimodal.landmarkMatchAgainstStoredIndex(s, root, batch,
+        minVotes = 5, maxKeyFreq = 1 << 20)
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -4241,6 +4326,85 @@ object SparkEntry {
         |    AND greatest(w, h) * 1.0 / least(w, h) <= 4.0
         |    AND std_g >= 8.0) AS keep
         |FROM t""".stripMargin,
+
+    // WARC round-trip: the parser must hand back exactly the fixture
+    // rows it serialized (urls, date header, HTTP status, UTF-8 body)
+    "q201_warc_roundtrip" ->
+      """SELECT 'https://' || source || '.example.com/doc/' || doc_id
+        |    AS url,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(200 AS BIGINT) AS http_status, text
+        |FROM documents""".stripMargin,
+
+    // domain blocklist: host equals a rule or is a dot-boundary
+    // subdomain of one; longest matching rule (then lexicographically
+    // largest) is the audit column — mirrored two-phase
+    "q202_domain_blocklist" ->
+      """WITH c AS (SELECT doc_id,
+        |    'https://h' || (doc_id % 5) || '.example' || (doc_id % 7)
+        |      || '.com/p' AS url,
+        |    'h' || (doc_id % 5) || '.example' || (doc_id % 7) || '.com'
+        |      AS host
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES ('example0.com'), ('example2.com'),
+        |    ('h1.example3.com')) AS t(domain)),
+        |h AS (SELECT c.doc_id, r.domain FROM c JOIN r
+        |    ON c.host = r.domain OR c.host LIKE '%.' || r.domain),
+        |m1 AS (SELECT doc_id, max(length(domain)) AS ml
+        |  FROM h GROUP BY doc_id),
+        |m AS (SELECT h.doc_id, max(h.domain) AS matched_domain
+        |  FROM h JOIN m1 ON h.doc_id = m1.doc_id
+        |    AND length(h.domain) = m1.ml
+        |  GROUP BY h.doc_id)
+        |SELECT c.doc_id, c.url, c.host,
+        |  m.matched_domain IS NOT NULL AS blocked, m.matched_domain
+        |FROM c LEFT JOIN m ON c.doc_id = m.doc_id""".stripMargin,
+
+    // offset-coherent landmark votes: all-pairs key join, vote
+    // histogram per (pair, delta), winning delta = max votes then max
+    // delta (the operator's stated tie-break)
+    "q203_landmark_match" ->
+      """WITH lm0 AS (
+        |  SELECT doc_id % 20 AS id, (doc_id * 7 + 3) % 50 AS lkey,
+        |    (doc_id // 20) % 40 AS toff
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 20 + 100, (doc_id * 7 + 3) % 50,
+        |    (doc_id // 20) % 40 + 7
+        |  FROM documents WHERE doc_id % 20 < 5),
+        |l AS (SELECT DISTINCT id, lkey, toff FROM lm0),
+        |v AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    b.toff - a.toff AS delta, count(*) AS c
+        |  FROM l a JOIN l b ON a.lkey = b.lkey AND a.id < b.id
+        |  GROUP BY 1, 2, 3),
+        |mx AS (SELECT id_a, id_b, max(c) AS votes FROM v GROUP BY 1, 2)
+        |SELECT v.id_a, v.id_b, CAST(mx.votes AS BIGINT) AS votes,
+        |  CAST(max(v.delta) AS INTEGER) AS t_offset
+        |FROM v JOIN mx ON v.id_a = mx.id_a AND v.id_b = mx.id_b
+        |  AND v.c = mx.votes
+        |WHERE mx.votes >= 5
+        |GROUP BY v.id_a, v.id_b, mx.votes""".stripMargin,
+
+    // landmark serving probe: corpus-batch cross votes only (the
+    // operator's contract — batch ids all exceed corpus ids)
+    "q204_landmark_serving" ->
+      """WITH c AS (SELECT DISTINCT doc_id % 50 AS id,
+        |    (doc_id * 11 + 3) % 200 AS lkey, (doc_id // 50) % 30 AS toff
+        |  FROM documents),
+        |b AS (SELECT DISTINCT doc_id % 50 + 2000 AS id,
+        |    (doc_id * 11 + 3) % 200 AS lkey,
+        |    (doc_id // 50) % 30 + 9 AS toff
+        |  FROM documents WHERE doc_id % 50 < 3),
+        |v AS (SELECT c.id AS id_a, b.id AS id_b,
+        |    b.toff - c.toff AS delta, count(*) AS cnt
+        |  FROM c JOIN b ON c.lkey = b.lkey GROUP BY 1, 2, 3),
+        |mx AS (SELECT id_a, id_b, max(cnt) AS votes FROM v GROUP BY 1, 2)
+        |SELECT v.id_a, v.id_b, CAST(mx.votes AS BIGINT) AS votes,
+        |  CAST(max(v.delta) AS INTEGER) AS t_offset
+        |FROM v JOIN mx ON v.id_a = mx.id_a AND v.id_b = mx.id_b
+        |  AND v.cnt = mx.votes
+        |WHERE mx.votes >= 5
+        |GROUP BY v.id_a, v.id_b, mx.votes""".stripMargin,
 
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem

@@ -106,10 +106,25 @@ object Multimodal {
     */
   def syntheticWav(nSamples: Int, rateHz: Int = 8000): Array[Byte] = {
     require(nSamples >= 1, "need at least one sample")
-    val data = new Array[Byte](nSamples * 2)
+    val samples = new Array[Short](nSamples)
     var i = 0
     while (i < nSamples) {
-      val v = (i % 200) - 100
+      samples(i) = ((i % 200) - 100).toShort; i += 1
+    }
+    syntheticWavFromSamples(samples, rateHz)
+  }
+
+  /** 16-bit mono little-endian WAV from explicit samples — the fixture
+    * builder for content-controlled audio tests (shifted copies, sine
+    * mixes, silence spans).
+    */
+  def syntheticWavFromSamples(samples: Array[Short],
+                              rateHz: Int = 8000): Array[Byte] = {
+    require(samples.length >= 1, "need at least one sample")
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
       data(2 * i) = (v & 0xff).toByte
       data(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -117,7 +132,7 @@ object Multimodal {
     val fmt = new javax.sound.sampled.AudioFormat(
       rateHz.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
@@ -340,6 +355,128 @@ object Multimodal {
     }
     out.toByteArray
   }
+
+  /** Deterministic animated GIF (GIF89a) clip — the SECOND video-ish
+    * container the JDK round-trips natively (`ImageIO` both writes and
+    * reads multi-frame GIF). Grayscale rasters quantize near-losslessly
+    * into the 256-entry palette, so frame pHashes survive the
+    * re-encode. Same closed-form `pixel(frame, x, y)` contract as
+    * [[syntheticMjpegAvi]] — the two encoders share fixtures, which is
+    * what lets a spec assert CROSS-CONTAINER near-dup pairing.
+    */
+  def syntheticGif(width: Int, height: Int, nFrames: Int,
+                   pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width >= 8 && height >= 8 && nFrames >= 1)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            r.setSample(x, y, 0, pixel(f, x, y) & 0xff); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL animated-GIF frame decode via the JDK's multi-image GIF
+    * reader. Frames are COMPOSITED progressively onto a canvas at each
+    * frame's declared (left, top) offset — GIF encoders routinely emit
+    * partial-frame deltas, and hashing a bare delta rect would pair
+    * nothing. Disposal handling is the do-not-dispose form (each frame
+    * draws over the previous canvas), which covers full-frame and
+    * additive-delta GIFs; restore-to-background GIFs will composite
+    * conservatively (documented bound, not a crash). None for non-GIF
+    * bytes or zero decodable frames.
+    */
+  def decodeGifFrames(bytes: Array[Byte])
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      if (bytes == null || bytes.length < 6 ||
+          !(new String(bytes, 0, 6, "ISO-8859-1").startsWith("GIF8"))) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, false)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              var canvas: java.awt.image.BufferedImage = null
+              val out =
+                IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+              var i = 0
+              while (i < n) {
+                val frame = reader.read(i)
+                val (left, top) = frameOffset(reader.getImageMetadata(i))
+                if (canvas == null)
+                  canvas = new java.awt.image.BufferedImage(
+                    math.max(frame.getWidth + left, 8),
+                    math.max(frame.getHeight + top, 8),
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = canvas.createGraphics()
+                g.drawImage(frame, left, top, null)
+                g.dispose()
+                val snap = new java.awt.image.BufferedImage(
+                  canvas.getWidth, canvas.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = snap.createGraphics()
+                g2.drawImage(canvas, 0, 0, null)
+                g2.dispose()
+                out += snap
+                i += 1
+              }
+              val fs = out.result()
+              if (fs.isEmpty) None else Some(fs)
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (imageLeftPosition, imageTopPosition) from GIF frame metadata. */
+  private def frameOffset(md: javax.imageio.metadata.IIOMetadata): (Int, Int) =
+    try {
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = tree.getElementsByTagName("ImageDescriptor")
+      if (nodes.getLength == 0) (0, 0)
+      else {
+        val e = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("imageLeftPosition").toInt,
+          e.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+
+  /** Frame decode across every container the JDK can actually read:
+    * MJPEG-in-AVI ([[decodeMjpegFrames]]) or animated GIF
+    * ([[decodeGifFrames]]). The dispatch is a cheap magic-bytes check
+    * on each side; None means the clip's codec has no JVM decoder and
+    * it stays [[decodeStub]] territory.
+    */
+  def decodeVideoFrames(bytes: Array[Byte])
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    decodeMjpegFrames(bytes).orElse(decodeGifFrames(bytes))
 
   /** One level of RIFF children in `[from, to)`: (chunkId, bodyStart,
     * bodyEnd), honoring the word-alignment padding rule. Torn tails are
@@ -1010,7 +1147,7 @@ object Multimodal {
     val rdd = laid.rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
-        Option(r.getAs[Array[Byte]](1)).flatMap(decodeMjpegFrames)
+        Option(r.getAs[Array[Byte]](1)).flatMap(decodeVideoFrames)
           .toSeq.flatMap(_.zipWithIndex.map { case (img, i) =>
             Row(r.getLong(0), i, pHashOfImage(img))
           })
@@ -1316,6 +1453,286 @@ object Multimodal {
     hashNearDupPairs(audioHashes(spark, media, idColName, contentColName),
       maxHamming, maxBucket)
 
+  /** Constellation LANDMARKS — the per-frame fingerprint shape the
+    * one-signature [[audioSpectralFingerprint]] honestly is not (Wang
+    * 2003's anchor/target hashing, ISMIR): the clip is windowed
+    * (`winFrames` samples, `hopFrames` hop), each window's spectral
+    * PEAK band (argmax of `nBands` log-spaced Goertzel powers) becomes
+    * a constellation point, and each anchor window pairs with its next
+    * `fanout` windows into a landmark key `(peakA, peakB, dt)` stamped
+    * with the anchor's window offset. TIME-SHIFT-INVARIANT matching
+    * falls out: shifting audio by k hops shifts every offset by k but
+    * changes no key, so a true match concentrates its key hits at ONE
+    * offset delta — which [[landmarkMatchPairs]] counts as votes.
+    * Gain-invariant (argmax survives positive scaling). Near-silent
+    * windows (RMS under 5% of the clip RMS) emit no landmarks —
+    * silence is the stopword of audio matching. None for non-PCM or
+    * clips shorter than two windows. Output: (landmarkKey, anchorWindow).
+    */
+  def audioLandmarks(bytes: Array[Byte], nBands: Int = 16,
+                     winFrames: Int = 256, hopFrames: Int = 128,
+                     fanout: Int = 3): Option[Array[(Int, Int)]] =
+    decodePcmFrames(bytes, minFrames = winFrames + hopFrames)
+      .map { case (rate, frames) =>
+        val nW = (frames.length - winFrames) / hopFrames + 1
+        val fMin = 300.0
+        val fMax = math.min(rate / 2.0 * 0.9, 3600.0)
+        // clip-level RMS for the silence gate (relative ⇒ gain-invariant)
+        var sumSq = 0.0
+        var i = 0
+        while (i < frames.length) {
+          sumSq += frames(i).toDouble * frames(i); i += 1
+        }
+        val clipRms = math.sqrt(sumSq / frames.length)
+        val peaks = new Array[Int](nW) // -1 = silent window
+        var w = 0
+        while (w < nW) {
+          val a = w * hopFrames
+          var wSq = 0.0
+          var j = a
+          while (j < a + winFrames) {
+            wSq += frames(j).toDouble * frames(j); j += 1
+          }
+          val winRms = math.sqrt(wSq / winFrames)
+          if (winRms < 0.05 * clipRms) peaks(w) = -1
+          else {
+            var best = 0; var bestP = -1.0
+            var bi = 0
+            while (bi < nBands) {
+              val freq =
+                fMin * math.pow(fMax / fMin, bi.toDouble / (nBands - 1))
+              val omega = 2.0 * math.Pi * freq / rate
+              val coeff = 2.0 * math.cos(omega)
+              var s1 = 0.0; var s2 = 0.0
+              var k = a
+              while (k < a + winFrames) {
+                val s0 = frames(k).toDouble + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                k += 1
+              }
+              val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+              if (p > bestP) { bestP = p; best = bi }
+              bi += 1
+            }
+            peaks(w) = best
+          }
+          w += 1
+        }
+        val out = Array.newBuilder[(Int, Int)]
+        var t = 0
+        while (t < nW) {
+          if (peaks(t) >= 0) {
+            var dt = 1
+            while (dt <= fanout && t + dt < nW) {
+              if (peaks(t + dt) >= 0)
+                out += (((peaks(t) * nBands + peaks(t + dt)) * (fanout + 1)
+                  + dt, t))
+              dt += 1
+            }
+          }
+          t += 1
+        }
+        out.result()
+      }
+
+  /** Per-clip landmark table: (id, lkey, toff) — [[audioHashes]]' shape
+    * at landmark grain, the frame a persisted constellation index
+    * stores. Undecodable rows contribute no landmarks.
+    */
+  def audioLandmarkTable(spark: SparkSession, media: DataFrame,
+                         idColName: String = "media_id",
+                         contentColName: String = "content",
+                         nBands: Int = 16, winFrames: Int = 256,
+                         hopFrames: Int = 128, fanout: Int = 3,
+                         rebalance: Boolean = false): DataFrame = {
+    val selected = media.select(idColName, contentColName)
+    val laid = if (rebalance) selected.repartition(col(idColName))
+               else selected
+    val rdd = laid.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        Option(r.getAs[Array[Byte]](1))
+          .flatMap(b => audioLandmarks(b, nBands, winFrames, hopFrames,
+            fanout))
+          .toSeq.flatMap(_.map { case (k, t) => Row(r.getLong(0), k, t) })
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lkey", IntegerType, nullable = false),
+      StructField("toff", IntegerType, nullable = false))))
+  }
+
+  /** Offset-coherent landmark matching — the Shazam vote histogram as a
+    * relational aggregate: clips sharing a landmark key vote for the
+    * offset delta between their anchors; a TRUE match (copy, shifted
+    * copy, re-encode) concentrates votes at one delta, unrelated clips
+    * scatter. Output one row per matched unordered pair:
+    * (id_a, id_b, votes, t_offset) with id_a < id_b, `votes` = the
+    * winning delta's count (ties break to the larger delta — stated, so
+    * an oracle can mirror it), kept when votes ≥ `minVotes`.
+    *
+    * Scale: ONE equi-join on the landmark key. Keys hit by more than
+    * `maxKeyFreq` clips are DROPPED first (the IR stopword move — a key
+    * that common identifies nothing and only manufactures join volume),
+    * so per-key join fan-out is bounded by `maxKeyFreq`² and the plan
+    * never approaches an all-pairs clip join. The key-frequency
+    * aggregate and the vote histogram are both map-side-combinable hash
+    * aggregates.
+    */
+  def landmarkMatchPairs(landmarks: DataFrame, minVotes: Int = 3,
+                         maxKeyFreq: Int = 64): DataFrame = {
+    val l = landmarks.select(col("id"), col("lkey"), col("toff")).distinct()
+    val rare = l.groupBy(col("lkey"))
+      .agg(countDistinct(col("id")).as("kf"))
+      .filter(col("kf") <= maxKeyFreq)
+      .select(col("lkey"))
+    val pruned = l.join(rare, "lkey")
+    val votes = pruned.as("a").join(pruned.as("b"), Seq("lkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("b.toff") - col("a.toff")).as("delta"))
+      .groupBy(col("id_a"), col("id_b"), col("delta"))
+      .agg(count(lit(1)).as("c"))
+    votes.groupBy(col("id_a"), col("id_b"))
+      .agg(max(struct(col("c"), col("delta"))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.c").as("votes"),
+        col("m.delta").as("t_offset"))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** Catalog name for a stored landmark index at `path` (path-derived,
+    * so two indexes never collide in the shared session catalog). */
+  private[graft] def landmarkIndexTableName(path: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"graft_lmk_${h}_landmarks"
+  }
+
+  /** Persist a constellation index: the corpus's (id, lkey, toff)
+    * landmarks as a BUCKETED catalog table at `path`, bucketed AND
+    * sorted by `lkey` — the [[graft.operators.TextAnalysis.bm25WriteIndex]]
+    * layout at landmark grain. An ingest batch's key set becomes an
+    * IN-list probe that reads only the matching bucket files
+    * (`SelectedBucketsCount`), so per-ingest I/O tracks the BATCH's
+    * landmarks, not the stored corpus — the serving property that lets
+    * a million-clip constellation index answer "is this clip a shifted
+    * copy of anything we have?" without ever rescanning itself.
+    */
+  def landmarkWriteIndex(spark: SparkSession, landmarks: DataFrame,
+                         path: String, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val table = landmarkIndexTableName(path)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "landmarks"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_lmk_meta.json"),
+      s"""{"layout":"lmk-v1","buckets":$buckets}""")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    createLandmarkTable(spark, table, path, buckets)
+    landmarks.select(col("id").cast("long").as("id"),
+        col("lkey").cast("int").as("lkey"),
+        col("toff").cast("int").as("toff")).distinct()
+      .write.mode(SaveMode.Overwrite).insertInto(table)
+  }
+
+  private def createLandmarkTable(spark: SparkSession, table: String,
+                                  path: String, buckets: Int): Unit =
+    spark.sql(
+      s"""CREATE TABLE $table (id BIGINT, lkey INT, toff INT)
+         |USING parquet OPTIONS (path '$path/landmarks')
+         |CLUSTERED BY (lkey) SORTED BY (lkey) INTO $buckets BUCKETS
+         |""".stripMargin)
+
+  /** Idempotent catalog attach for a stored landmark index: a FRESH
+    * session (serving restart) re-binds to the on-disk layout via pure
+    * DDL — bucket count comes from the index's own `_lmk_meta.json`,
+    * so the catalog entry can never disagree with the files.
+    */
+  private[graft] def ensureLandmarkTable(spark: SparkSession,
+                                         path: String): String = {
+    val table = landmarkIndexTableName(path)
+    if (!spark.catalog.tableExists(table)) {
+      val meta = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_lmk_meta.json"))
+      val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"no bucket count in $path/_lmk_meta.json"))
+      createLandmarkTable(spark, table, path, buckets)
+    }
+    table
+  }
+
+  /** Probe a [[landmarkWriteIndex]] store with an ingest batch's
+    * landmarks: batch-vs-corpus offset-coherent matching whose corpus
+    * side is bucket-pruned to the batch's keys (driver-collected
+    * IN-list, capped at `maxKeys` with a full-scan fallback — a batch
+    * is small by the incremental contract). Votes, tie-break, and the
+    * stopword cap (key frequency counted over corpus ∪ batch at the
+    * probed keys — pruning other keys cannot change those counts)
+    * match [[landmarkMatchPairs]] exactly: the result equals the
+    * in-memory operator over corpus ∪ batch restricted to
+    * corpus-batch pairs (pinned in WebMediaSpec). Id spaces must be
+    * disjoint. Output: (id_a, id_b, votes, t_offset), id_a < id_b.
+    */
+  def landmarkMatchAgainstStoredIndex(spark: SparkSession, path: String,
+                                      batchLandmarks: DataFrame,
+                                      minVotes: Int = 3,
+                                      maxKeyFreq: Int = 64,
+                                      maxKeys: Int = 1 << 16): DataFrame = {
+    val batch = batchLandmarks.select(col("id").cast("long").as("id"),
+      col("lkey").cast("int").as("lkey"),
+      col("toff").cast("int").as("toff")).distinct()
+    val keys = batch.select(col("lkey")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getInt(0))
+    val corpus0 = spark.table(ensureLandmarkTable(spark, path))
+    // literal/join crossover (the Streams.keysFilter rule): a literal
+    // IN is what fires bucket pruning, but only while the list is
+    // small; past ~1k keys pruning would select nearly every bucket
+    // anyway and the literal list bloats the plan — switch to a
+    // broadcast semi join (plan size O(1) in key count)
+    val corpus =
+      if (keys.length > maxKeys) corpus0
+      else if (keys.length <= 1024)
+        corpus0.filter(col("lkey").isInCollection(keys.toIndexedSeq))
+      else corpus0.join(
+        broadcast(batch.select(col("lkey")).distinct()),
+        Seq("lkey"), "left_semi")
+    val kf = corpus.select("id", "lkey").unionByName(batch.select("id", "lkey"))
+      .groupBy(col("lkey")).agg(countDistinct(col("id")).as("kf"))
+      .filter(col("kf") <= maxKeyFreq).select(col("lkey"))
+    val votes = corpus.join(kf, "lkey").as("c")
+      .join(batch.join(kf, "lkey").as("b"), Seq("lkey"))
+      .filter(col("c.id") =!= col("b.id"))
+      .select(least(col("c.id"), col("b.id")).as("id_a"),
+        greatest(col("c.id"), col("b.id")).as("id_b"),
+        when(col("c.id") < col("b.id"), col("b.toff") - col("c.toff"))
+          .otherwise(col("c.toff") - col("b.toff")).as("delta"))
+      .groupBy(col("id_a"), col("id_b"), col("delta"))
+      .agg(count(lit(1)).as("c"))
+    votes.groupBy(col("id_a"), col("id_b"))
+      .agg(max(struct(col("c"), col("delta"))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.c").as("votes"),
+        col("m.delta").as("t_offset"))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** Audio match pairs end-to-end: PCM decode → constellation landmarks
+    * → offset-coherent votes. The time-shift-robust audio dedup
+    * operator; [[audioNearDupPairs]] (one signature per clip) remains
+    * the cheaper shift-SENSITIVE form.
+    */
+  def audioMatchPairs(spark: SparkSession, media: DataFrame,
+                      minVotes: Int = 3,
+                      idColName: String = "media_id",
+                      contentColName: String = "content",
+                      maxKeyFreq: Int = 64,
+                      rebalance: Boolean = false): DataFrame =
+    landmarkMatchPairs(
+      audioLandmarkTable(spark, media, idColName, contentColName,
+        rebalance = rebalance),
+      minVotes, maxKeyFreq)
+
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 8,
                       rebalance: Boolean = false): DataFrame = {
@@ -1329,11 +1746,11 @@ object Multimodal {
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
           val nb = if (bytes == null) 0 else bytes.length
-          // MJPG clips get a REAL pixel-pooled feature (decode every
-          // frame, average the 32×32 grayscale resamples); the stub now
-          // covers only codecs the JDK cannot read
+          // MJPG and GIF clips get a REAL pixel-pooled feature (decode
+          // every frame, average the 32×32 grayscale resamples); the
+          // stub now covers only codecs the JDK cannot read
           val mj = if (bytes == null || r.getString(1) != "video") None
-                   else decodeMjpegFrames(bytes)
+                   else decodeVideoFrames(bytes)
           val feat = if (bytes == null) null
                      else mj.map(fs => mjpegPooledFeature(fs, dim).toSeq)
                        .getOrElse(decodeStub(bytes, dim).toSeq)

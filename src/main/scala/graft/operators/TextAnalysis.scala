@@ -861,4 +861,50 @@ object TextAnalysis {
           .as("n_removed"))
   }
 
+  /** Lowercased host of a URL (port stripped), '' when not a URL. */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":[0-9]+$", "")
+
+  /** Domain-blocklist verdicts — the UT1/adult-list curation step every
+    * web corpus runs before quality filtering: a URL is blocked when its
+    * host IS a listed domain or is a SUBDOMAIN of one (`a.b.example.com`
+    * matches listed `example.com`, never `notexample.com`).
+    *
+    * Scale: the host's suffix chain is generated inline (bounded by the
+    * label count, ≤~10 entries — pure codegen array ops), exploded to
+    * (doc, suffix) grain, and equi-joined against the blocklist. Real
+    * blocklists are a few million short strings (tens of MB) — we
+    * broadcast, so the corpus never shuffles; a larger list degrades to
+    * a shuffled equi-join on the suffix key, still never a scan-per-rule
+    * regex. Output keeps every input row with a verdict + the matched
+    * rule, so the same frame serves filtering (`!blocked`) and audit.
+    *
+    * `blocklist`: one column `domain` (lowercased registrable suffix or
+    * exact host).
+    */
+  def domainBlocklistFilter(docs: DataFrame, idCol: Column, urlCol: Column,
+                            blocklist: DataFrame,
+                            broadcastList: Boolean = true): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), urlCol.as("url"),
+      urlHost(urlCol).as("host"))
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    val cand = base.filter(col("host") =!= "")
+      .select(col("doc_id"), explode(suffixes).as("sfx"))
+    val rules0 = blocklist.select(lower(col("domain")).as("sfx")).distinct()
+    val rules = if (broadcastList) broadcast(rules0) else rules0
+    val hits = cand.join(rules, "sfx")
+      .groupBy(col("doc_id"))
+      // longest (most specific) matching rule wins the audit column
+      .agg(max(struct(length(col("sfx")).as("l"), col("sfx").as("s")))
+        .getField("s").as("matched_domain"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"), col("host"),
+        col("matched_domain").isNotNull.as("blocked"),
+        col("matched_domain"))
+  }
+
 }

@@ -1,0 +1,295 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.Warc
+
+/** Round-8 web/media surface: WARC scan, GIF frame decode (cross-
+  * container video near-dup), constellation landmarks (time-shift-
+  * invariant audio matching), domain blocklist filtering.
+  */
+class WebMediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- WARC ----------------
+
+  private def warcFixtureBytes(gz: Boolean): Array[Byte] = {
+    val recs = Seq(
+      ("https://a.example.com/1", "2026-01-01T00:00:00Z",
+        "hello warc".getBytes("UTF-8")),
+      ("https://b.example.com/2", "2026-01-02T00:00:00Z",
+        "second page é".getBytes("UTF-8")),
+      ("https://c.example.com/3", "2026-01-03T00:00:00Z",
+        Array.fill[Byte](5000)('x'.toByte)))
+    if (gz) Warc.gzipWarcBytes(recs.iterator)
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (u, d, b) => Warc.writeResponseRecord(bos, u, d, b) }
+      bos.toByteArray
+    }
+  }
+
+  test("warc scan reads plain and gzipped files; documents() decodes bodies") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/part-0.warc"),
+      warcFixtureBytes(gz = false))
+    Files.write(java.nio.file.Paths.get(s"$dir/part-1.warc.gz"),
+      warcFixtureBytes(gz = true))
+    val out = Warc.scan(spark, s"$dir/*").collect()
+    assert(out.length == 6) // 3 records × 2 files
+    assert(out.forall(_.getString(1) == "response"))
+    assert(out.forall(_.getInt(5) == 200))
+    val docs = Warc.documents(spark, s"$dir/*")
+      .orderBy("url").collect()
+    assert(docs.length == 6)
+    assert(docs(0).getString(0) == "https://a.example.com/1")
+    assert(docs(0).getString(3) == "hello warc")
+    assert(docs(2).getString(3) == "second page é") // UTF-8 survives
+    assert(docs(4).getString(3).length == 5000)
+  }
+
+  test("warc parser fails loudly on a truncated block") {
+    val whole = warcFixtureBytes(gz = false)
+    val torn = java.util.Arrays.copyOf(whole, whole.length - 2000)
+    val ex = intercept[Exception] {
+      Warc.records(new java.io.ByteArrayInputStream(torn)).toList
+    }
+    assert(ex.isInstanceOf[java.io.EOFException] ||
+      ex.getMessage.contains("WARC"))
+  }
+
+  test("warc roundTrip reproduces (url, date, status, text) exactly") {
+    val triples = Seq(
+      (7L, "https://x.example.com/7", "2026-02-01T00:00:00Z", "alpha beta"),
+      (8L, "https://y.example.com/8", "2026-02-02T00:00:00Z", "gamma"))
+      .toDF("id", "url", "warc_date", "text")
+      .select(col("url"), col("warc_date"),
+        encode(col("text"), "UTF-8").as("body"))
+    val out = Warc.roundTrip(spark, triples).orderBy("url").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "https://x.example.com/7")
+    assert(out(0).getInt(2) == 200)
+    assert(out(0).getString(3) == "alpha beta")
+  }
+
+  test("curatedDocuments: WARC → blocklist → url dedup → boilerplate → gopher, end to end") {
+    // body lines are page-unique (only "subscribe now" is domain-wide)
+    def page(tail: String) =
+      (s"$tail story: the quick brown fox and the lazy dog ran with " +
+        "many other animals over the hills and far away in the morning " +
+        s"light\nsubscribe now\nmore about $tail").getBytes("UTF-8")
+    val recs = Seq(
+      ("https://good.site.com/a?utm_source=x", "2026-01-01T00:00:00Z",
+        page("alpha tail")),
+      ("https://good.site.com/a", "2026-01-01T00:01:00Z",
+        page("alpha tail")), // canonical dup of the first
+      ("https://good.site.com/b", "2026-01-01T00:02:00Z", page("beta tail")),
+      ("https://good.site.com/c", "2026-01-01T00:03:00Z", page("gamma tail")),
+      ("https://spam.bad.org/x", "2026-01-01T00:04:00Z", page("spam tail")))
+    val dir = Files.createTempDirectory("graft_warc_cur").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (u, d, b) => Warc.writeResponseRecord(bos, u, d, b) }
+    Files.write(java.nio.file.Paths.get(s"$dir/crawl-0.warc"), bos.toByteArray)
+    val blocklist = Seq("bad.org").toDF("domain")
+    val out = Warc.curatedDocuments(spark, s"$dir/*.warc", blocklist,
+      minWords = 5).collect()
+    val urls = out.map(_.getAs[String]("url")).toSet
+    assert(!urls.exists(_.contains("bad.org")), "blocked domain must be gone")
+    assert(urls.count(_.contains("/a")) == 1, "canonical dups collapse to one")
+    assert(out.length == 3, s"4 good pages − 1 dup = 3, got ${out.length}")
+    assert(out.forall(r => !r.getAs[String]("text").contains("subscribe now")),
+      "domain-wide boilerplate line must be removed")
+    assert(out.forall(_.getAs[Boolean]("keep")),
+      "prose pages must pass the gopher gate")
+    assert(out.forall(_.getAs[Long]("n_removed") == 1L))
+  }
+
+  // ---------------- GIF frames ----------------
+
+  private def framePixel(f: Int, x: Int, y: Int): Int =
+    ((x * 3 + y * 5 + f * 17) % 251)
+
+  test("decodeGifFrames round-trips a synthetic animated GIF") {
+    val gif = Multimodal.syntheticGif(48, 32, 5, framePixel)
+    val frames = Multimodal.decodeGifFrames(gif)
+    assert(frames.isDefined && frames.get.length == 5)
+    assert(frames.get.head.getWidth == 48 && frames.get.head.getHeight == 32)
+    // non-GIF bytes: honest None, not an exception
+    assert(Multimodal.decodeGifFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeGifFrames(
+      Multimodal.syntheticPng(16, 16)).isEmpty)
+  }
+
+  test("cross-container video near-dup: GIF and MJPEG-AVI of the same frames pair") {
+    val gif = Multimodal.syntheticGif(64, 48, 6, framePixel)
+    val avi = Multimodal.syntheticMjpegAvi(64, 48, 6, framePixel)
+    val other = Multimodal.syntheticGif(64, 48, 6,
+      (f, x, y) => ((x * x + y * 7 + f * 31) % 241))
+    val media = Seq(
+      (1L, "video", gif), (2L, "video", avi), (3L, "video", other))
+      .toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.videoNearDupPairs(spark, media,
+      maxHamming = 8, minShared = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"GIF/AVI re-encodes of the same frames must pair; got ${pairs.toList}")
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L),
+      "different content must not pair")
+  }
+
+  test("gif frames feed extractFeatures with a REAL pooled feature") {
+    val gif = Multimodal.syntheticGif(32, 32, 4, framePixel)
+    val media = Seq((5L, "video", gif)).toDF("media_id", "media_type", "content")
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    assert(feats.length == 1)
+    val v = feats(0).getSeq[Float](3)
+    assert(v.length == 8 && v.exists(_ != 0.0f))
+  }
+
+  // ---------------- constellation landmarks ----------------
+
+  /** Tone clip whose dominant band hops pseudo-randomly every 256
+    * samples (aperiodic, seed-keyed — unrelated seeds share no band
+    * SEQUENCE, so cross-clip votes cannot cohere at any one offset).
+    */
+  private def toneSamples(n: Int, seed: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val seg = i / 256
+      var z = seg * 0x9E3779B97F4A7C15L + seed * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+      val f = 400.0 + (z & 7) * 350.0
+      out(i) = (8000.0 * math.sin(2.0 * math.Pi * f * i / 8000.0)).toShort
+      i += 1
+    }
+    out
+  }
+
+  test("audioLandmarks: shifted copy matches at the shift offset; different audio does not") {
+    val a = toneSamples(16384, seed = 1)
+    val shiftHops = 16 // 16 × 128-sample hops = 2048 samples of silence
+    val shifted = new Array[Short](2048 + a.length)
+    System.arraycopy(a, 0, shifted, 2048, a.length)
+    val b = toneSamples(16384, seed = 2)
+    val media = Seq(
+      (1L, Multimodal.syntheticWavFromSamples(a)),
+      (2L, Multimodal.syntheticWavFromSamples(shifted)),
+      (3L, Multimodal.syntheticWavFromSamples(b)))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.audioMatchPairs(spark, media, minVotes = 1,
+      maxKeyFreq = 1 << 20).collect()
+    val m12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(m12.isDefined, s"shifted copy must match; got ${pairs.toList}")
+    assert(m12.get.getInt(3) == shiftHops,
+      s"winning offset must equal the shift (${m12.get.getInt(3)} != $shiftHops)")
+    val trueVotes = m12.get.getLong(2)
+    assert(trueVotes >= 50, s"true match must vote heavily, got $trueVotes")
+    // unrelated clips can coincide on a few landmark keys (the key
+    // space is small by design) but their votes cannot COHERE at one
+    // offset: require a wide separation — the margin any production
+    // minVotes sits inside
+    val spurious = pairs.filter(r =>
+      r.getLong(1) == 3L || r.getLong(0) == 3L).map(_.getLong(2))
+    assert(spurious.forall(_ <= trueVotes / 4),
+      s"unrelated votes must stay far below the true match " +
+        s"($trueVotes vs ${spurious.toList})")
+  }
+
+  test("one-signature spectral fingerprint is shift-SENSITIVE where landmarks are not") {
+    val a = toneSamples(16384, seed = 1)
+    val shifted = new Array[Short](2048 + a.length)
+    System.arraycopy(a, 0, shifted, 2048, a.length)
+    val fa = Multimodal.audioSpectralFingerprint(
+      Multimodal.syntheticWavFromSamples(a)).get
+    val fs = Multimodal.audioSpectralFingerprint(
+      Multimodal.syntheticWavFromSamples(shifted)).get
+    // the windows slide under the shift: distance grows well past a
+    // near-dup threshold — documenting WHY the constellation exists
+    assert(java.lang.Long.bitCount(fa ^ fs) > 3)
+  }
+
+  test("landmarkMatchPairs drops stopword keys past maxKeyFreq") {
+    // key 1 hits every clip (stopword); key 100+i is distinctive
+    val rows = (0L until 10L).flatMap(i => Seq(
+      (i, 1, 0), (i, 1, 1), (i, 1, 2), (i, 1, 3), (i, 1, 4),
+      (i, 100 + i.toInt, 3)))
+    val lm = rows.toDF("id", "lkey", "toff")
+    val all = Multimodal.landmarkMatchPairs(lm, minVotes = 1,
+      maxKeyFreq = 1 << 20).collect()
+    assert(all.nonEmpty) // stopword key manufactures pairs when uncapped
+    val pruned = Multimodal.landmarkMatchPairs(lm, minVotes = 1,
+      maxKeyFreq = 4).collect()
+    assert(pruned.isEmpty, "common-key votes must vanish under the cap")
+  }
+
+  test("stored landmark index: probe equals in-memory matcher on cross pairs, bucket-pruned") {
+    // corpus: 40 clips × 30 landmarks; batch: 3 clips, one a shifted
+    // copy of corpus clip 7 (same keys, toff+5)
+    val corpus = (0L until 40L).flatMap(id => (0 until 30).map(j =>
+      (id, ((id * 31 + j * 17) % 97).toInt, j)))
+      .toDF("id", "lkey", "toff")
+    val batch = ((0 until 30).map(j =>
+      (1007L, ((7L * 31 + j * 17) % 97).toInt, j + 5)) ++
+      (0 until 30).map(j => (1008L, ((j * j * 13 + 5) % 97).toInt, j)))
+      .toDF("id", "lkey", "toff")
+    val dir = Files.createTempDirectory("graft_lmk").toString
+    Multimodal.landmarkWriteIndex(spark, corpus, dir, buckets = 64)
+    val probe = Multimodal.landmarkMatchAgainstStoredIndex(spark, dir,
+      batch, minVotes = 3, maxKeyFreq = 1 << 20)
+    val got = probe.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val want = Multimodal.landmarkMatchPairs(
+        corpus.unionByName(batch), minVotes = 3, maxKeyFreq = 1 << 20)
+      .filter(col("id_b") >= 1000L && col("id_a") < 1000L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want, s"stored probe must equal in-memory cross pairs\n" +
+      s"got=$got\nwant=$want")
+    assert(got.exists { case (a, b, v, off) =>
+      a == 7L && b == 1007L && off == 5 && v >= 20L },
+      s"shifted copy must match its corpus original at offset 5: $got")
+    // the probe must read only the batch's key buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no SelectedBucketsCount in probe plan:\n${plan.take(2000)}"))
+    assert(m.group(1).toInt < m.group(2).toInt, m.matched)
+    // fresh-session re-attach: drop the catalog entry, probe again —
+    // pure DDL over _lmk_meta.json must rebind to the same layout
+    spark.sql(s"DROP TABLE IF EXISTS ${Multimodal.landmarkIndexTableName(dir)}")
+    val again = Multimodal.landmarkMatchAgainstStoredIndex(spark, dir,
+        batch, minVotes = 3, maxKeyFreq = 1 << 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again == want, "re-attached probe must answer identically")
+  }
+
+  // ---------------- domain blocklist ----------------
+
+  test("domainBlocklistFilter: suffix semantics at label boundaries only") {
+    val docs = Seq(
+      (1L, "https://news.example.com/a"),
+      (2L, "https://example.com/b"),
+      (3L, "https://notexample.com/c"),
+      (4L, "https://deep.a.bad.org:8080/d"),
+      (5L, "not a url"))
+      .toDF("doc_id", "url")
+    val rules = Seq("example.com", "bad.org").toDF("domain")
+    val out = TextAnalysis.domainBlocklistFilter(docs, col("doc_id"),
+      col("url"), rules).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false), (4L, true), (5L, false)))
+    assert(out(0).getString(4) == "example.com")
+    assert(out(3).getString(4) == "bad.org") // port stripped before match
+    assert(out(4).getString(2) == "") // non-URL: host empty, never blocked
+  }
+
+  test("domainBlocklistFilter picks the most specific matching rule") {
+    val docs = Seq((1L, "https://x.sub.example.com/p")).toDF("doc_id", "url")
+    val rules = Seq("example.com", "sub.example.com").toDF("domain")
+    val out = TextAnalysis.domainBlocklistFilter(docs, col("doc_id"),
+      col("url"), rules).collect()
+    assert(out(0).getBoolean(3) && out(0).getString(4) == "sub.example.com")
+  }
+}
