@@ -35,6 +35,25 @@ object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Synthetic page fixture for the link ops (q208/q209): one HTML page
+    * per document whose anchors exercise every href resolution branch.
+    * The DuckDB mirror is [[linkFixtureCtes]].
+    */
+  private def linkFixture(s: SparkSession, d: String): DataFrame = {
+    def m(n: Int): Column = pmod(col("doc_id"), lit(n)).cast("string")
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://h"), m(5), lit(".example.com/dir/page"), m(7))
+        .as("url"),
+      concat(
+        lit("<html><body><a href=\"https://ext"), m(3),
+        lit(".org/x\">e</a><a href=\"/root/p"), m(4),
+        lit("\">r</a><a class=\"z\" href=\"sub/page"), m(2),
+        lit("\">s</a><a href=\"//cdn.example"), m(3),
+        lit(".net/a\">c</a><a href='./q"), m(2),
+        lit("' >q</a><a href=\"mailto:x@y.z\">m</a>" +
+          "<a href=\"#frag\">f</a></body></html>")).as("html"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A1: hash group-by with SUM/COUNT (155 GROUP BYs in reference) ----
@@ -883,6 +902,90 @@ object SparkEntry {
             .cast("int").as("toff"))
       Multimodal.landmarkMatchAgainstStoredIndex(s, root, batch,
         minVotes = 5, maxKeyFreq = 1 << 20)
+    }),
+
+    // ---- HTML -> text extraction (the crawl payload stage between
+    // Warc.documents and the curation pipeline): script/style/comment
+    // removal, block tags to line breaks, tag strip, entity decode,
+    // whitespace discipline — one codegen'd regex chain whose patterns
+    // run identically under DuckDB's RE2 ----
+    "q205_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p {color:red}</style>" +
+          "<script type=\"text/javascript\">if (1<2) { alert(\"x&y\"); }" +
+          "</script></head><body><!-- comment -->" +
+          "<h1>News &amp; updates</h1><p>"),
+        col("text"),
+        lit("</p><ul><li>a&nbsp;b</li><li>&lt;raw&gt;</li></ul>" +
+          "<div class=\"foot\">&quot;quoted&quot; &#39;s&#39;</div>" +
+          "</body></html>"))
+      val txt = TextAnalysis.htmlToText(html)
+      docs.select(col("doc_id"), txt.as("text"),
+        length(txt).cast("long").as("n_chars"))
+    }),
+
+    // ---- token-window chunking with overlap (RAG / long-context
+    // ingestion): 64-token windows, stride 48 — array ops only, no
+    // shuffle; the final chunk ends at the last token ----
+    "q206_chunk_overlap" -> ((s, d) =>
+      Packing.chunkByTokens(Tables.documents(s, d), col("doc_id"),
+          col("text"), chunkTokens = 64, overlap = 16)
+        .filter(col("n_tokens") > 0)),
+
+    // ---- robots.txt replay filter: parse per-domain robots files
+    // (groups, agent precedence), admit URLs by longest-prefix rule,
+    // tie -> Allow; domain h4 has no robots file (allowed by default);
+    // even domains carry an exact graftbot group that shadows '*' ----
+    "q207_robots_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val robots = s.range(0, 4).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example.com"))
+          .as("domain"),
+        concat(
+          lit("# rules\nUser-agent: *\nDisallow: /private\n" +
+            "Allow: /private/ok\nDisallow: /p"),
+          col("id").cast("string"), lit("\n"),
+          when(col("id") % 2 === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /secret\nAllow: /\n"))
+            .otherwise(lit(""))).as("robots_txt"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("/private/ok/page"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("/private/x"))
+            .otherwise(concat(lit("/p"),
+              pmod(col("doc_id"), lit(11)).cast("string")))).as("url"))
+      Robots.robotsFilter(urls, col("doc_id"), col("url"), robots,
+        agent = "graftbot")
+    }),
+
+    // ---- outbound-link extraction + RFC-3986-subset resolution:
+    // absolute, scheme-relative, root-relative, directory-relative and
+    // dot-segment hrefs; mailto dropped, #fragment self-link kept ----
+    "q208_extract_links" -> ((s, d) =>
+      TextAnalysis.extractLinks(linkFixture(s, d), col("doc_id"),
+        col("url"), col("html"))),
+
+    // ---- domain link graph -> fixed-point PageRank: the full
+    // web-authority composition (extract -> domain edges -> q197's
+    // operator), domains keyed by hash64 for the integer-id iteration
+    // and joined back to names for the output ----
+    "q209_link_pagerank" -> ((s, d) => {
+      val links = TextAnalysis.extractLinks(linkFixture(s, d),
+        col("doc_id"), col("url"), col("html"))
+      val edges = TextAnalysis.linkGraphEdges(links, col("url"),
+        col("link"))
+      val ranks = Graphs.pageRankFixedPoint(
+        edges.select(F.hash64(col("src_domain")).as("src"),
+          F.hash64(col("dst_domain")).as("dst")), iters = 5)
+      val names = edges.select(col("src_domain").as("domain"))
+        .union(edges.select(col("dst_domain"))).distinct()
+        .select(col("domain"), F.hash64(col("domain")).as("id"))
+      // names is a handful of domains — broadcast label join
+      ranks.join(broadcast(names), "id")
+        .select(col("domain"), col("rank_fp"))
     }),
 
     // ---- streaming-equivalent batch sessionization (gap islands) ----
@@ -2624,7 +2727,6 @@ object SparkEntry {
     * one-row driver aggregate.
     */
   private def q197Oracle: String = {
-    val scale = 1000000000000L; val dn = 85; val dd = 100; val iters = 5
     val edges =
       """SELECT DISTINCT src, dst FROM (
         |  SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
@@ -2633,8 +2735,21 @@ object SparkEntry {
         |  SELECT doc_id % 40, (doc_id * 13 + 7) % 40
         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 40 < 35
         |) WHERE src <> dst""".stripMargin
+    pageRankOracleSql("", edges,
+      "SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r5")
+  }
+
+  /** Unrolled fixed-point PageRank as chained DuckDB CTEs — the shared
+    * generator behind q197 (integer-id graph) and q209 (domain link
+    * graph): `prefixCtes` ("name AS (...)," fragments) precede the edge
+    * CTE, `edgesSql` must yield (src, dst) BIGINT pairs, and
+    * `finalSelect` reads the last rank CTE `r5` (plus any prefix CTE).
+    */
+  private def pageRankOracleSql(prefixCtes: String, edgesSql: String,
+                                finalSelect: String): String = {
+    val scale = 1000000000000L; val dn = 85; val dd = 100; val iters = 5
     val header =
-      s"""WITH e AS ($edges),
+      s"""WITH $prefixCtes e AS ($edgesSql),
          |nodes AS (SELECT DISTINCT id FROM
          |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
          |nd AS (SELECT nodes.id, coalesce(d.deg, 0) AS deg
@@ -2659,8 +2774,81 @@ object SparkEntry {
          |    FROM $p r JOIN nd nd2 ON r.id = nd2.id JOIN e ON e.src = r.id
          |    WHERE nd2.deg > 0 GROUP BY e.dst) c USING (id))""".stripMargin
     }
-    header + ",\n" + stages.mkString(",\n") +
-      s"\nSELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters"
+    header + ",\n" + stages.mkString(",\n") + "\n" + finalSelect
+  }
+
+  /** CTE chain deriving the synthetic link-extraction fixture — shared
+    * by q208 (row grain) and q209 (PageRank over the domain graph).
+    * Mirrors `TextAnalysis.extractLinks` + `resolveUrl` stage for
+    * stage: href regexes (double- then single-quoted), fragment strip,
+    * absolute / scheme-relative / root-relative / directory-relative
+    * resolution, '/./' collapse, http(s) filter. Final CTE: `llink`
+    * (doc_id, url, href, link).
+    */
+  private def linkFixtureCtes: String =
+    raw"""ld AS (SELECT doc_id,
+      |    'https://h' || (doc_id % 5) || '.example.com/dir/page' ||
+      |      (doc_id % 7) AS url,
+      |    '<html><body><a href="https://ext' || (doc_id % 3) ||
+      |    '.org/x">e</a><a href="/root/p' || (doc_id % 4) ||
+      |    '">r</a><a class="z" href="sub/page' || (doc_id % 2) ||
+      |    '">s</a><a href="//cdn.example' || (doc_id % 3) ||
+      |    '.net/a">c</a><a href=''./q' || (doc_id % 2) ||
+      |    ''' >q</a><a href="mailto:x@y.z">m</a>' ||
+      |    '<a href="#frag">f</a></body></html>' AS html
+      |  FROM documents),
+      |lx AS (SELECT doc_id, url, unnest(list_concat(
+      |    regexp_extract_all(html,
+      |      '(?i)<a\b[^>]*\bhref\s*=\s*"([^"]*)"', 1),
+      |    regexp_extract_all(html,
+      |      '(?i)<a\b[^>]*\bhref\s*=\s*''([^'']*)''', 1))) AS href
+      |  FROM ld),
+      |lr AS (SELECT doc_id, url, href,
+      |    trim(regexp_replace(href, '#.*$$', '')) AS h,
+      |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+      |      AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
+      |      AS origin,
+      |    regexp_replace(url, '[?#].*$$', '') AS basenoq
+      |  FROM lx),
+      |lres AS (SELECT doc_id, url, href,
+      |    CASE WHEN h = '' THEN basenoq
+      |      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+      |      WHEN h LIKE '//%' THEN scheme || ':' || h
+      |      WHEN h LIKE '/%' THEN origin || h
+      |      ELSE (CASE WHEN regexp_replace(basenoq,
+      |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
+      |        THEN origin || '/'
+      |        ELSE regexp_replace(basenoq, '[^/]*$$', '') END) || h
+      |      END AS l0
+      |  FROM lr),
+      |llink AS (SELECT doc_id, url, href,
+      |    regexp_replace(regexp_replace(l0, '/\./', '/', 'g'),
+      |      '/\./', '/', 'g') AS link
+      |  FROM lres
+      |  WHERE regexp_matches(regexp_replace(regexp_replace(l0,
+      |    '/\./', '/', 'g'), '/\./', '/', 'g'), '^https?://'))""".stripMargin
+
+  private def q209Oracle: String = {
+    val host = "regexp_replace(lower(regexp_extract(%s, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '')"
+    val prefix = linkFixtureCtes + ",\n" +
+      s"""lk AS (SELECT DISTINCT ${host.format("url")} AS src_domain,
+         |    ${host.format("link")} AS dst_domain
+         |  FROM llink
+         |  WHERE ${host.format("url")} <> '' AND
+         |    ${host.format("link")} <> '' AND
+         |    ${host.format("url")} <> ${host.format("link")}),""".stripMargin
+    val edges =
+      s"""SELECT ${dkHash("src_domain")} AS src,
+         |  ${dkHash("dst_domain")} AS dst FROM lk""".stripMargin
+    val fin =
+      s"""SELECT n.domain, CAST(r.rank AS BIGINT) AS rank_fp
+         |FROM r5 r JOIN (SELECT DISTINCT domain, ${dkHash("domain")} AS id
+         |  FROM (SELECT src_domain AS domain FROM lk
+         |        UNION ALL SELECT dst_domain FROM lk)) n
+         |  ON r.id = n.id""".stripMargin
+    pageRankOracleSql(prefix, edges, fin)
   }
 
   // ---- DuckDB oracle fragments for hash-bucketed operators --------------
@@ -4405,6 +4593,109 @@ object SparkEntry {
         |  AND v.cnt = mx.votes
         |WHERE mx.votes >= 5
         |GROUP BY v.id_a, v.id_b, mx.votes""".stripMargin,
+
+    // HTML -> text: the identical regex chain under RE2 (inline (?is)
+    // flags, no backreferences), entity decode in the same order
+    // (&amp; last), trim over space+newline
+    "q205_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><style>p {color:red}</style>' ||
+        |  '<script type="text/javascript">if (1<2) { alert("x&y"); }' ||
+        |  '</script></head><body><!-- comment -->' ||
+        |  '<h1>News &amp; updates</h1><p>' || text ||
+        |  '</p><ul><li>a&nbsp;b</li><li>&lt;raw&gt;</li></ul>' ||
+        |  '<div class="foot">&quot;quoted&quot; &#39;s&#39;</div>' ||
+        |  '</body></html>' AS x FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM s1),
+        |s2b AS (SELECT doc_id, regexp_replace(x,
+        |  '(?is)<(script|style)\b[^>]*>.*$$', ' ', 'g') AS x FROM s2),
+        |s3 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2b),
+        |s4 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|' ||
+        |  'blockquote|section|article|header|footer|title|pre|form)' ||
+        |  '\b[^>]*>', chr(10), 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g')
+        |  AS x FROM s4),
+        |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+        |  replace(x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(x, '[ \t\r]+', ' ', 'g')
+        |  AS x FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(x, ' *\n *', chr(10), 'g')
+        |  AS x FROM s7),
+        |s9 AS (SELECT doc_id, trim(regexp_replace(x, '\n+', chr(10),
+        |  'g'), ' ' || chr(10)) AS x FROM s8)
+        |SELECT doc_id, x AS text, CAST(length(x) AS BIGINT) AS n_chars
+        |FROM s9""".stripMargin,
+
+    // token-window chunking: same chunk-count formula
+    // (1 + ceil(max(0, n - 64) / 48)), same slice bounds
+    "q206_chunk_overlap" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT)
+        |    AS n_doc_tokens,
+        |    CAST(1 + floor((greatest(len(toks) - 64, 0) + 47) / 48.0)
+        |      AS BIGINT) AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, n_doc_tokens,
+        |    unnest(range(0, n_chunks)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, n_doc_tokens,
+        |  array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64),
+        |    ' ') AS chunk_text,
+        |  CAST(least(n_doc_tokens - ci * 48, 64) AS BIGINT) AS n_tokens
+        |FROM e WHERE least(n_doc_tokens - ci * 48, 64) > 0""".stripMargin,
+
+    // robots replay: the oracle states the SEMANTICS (the rule set each
+    // domain's file implies for agent graftbot — exact group shadows
+    // '*' on even domains, h4 has no file) rather than re-parsing the
+    // text; a parser bug changes the Spark-side rule set and misses
+    "q207_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    'h' || (doc_id % 5) || '.example.com' AS host,
+        |    CASE doc_id % 3 WHEN 0 THEN '/private/ok/page'
+        |      WHEN 1 THEN '/private/x'
+        |      ELSE '/p' || (doc_id % 11) END AS path
+        |  FROM documents),
+        |uu AS (SELECT doc_id, host, path,
+        |    'https://' || host || path AS url FROM u),
+        |r AS (SELECT * FROM (VALUES
+        |    ('h0.example.com', 'disallow', '/secret'),
+        |    ('h0.example.com', 'allow', '/'),
+        |    ('h2.example.com', 'disallow', '/secret'),
+        |    ('h2.example.com', 'allow', '/'),
+        |    ('h1.example.com', 'disallow', '/private'),
+        |    ('h1.example.com', 'allow', '/private/ok'),
+        |    ('h1.example.com', 'disallow', '/p1'),
+        |    ('h3.example.com', 'disallow', '/private'),
+        |    ('h3.example.com', 'allow', '/private/ok'),
+        |    ('h3.example.com', 'disallow', '/p3'))
+        |  AS t(domain, kind, rpath)),
+        |m AS (SELECT uu.doc_id, r.kind, r.rpath FROM uu JOIN r
+        |    ON uu.host = r.domain AND starts_with(uu.path, r.rpath)),
+        |b AS (SELECT doc_id, kind, rpath, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY length(rpath) DESC,
+        |    (kind = 'allow') DESC, rpath DESC) AS rn FROM m)
+        |SELECT uu.doc_id, uu.url, uu.host, uu.path,
+        |  (b.kind IS NULL OR b.kind = 'allow') AS allowed,
+        |  b.kind AS matched_kind, b.rpath AS matched_path
+        |FROM uu LEFT JOIN b
+        |  ON uu.doc_id = b.doc_id AND b.rn = 1""".stripMargin,
+
+    // link extraction: the shared fixture chain at row grain
+    "q208_extract_links" ->
+      s"WITH $linkFixtureCtes\nSELECT doc_id, url, href, link FROM llink",
+
+    // domain link graph -> unrolled fixed-point PageRank (generated —
+    // see q209Oracle / pageRankOracleSql)
+    "q209_link_pagerank" -> q209Oracle,
 
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem

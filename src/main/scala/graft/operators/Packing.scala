@@ -66,4 +66,43 @@ object Packing {
         (greatest(col("__start"), col("pack_id") * budget)
           - col("pack_id") * budget).as("pack_off"))
   }
+
+  /** Token-window document chunking with overlap — the RAG / long-context
+    * ingestion shape (fixed-size windows that stride by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens of context). Where [[packSequences]] concatenates the corpus
+    * into training packs, this keeps every chunk inside its own document.
+    *
+    * Chunk count per doc is `1 + ceil(max(0, n - chunkTokens) / step)`:
+    * one chunk always exists, and the final chunk ends exactly at the
+    * last token (no degenerate tail chunk that is a pure suffix of its
+    * predecessor). Tokens are whitespace words; blank docs yield one
+    * empty chunk (callers filter on `n_tokens`).
+    *
+    * Scale: `split` + `sequence`/`posexplode` + `slice` — all codegen'd
+    * array ops, zero shuffle, embarrassingly parallel; output volume is
+    * input tokens × (1 + overlap/step) by construction.
+    */
+  def chunkByTokens(df: DataFrame, idCol: Column, textCol: Column,
+                    chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = when(length(trim(textCol)) === 0, array())
+      .otherwise(split(trim(textCol), "\\s+"))
+    val base = df.select(idCol.as("doc_id"), toks.as("__toks"),
+      size(toks).cast("long").as("n_doc_tokens"))
+    val nChunks = lit(1L) +
+      floor((greatest(col("n_doc_tokens") - chunkTokens, lit(0L)) +
+        (step - 1)) / step).cast("long")
+    base
+      .select(col("doc_id"), col("__toks"), col("n_doc_tokens"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_doc_tokens"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * step + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(col("n_doc_tokens") - col("chunk_idx") * step,
+          lit(chunkTokens.toLong)).as("n_tokens"))
+  }
 }

@@ -907,4 +907,107 @@ object TextAnalysis {
         col("matched_domain"))
   }
 
+  /** HTML → text extraction — the stage between a crawl's `response`
+    * payloads and the text-curation pipeline (reference behavior: the
+    * jusText/trafilatura role, reduced to a deterministic, engine-
+    * portable transform). Drops script/style blocks and comments,
+    * turns block-level tags into line breaks (so the boilerplate
+    * remover still sees line structure), strips remaining tags,
+    * decodes the six entities that dominate real markup, and
+    * normalizes whitespace to single-spaced non-blank lines.
+    *
+    * Pure `regexp_replace`/`replace` chain — codegen'd, zero shuffle,
+    * linear in payload bytes; every pattern uses inline `(?i)(?s)`
+    * flags and no backreferences, so the identical regexes run under
+    * DuckDB's RE2 for the oracle. Malformed markup degrades softly
+    * (an unclosed `<script>` eats to end-of-document — the same
+    * choice browsers make).
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(coalesce(html, lit("")),
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    // any opener still present is unclosed -> eats to end-of-document
+    val noOpen = regexp_replace(noStyle,
+      "(?is)<(script|style)\\b[^>]*>.*$", " ")
+    val noComment = regexp_replace(noOpen, "(?s)<!--.*?-->", " ")
+    val blockBroken = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|" +
+        "section|article|header|footer|title|pre|form)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blockBroken, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val tightLines = regexp_replace(oneSpace, " *\\n *", "\n")
+    val oneNewline = regexp_replace(tightLines, "\\n+", "\n")
+    trim(oneNewline, " \n")
+  }
+
+  /** Resolve an href against its page URL (RFC 3986 subset): absolute
+    * URLs pass through, `//host/...` takes the base's scheme, `/path`
+    * takes the base's origin, anything else joins the base's directory;
+    * fragments are stripped and `/./` segments collapsed. Dot-dot
+    * segments are left unresolved (documented subset — they are rare in
+    * href attributes and a canonical-URL stage downstream treats the
+    * raw string uniformly). Pure string/regex ops, engine-portable.
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val h = trim(regexp_replace(href, "#.*$", ""))
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val baseNoQ = regexp_replace(base, "[?#].*$", "")
+    // directory of the base: through the last '/' after the origin;
+    // a bare origin (no path) gets '/'
+    val baseDir = when(regexp_replace(baseNoQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "") === "",
+        concat(origin, lit("/")))
+      .otherwise(regexp_replace(baseNoQ, "[^/]*$", ""))
+    val resolved =
+      when(h === "", baseNoQ)
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(origin, h))
+        .otherwise(concat(baseDir, h))
+    // collapse '/./' runs (twice: adjacent '/././' leaves one after a
+    // single pass because matches cannot overlap)
+    regexp_replace(regexp_replace(resolved, "/\\./", "/"), "/\\./", "/")
+  }
+
+  /** Outbound links of an HTML page: every `<a href=...>` value (double-
+    * or single-quoted), resolved against the page URL, filtered to
+    * http(s) targets (javascript:/mailto:/data: dropped). One output row
+    * per (page, href occurrence) — duplicates kept; aggregate downstream
+    * (e.g. [[linkGraphEdges]] counts them at domain grain).
+    *
+    * Scale: two `regexp_extract_all` passes + explode — scan-speed,
+    * map-only, zero shuffle; output volume is the page's anchor count.
+    */
+  def extractLinks(df: DataFrame, idCol: Column, urlCol: Column,
+                   htmlCol: Column): DataFrame = {
+    val dq = regexp_extract_all(htmlCol,
+      lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(htmlCol,
+      lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*'([^']*)'"), lit(1))
+    df.select(idCol.as("doc_id"), urlCol.as("url"),
+        explode(concat(dq, sq)).as("href"))
+      .select(col("doc_id"), col("url"), col("href"),
+        resolveUrl(col("url"), col("href")).as("link"))
+      .filter(col("link").rlike("^https?://"))
+  }
+
+  /** Domain-grain link graph from [[extractLinks]] output: one edge per
+    * (source domain, target domain) with the link count, self-loops
+    * dropped — the frame [[Graphs.pageRank]] consumes. One hash
+    * aggregate; edge cardinality is bounded by distinct domain pairs.
+    */
+  def linkGraphEdges(links: DataFrame, urlCol: Column,
+                     linkCol: Column): DataFrame =
+    links.select(urlHost(urlCol).as("src_domain"),
+        urlHost(linkCol).as("dst_domain"))
+      .filter(col("src_domain") =!= "" && col("dst_domain") =!= "" &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+
 }

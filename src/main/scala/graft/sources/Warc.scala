@@ -271,9 +271,18 @@ object Warc {
   def curatedDocuments(spark: SparkSession, pathGlob: String,
                        blocklist: DataFrame,
                        minWords: Int = 50,
-                       minPartitions: Int = 0): DataFrame = {
+                       minPartitions: Int = 0,
+                       htmlPayload: Boolean = true): DataFrame = {
     import graft.operators.TextAnalysis
-    val raw = documents(spark, pathGlob, minPartitions)
+    val raw0 = documents(spark, pathGlob, minPartitions)
+    // crawl payloads are markup: extract text before any text-grain
+    // stage (map-only, same task as the scan); htmlPayload=false for
+    // pre-extracted corpora
+    val raw1 =
+      if (htmlPayload)
+        raw0.withColumn("text", TextAnalysis.htmlToText(col("text")))
+      else raw0
+    val raw = raw1
       .withColumn("doc_id", graft.functions.F.hash64(col("url")))
       .withColumn("domain", TextAnalysis.urlHost(col("url")))
     val allowed = TextAnalysis.domainBlocklistFilter(raw, col("doc_id"),

@@ -514,4 +514,37 @@ class OperatorsSpec extends SparkSpec {
       "2-doc domain is under minDocs — nothing removed")
     assert(out(6L) == (("more prose\ncookie notice", 2L, 0L)))
   }
+
+  test("chunkByTokens: stride, overlap, exact tail") {
+    // 11 tokens, chunk 4, overlap 1 -> step 3; nChunks = 1+ceil(7/3) = 4
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing.chunkByTokens(df, col("doc_id"),
+        col("text"), chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, "t1 t2 t3 t4", 4L),
+      (1L, "t4 t5 t6 t7", 4L),       // shares 1 token with predecessor
+      (2L, "t7 t8 t9 t10", 4L),
+      (3L, "t10 t11", 2L)))          // tail ends exactly at last token
+  }
+
+  test("chunkByTokens: short, exact-fit and blank docs") {
+    val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing.chunkByTokens(df, col("doc_id"),
+        col("text"), chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+    // short doc and exact-fit doc: one chunk each, no degenerate tail;
+    // blank doc: one empty chunk with n_tokens 0 (callers filter)
+    assert(out.toSeq == Seq((1L, 0L, "a b", 2L), (2L, 0L, "a b c d", 4L),
+      (3L, 0L, "", 0L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.chunkByTokens(df, col("doc_id"), col("text"),
+        chunkTokens = 4, overlap = 4)
+    }
+  }
 }

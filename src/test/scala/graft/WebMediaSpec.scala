@@ -105,6 +105,28 @@ class WebMediaSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_removed") == 1L))
   }
 
+  test("curatedDocuments extracts HTML payloads before curation") {
+    val html = ("<html><head><script>tracker();</script></head><body>" +
+      "<p>the quick brown fox and the lazy dog ran with many other " +
+      "animals over the hills &amp; far away</p></body></html>")
+      .getBytes("UTF-8")
+    val dir = Files.createTempDirectory("graft_warc_html").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeResponseRecord(bos, "https://h.com/p",
+      "2026-01-01T00:00:00Z", html)
+    Files.write(java.nio.file.Paths.get(s"$dir/c.warc"), bos.toByteArray)
+    val none = Seq.empty[String].toDF("domain")
+    val out = Warc.curatedDocuments(spark, s"$dir/*.warc", none,
+      minWords = 5).collect()
+    assert(out.length == 1)
+    val text = out(0).getAs[String]("text")
+    assert(!text.contains("<") && !text.contains("tracker") &&
+      text.contains("hills & far away"))
+    val rawOut = Warc.curatedDocuments(spark, s"$dir/*.warc", none,
+      minWords = 5, htmlPayload = false).collect()
+    assert(rawOut(0).getAs[String]("text").contains("<p>"))
+  }
+
   // ---------------- GIF frames ----------------
 
   private def framePixel(f: Int, x: Int, y: Int): Int =
@@ -291,5 +313,159 @@ class WebMediaSpec extends SparkSpec {
     val out = TextAnalysis.domainBlocklistFilter(docs, col("doc_id"),
       col("url"), rules).collect()
     assert(out(0).getBoolean(3) && out(0).getString(4) == "sub.example.com")
+  }
+
+  // ---------------- HTML -> text ----------------
+
+  test("htmlToText strips script/style/comments, breaks blocks, decodes") {
+    val html =
+      """<html><head><title>My Page</title>
+        |<style>body { color: red; }</style>
+        |<script>if (1<2) { alert("x&y"); }</script></head>
+        |<body><!-- secret --><h1>Top &amp; best</h1>
+        |<p>First   line</p><p>A &lt;b&gt; is not a tag&nbsp;here</p>
+        |<span>inline</span> <b>bold</b></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h")).as("t"))
+      .head().getString(0)
+    val lines = out.split("\n").toSeq
+    assert(lines == Seq("My Page", "Top & best", "First line",
+      "A <b> is not a tag here", "inline bold"))
+    assert(!out.contains("alert") && !out.contains("color") &&
+      !out.contains("secret"))
+  }
+
+  test("htmlToText: unclosed script eats to end; plain text passes through") {
+    val out = Seq(
+        "<p>ok</p><script>var x = 1;",    // unclosed: browser behavior
+        "no markup at all",
+        "")
+      .toDF("h").select(TextAnalysis.htmlToText(col("h")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("ok", "no markup at all", ""))
+  }
+
+  // ---------------- robots.txt ----------------
+
+  private val robotsTxt =
+    """# comment line
+      |User-agent: alpha
+      |User-agent: beta
+      |Disallow: /shared
+      |
+      |User-agent: *
+      |Disallow: /private  # trailing comment
+      |Allow: /private/ok
+      |Disallow:
+      |""".stripMargin
+
+  test("parseRobots: groups, shared UA runs, comments, empty values") {
+    val parsed = graft.operators.Robots.parseRobots(
+        Seq(("E.com", robotsTxt)).toDF("domain", "robots_txt"),
+        col("domain"), col("robots_txt"))
+      .orderBy("line_idx").collect()
+    // two groups: {alpha, beta} -> /shared ; {*} -> 3 rules
+    assert(parsed.map(r => (r.getString(0), r.getLong(2), r.getString(3),
+      r.getString(4))).toSeq == Seq(
+      ("e.com", 1L, "user-agent", "alpha"),
+      ("e.com", 1L, "user-agent", "beta"),
+      ("e.com", 1L, "disallow", "/shared"),
+      ("e.com", 2L, "user-agent", "*"),
+      ("e.com", 2L, "disallow", "/private"),
+      ("e.com", 2L, "allow", "/private/ok"),
+      ("e.com", 2L, "disallow", "")))
+  }
+
+  test("robotsFilter: longest prefix wins, tie goes to Allow, exact " +
+      "agent group shadows '*', absent robots allows") {
+    val robots = Seq(("e.com", robotsTxt)).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://e.com/private/x"),     // * group: Disallow /private
+      (2L, "https://e.com/private/ok/p"),  // Allow /private/ok is longer
+      (3L, "https://e.com/shared"),        // alpha/beta rule not for us
+      (4L, "https://e.com/other"),         // no rule matches
+      (5L, "https://norobots.com/private") // no robots file at all
+    ).toDF("doc_id", "url")
+    val out = graft.operators.Robots.robotsFilter(urls, col("doc_id"),
+        col("url"), robots, agent = "crawler")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(4))).toSeq ==
+      Seq((1L, false), (2L, true), (3L, true), (4L, true), (5L, true)))
+    assert(out(0).getString(5) == "disallow" &&
+      out(0).getString(6) == "/private")
+    assert(out(1).getString(5) == "allow" &&
+      out(1).getString(6) == "/private/ok")
+    assert(out(3).getString(5) == null) // empty Disallow is not a rule
+
+    // as agent beta, the exact group shadows '*': /shared blocked,
+    // /private now allowed (the '*' rules no longer apply)
+    val beta = graft.operators.Robots.robotsFilter(urls, col("doc_id"),
+        col("url"), robots, agent = "BETA")
+      .orderBy("doc_id").collect()
+    assert(beta.map(r => (r.getLong(0), r.getBoolean(4))).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false), (4L, true), (5L, true)))
+  }
+
+  // ---------------- link extraction ----------------
+
+  test("resolveUrl covers every RFC-3986-subset branch") {
+    val base = "https://h.example.com/dir/page?x=1#top"
+    val cases = Seq(
+      ("https://other.org/a#f", "https://other.org/a"), // absolute
+      ("//cdn.net/lib.js", "https://cdn.net/lib.js"),   // scheme-relative
+      ("/root/x", "https://h.example.com/root/x"),      // root-relative
+      ("sub/y", "https://h.example.com/dir/sub/y"),     // dir-relative
+      ("./z", "https://h.example.com/dir/z"),           // dot collapse
+      ("././w", "https://h.example.com/dir/w"),         // adjacent dots
+      ("", "https://h.example.com/dir/page"),           // self (no query)
+      ("mailto:a@b.c", "mailto:a@b.c"))                 // scheme passthru
+    val out = cases.map(_._1).toDF("href")
+      .select(TextAnalysis.resolveUrl(lit(base), col("href")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+    // bare-origin base: relative joins at '/'
+    val bare = Seq("p").toDF("href")
+      .select(TextAnalysis.resolveUrl(lit("https://h.com"), col("href")))
+      .head().getString(0)
+    assert(bare == "https://h.com/p")
+  }
+
+  test("extractLinks: both quote styles, scheme filter, duplicates kept") {
+    val html = """<p><a class="x" href="https://a.org/1">1</a>
+      |<a href='/rel'>2</a><a href="javascript:void(0)">j</a>
+      |<a href="https://a.org/1">again</a><area href="https://no.anchor/">
+      |</p>""".stripMargin
+    val out = TextAnalysis.extractLinks(
+        Seq((7L, "https://s.com/d/p", html)).toDF("id", "u", "h"),
+        col("id"), col("u"), col("h"))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      ("https://a.org/1", "https://a.org/1"),
+      ("https://a.org/1", "https://a.org/1"), // dup occurrence kept
+      ("/rel", "https://s.com/rel")))         // javascript: + <area> dropped
+  }
+
+  test("linkGraphEdges aggregates to domain grain, drops self-loops") {
+    val links = Seq(
+      (1L, "https://a.com/x", "x", "https://b.com/1"),
+      (2L, "https://a.com/y", "x", "https://b.com/2"),
+      (3L, "https://a.com/z", "x", "https://a.com/self"),
+      (4L, "https://b.com/w", "x", "https://a.com/back"))
+      .toDF("doc_id", "url", "href", "link")
+    val out = graft.operators.TextAnalysis.linkGraphEdges(links,
+        col("url"), col("link"))
+      .orderBy("src_domain", "dst_domain").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a.com", "b.com", 2L), ("b.com", "a.com", 1L)))
+  }
+
+  test("robotsFilter: equal-length Allow and Disallow -> Allow wins") {
+    val robots = Seq(("t.com",
+      "User-agent: *\nDisallow: /abc\nAllow: /abd\nAllow: /abc\n"))
+      .toDF("domain", "robots_txt")
+    val urls = Seq((1L, "https://t.com/abc/x")).toDF("doc_id", "url")
+    val out = graft.operators.Robots.robotsFilter(urls, col("doc_id"),
+      col("url"), robots, agent = "any").collect()
+    assert(out(0).getBoolean(4) && out(0).getString(5) == "allow")
   }
 }
