@@ -988,6 +988,46 @@ object SparkEntry {
         .select(col("domain"), col("rank_fp"))
     }),
 
+    // ---- anchor (href, text) pairs: third-party descriptions of the
+    // TARGET page — the oracle states the closed-form expected rows
+    // (fixture anchors carry no document text), so extraction, inner-
+    // markup cleanup, and resolution are all checked declaratively ----
+    "q210_anchor_text" -> ((s, d) => {
+      def m(n: Int): Column = pmod(col("doc_id"), lit(n)).cast("string")
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://s"), m(5), lit(".example.com/base/doc"))
+          .as("url"),
+        concat(lit("<div><a href=\"https://t"), m(3),
+          lit(".org/p\"><b>Visit &amp; read "), m(5),
+          lit("</b></a> mid <a href=\"/local/x\" class=\"k\">plain "),
+          m(4),
+          lit("</a><a href=\"mailto:z@y\">no</a></div>")).as("html"))
+      TextAnalysis.extractAnchors(f, col("doc_id"), col("url"),
+        col("html"))
+    }),
+
+    // ---- sitemap parse: urlset docs (two <url> blocks, optional
+    // lastmod, &amp; decode, whitespace-tolerant <loc>) on odd ids,
+    // sitemapindex docs (one <sitemap> block) on even ids ----
+    "q211_sitemap" -> ((s, d) => {
+      def m(n: Int): Column = pmod(col("doc_id"), lit(n)).cast("string")
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> https://m"),
+        m(5), lit(".example.com/p"), m(7),
+        lit(" </loc><lastmod>2026-0"),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("string"),
+        lit("-01</lastmod></url><url><loc>https://m"), m(5),
+        lit(".example.com/q?a=1&amp;b=2</loc></url></urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>" +
+          "https://m"), m(5),
+        lit(".example.com/sitemap2.xml</loc></sitemap></sitemapindex>"))
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, index).otherwise(urlset)
+          .as("xml"))
+      TextAnalysis.sitemapEntries(f, col("doc_id"), col("xml"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -4696,6 +4736,40 @@ object SparkEntry {
     // domain link graph -> unrolled fixed-point PageRank (generated —
     // see q209Oracle / pageRankOracleSql)
     "q209_link_pagerank" -> q209Oracle,
+
+    // anchor pairs: closed-form expected rows (no regex mirror — the
+    // fixture's anchors are fully synthetic); mailto row absent
+    "q210_anchor_text" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS m5, doc_id % 3 AS m3,
+        |    doc_id % 4 AS m4 FROM documents)
+        |SELECT doc_id,
+        |  'https://s' || m5 || '.example.com/base/doc' AS url,
+        |  'https://t' || m3 || '.org/p' AS href,
+        |  'https://t' || m3 || '.org/p' AS link,
+        |  'Visit & read ' || m5 AS anchor_text
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, 'https://s' || m5 || '.example.com/base/doc',
+        |  '/local/x', 'https://s' || m5 || '.example.com/local/x',
+        |  'plain ' || m4
+        |FROM d""".stripMargin,
+
+    // sitemap entries: closed-form expected rows per fixture branch
+    "q211_sitemap" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS m5, doc_id % 7 AS m7,
+        |    doc_id % 4 AS m4 FROM documents)
+        |SELECT doc_id,
+        |  'https://m' || m5 || '.example.com/p' || m7 AS loc,
+        |  '2026-0' || (m4 + 1) || '-01' AS lastmod
+        |FROM d WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id, 'https://m' || m5 || '.example.com/q?a=1&b=2',
+        |  CAST(NULL AS VARCHAR)
+        |FROM d WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id, 'https://m' || m5 || '.example.com/sitemap2.xml',
+        |  CAST(NULL AS VARCHAR)
+        |FROM d WHERE doc_id % 2 = 0""".stripMargin,
 
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem

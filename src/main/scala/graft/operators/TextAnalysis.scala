@@ -996,6 +996,57 @@ object TextAnalysis {
       .filter(col("link").rlike("^https?://"))
   }
 
+  /** Anchor (href, text) pairs — anchor text is the classic external
+    * relevance/quality signal for a linked page (it describes the TARGET,
+    * written by a third party). Two `regexp_extract_all` passes over the
+    * same pattern (group 1 = href, group 2 = inner markup) zip
+    * positionally — identical pattern ⇒ identical match sets, so the
+    * zip is total. The inner markup is cleaned with [[htmlToText]]
+    * (anchors may contain <b>/<img>/entities), the href resolved with
+    * [[resolveUrl]]; double-quoted hrefs only (the dominant form — the
+    * [[extractLinks]] single-quote pass has no per-match text
+    * alignment across two patterns, documented subset). Map-only.
+    */
+  def extractAnchors(df: DataFrame, idCol: Column, urlCol: Column,
+                     htmlCol: Column): DataFrame = {
+    val pat = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>" +
+      "(.*?)</a\\s*>"
+    val zipped = zip_with(
+      regexp_extract_all(htmlCol, lit(pat), lit(1)),
+      regexp_extract_all(htmlCol, lit(pat), lit(2)),
+      (h, t) => struct(h.as("href"), t.as("raw")))
+    df.select(idCol.as("doc_id"), urlCol.as("url"),
+        explode(zipped).as("z"))
+      .select(col("doc_id"), col("url"), col("z.href").as("href"),
+        resolveUrl(col("url"), col("z.href")).as("link"),
+        htmlToText(col("z.raw")).as("anchor_text"))
+      .filter(col("link").rlike("^https?://"))
+  }
+
+  /** Sitemap entries: every `<url>`/`<sitemap>` block's `<loc>` (+
+    * optional `<lastmod>`) — the crawl-discovery companion to
+    * [[graft.operators.Robots]] (sitemaps are advertised in robots.txt).
+    * Handles both urlset and sitemapindex documents with one pattern;
+    * `&amp;` in locs decoded (the one entity the sitemap spec requires
+    * escaping that URLs commonly contain). lastmod is NULL when absent.
+    */
+  def sitemapEntries(df: DataFrame, idCol: Column, xmlCol: Column)
+      : DataFrame = {
+    val blocks = regexp_extract_all(coalesce(xmlCol, lit("")),
+      lit("(?is)<(?:url|sitemap)\\b[^>]*>(.*?)</(?:url|sitemap)\\s*>"),
+      lit(1))
+    val loc = trim(regexp_extract(col("__b"),
+      "(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>", 1))
+    val lastmod = trim(regexp_extract(col("__b"),
+      "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>", 1))
+    df.select(idCol.as("doc_id"), explode(blocks).as("__b"))
+      .select(col("doc_id"),
+        replace(loc, lit("&amp;"), lit("&")).as("loc"),
+        when(lastmod === "", lit(null).cast("string"))
+          .otherwise(lastmod).as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
+
   /** Domain-grain link graph from [[extractLinks]] output: one edge per
     * (source domain, target domain) with the link count, self-loops
     * dropped — the frame [[Graphs.pageRank]] consumes. One hash

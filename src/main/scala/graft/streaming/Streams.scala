@@ -846,4 +846,74 @@ object Streams {
       .select(col("user_id"), col("session_id"), col("ts"), col("event_id"),
         col("value"))
   }
+
+  /** Streaming crawl-frontier admission — the discovery side of a web
+    * pipeline: each micro-batch of candidate URLs (e.g.
+    * [[graft.operators.TextAnalysis.extractLinks]] output) is
+    * canonicalized, run through the politeness/policy stages (domain
+    * blocklist, robots.txt for `agent`), deduplicated against the
+    * PERSISTED seen-set, and only then appended to the frontier table.
+    * Rejections are auditable: with `rejectsPath` set, every rejected
+    * URL lands in a batch_id-partitioned table with its reason
+    * (`blocklist` / `robots`) — written as a dynamic partition
+    * overwrite, so replays converge ([[clusterDriftSink]] discipline).
+    *
+    * Seen-set state is the [[bloomDedupAdmissionSink]] machinery keyed
+    * by the canonical URL's hash (rendered to a string fingerprint —
+    * NOT normText(url), which would case-fold case-sensitive paths):
+    * broadcast bitmap probe at scan speed, exact confirm join, crash-
+    * safe generational persistence, capacity-doubling rebuild. A URL
+    * seen once is never re-admitted — re-crawl scheduling is a policy
+    * layer above this sink (documented non-goal).
+    *
+    * Frontier rows: (url_id, url, curl, host). Policy frames
+    * (`blocklist`: domain; `robots`: domain, robots_txt) are read per
+    * batch — refresh them by replacing the backing table.
+    */
+  def frontierAdmissionSink(frontierPath: String, indexPath: String,
+                            blocklist: DataFrame, robots: DataFrame,
+                            agent: String,
+                            urlColName: String = "url",
+                            rejectsPath: Option[String] = None,
+                            expectedItems: Long = 1L << 20,
+                            fpp: Double = 0.01)
+      : (DataFrame, Long) => Unit = {
+    val TextAnalysis = graft.operators.TextAnalysis
+    val Robots = graft.operators.Robots
+    (batch0, batchId) =>
+      if (!batch0.isEmpty) {
+        val canon = batch0.select(col(urlColName).as("url"))
+          .withColumn("curl", TextAnalysis.canonicalUrl(col("url")))
+          .withColumn("url_id", graft.functions.F.hash64(col("curl")))
+          .dropDuplicates("url_id") // within-batch exact dedup
+          .localCheckpoint(true)
+        val bl = TextAnalysis.domainBlocklistFilter(canon, col("url_id"),
+            col("url"), blocklist)
+          .select(col("doc_id").as("url_id"), col("host"), col("blocked"))
+        val rb = Robots.robotsFilter(canon, col("url_id"), col("url"),
+            robots, agent)
+          .select(col("doc_id").as("url_id"), col("allowed"))
+        val judged = canon.join(bl, "url_id").join(rb, "url_id")
+          .localCheckpoint(true)
+        rejectsPath.foreach { rp =>
+          val rejects = judged.filter(col("blocked") || !col("allowed"))
+            .select(col("url_id"), col("url"),
+              when(col("blocked"), "blocklist").otherwise("robots")
+                .as("reason"),
+              lit(batchId).as("batch_id"))
+          rejects.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(rp)
+        }
+        val pass = judged.filter(!col("blocked") && col("allowed"))
+          .select(col("url_id"), col("url"), col("curl"), col("host"),
+            // the seen-set fingerprint: canonical-hash as a string
+            // (digits/hex only — normText-stable by construction)
+            col("url_id").cast("string").as("fp_key"))
+        if (!pass.isEmpty)
+          bloomDedupAdmissionSink(frontierPath, indexPath,
+            idColName = "url_id", textColName = "fp_key",
+            expectedItems = expectedItems, fpp = fpp)(pass, batchId)
+      }
+  }
 }

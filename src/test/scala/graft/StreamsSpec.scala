@@ -709,4 +709,44 @@ class StreamsSpec extends SparkSpec {
     assert(after == Set(1L, 2L, 3L),
       s"old-text doc admitted, new-text dup rejected: $after")
   }
+
+  test("frontierAdmissionSink: canonicalize -> blocklist -> robots -> " +
+      "persisted seen-set, with a rejects audit") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val base = java.nio.file.Files.createTempDirectory("frontier")
+      .toFile.getAbsolutePath
+    val blocklist = Seq("bad.org").toDF("domain")
+    val robots = Seq(("ok.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("domain", "robots_txt")
+    val q = mem.toDF.toDF("url").writeStream
+      .foreachBatch(Streams.frontierAdmissionSink(
+        s"$base/frontier", s"$base/index", blocklist, robots,
+        agent = "graftbot", rejectsPath = Some(s"$base/rejects")))
+      .outputMode(OutputMode.Append()).start()
+    val polls = Seq(
+      Seq("https://ok.com/a",
+        "https://ok.com/a?utm_source=x",   // canonical dup (tracking param)
+        "https://WWW.ok.com/a",            // canonical dup (www + case)
+        "https://bad.org/x",               // blocklisted
+        "https://ok.com/private/y",        // robots-disallowed
+        "https://ok.com/b"),
+      Seq("https://ok.com/a",              // cross-poll dup
+        "https://ok.com/c",                // new
+        "http://bad.org/y"))               // blocklisted again
+    try polls.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val frontier = graft.sources.Sinks.readUpsertTable(
+        spark, s"$base/frontier")
+      .collect().map(_.getAs[String]("curl")).toSet
+    assert(frontier == Set("https://ok.com/a", "https://ok.com/b",
+      "https://ok.com/c"), s"got $frontier")
+    val rejects = spark.read.parquet(s"$base/rejects")
+      .collect().map(r => (r.getAs[String]("url"),
+        r.getAs[String]("reason"))).toSet
+    assert(rejects == Set(
+      ("https://bad.org/x", "blocklist"),
+      ("http://bad.org/y", "blocklist"),
+      ("https://ok.com/private/y", "robots")), s"got $rejects")
+  }
 }

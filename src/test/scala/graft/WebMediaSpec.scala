@@ -459,6 +459,39 @@ class WebMediaSpec extends SparkSpec {
     assert(out == Seq(("a.com", "b.com", 2L), ("b.com", "a.com", 1L)))
   }
 
+  test("extractAnchors cleans inner markup and resolves hrefs") {
+    val html = """<a href="https://t.org/a"><img src="i.png"><b>Read
+      |&amp; learn</b></a><a href="/x" class="k">plain</a>
+      |<a href="javascript:x()">drop</a>""".stripMargin
+    val out = TextAnalysis.extractAnchors(
+        Seq((1L, "https://s.com/d/p", html)).toDF("id", "u", "h"),
+        col("id"), col("u"), col("h"))
+      .collect().map(r => (r.getString(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      ("https://t.org/a", "Read\n& learn"), // <img>/<b> gone, entity decoded
+      ("https://s.com/x", "plain")))
+  }
+
+  test("sitemapEntries parses urlset and sitemapindex blocks") {
+    val urlset = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://a.com/1 </loc><lastmod>2026-01-02</lastmod></url>
+      |<url><loc>https://a.com/2?x=1&amp;y=2</loc></url>
+      |<url><lastmod>2026-01-03</lastmod></url></urlset>""".stripMargin
+    val index = "<sitemapindex><sitemap><loc>https://a.com/s2.xml" +
+      "</loc></sitemap></sitemapindex>"
+    val out = TextAnalysis.sitemapEntries(
+        Seq((1L, urlset), (2L, index)).toDF("id", "xml"),
+        col("id"), col("xml"))
+      .orderBy("doc_id", "loc")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    // loc-less block dropped; &amp; decoded; whitespace-tolerant loc
+    assert(out == Seq(
+      (1L, "https://a.com/1", Some("2026-01-02")),
+      (1L, "https://a.com/2?x=1&y=2", None),
+      (2L, "https://a.com/s2.xml", None)))
+  }
+
   test("robotsFilter: equal-length Allow and Disallow -> Allow wins") {
     val robots = Seq(("t.com",
       "User-agent: *\nDisallow: /abc\nAllow: /abd\nAllow: /abc\n"))
