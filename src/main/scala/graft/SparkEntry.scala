@@ -1028,6 +1028,15 @@ object SparkEntry {
       TextAnalysis.sitemapEntries(f, col("doc_id"), col("xml"))
     }),
 
+    // ---- decode-free header-dims admission gate: PNG/GIF/JPEG payloads
+    // (plus non-image bytes) with closed-form dims — the stage that
+    // rejects junk blobs at header-read cost BEFORE any decode ----
+    "q212_header_dims" -> ((s, d) => {
+      val media = Multimodal.withMultiFormatPayloads(
+        Multimodal.fromDocuments(Tables.documents(s, d)))
+      Multimodal.imageHeaderGate(s, media)
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -4770,6 +4779,22 @@ object SparkEntry {
         |SELECT doc_id, 'https://m' || m5 || '.example.com/sitemap2.xml',
         |  CAST(NULL AS VARCHAR)
         |FROM d WHERE doc_id % 2 = 0""".stripMargin,
+
+    // header-dims gate: closed-form dims per fixture format; the
+    // non-image branch must yield nulls + keep=false
+    "q212_header_dims" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 96 + 16 AS w,
+        |    doc_id % 64 + 16 AS h, doc_id % 4 AS f FROM documents)
+        |SELECT id,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |         WHEN 2 THEN 'jpeg' END AS format,
+        |  CASE WHEN f = 3 THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+        |  CASE WHEN f = 3 THEN NULL ELSE CAST(h AS INTEGER) END
+        |    AS height,
+        |  CASE WHEN f = 3 THEN FALSE
+        |       ELSE w >= 32 AND h >= 32 AND
+        |         greatest(w, h) * 1.0 / least(w, h) <= 4.0 END AS keep
+        |FROM d""".stripMargin,
 
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem

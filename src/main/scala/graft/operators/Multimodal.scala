@@ -866,6 +866,124 @@ object Multimodal {
       (w, h, mean, math.sqrt(variance))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decode-FREE image dimensions from container headers:
+    * (format, width, height) for PNG (IHDR), GIF (logical screen
+    * descriptor), BMP (info header, |height| for top-down files) and
+    * JPEG (marker scan to the first start-of-frame segment). At crawl
+    * scale this is the admission stage that runs BEFORE any decode:
+    * it touches at most a few hundred bytes per blob, so tracking
+    * pixels, banner strips and truncated files are rejected without
+    * paying the decode that dominates [[imageStats]]. None for
+    * unrecognized or truncated bytes — never an exception.
+    */
+  def imageHeaderDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    try {
+      if (bytes.length >= 24 && u8(0) == 0x89 && bytes(1) == 'P' &&
+          bytes(2) == 'N' && bytes(3) == 'G')
+        Some(("png", be32(16), be32(20)))
+      else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F')
+        Some(("gif", le16(6), le16(8)))
+      else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+        Some(("bmp", le32(18), math.abs(le32(22))))
+      else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // segment walk: skip APPn/DQT/... by length to the first SOF
+        // (C0-CF minus DHT C4 / JPG C8 / DAC CC), whose payload is
+        // [precision u8][height u16][width u16]
+        var i = 2
+        while (i + 3 < bytes.length) {
+          if (u8(i) != 0xff) return None // desynced: not a JPEG stream
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
+          else {
+            val len = be16(i + 2)
+            if (len < 2) return None
+            if ((m >= 0xc0 && m <= 0xcf) &&
+                m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 >= bytes.length) return None
+              return Some(("jpeg", be16(i + 7), be16(i + 5)))
+            }
+            i += 2 + len
+          }
+        }
+        None
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Header-only admission gate: [[imageHeaderDims]] + dimension/aspect
+    * rules, map-only with no decode anywhere in the plan. The contrast
+    * rule needs pixels and stays in [[imageQualityGate]] — the
+    * production composition is header gate first (rejects most junk at
+    * header-read cost), full gate over the survivors.
+    * Output: (id, format, width, height, keep); unparseable rows carry
+    * nulls and keep=false.
+    */
+  def imageHeaderGate(spark: SparkSession, media: DataFrame,
+                      idColName: String = "media_id",
+                      contentColName: String = "content",
+                      minWidth: Int = 32, minHeight: Int = 32,
+                      maxAspect: Double = 4.0): DataFrame = {
+    val rdd = media.select(idColName, contentColName).rdd.map { r =>
+      imageHeaderDims(r.getAs[Array[Byte]](1)) match {
+        case Some((fmt, w, h)) =>
+          val aspect = math.max(w, h).toDouble / math.max(math.min(w, h), 1)
+          Row(r.getLong(0), fmt, w, h,
+            w >= minWidth && h >= minHeight && aspect <= maxAspect)
+        case None => Row(r.getLong(0), null, null, null, false)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("keep", BooleanType, nullable = false))))
+  }
+
+  /** Multi-format payload fixture for the header-dims gate: per id the
+    * content cycles PNG / GIF / JPEG / non-image bytes, dims
+    * `(id%96+16, id%64+16)` — closed-form, so the oracle states every
+    * (format, width, height, keep) row arithmetically.
+    */
+  def withMultiFormatPayloads(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val rdd = media.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val w = (id % 96).toInt + 16; val h = (id % 64).toInt + 16
+        val bytes = (id % 4) match {
+          case 0 => syntheticPng(w, h)
+          case 1 => syntheticGif(w, h, 1, (_, x, y) => (x + y) % 251)
+          case 2 =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val ras = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { ras.setSample(x, y, 0, (x + y) % 251); x += 1 }
+              y += 1
+            }
+            encodeJpeg(img)
+          case _ => s"not an image:$id".getBytes("UTF-8")
+        }
+        Row.fromSeq(r.toSeq.updated(r.fieldIndex("content"), bytes))
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Gopher-style quality gate for the IMAGE modality: decode map-only
     * (no exchange by default), keep images inside dimension and aspect
     * bounds with at least `minStd` gray contrast — solid fills,

@@ -315,6 +315,37 @@ class WebMediaSpec extends SparkSpec {
     assert(out(0).getBoolean(3) && out(0).getString(4) == "sub.example.com")
   }
 
+  // ---------------- header dims ----------------
+
+  test("imageHeaderDims reads PNG/GIF/JPEG/BMP headers without decoding") {
+    assert(Multimodal.imageHeaderDims(Multimodal.syntheticPng(100, 60))
+      .contains(("png", 100, 60)))
+    assert(Multimodal.imageHeaderDims(
+        Multimodal.syntheticGif(48, 32, 2, (_, x, y) => (x + y) % 251))
+      .contains(("gif", 48, 32)))
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    assert(Multimodal.imageHeaderDims(Multimodal.encodeJpeg(img))
+      .contains(("jpeg", 64, 48)))
+    // hand-built BMP header: 'BM', width 640 LE at 18, height -480
+    // (top-down) at 22 — |height| is the answer
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x80.toByte; bmp(19) = 0x02 // 640
+    val hNeg = -480
+    bmp(22) = (hNeg & 0xff).toByte; bmp(23) = ((hNeg >> 8) & 0xff).toByte
+    bmp(24) = ((hNeg >> 16) & 0xff).toByte
+    bmp(25) = ((hNeg >> 24) & 0xff).toByte
+    assert(Multimodal.imageHeaderDims(bmp).contains(("bmp", 640, 480)))
+    // junk, truncated PNG, truncated JPEG -> None, never a throw
+    assert(Multimodal.imageHeaderDims("plain text".getBytes).isEmpty)
+    assert(Multimodal.imageHeaderDims(
+      Multimodal.syntheticPng(40, 40).take(12)).isEmpty)
+    assert(Multimodal.imageHeaderDims(
+      Multimodal.encodeJpeg(img).take(6)).isEmpty)
+    assert(Multimodal.imageHeaderDims(null).isEmpty)
+  }
+
   // ---------------- HTML -> text ----------------
 
   test("htmlToText strips script/style/comments, breaks blocks, decodes") {
