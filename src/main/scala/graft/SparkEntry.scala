@@ -1037,6 +1037,59 @@ object SparkEntry {
       Multimodal.imageHeaderGate(s, media)
     }),
 
+    // ---- per-source corpus report (the dataset-card rollup): doc and
+    // token volume, exact-dup count (normText fingerprint), short-doc
+    // count, corpus punct ratio from integer sums (one exact double
+    // division — no per-doc float averaging) — one hash aggregate ----
+    "q213_corpus_report" -> ((s, d) => {
+      val nt = TextAnalysis.normText(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("source"), nt.as("nt"))
+        .select(col("source"),
+          TextAnalysis.tokenCountWs(col("nt")).cast("long").as("ntok"),
+          length(col("nt")).cast("long").as("nch"),
+          (length(col("nt")) -
+            length(regexp_replace(col("nt"), "[^a-z0-9 ]", "")))
+            .cast("long").as("np"),
+          F.hash64(col("nt")).as("fp"))
+      base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+        sum(when(col("ntok") < 20, 1L).otherwise(0L)).as("short_docs"),
+        (sum("np").cast("double") /
+          greatest(sum("nch"), lit(1L)).cast("double")).as("punct_ratio"))
+    }),
+
+    // ---- crawl-budget allocation: 100k pages across domains weighted
+    // by link authority — extract -> edges -> PageRank -> A8's exact-
+    // total largest-remainder repair; the window runs over the bounded
+    // domain frame (11 rows), never the corpus ----
+    "q214_crawl_budget" -> ((s, d) => {
+      val links = TextAnalysis.extractLinks(linkFixture(s, d),
+        col("doc_id"), col("url"), col("html"))
+      val edges = TextAnalysis.linkGraphEdges(links, col("url"),
+        col("link"))
+      val ranks = Graphs.pageRankFixedPoint(
+        edges.select(F.hash64(col("src_domain")).as("src"),
+          F.hash64(col("dst_domain")).as("dst")), iters = 5)
+      val names = edges.select(col("src_domain").as("domain"))
+        .union(edges.select(col("dst_domain"))).distinct()
+        .select(col("domain"), F.hash64(col("domain")).as("id"))
+      val named = ranks.join(broadcast(names), "id")
+      Allocation.weightedAllocate(named, Seq(lit(1)), Seq(col("domain")),
+          lit(100000L), col("rank_fp"), "pages", 0)
+        .select(col("domain"), col("pages").cast("long").as("pages"))
+    }),
+
+    // ---- sliding-window ExactSubstr dedup: q172's tiled spans miss
+    // copies at shifted alignments; here every token position opens an
+    // l-token window and duplicated windows (minus the corpus-wide
+    // canonical first occurrence) union into the removal set ----
+    "q215_exact_substr" -> ((s, d) =>
+      Dedup.exactSubstrDedup(Tables.documents(s, d), col("doc_id"),
+        col("text"), l = 10, hashes = Dedup.CrossEngineHash)),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -2878,7 +2931,11 @@ object SparkEntry {
       |  WHERE regexp_matches(regexp_replace(regexp_replace(l0,
       |    '/\./', '/', 'g'), '/\./', '/', 'g'), '^https?://'))""".stripMargin
 
-  private def q209Oracle: String = {
+  /** Link-fixture domain graph → unrolled PageRank, with a caller-chosen
+    * final select over `r5` (ranks) joined to `names` (id → domain) —
+    * shared by q209 (ranks) and q214 (budget allocation).
+    */
+  private def linkRankOracle(finalSelect: String): String = {
     val host = "regexp_replace(lower(regexp_extract(%s, " +
       "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '')"
     val prefix = linkFixtureCtes + ",\n" +
@@ -2887,18 +2944,31 @@ object SparkEntry {
          |  FROM llink
          |  WHERE ${host.format("url")} <> '' AND
          |    ${host.format("link")} <> '' AND
-         |    ${host.format("url")} <> ${host.format("link")}),""".stripMargin
+         |    ${host.format("url")} <> ${host.format("link")}),
+         |names AS (SELECT DISTINCT domain, ${dkHash("domain")} AS id
+         |  FROM (SELECT src_domain AS domain FROM lk
+         |        UNION ALL SELECT dst_domain FROM lk)),""".stripMargin
     val edges =
       s"""SELECT ${dkHash("src_domain")} AS src,
          |  ${dkHash("dst_domain")} AS dst FROM lk""".stripMargin
-    val fin =
-      s"""SELECT n.domain, CAST(r.rank AS BIGINT) AS rank_fp
-         |FROM r5 r JOIN (SELECT DISTINCT domain, ${dkHash("domain")} AS id
-         |  FROM (SELECT src_domain AS domain FROM lk
-         |        UNION ALL SELECT dst_domain FROM lk)) n
-         |  ON r.id = n.id""".stripMargin
-    pageRankOracleSql(prefix, edges, fin)
+    pageRankOracleSql(prefix, edges, finalSelect)
   }
+
+  private def q209Oracle: String = linkRankOracle(
+    """SELECT n.domain, CAST(r.rank AS BIGINT) AS rank_fp
+      |FROM r5 r JOIN names n ON r.id = n.id""".stripMargin)
+
+  private def q214Oracle: String = linkRankOracle(
+    """SELECT domain, CAST(CAST(CASE WHEN rn = 1
+      |    THEN 100000 - SUM(raw) OVER () + raw ELSE raw END
+      |    AS DECIMAL(38,0)) AS BIGINT) AS pages
+      |FROM (
+      |  SELECT domain,
+      |    CAST(ROUND(CAST(100000 * rank / wsum AS DECIMAL(38,10)), 0)
+      |      AS DECIMAL(38,0)) AS raw,
+      |    ROW_NUMBER() OVER (ORDER BY domain) AS rn
+      |  FROM (SELECT n.domain, r.rank, SUM(r.rank) OVER () AS wsum
+      |        FROM r5 r JOIN names n ON r.id = n.id))""".stripMargin)
 
   // ---- DuckDB oracle fragments for hash-bucketed operators --------------
   // These replicate graft's CrossEngineHash (md5-derived 60-bit values) and
@@ -4796,6 +4866,32 @@ object SparkEntry {
         |         greatest(w, h) * 1.0 / least(w, h) <= 4.0 END AS keep
         |FROM d""".stripMargin,
 
+    // corpus report: integer sums per source, one exact double division
+    "q213_corpus_report" ->
+      raw"""WITH t AS (SELECT source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |m AS (SELECT source, nt,
+        |    CASE WHEN length(nt) = 0 THEN 0
+        |         ELSE len(string_split(nt, ' ')) END AS ntok,
+        |    length(nt) AS nch,
+        |    length(nt) - length(regexp_replace(nt, '[^a-z0-9 ]', '',
+        |      'g')) AS np,
+        |    ('0x' || substr(md5(nt), 1, 15))::BIGINT AS fp
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS short_docs,
+        |  CAST(sum(np) AS DOUBLE) /
+        |    CAST(greatest(sum(nch), 1) AS DOUBLE) AS punct_ratio
+        |FROM m GROUP BY source""".stripMargin,
+
+    // crawl budget: link-rank CTEs + the q06 allocation mirror at
+    // domain grain (generated — see q214Oracle)
+    "q214_crawl_budget" -> q214Oracle,
+
     // metadata-only COUNT(*): the logged stats must sum to the true
     // distinct-key count of the table q183 built from lineitem
     "q192_delta_metadata_count" ->
@@ -6209,6 +6305,38 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+
+    // sliding-window ExactSubstr: one window per token position; keeper
+    // is the lexicographic-min (doc_id, pos) struct; covered = distinct
+    // union of marked windows' position ranges; rebuild drops covered
+    // token positions
+    "q215_exact_substr" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    ${dkHash("'xw|' || array_to_string(t[(i+1):(i+10)], ' ')")} AS h,
+        |    {'d': doc_id, 'p': CAST(i AS INT)} AS okey
+        |  FROM t, UNNEST(range(len(t) - 9)) u(i)),
+        |g AS (SELECT h, min(okey) AS keeper FROM w
+        |  GROUP BY h HAVING count(*) > 1),
+        |mk AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (h)
+        |  WHERE w.okey <> g.keeper),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS ci
+        |  FROM mk, UNNEST(range(10)) v(j)),
+        |tok AS (SELECT doc_id, i - 1 AS ti, t[CAST(i AS INT)] AS tk
+        |  FROM t, UNNEST(range(1, len(t) + 1)) u(i)),
+        |kept AS (SELECT tok.doc_id, ti, tk FROM tok LEFT JOIN cov
+        |    ON cov.doc_id = tok.doc_id AND cov.ci = tok.ti
+        |  WHERE cov.ci IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM t
+        |LEFT JOIN nrem ON nrem.doc_id = t.doc_id
+        |LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
 
     // DSIR: per-bucket log-ratio snapshots to DECIMAL(18,8) before the
     // per-doc decimal sum; final average through DECIMAL(38,10) (the

@@ -182,6 +182,77 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Sliding-window ExactSubstr dedup — the offset-invariant form of
+    * [[removeDupSpans]] and the DataFrame re-expression of Lee et al.
+    * 2022's suffix-array policy at threshold `l` (reference behavior:
+    * duplicated-training-span removal; cf. `/root/reference` dedup
+    * pipeline grain). [[removeDupSpans]] tiles the doc into DISJOINT
+    * n-token spans, so a copy shifted by one token tiles differently and
+    * escapes; here every token position opens an `l`-token window, and a
+    * position is removed when its window re-occurs anywhere else in the
+    * corpus (other than the window's canonical first occurrence —
+    * corpus-wide lexicographic-min `(doc_id, pos)`). A duplicated region
+    * of length m >= l is covered by exactly its m-l+1 duplicated windows,
+    * which union back to the full region — the suffix-array answer at
+    * threshold l, with no alignment assumption.
+    *
+    * Self-overlapping repeats (period < l) keep only the canonical
+    * window's l tokens, not one full period — same edge the published
+    * suffix-array tool has on periodic strings.
+    *
+    * Scale shape (100 TB lens):
+    * - window frame = ONE row per token position carrying a fixed-width
+    *   `(doc_id, pos, h)` — the l× blow-up is map-side CPU (hashing l
+    *   tokens per position), never shuffle bytes; the shuffle is one
+    *   token-grain hash aggregate (map-side combinable) — the honest
+    *   cost of exact-substring dedup without a machine-sized suffix
+    *   array, ~24 B/token.
+    * - only DUPLICATED window hashes (count > 1) join back, so the
+    *   join-back frame tracks the duplicate volume, not the corpus.
+    * - the rebuild runs at DOC grain in expression land: covered
+    *   positions = distinct union of the marked windows' spans (bounded
+    *   by doc token count), token keep-test is `array_contains` —
+    *   O(tokens × covered) per doc, degrading only for docs that are
+    *   themselves mostly duplicate (and those shrink to ~nothing).
+    * - the window frame feeds both the frequency agg and the join-back:
+    *   `materialize` persists ids+hashes only.
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: Column, textCol: Column,
+                       l: Int = 20, hashes: HashFamily = XxHash,
+                       materialize: Boolean = true): DataFrame = {
+    require(l >= 2, "window length must be >= 2")
+    val toks = split(normText(textCol), " ")
+    val nw = size(toks) - (l - 1)
+    val wins = when(nw <= 0, array().cast("array<struct<pos:int,h:bigint>>"))
+      .otherwise(transform(sequence(lit(0), nw - 1),
+        i => struct(i.cast("int").as("pos"),
+          hashes.hash(concat(lit("xw|"),
+            concat_ws(" ", slice(toks, i + 1, lit(l))))).as("h"))))
+    val w0 = df.select(idCol.as("doc_id"), explode(wins).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.h").as("h"),
+        struct(col("doc_id"), col("u.pos").as("pos")).as("okey"))
+    val w = if (materialize) w0.persist() else w0
+    val dup = w.groupBy(col("h"))
+      .agg(min(col("okey")).as("keeper"), count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h", "keeper")
+    val marked = w.join(dup, "h").filter(col("okey") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("marked"))
+    val covered = array_distinct(flatten(transform(col("marked"),
+      p => sequence(p, p + lit(l - 1)))))
+    df.select(idCol.as("doc_id"), toks.as("toks"))
+      .join(marked, Seq("doc_id"), "left")
+      .withColumn("covered",
+        when(col("marked").isNull, array().cast("array<int>"))
+          .otherwise(covered))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        array_join(filter(col("toks"),
+          (_, i) => !array_contains(col("covered"), i)), " ")
+          .as("clean_text"))
+  }
+
   /** Word n-gram shingles of `n` tokens as an array column. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = split(normText(textCol), " ")

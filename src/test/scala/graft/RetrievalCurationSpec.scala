@@ -182,6 +182,58 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(run(docs.repartition(5)) == a, "content-hash keys, no RNG")
   }
 
+  test("exactSubstrDedup catches copies at ANY alignment (tiling misses)") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's 4-token run shifted by one token: the n=4
+    // TILES of doc 2 never line up with doc 1's, so removeDupSpans sees
+    // nothing — the sliding window must still cover it
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "zz aa bb cc dd qq rr ss")).toDF("doc_id", "text")
+    val tiled = Dedup.removeDupSpans(docs, col("doc_id"), col("text"),
+        n = 4).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tiled(2L) == 0L, "tiled spans are blind to the shifted copy")
+    val out = Dedup.exactSubstrDedup(docs, col("doc_id"), col("text"),
+        l = 4).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns the canonical occurrence of "aa bb cc dd" -> untouched
+    assert(out(1L) == ((8L, 0L, "aa bb cc dd ee ff gg hh")))
+    // doc 2 loses exactly the 4 duplicated tokens, keeps the rest
+    assert(out(2L) == ((8L, 4L, "zz qq rr ss")))
+  }
+
+  test("exactSubstrDedup: long overlap covers the union of its windows") {
+    import spark.implicits._
+    // a duplicated region of 6 tokens at l=4 -> 3 duplicated windows
+    // whose union is the full 6-token region, nothing more
+    val docs = Seq(
+      (1L, "p q r s t u tail1 tail2"),
+      (2L, "head p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, col("doc_id"), col("text"),
+        l = 4).collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((0L, "p q r s t u tail1 tail2")))
+    assert(out(2L) == ((6L, "head")))
+  }
+
+  test("exactSubstrDedup: short docs, within-doc repeats, partitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "too short"),                       // < l tokens: untouched
+      (2L, "x y z x y z x y z"),               // period-3 self-repeat
+      (3L, "")).toDF("doc_id", "text")         // empty text round-trips
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.exactSubstrDedup(d, col("doc_id"), col("text"), l = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val a = run(docs)
+    assert(a(1L) == ((2L, 0L, "too short")))
+    // windows at pos 0..6 all repeat; canonical pos 0 kept -> 3 tokens
+    assert(a(2L) == ((9L, 6L, "x y z")))
+    assert(a(3L) == ((1L, 0L, "")))
+    assert(run(docs.repartition(7)) == a, "content-hash keys, no RNG")
+  }
+
   test("importanceWeights scores target-like docs above off-distribution") {
     import spark.implicits._
     // targets share the bigram vocabulary; probe 10 mirrors it, probe 11
