@@ -1090,6 +1090,38 @@ object SparkEntry {
       Dedup.exactSubstrDedup(Tables.documents(s, d), col("doc_id"),
         col("text"), l = 10, hashes = Dedup.CrossEngineHash)),
 
+    // ---- Unicode script profile: six regex-class strip-and-diff counts,
+    // map-only; multilingual content injected by doc_id (the fixture is
+    // pure ASCII) from codepoint tables, so no raw multibyte literal
+    // rides in source or JSON ----
+    "q216_script_profile" -> ((s, d) =>
+      TextAnalysis.scriptProfile(Tables.documents(s, d), col("doc_id"),
+        concat(col("text"), suffixCol(scriptSuffixCps)))),
+
+    // ---- NFC normalization via the custom codegen'd Catalyst
+    // expression; decomposed sequences injected by doc_id ----
+    "q217_nfc_normalize" -> ((s, d) => {
+      val t2 = concat(col("text"), suffixCol(nfcSuffixCps))
+      val norm = graft.plans.TextExpressions.normalize(t2)
+      Tables.documents(s, d).select(col("doc_id"),
+        length(t2).cast("long").as("n_before"),
+        length(norm).cast("long").as("n_after"),
+        norm.as("norm_text"))
+    }),
+
+    // ---- latin-1 mojibake repair (closed-form rule, see
+    // MojibakeRepair): 2- and 3-byte mojibake injected by doc_id;
+    // ASCII docs are fixed points ----
+    "q218_fix_mojibake" -> ((s, d) => {
+      val t2 = concat(col("text"), suffixCol(mojibakeSuffixCps))
+      val fixed = graft.plans.TextExpressions.fixMojibake(t2)
+      Tables.documents(s, d).select(col("doc_id"),
+        (fixed =!= t2).as("changed"),
+        length(t2).cast("long").as("n_before"),
+        length(fixed).cast("long").as("n_after"),
+        fixed.as("fixed_text"))
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -2969,6 +3001,78 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (ORDER BY domain) AS rn
       |  FROM (SELECT n.domain, r.rank, SUM(r.rank) OVER () AS wsum
       |        FROM r5 r JOIN names n ON r.id = n.id))""".stripMargin)
+
+  // ---- Unicode text-hygiene fixture injection ---------------------------
+  // The synthetic corpus is pure ASCII, so multilingual / decomposed /
+  // mojibake content is injected deterministically by doc_id. Both engines
+  // build the injected strings from the same codepoint tables — the Spark
+  // side at runtime, the DuckDB side via chr() composition — so no raw
+  // multibyte literal ever rides in source code or JSON transit.
+
+  /** doc_id%6 → script suffixes: cyrillic, han, arabic, hangul, kana. */
+  private val scriptSuffixCps: Seq[Seq[Int]] = Seq(
+    Seq.empty,
+    // " Privet mir kak dela" (cyrillic)
+    Seq(0x20, 0x41F, 0x440, 0x438, 0x432, 0x435, 0x442, 0x20, 0x43C,
+      0x438, 0x440, 0x20, 0x43A, 0x430, 0x43A, 0x20, 0x434, 0x435,
+      0x43B, 0x430),
+    // " ni hao shi jie hen hao" (han)
+    Seq(0x20, 0x4F60, 0x597D, 0x4E16, 0x754C, 0x5F88, 0x597D),
+    // " marhaban bialealam" (arabic)
+    Seq(0x20, 0x645, 0x631, 0x62D, 0x628, 0x627, 0x20, 0x628, 0x627,
+      0x644, 0x639, 0x627, 0x644, 0x645),
+    // " annyeonghaseyo segye" (hangul)
+    Seq(0x20, 0xC548, 0xB155, 0xD558, 0xC138, 0xC694, 0x20, 0xC138,
+      0xACC4),
+    // " konnichiwa sekai" (hiragana + han)
+    Seq(0x20, 0x3053, 0x3093, 0x306B, 0x3061, 0x306F, 0x4E16, 0x754C))
+
+  /** doc_id%2 → NFC suffix: decomposed e-acute, i-diaeresis, A-ring. */
+  private val nfcSuffixCps: Seq[Seq[Int]] = Seq(
+    Seq.empty,
+    Seq[Int](0x20, 'C', 'a', 'f', 'e', 0x301, 0x20, 'n', 'a', 'i',
+      0x308, 'v', 'e', 0x20, 'A', 0x30A))
+
+  /** doc_id%3 → mojibake suffixes: 2-byte (" café déjà vu") and
+    * 3-byte (em dash + curly quotes) forms, as their latin-1 chars.
+    */
+  private val mojibakeSuffixCps: Seq[Seq[Int]] = Seq(
+    Seq.empty,
+    Seq[Int](0x20, 'c', 'a', 'f', 0xC3, 0xA9, 0x20, 'd', 0xC3, 0xA9,
+      'j', 0xC3, 0xA0, 0x20, 'v', 'u'),
+    Seq[Int](0x20, 'a', 0xE2, 0x80, 0x94, 'b', 0x20, 0xE2, 0x80, 0x9C,
+      'q', 0xE2, 0x80, 0x9D))
+
+  /** The suffix table as a Spark column: element by pmod(doc_id, n). */
+  private def suffixCol(cpsTable: Seq[Seq[Int]]): Column = {
+    val arr = array(cpsTable.map(cps => lit(cps.map(_.toChar).mkString)): _*)
+    element_at(arr, (pmod(col("doc_id"), lit(cpsTable.length)) + 1).cast("int"))
+  }
+
+  /** One codepoint sequence as a DuckDB expression: ASCII runs stay
+    * literal, everything else goes through chr().
+    */
+  private def cpsSqlExpr(cps: Seq[Int]): String = {
+    if (cps.isEmpty) return "''"
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += s"'${sb.toString}'"; sb.clear() }
+    cps.foreach { c =>
+      if (c >= 0x20 && c < 0x7F && c != '\'') sb.append(c.toChar)
+      else { flush(); parts += s"chr($c)" }
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
+  /** The suffix table as a DuckDB CASE over doc_id % n. */
+  private def suffixCaseSql(cpsTable: Seq[Seq[Int]]): String = {
+    val whens = cpsTable.zipWithIndex.drop(1).map { case (cps, i) =>
+      s"WHEN $i THEN ${cpsSqlExpr(cps)}" }
+    s"CASE CAST(doc_id % ${cpsTable.length} AS INT) " +
+      s"${whens.mkString(" ")} ELSE '' END"
+  }
 
   // ---- DuckDB oracle fragments for hash-bucketed operators --------------
   // These replicate graft's CrossEngineHash (md5-derived 60-bit values) and
@@ -6337,6 +6441,94 @@ object SparkEntry {
         |FROM t
         |LEFT JOIN nrem ON nrem.doc_id = t.doc_id
         |LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
+
+    // script profile: same strip-and-diff counts via RE2's script
+    // classes; ratios divide exact longs in IEEE double on both engines
+    "q216_script_profile" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    text || ${suffixCaseSql(scriptSuffixCps)} AS s
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(s) - length(regexp_replace(s, '[\p{Latin}]', '', 'g'))
+        |    AS c_latin,
+        |  length(s) - length(regexp_replace(s, '[\p{Cyrillic}]', '', 'g'))
+        |    AS c_cyrillic,
+        |  length(s) - length(regexp_replace(s, '[\p{Han}]', '', 'g'))
+        |    AS c_han,
+        |  length(s) - length(regexp_replace(s,
+        |    '[\p{Hiragana}\p{Katakana}]', '', 'g')) AS c_kana,
+        |  length(s) - length(regexp_replace(s, '[\p{Arabic}]', '', 'g'))
+        |    AS c_arabic,
+        |  length(s) - length(regexp_replace(s, '[\p{Hangul}]', '', 'g'))
+        |    AS c_hangul,
+        |  length(s) - length(regexp_replace(s, '[\p{L}]', '', 'g')) AS nl
+        |FROM t),
+        |m AS (SELECT *,
+        |    greatest(c_latin, c_cyrillic, c_han, c_kana, c_arabic,
+        |      c_hangul) AS mx,
+        |    CAST(greatest(nl, 1) AS DOUBLE) AS den FROM c)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_letters,
+        |  CAST(c_latin AS DOUBLE) / den AS latin_ratio,
+        |  CAST(c_cyrillic AS DOUBLE) / den AS cyrillic_ratio,
+        |  CAST(c_han AS DOUBLE) / den AS han_ratio,
+        |  CAST(c_kana AS DOUBLE) / den AS kana_ratio,
+        |  CAST(c_arabic AS DOUBLE) / den AS arabic_ratio,
+        |  CAST(c_hangul AS DOUBLE) / den AS hangul_ratio,
+        |  CASE WHEN mx = 0 THEN 'none'
+        |       WHEN c_latin = mx THEN 'latin'
+        |       WHEN c_cyrillic = mx THEN 'cyrillic'
+        |       WHEN c_han = mx THEN 'han'
+        |       WHEN c_kana = mx THEN 'kana'
+        |       WHEN c_arabic = mx THEN 'arabic'
+        |       WHEN c_hangul = mx THEN 'hangul'
+        |       ELSE 'other' END AS dominant,
+        |  CAST(mx AS DOUBLE) / den >= 0.5 AS keep
+        |FROM m""".stripMargin,
+
+    // NFC: DuckDB nfc_normalize replays the Catalyst expression;
+    // lengths count codepoints in both engines
+    "q217_nfc_normalize" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    text || ${suffixCaseSql(nfcSuffixCps)} AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(s) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS n_after,
+        |  nfc_normalize(s) AS norm_text
+        |FROM t""".stripMargin,
+
+    // mojibake repair: the SAME closed-form rule as MojibakeRepair —
+    // validity regex over the latin-1 char classes, then per-char
+    // arithmetic decode over the split char list (continuations emit
+    // nothing; 2-/3-byte leads consume their following chars)
+    "q218_fix_mojibake" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    text || ${suffixCaseSql(mojibakeSuffixCps)} AS s
+        |  FROM documents),
+        |f AS (SELECT doc_id, s,
+        |  CASE WHEN regexp_matches(s,
+        |      '^(?:[\x00-\x7f]|[\x{00C2}-\x{00DF}][\x{0080}-\x{00BF}]|' ||
+        |      '[\x{00E0}-\x{00EC}\x{00EE}\x{00EF}][\x{0080}-\x{00BF}]{2})*$$')
+        |    AND regexp_matches(s, '[\x{00C2}-\x{00EF}]')
+        |  THEN (SELECT array_to_string(list_transform(
+        |      range(1, length(s) + 1), i ->
+        |      CASE WHEN unicode(cs[CAST(i AS INT)])
+        |             BETWEEN 128 AND 191 THEN ''
+        |           WHEN unicode(cs[CAST(i AS INT)])
+        |             BETWEEN 194 AND 223
+        |             THEN chr((unicode(cs[CAST(i AS INT)]) % 32) * 64 +
+        |               (unicode(cs[CAST(i AS INT) + 1]) % 64))
+        |           WHEN unicode(cs[CAST(i AS INT)]) >= 224
+        |             THEN chr((unicode(cs[CAST(i AS INT)]) % 16) * 4096 +
+        |               (unicode(cs[CAST(i AS INT) + 1]) % 64) * 64 +
+        |               (unicode(cs[CAST(i AS INT) + 2]) % 64))
+        |           ELSE cs[CAST(i AS INT)] END), '')
+        |    FROM (SELECT string_split(s, '') AS cs))
+        |  ELSE s END AS fixed FROM t)
+        |SELECT doc_id, fixed <> s AS changed,
+        |  CAST(length(s) AS BIGINT) AS n_before,
+        |  CAST(length(fixed) AS BIGINT) AS n_after,
+        |  fixed AS fixed_text
+        |FROM f""".stripMargin,
 
     // DSIR: per-bucket log-ratio snapshots to DECIMAL(18,8) before the
     // per-doc decimal sum; final average through DECIMAL(38,10) (the

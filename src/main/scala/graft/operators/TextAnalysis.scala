@@ -1047,6 +1047,50 @@ object TextAnalysis {
       .filter(col("loc") =!= "")
   }
 
+  /** Per-document Unicode SCRIPT profile — the multilingual routing gate
+    * a corpus pipeline runs before language-specific processing (CCNet's
+    * per-language sharding assumes one; the n-gram [[langId]] only
+    * separates languages WITHIN a script). Counts letters per script via
+    * regex-class strip-and-diff (`length(s) - length(remove(class, s))`)
+    * — six codegen'd regexp_replace passes, zero explode, zero shuffle;
+    * per-char work is map-only and linear in bytes at any corpus size.
+    *
+    * `dominant` is the first script (in the fixed column order below)
+    * whose count equals the max — deterministic under ties; `keep` gates
+    * on the dominant script holding at least `minDominantRatio` of all
+    * letters (mixed-script spam fails it). Ratios divide two exact longs
+    * in IEEE double — engine-order-invariant, so the whole frame is
+    * SQL-oracle-expressible (RE2 spells the same classes `\p{Latin}`…).
+    */
+  def scriptProfile(df: DataFrame, idCol: Column, textCol: Column,
+                    minDominantRatio: Double = 0.5): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(textCol) - length(regexp_replace(textCol, cls, "")))
+        .cast("long")
+    val scripts = Seq(
+      "latin" -> cnt("[\\p{IsLatin}]"),
+      "cyrillic" -> cnt("[\\p{IsCyrillic}]"),
+      "han" -> cnt("[\\p{IsHan}]"),
+      "kana" -> cnt("[\\p{IsHiragana}\\p{IsKatakana}]"),
+      "arabic" -> cnt("[\\p{IsArabic}]"),
+      "hangul" -> cnt("[\\p{IsHangul}]"))
+    val letters = cnt("[\\p{L}]")
+    val withCounts = df.select(
+      (idCol.as("doc_id") +: scripts.map { case (n, c) => c.as(s"c_$n") } :+
+        letters.as("n_letters")): _*)
+    val denom = greatest(col("n_letters"), lit(1L)).cast("double")
+    val mx = greatest(scripts.map { case (n, _) => col(s"c_$n") }: _*)
+    val dominant = scripts.foldLeft(when(mx === 0, "none")) {
+      case (acc, (n, _)) => acc.when(col(s"c_$n") === mx, n)
+    }.otherwise("other")
+    withCounts.select(
+      (col("doc_id") +: col("n_letters") +:
+        scripts.map { case (n, _) =>
+          (col(s"c_$n").cast("double") / denom).as(s"${n}_ratio") } :+
+        dominant.as("dominant") :+
+        (mx.cast("double") / denom >= lit(minDominantRatio)).as("keep")): _*)
+  }
+
   /** Domain-grain link graph from [[extractLinks]] output: one edge per
     * (source domain, target domain) with the link count, self-loops
     * dropped — the frame [[Graphs.pageRank]] consumes. One hash

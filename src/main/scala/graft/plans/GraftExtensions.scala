@@ -32,8 +32,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * This is the full extension surface the engine needs: no custom parser
   * rules, optimizer rules, or strategies are required for parity (SURVEY
   * §4 — Catalyst built-ins cover the reference's optimizations); the
-  * genuine extension points are the vector-expression hot path and this
-  * TVF binding.
+  * genuine extension points are the vector-expression hot path, the
+  * Unicode text-hygiene scalars, and this TVF binding.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -43,6 +43,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(a, b) takes 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc(s) takes 1 argument")
+        UnicodeNormalize(children.head, "NFC")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfkc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfkc(s) takes 1 argument")
+        UnicodeNormalize(children.head, "NFKC")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[MojibakeRepair].getName,
+        "graft_fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_fix_mojibake(s) takes 1 argument")
+        MojibakeRepair(children.head)
       }))
     GraftExtensions.modelFunctionNames.foreach { case (fnName, model) =>
       ext.injectTableFunction((

@@ -30,6 +30,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registers the text-hygiene scalars for SQL use") {
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2.sql("SELECT graft_nfc('Café')").head.getString(0)
+        == "Café")
+      assert(s2.sql("SELECT graft_nfkc('ﬁrst')").head.getString(0)
+        == "first")
+      assert(s2.sql("SELECT graft_fix_mojibake('xÃ©y')")
+        .head.getString(0) == "xéy")
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("GraftSession.defaults: scale confs + extensions on a fresh session") {
     val prior = spark
     SparkSession.clearActiveSession()
