@@ -1122,6 +1122,50 @@ object SparkEntry {
         fixed.as("fixed_text"))
     }),
 
+    // ---- HITS hub/authority centrality over the link-fixture domain
+    // graph — PageRank's complementary crawl-seeding signal, same
+    // integer fixed-point determinism contract (q197/q209) ----
+    "q220_hits" -> ((s, d) => {
+      val links = TextAnalysis.extractLinks(linkFixture(s, d),
+        col("doc_id"), col("url"), col("html"))
+      val edges = TextAnalysis.linkGraphEdges(links, col("url"),
+        col("link"))
+      val hits = Graphs.hitsFixedPoint(
+        edges.select(F.hash64(col("src_domain")).as("src"),
+          F.hash64(col("dst_domain")).as("dst")), iters = 4)
+      val names = edges.select(col("src_domain").as("domain"))
+        .union(edges.select(col("dst_domain"))).distinct()
+        .select(col("domain"), F.hash64(col("domain")).as("id"))
+      hits.join(broadcast(names), "id")
+        .select(col("domain"), col("hub_fp"), col("auth_fp"))
+    }),
+
+    // ---- hybrid retrieval serving: BM25 term lists + dense cosine
+    // top-k fused with RRF — the RAG serving composition (embeddings
+    // row vec_id=i is read as the vector of doc i; disjoint hits fuse
+    // with n_lists=1, which is RRF's point). Each leg is the already-
+    // verified operator (q171 / q34's shape); fusion is q178's ----
+    "q219_hybrid_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq(
+        (0L, "table"), (0L, "scan"),
+        (1L, "window"), (1L, "agg"), (1L, "sort"),
+        (2L, "customer"), (2L, "value")).toDF("query_id", "term")
+      val sparse = TextAnalysis.bm25TopK(Tables.documents(s, d),
+          col("doc_id"), col("text"), terms, k = 10)
+        .select(col("query_id"), col("doc_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val qv = e.filter(col("vec_id") < 3)
+      val dense = Similarity.bruteForceTopK(e, col("vec_id"), col("vec"),
+          qv, col("vec_id"), col("vec"), k = 10)
+        .select(col("query_id"), col("corpus_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      Similarity.rrfFuse(Seq(sparse, dense), k = 10)
+    }),
+
     // ---- streaming-equivalent batch sessionization (gap islands) ----
     "q37_sessionize" -> ((s, d) => {
       graft.streaming.Streams.sessionizeBatch(
@@ -2883,19 +2927,22 @@ object SparkEntry {
                                 finalSelect: String): String = {
     val scale = 1000000000000L; val dn = 85; val dd = 100; val iters = 5
     val header =
-      s"""WITH $prefixCtes e AS ($edgesSql),
+      s"""WITH $prefixCtes e AS MATERIALIZED ($edgesSql),
          |nodes AS (SELECT DISTINCT id FROM
          |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-         |nd AS (SELECT nodes.id, coalesce(d.deg, 0) AS deg
+         |nd AS MATERIALIZED (SELECT nodes.id, coalesce(d.deg, 0) AS deg
          |  FROM nodes LEFT JOIN
          |    (SELECT src AS id, count(*) AS deg FROM e GROUP BY src) d
          |    USING (id)),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |r0 AS (SELECT id, $scale // (SELECT n FROM nn) AS rank
          |  FROM nodes)""".stripMargin
+    // MATERIALIZED: r_k is referenced twice by r_{k+1} (contribution agg
+    // + dangling-mass scalar); inlined, the chain re-evaluates the
+    // prefix CTEs exponentially in iteration count
     val stages = (1 to iters).map { k =>
       val p = s"r${k - 1}"
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT nd.id,
          |    ((($dd - $dn) * $scale) // ($dd * (SELECT n FROM nn)))
          |      + ($dn * (coalesce(c.csum, 0)
@@ -2963,11 +3010,11 @@ object SparkEntry {
       |  WHERE regexp_matches(regexp_replace(regexp_replace(l0,
       |    '/\./', '/', 'g'), '/\./', '/', 'g'), '^https?://'))""".stripMargin
 
-  /** Link-fixture domain graph → unrolled PageRank, with a caller-chosen
-    * final select over `r5` (ranks) joined to `names` (id → domain) —
-    * shared by q209 (ranks) and q214 (budget allocation).
+  /** Link-fixture domain graph as oracle parts: (prefix CTEs ending at
+    * `lk` + `names`, edge SELECT) — shared by the PageRank (q209/q214)
+    * and HITS (q220) oracles.
     */
-  private def linkRankOracle(finalSelect: String): String = {
+  private def linkGraphOracleParts: (String, String) = {
     val host = "regexp_replace(lower(regexp_extract(%s, " +
       "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '')"
     val prefix = linkFixtureCtes + ",\n" +
@@ -2983,7 +3030,66 @@ object SparkEntry {
     val edges =
       s"""SELECT ${dkHash("src_domain")} AS src,
          |  ${dkHash("dst_domain")} AS dst FROM lk""".stripMargin
+    (prefix, edges)
+  }
+
+  /** Link-fixture domain graph → unrolled PageRank, with a caller-chosen
+    * final select over `r5` (ranks) joined to `names` (id → domain) —
+    * shared by q209 (ranks) and q214 (budget allocation).
+    */
+  private def linkRankOracle(finalSelect: String): String = {
+    val (prefix, edges) = linkGraphOracleParts
     pageRankOracleSql(prefix, edges, finalSelect)
+  }
+
+  /** Unrolled fixed-point HITS mirror of `Graphs.hitsFixedPoint`: each
+    * iteration is two CTE half-steps (authority from hubs, hub from
+    * authorities), each sum-normalized to `scale` by floor division —
+    * DuckDB's HUGEINT sums keep the intermediate products exact.
+    */
+  private def hitsOracleSql(prefixCtes: String, edgesSql: String,
+                            finalSelect: String, iters: Int,
+                            scale: Long): String = {
+    val header =
+      s"""WITH $prefixCtes e AS MATERIALIZED ($edgesSql),
+         |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |h0 AS MATERIALIZED (SELECT id, $scale // (SELECT n FROM nn) AS h
+         |  FROM nodes)""".stripMargin
+    // MATERIALIZED: each stage references its predecessor 2-3 times
+    // (normalizer scalar + the raw aggregate); without it DuckDB inlines
+    // the whole chain and the fixture CTEs re-evaluate exponentially
+    val stages = (1 to iters).flatMap { k =>
+      val hp = s"h${k - 1}"
+      Seq(
+        s"""a$k AS MATERIALIZED (SELECT nodes.id,
+           |    (coalesce(r.raw, 0) * $scale) //
+           |      (SELECT sum(hh.h) FROM $hp hh JOIN e ON e.src = hh.id)
+           |      AS a
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS id, sum(hh.h) AS raw
+           |    FROM $hp hh JOIN e ON e.src = hh.id GROUP BY e.dst) r
+           |    USING (id))""".stripMargin,
+        s"""h$k AS MATERIALIZED (SELECT nodes.id,
+           |    (coalesce(r.raw, 0) * $scale) //
+           |      (SELECT sum(aa.a) FROM a$k aa JOIN e ON e.dst = aa.id)
+           |      AS h
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.src AS id, sum(aa.a) AS raw
+           |    FROM a$k aa JOIN e ON e.dst = aa.id GROUP BY e.src) r
+           |    USING (id))""".stripMargin)
+    }
+    header + ",\n" + stages.mkString(",\n") + "\n" + finalSelect
+  }
+
+  private def q220Oracle: String = {
+    val (prefix, edges) = linkGraphOracleParts
+    hitsOracleSql(prefix, edges,
+      """SELECT n.domain, CAST(h.h AS BIGINT) AS hub_fp,
+        |  CAST(a.a AS BIGINT) AS auth_fp
+        |FROM h4 h JOIN a4 a USING (id) JOIN names n USING (id)""".stripMargin,
+      iters = 4, scale = 1000000L)
   }
 
   private def q209Oracle: String = linkRankOracle(
@@ -6441,6 +6547,72 @@ object SparkEntry {
         |FROM t
         |LEFT JOIN nrem ON nrem.doc_id = t.doc_id
         |LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
+
+    // HITS: generated unrolled fixed-point iterations (see q220Oracle)
+    "q220_hits" -> q220Oracle,
+
+    // hybrid retrieval: q171's BM25 CTEs (ranked leg), q34's cosine CTEs
+    // (dense leg), q178's RRF tail — the three verified shapes composed
+    "q219_hybrid_retrieval" ->
+      s"""WITH q(query_id, term) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'table'), (0, 'scan'),
+        |  (1, 'window'), (1, 'agg'), (1, 'sort'),
+        |  (2, 'customer'), (2, 'value')),
+        |t AS (SELECT doc_id, $dkToks AS t FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM t),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    unnest(t) AS term FROM t),
+        |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |    any_value(dl) AS dl
+        |  FROM d WHERE term IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY term, doc_id),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM p GROUP BY term),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+        |          + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+        |      (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0) /
+        |        (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          ((1.0 - CAST(0.75 AS DOUBLE)) +
+        |           CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE) /
+        |             (CAST(stats.sum_dl AS DOUBLE)
+        |               / CAST(stats.n_docs AS DOUBLE))))),
+        |      6) AS DECIMAL(18,6)) AS s
+        |  FROM p JOIN f USING (term) JOIN q USING (term) CROSS JOIN stats),
+        |g AS (SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+        |  FROM sc GROUP BY 1, 2),
+        |sparse AS (SELECT query_id, doc_id AS id, rn AS rank
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rn FROM g) WHERE rn <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        |dense_s AS (SELECT qv.qid AS query_id, e.vec_id AS id,
+        |    list_dot_product(e.v, qv.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(qv.qv, qv.qv))) AS cos
+        |  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.qid),
+        |dense AS (SELECT query_id, id, rn AS rank FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id) AS rn FROM dense_s) WHERE rn <= 10),
+        |u AS (SELECT query_id, id,
+        |    CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 10)
+        |      AS DECIMAL(18,10)) AS c
+        |  FROM sparse
+        |  UNION ALL
+        |  SELECT query_id, id,
+        |    CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 10)
+        |      AS DECIMAL(18,10)) AS c
+        |  FROM dense),
+        |gg AS (SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_lists,
+        |    CAST(sum(c) AS DOUBLE) AS rrf_score
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id, id, n_lists, rrf_score, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, id) AS rn FROM gg)
+        |WHERE rn <= 10""".stripMargin,
 
     // script profile: same strip-and-diff counts via RE2's script
     // classes; ratios divide exact longs in IEEE double on both engines

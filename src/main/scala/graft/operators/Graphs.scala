@@ -92,4 +92,73 @@ object Graphs {
     }
     ranks.select(col("id"), col("rank").as("rank_fp"))
   }
+
+  /** Fixed-point HITS (Kleinberg 1999): mutually-recursive hub and
+    * authority scores over a digraph — the complementary centrality to
+    * [[pageRankFixedPoint]] (a page can be a weak authority but a strong
+    * hub, e.g. a link directory; crawl seeding wants both signals).
+    *
+    * Same determinism contract as PageRank: all-BIGINT iteration, so the
+    * result is exact, order-invariant at any parallelism, and replayable
+    * in an external SQL engine. Instead of HITS' usual L2 normalization
+    * (a square root — not integer-exact), each half-step SUM-normalizes
+    * to `scale` with floor division — same fixed point structure, exact
+    * arithmetic:
+    * {{{
+    *   authRaw(i) = sum over j->i of hub(j);  auth(i) = authRaw(i) * scale div sum(authRaw)
+    *   hubRaw(i)  = sum over i->j of auth(j); hub(i)  = hubRaw(i) * scale div sum(hubRaw)
+    * }}}
+    *
+    * Overflow bound: `maxRaw * scale` must fit a long; raw sums are
+    * bounded by `maxInDegree * scale`, so the default scale=10^6 is safe
+    * to ~9.2e6 in-links on one node — the iteration measures each
+    * round's max and fails loudly past the bound (lower `scale` for
+    * denser graphs).
+    *
+    * Scale shape: per half-step one edges⋈scores join + one hash
+    * aggregate (the PageRank shape exactly); the normalizer is a one-row
+    * aggregate per half-step (bounded driver traffic). Output:
+    * (id, hub_fp, auth_fp) in `scale` units.
+    */
+  def hitsFixedPoint(edges: DataFrame, iters: Int = 5,
+                     scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "hits needs at least one non-self-loop edge")
+    require(scale >= n, "scale must be >= node count or ranks floor to 0")
+    def normalize(raw: DataFrame, outName: String): DataFrame = {
+      // one-row aggregate: the normalizer + the overflow sentinel
+      val r = raw.agg(coalesce(sum(col("raw")), lit(0L)),
+        coalesce(max(col("raw")), lit(0L))).head()
+      val (tot, mx) = (r.getLong(0), r.getLong(1))
+      require(mx <= Long.MaxValue / scale,
+        s"hits fixed-point overflow (maxRaw=$mx, scale=$scale): lower scale")
+      require(tot > 0, "hits mass vanished — scale too small for the graph")
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) DIV $tot")
+            .as(outName))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.select(col("id"), lit(scale / n).as("h"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = hubs.join(e, col("id") === col("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+      auths = normalize(aRaw, "a")
+      val hRaw = auths.join(e, col("id") === col("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+      hubs = normalize(hRaw, "h")
+    }
+    hubs.join(auths, "id")
+      .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+  }
 }
