@@ -1122,6 +1122,30 @@ object SparkEntry {
         fixed.as("fixed_text"))
     }),
 
+    // ---- leakage-safe split assignment: hash of the GROUP key (source
+    // here; url host in production) so near-dups sharing the key can
+    // never straddle train and eval; map-only, zero shuffle ----
+    "q221_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(Tables.documents(s, d), col("source"),
+          Seq("val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("source"), col("split"))),
+
+    // ---- per-domain quota cap (C4/RefinedWeb host cap): top-20 docs
+    // per source by length, skew-safe two-phase rank ----
+    "q222_domain_quota" -> ((s, d) =>
+      Sampling.domainQuotaSample(Tables.documents(s, d), col("doc_id"),
+          col("source"),
+          Seq(length(col("text")).desc, col("doc_id").asc), n = 20)
+        .select(col("doc_id"), col("source"), col("rank_in_domain"))),
+
+    // ---- JL random projection 64 -> 16 dims against the deterministic
+    // LSH hyperplane family; DECIMAL-snapshotted components ----
+    "q223_random_projection" -> ((s, d) =>
+      Similarity.randomProject(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        col("vec_id"), col("vec"), outDims = 16, dim = 64)),
+
     // ---- HITS hub/authority centrality over the link-fixture domain
     // graph — PageRank's complementary crawl-seeding signal, same
     // integer fixed-point determinism contract (q197/q209) ----
@@ -3081,6 +3105,22 @@ object SparkEntry {
            |    USING (id))""".stripMargin)
     }
     header + ",\n" + stages.mkString(",\n") + "\n" + finalSelect
+  }
+
+  /** JL random-projection mirror: 16 list_dot_products against the SAME
+    * `Similarity.planes(16, 64)` literals, each snapshotted through
+    * DECIMAL(18,6) exactly like the Spark side.
+    */
+  private def q223Oracle: String = {
+    val pl = graft.operators.Similarity.planes(16, 64)
+    val comps = (0 until 16).map { p =>
+      val lit = pl(p).mkString("[", ", ", "]")
+      s"CAST(CAST(list_dot_product(v, $lit) AS DECIMAL(18,6)) AS DOUBLE)"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings)
+       |SELECT vec_id AS id, [${comps.mkString(",\n  ")}] AS proj
+       |FROM e""".stripMargin
   }
 
   private def q220Oracle: String = {
@@ -6547,6 +6587,30 @@ object SparkEntry {
         |FROM t
         |LEFT JOIN nrem ON nrem.doc_id = t.doc_id
         |LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
+
+    // split assignment: same md5 ticket + cumulative thresholds
+    "q221_split_assign" ->
+      s"""SELECT doc_id, source,
+        |  CASE WHEN ${dkHash("'split|' || source")} % 1000000 < 100000
+        |         THEN 'val'
+        |       WHEN ${dkHash("'split|' || source")} % 1000000 < 200000
+        |         THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    // domain quota: the two-phase Spark rank is EXACT top-n, so the
+    // oracle is the plain window
+    "q222_domain_quota" ->
+      """SELECT doc_id, source, CAST(r AS BIGINT) AS rank_in_domain
+        |FROM (SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY length(text) DESC, doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 20""".stripMargin,
+
+    // JL projection: the same plane literals, list_dot_product's
+    // ascending fold = DotProduct's loop, DECIMAL(18,6) snapshot
+    "q223_random_projection" -> q223Oracle,
 
     // HITS: generated unrolled fixed-point iterations (see q220Oracle)
     "q220_hits" -> q220Oracle,

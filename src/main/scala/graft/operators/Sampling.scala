@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -123,6 +124,66 @@ object Sampling {
     *
     * Output: every input column + (shard, pos).
     */
+  /** Deterministic, leakage-safe train/val/test split assignment.
+    *
+    * The split is keyed on a GROUP key — typically the URL host or
+    * source — not the row id: near-duplicate documents overwhelmingly
+    * share their group key, so keying the hash on it makes it
+    * impossible for two sibling near-dups to straddle train and eval
+    * (the classic benchmark-contamination bug a row-hash split
+    * reintroduces no matter how well the corpus was deduped). Membership
+    * is a pure hash of content keys: stable under reruns, re-partitions,
+    * corpus growth (existing groups never move), and engine choice.
+    *
+    * `splits` are (label, fraction) in priority order; fractions map to
+    * cumulative integer thresholds over the 10^6 ticket space and any
+    * remainder falls to "train". Map-only: zero shuffle at any scale.
+    */
+  def splitAssign(df: DataFrame, groupKeyCol: Column,
+                  splits: Seq[(String, Double)],
+                  seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1 (remainder is train)")
+    val t = ticket(groupKeyCol, seed)
+    var acc = 0L
+    val bounds = splits.map { case (n, f) =>
+      acc += math.round(f * 1000000.0); (n, acc)
+    }
+    val label = bounds.foldRight(lit("train"): Column) {
+      case ((n, ub), els) => when(t < ub, n).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Per-domain quota cap: keep at most `n` rows per domain, preferring
+    * rows by `orderBy` (pass a TOTAL order — break ties on the row id).
+    * The cap every web corpus applies so one mega-domain can't dominate
+    * the mix (C4/RefinedWeb-style host caps).
+    *
+    * Skew-safe two-phase shape: a straight per-domain window sends a
+    * hot domain's entire row set to one reducer; here phase 1 ranks
+    * within (domain, salt) — the hot domain spreads over `salts`
+    * reducers — and only the per-salt top-n survivors (<= n*salts rows
+    * per domain, bounded) meet in the phase-2 window. EXACT: the global
+    * top-n under a total order is contained in the union of per-salt
+    * top-n under the same order.
+    */
+  def domainQuotaSample(df: DataFrame, keyCol: Column, domainCol: Column,
+                        orderBy: Seq[Column], n: Int,
+                        salts: Int = 16): DataFrame = {
+    require(n >= 1 && salts >= 1, "need n >= 1 and salts >= 1")
+    val salt = pmod(F.hash64(concat_ws("|", lit("dq"), keyCol)),
+      lit(salts.toLong))
+    val w1 = Window.partitionBy(domainCol, salt).orderBy(orderBy: _*)
+    val w2 = Window.partitionBy(domainCol).orderBy(orderBy: _*)
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= n)
+      .withColumn("rank_in_domain", row_number().over(w2).cast("long"))
+      .filter(col("rank_in_domain") <= n)
+      .drop("__r1")
+  }
+
   def shuffleShard(df: DataFrame, keyCol: Column, numShards: Int,
                    seed: String = "shuffle"): DataFrame =
     shuffleShardImpl(df, keyCol, numShards, seed)

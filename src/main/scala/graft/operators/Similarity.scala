@@ -122,6 +122,31 @@ object Similarity {
       (math.floorMod(mix64(p.toLong * 1000003L + i), 1000000L).toDouble / 1e6) - 0.5
     }
 
+  /** Johnson–Lindenstrauss-style random projection: compress a `dim`-d
+    * embedding to `outDims` components, each the dot product against a
+    * fixed pseudo-random hyperplane from the SAME deterministic
+    * splitmix64 family as [[lshSignature]] (the sign-bit signature is
+    * exactly this projection, quantized to 1 bit — this keeps the full
+    * magnitudes for approximate-distance pre-ranking at outDims/dim of
+    * the memory and FLOPs). Components are snapshotted through
+    * DECIMAL(18,6) so the output is engine-replayable.
+    *
+    * Map-only over constants (the planes are literals, the dot is the
+    * codegen'd [[DotProduct]]): zero shuffle, linear in rows at any
+    * corpus size.
+    */
+  def randomProject(df: DataFrame, idCol: Column, vecCol: Column,
+                    outDims: Int = 16, dim: Int = 64): DataFrame = {
+    require(outDims >= 1 && outDims <= dim,
+      "need 1 <= outDims <= dim")
+    val pl = planes(outDims, dim)
+    val comps = (0 until outDims).map { p =>
+      val planeArr = array(pl(p).map(lit).toSeq: _*)
+      dot(vecCol, planeArr).cast("decimal(18,6)").cast("double")
+    }
+    df.select(idCol.as("id"), array(comps: _*).as("proj"))
+  }
+
   /** b-bit random-hyperplane signature of a `dim`-dimensional vector:
     * bit p = sign of dot(vec, plane_p).
     */

@@ -213,6 +213,71 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
   }
 
+  test("splitAssign: group-keyed (no split straddling), fraction-shaped, " +
+    "stable under corpus growth") {
+    import graft.operators.Sampling
+    val df = (1L to 3000L).map(i => (i, s"host${i % 300}"))
+      .toDF("id", "host")
+    val out = Sampling.splitAssign(df, col("host"),
+        Seq("val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // leakage-safety: every row of a group carries the SAME split
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    val shares = out.groupBy(_._3).view.mapValues(_.size / 3000.0).toMap
+    assert(shares("train") > 0.7 && shares("val") > 0.04 &&
+      shares("test") > 0.04, s"shares off: $shares")
+    // growth-stability: adding rows never moves an existing group
+    val grown = df.unionByName(Seq((9001L, "host1")).toDF("id", "host"))
+    val again = Sampling.splitAssign(grown, col("host"),
+        Seq("val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.forall { case (id, _, sp) => again(id) == sp })
+  }
+
+  test("domainQuotaSample: exact top-n per domain under skew; " +
+    "salts don't change the answer") {
+    import graft.operators.Sampling
+    // one mega-domain (600 rows), several small ones
+    val df = ((1L to 600L).map(i => (i, "mega", i % 37)) ++
+      (601L to 650L).map(i => (i, s"d${i % 5}", i % 11)))
+      .toDF("id", "dom", "score")
+    def run(salts: Int) =
+      Sampling.domainQuotaSample(df, col("id"), col("dom"),
+          Seq(col("score").desc, col("id").asc), n = 7, salts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val two = run(16)
+    assert(two == run(1), "two-phase must equal the plain window")
+    // reference: per-domain top-7 by (score desc, id asc)
+    val ref = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._1)).take(7).zipWithIndex
+          .map { case (t, i) => (t._1, i + 1L) } }.toSet
+    assert(two == ref, s"quota wrong: ${two.diff(ref)} / ${ref.diff(two)}")
+  }
+
+  test("randomProject: JL projection signs agree with lshSignature; " +
+    "dims and determinism hold") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i + 1.0))),
+      (2L, Array.tabulate(64)(i => math.cos(2.0 * i - 3.0))))
+      .toDF("vec_id", "vec")
+    val proj = Similarity.randomProject(vecs, col("vec_id"), col("vec"),
+        outDims = 16, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj.values.forall(_.length == 16))
+    // bit p of the 16-bit LSH signature = sign of projection component p
+    val sigs = vecs.select(col("vec_id"),
+        Similarity.lshSignature(col("vec"), bits = 16, dim = 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, p) <- proj; b <- 0 until 16) {
+      val bit = (sigs(id) >> b) & 1L
+      assert((bit == 1L) == (p(b) > 0),
+        s"sign mismatch id=$id bit=$b comp=${p(b)}")
+    }
+  }
+
   test("corpusMix: integer weights exact, fractional deterministic") {
     import graft.operators.Sampling
     val df = (1L to 600L).map(i =>
