@@ -1,0 +1,455 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors for the generational Delta-logged tables: MERGE-ON-READ
+  * row deletes. A `DELETE WHERE` on a petabyte table must not rewrite every
+  * file that contains one matching row — it marks the deleted ROW INDEXES
+  * in a per-file bitmap and republishes the same physical file with the
+  * bitmap attached; readers subtract the marked rows, and a later purge
+  * (OPTIMIZE-style) rewrites only the files that actually carry vectors.
+  *
+  * Log shape follows the Delta protocol's deletion-vector descriptor: the
+  * delete commit `remove`s the file's previous `add` and re-`add`s the same
+  * path carrying `deletionVector: {storageType: "i", pathOrInlineDv,
+  * sizeInBytes, cardinality}` with the payload INLINE, Z85-encoded
+  * (RFC-1924 alphabet), and `stats.numRecords` still the PHYSICAL row
+  * count (logical count = numRecords - cardinality, which
+  * [[Sinks.deltaTableCount]] applies). The payload envelope is
+  * graft-native and documented here — magic "GDV1", then one length-
+  * prefixed STANDARD portable 32-bit RoaringBitmap per 2^32 range of row
+  * indexes — because the sandbox carries no external conformance target
+  * for Delta's RoaringBitmapArray bytes; the container encoding itself
+  * (array <= 4096 values, bitmap above, cookie 12346) is the published
+  * roaring portable format.
+  *
+  * Scale notes (100 TB lens):
+  * - the predicate scan reads only LIVE files and ships one (file, index)
+  *   pair per MATCHED row; per-file index lists are bounded by file row
+  *   count (~1M for 128 MiB files) — the same bound a file rewrite would
+  *   shuffle, minus every unmatched row.
+  * - files whose vector reaches the physical row count are dropped
+  *   outright (full-file delete needs no vector, no read amplification).
+  * - readers split the scan: files with no vector stream through
+  *   untouched (zero overhead for the common case); files with vectors
+  *   anti-join their row indexes against the exploded deleted set —
+  *   merge-on-read's honest cost, proportional to the UNPURGED delete
+  *   volume, reclaimed by [[purgeDeletionVectors]].
+  */
+object DeletionVectors {
+
+  // ------------------------------------------------------------------
+  // Z85 (RFC-1924 alphabet; 4 bytes -> 5 chars, big-endian base 85)
+  // ------------------------------------------------------------------
+  private val Z85 =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Inv: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    Z85.zipWithIndex.foreach { case (c, i) => inv(c.toInt) = i }
+    inv
+  }
+
+  /** Z85 over zero-padded input; callers carry the true byte length. */
+  def z85Encode(bytes: Array[Byte]): String = {
+    val padded =
+      if (bytes.length % 4 == 0) bytes
+      else bytes ++ Array.fill[Byte](4 - bytes.length % 4)(0)
+    val sb = new StringBuilder(padded.length / 4 * 5)
+    var i = 0
+    while (i < padded.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (padded(i + j) & 0xFFL); j += 1 }
+      var k = 4
+      val chunk = new Array[Char](5)
+      while (k >= 0) { chunk(k) = Z85((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[z85Encode]]; `rawLen` trims the zero padding. */
+  def z85Decode(s: String, rawLen: Int): Array[Byte] = {
+    require(s.length % 5 == 0, "z85 input must be a multiple of 5 chars")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val d = Z85Inv(s.charAt(i + j).toInt)
+        require(d >= 0, s"invalid z85 char '${s.charAt(i + j)}'")
+        v = v * 85 + d; j += 1
+      }
+      var k = 3
+      val base = i / 5 * 4
+      while (k >= 0) { out(base + k) = (v & 0xFF).toByte; v >>= 8; k -= 1 }
+      i += 5
+    }
+    out.take(rawLen)
+  }
+
+  // ------------------------------------------------------------------
+  // Portable 32-bit roaring bitmap (cookie 12346, array/bitmap
+  // containers, no run containers) inside the GDV1 multi-bitmap envelope
+  // ------------------------------------------------------------------
+  private val GdvMagic = 0x47445631 // "GDV1"
+  private val NoRunCookie = 12346
+
+  private def putU16(b: java.nio.ByteBuffer, v: Int): Unit =
+    b.putShort((v & 0xFFFF).toShort)
+
+  private def roaring32Serialize(values: Array[Int]): Array[Byte] = {
+    // values sorted distinct, interpreted unsigned
+    val byKey = values.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
+    val n = byKey.size
+    val containersBytes = byKey.map { case (_, vs) =>
+      if (vs.length <= 4096) vs.length * 2 else 8192
+    }
+    val total = 8 + 8 * n + containersBytes.sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(NoRunCookie)
+    buf.putInt(n)
+    byKey.foreach { case (k, vs) =>
+      putU16(buf, k); putU16(buf, vs.length - 1)
+    }
+    var off = 8 + 8 * n
+    containersBytes.foreach { cb => buf.putInt(off); off += cb }
+    byKey.foreach { case (_, vs) =>
+      if (vs.length <= 4096) vs.foreach(v => putU16(buf, v & 0xFFFF))
+      else {
+        val words = new Array[Long](1024)
+        vs.foreach { v =>
+          val lo = v & 0xFFFF
+          words(lo >>> 6) |= (1L << (lo & 63))
+        }
+        words.foreach(buf.putLong)
+      }
+    }
+    buf.array()
+  }
+
+  private def roaring32Deserialize(bytes: Array[Byte], pos0: Int,
+                                   len: Int): Array[Int] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes, pos0, len)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cookie = buf.getInt
+    require(cookie == NoRunCookie, s"unsupported roaring cookie $cookie")
+    val n = buf.getInt
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    (0 until n).foreach { i =>
+      keys(i) = buf.getShort & 0xFFFF
+      cards(i) = (buf.getShort & 0xFFFF) + 1
+    }
+    (0 until n).foreach(_ => buf.getInt) // offsets (sequential read)
+    val out = Array.newBuilder[Int]
+    (0 until n).foreach { i =>
+      val hi = keys(i) << 16
+      if (cards(i) <= 4096)
+        (0 until cards(i)).foreach(_ => out += (hi | (buf.getShort & 0xFFFF)))
+      else {
+        var w = 0
+        while (w < 1024) {
+          var bits = buf.getLong
+          while (bits != 0L) {
+            val b = java.lang.Long.numberOfTrailingZeros(bits)
+            out += (hi | (w * 64 + b))
+            bits &= bits - 1
+          }
+          w += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Serialize sorted-distinct non-negative row indexes to GDV1 bytes. */
+  def serializeIndexes(sorted: Array[Long]): Array[Byte] = {
+    require(sorted.forall(_ >= 0), "row indexes must be non-negative")
+    val groups = sorted.groupBy(i => (i >>> 32).toInt).toSeq.sortBy(_._1)
+    val parts = groups.map { case (hi, vs) =>
+      (hi, roaring32Serialize(vs.map(v => (v & 0xFFFFFFFFL).toInt)))
+    }
+    val total = 8 + parts.map(p => 8 + p._2.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(GdvMagic)
+    buf.putInt(parts.size)
+    parts.foreach { case (hi, b) =>
+      buf.putInt(hi); buf.putInt(b.length); buf.put(b)
+    }
+    buf.array()
+  }
+
+  /** Inverse of [[serializeIndexes]]. */
+  def deserializeIndexes(bytes: Array[Byte]): Array[Long] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt == GdvMagic, "not a GDV1 deletion vector")
+    val nParts = buf.getInt
+    val out = Array.newBuilder[Long]
+    var pos = 8
+    (0 until nParts).foreach { _ =>
+      val hi = buf.getInt(pos).toLong << 32
+      val len = buf.getInt(pos + 4)
+      roaring32Deserialize(bytes, pos + 8, len)
+        .foreach(v => out += (hi | (v & 0xFFFFFFFFL)))
+      pos += 8 + len
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // Descriptor <-> bitmap
+  // ------------------------------------------------------------------
+  private[sources] def dvIndexes(
+      node: com.fasterxml.jackson.databind.JsonNode): Array[Long] = {
+    require(node.get("storageType").asText() == "i",
+      "only inline (storageType=i) deletion vectors are produced/read")
+    deserializeIndexes(z85Decode(node.get("pathOrInlineDv").asText(),
+      node.get("sizeInBytes").asInt()))
+  }
+
+  private def dvDescriptor(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+                           sorted: Array[Long])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val bytes = serializeIndexes(sorted)
+    val n = mapper.createObjectNode()
+    n.put("storageType", "i")
+    n.put("pathOrInlineDv", z85Encode(bytes))
+    n.put("sizeInBytes", bytes.length)
+    n.put("cardinality", sorted.length.toLong)
+    n
+  }
+
+  /** Physical numRecords from an add node's stats, if logged. */
+  private def statsNumRecords(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      add: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+    if (!add.has("stats")) None
+    else {
+      val n = mapper.readTree(add.get("stats").asText()).get("numRecords")
+      if (n == null || n.isNull) None else Some(n.asLong())
+    }
+
+  // ------------------------------------------------------------------
+  // DELETE WHERE
+  // ------------------------------------------------------------------
+  /** Result of a merge-on-read delete: rows newly marked deleted, files
+    * that carry (new or grown) vectors, files dropped outright because
+    * every physical row is now deleted.
+    */
+  case class DvDelete(rowsDeleted: Long, filesWithDv: Int, filesDropped: Int)
+
+  /** MERGE-ON-READ `DELETE WHERE predicate`: no data file is rewritten.
+    * Matching is computed per physical file via `_metadata.row_index`
+    * (the scan is the only data-touching step); existing vectors union
+    * with the new marks, so repeated deletes compose. Commits
+    * remove+re-add per touched file with the protocol's DV descriptor;
+    * operation=DELETE with the predicate in operationParameters.
+    */
+  def deleteDeltaWhere(spark: SparkSession, tablePath: String,
+                       predicate: Column): DvDelete = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mapper = Sinks.jsonMapper
+    val (state, meta) =
+      Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    require(state.nonEmpty, s"no live files under $tablePath")
+    require(meta.nonEmpty, s"no metaData action under $tablePath")
+    val root = Paths.get(tablePath)
+    val relByName = state.keys.map(p =>
+      Paths.get(p).getFileName.toString -> p).toMap
+    require(relByName.size == state.size,
+      "duplicate data-file basenames — DV bookkeeping requires the " +
+        "UUID-named files the generational writers produce")
+    val absPaths = state.keys.map(p => root.resolve(p).toString).toSeq
+    val matched = spark.read.parquet(absPaths: _*)
+      .filter(predicate)
+      .select(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("fn"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("fn"))
+      .agg(sort_array(collect_list(col("ri"))).as("ris"))
+      .collect().map(r => relByName(r.getString(0)) ->
+        r.getSeq[Long](1).toArray).toMap
+    if (matched.isEmpty) return DvDelete(0L, 0, 0)
+
+    var rowsDeleted = 0L
+    var dropped = 0
+    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    matched.foreach { case (rel, newIdx) =>
+      val add = state(rel)
+      val existing =
+        if (add.has("deletionVector")) dvIndexes(add.get("deletionVector"))
+        else Array.empty[Long]
+      val union = (existing ++ newIdx).distinct.sorted
+      rowsDeleted += union.length - existing.length
+      val phys = statsNumRecords(mapper, add)
+      removes += rel
+      if (phys.contains(union.length.toLong)) {
+        dropped += 1 // every physical row deleted: drop the file outright
+      } else {
+        val re = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        re.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector",
+          dvDescriptor(mapper, union))
+        re.put("dataChange", true)
+        adds += re
+      }
+    }
+
+    val logDir = root.resolve("_delta_log")
+    val v = Sinks.deltaLogVersions(tablePath).max + 1
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode()
+    val ciBody = ci.putObject("commitInfo")
+    ciBody.put("timestamp", now)
+    ciBody.put("operation", "DELETE")
+    ciBody.putObject("operationParameters")
+      .put("predicate", predicate.toString)
+    ciBody.put("engineInfo", "graft")
+    actions += mapper.writeValueAsString(ci)
+    val md = mapper.createObjectNode()
+    md.set[com.fasterxml.jackson.databind.JsonNode]("metaData", meta.get)
+    actions += mapper.writeValueAsString(md)
+    removes.result().foreach { p =>
+      val r = mapper.createObjectNode()
+      val rb = r.putObject("remove")
+      rb.put("path", p); rb.put("deletionTimestamp", now)
+      rb.put("dataChange", true)
+      actions += mapper.writeValueAsString(r)
+    }
+    adds.result().foreach { a =>
+      val w = mapper.createObjectNode()
+      w.set[com.fasterxml.jackson.databind.JsonNode]("add", a)
+      actions += mapper.writeValueAsString(w)
+    }
+    val body = actions.result().mkString("", "\n", "\n")
+    val tmp = logDir.resolve(f"$v%020d.json.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    DvDelete(rowsDeleted, adds.result().size, dropped)
+  }
+
+  // ------------------------------------------------------------------
+  // READ with DVs applied
+  // ------------------------------------------------------------------
+  /** Scan `addNodes` (relative path -> add node) applying any deletion
+    * vectors: plain files stream through one untouched scan; DV'd files
+    * anti-join their `_metadata.row_index` against the exploded deleted
+    * set (joined by unique file basename).
+    */
+  private[sources] def scanWithDvs(spark: SparkSession, tablePath: String,
+      addNodes: Seq[(String, com.fasterxml.jackson.databind.JsonNode)])
+      : DataFrame = {
+    val root = java.nio.file.Paths.get(tablePath)
+    def abs(p: String) = root.resolve(p).toString
+    val (withDv, plain) = addNodes.partition(_._2.has("deletionVector"))
+    require(addNodes.map(p =>
+        java.nio.file.Paths.get(p._1).getFileName.toString).distinct.size ==
+      addNodes.size,
+      "duplicate data-file basenames — DV reads require UUID-named files")
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.parquet(plain.map(p => abs(p._1)): _*))
+    val dvDf =
+      if (withDv.isEmpty) None
+      else {
+        val deleted = withDv.flatMap { case (rel, node) =>
+          val fn = java.nio.file.Paths.get(rel).getFileName.toString
+          dvIndexes(node.get("deletionVector")).map(i => (fn, i))
+        }
+        import spark.implicits._
+        val delDf = deleted.toDF("__fn", "__ri")
+        val scan = spark.read.parquet(withDv.map(p => abs(p._1)): _*)
+          .withColumn("__fn",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__ri", col("_metadata.row_index"))
+        Some(scan.join(delDf, Seq("__fn", "__ri"), "left_anti")
+          .drop("__fn", "__ri"))
+      }
+    (plainDf, dvDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalArgumentException("no live files to scan")
+    }
+  }
+
+  /** [[Sinks.readDeltaTableAt]]'s DV-aware form: the state at `version`
+    * with every file's deletion vector applied.
+    */
+  def readDeltaTableMor(spark: SparkSession, tablePath: String,
+                        version: Long = Long.MaxValue): DataFrame = {
+    val (state, _) = Sinks.deltaStateWithMeta(spark, tablePath, version)
+    require(state.nonEmpty, s"no live files at version $version")
+    scanWithDvs(spark, tablePath, state.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // PURGE (OPTIMIZE-style rewrite of DV'd files)
+  // ------------------------------------------------------------------
+  /** Rewrite ONLY the files carrying deletion vectors into clean files
+    * (deleted rows physically gone), commit remove+add, and return how
+    * many files were purged. Untouched files keep their add entries —
+    * purge cost tracks the delete volume, not the table.
+    */
+  def purgeDeletionVectors(spark: SparkSession, tablePath: String): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mapper = Sinks.jsonMapper
+    val (state, meta) =
+      Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    val withDv = state.toSeq.filter(_._2.has("deletionVector"))
+    if (withDv.isEmpty) return 0
+    val root = Paths.get(tablePath)
+    val v = Sinks.deltaLogVersions(tablePath).max + 1
+    val genDir = root.resolve(f"gen-dv-purge-$v%020d")
+    scanWithDvs(spark, tablePath, withDv)
+      .write.mode("overwrite").parquet(genDir.toString)
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode()
+    val cb = ci.putObject("commitInfo")
+    cb.put("timestamp", now); cb.put("operation", "OPTIMIZE_DV_PURGE")
+    cb.putObject("operationParameters")
+    cb.put("engineInfo", "graft")
+    actions += mapper.writeValueAsString(ci)
+    val md = mapper.createObjectNode()
+    md.set[com.fasterxml.jackson.databind.JsonNode]("metaData", meta.get)
+    actions += mapper.writeValueAsString(md)
+    withDv.foreach { case (rel, _) =>
+      val r = mapper.createObjectNode()
+      val rb = r.putObject("remove")
+      rb.put("path", rel); rb.put("deletionTimestamp", now)
+      rb.put("dataChange", false)
+      actions += mapper.writeValueAsString(r)
+    }
+    Sinks.genDataFiles(root, genDir).foreach { a =>
+      val w = mapper.createObjectNode()
+      val ab = w.putObject("add")
+      ab.put("path", a.path)
+      ab.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues",
+        mapper.createObjectNode())
+      ab.put("size", a.size)
+      ab.put("modificationTime", a.mtime)
+      ab.put("dataChange", false)
+      a.stats.foreach(s => ab.put("stats", s))
+      actions += mapper.writeValueAsString(w)
+    }
+    val body = actions.result().mkString("", "\n", "\n")
+    val logDir = root.resolve("_delta_log")
+    val tmp = logDir.resolve(f"$v%020d.json.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    withDv.size
+  }
+}

@@ -290,7 +290,7 @@ object Sinks {
   // gap entry).
   // ---------------------------------------------------------------------
 
-  private def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[sources] def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def jmap(kvs: (String, Any)*): java.util.LinkedHashMap[String, Any] = {
     val m = new java.util.LinkedHashMap[String, Any]()
@@ -310,7 +310,7 @@ object Sinks {
     * FOOTER (no data pages are read — this is a metadata-only pass, the
     * same cost class as the directory listing itself).
     */
-  private def genDataFiles(root: java.nio.file.Path,
+  private[sources] def genDataFiles(root: java.nio.file.Path,
                            genDir: java.nio.file.Path): Seq[AddFile] = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
@@ -486,10 +486,15 @@ object Sinks {
     */
   def readDeltaTableAt(spark: SparkSession, tablePath: String,
                        version: Long = Long.MaxValue): DataFrame = {
-    val files = deltaLiveAdds(spark, tablePath, version).map(_._1)
-    require(files.nonEmpty, s"no live files at version $version of $tablePath")
-    spark.read.parquet(files.map(f =>
-      java.nio.file.Paths.get(tablePath).resolve(f).toString): _*)
+    val (state, _) = deltaStateWithMeta(spark, tablePath, version)
+    require(state.nonEmpty, s"no live files at version $version of $tablePath")
+    // merge-on-read: any file carrying a deletion vector must have its
+    // marked rows subtracted; the DV-free fast path is one plain scan
+    if (state.values.exists(_.has("deletionVector")))
+      DeletionVectors.scanWithDvs(spark, tablePath, state.toSeq)
+    else
+      spark.read.parquet(state.keys.map(f =>
+        java.nio.file.Paths.get(tablePath).resolve(f).toString).toSeq: _*)
   }
 
   /** Replay JSON commits in `(fromExclusive, toInclusive]` onto `live`
@@ -536,7 +541,7 @@ object Sinks {
     * has pruned pre-checkpoint history — every state consumer
     * ([[deltaLiveAdds]], [[checkpointDeltaLog]]) goes through here.
     */
-  private def deltaStateWithMeta(spark: SparkSession, tablePath: String,
+  private[sources] def deltaStateWithMeta(spark: SparkSession, tablePath: String,
       version: Long)
       : (scala.collection.mutable.LinkedHashMap[String,
           com.fasterxml.jackson.databind.JsonNode],
@@ -556,15 +561,32 @@ object Sinks {
         if (v <= version && Files.exists(cpFile)) {
           val mapper = jsonMapper
           val cp = spark.read.parquet(cpFile.toString)
+          // deletionVector is absent from pre-DV checkpoints — tolerate
+          val hasDv = cp.schema("add").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains("deletionVector")
+          val dvCol =
+            if (hasDv) col("add.deletionVector")
+            else lit(null).cast(
+              "struct<storageType:string,pathOrInlineDv:string," +
+                "sizeInBytes:int,cardinality:bigint>")
           cp.where(col("add").isNotNull)
             .select(col("add.path"), col("add.size"),
-              col("add.modificationTime"), col("add.stats"))
+              col("add.modificationTime"), col("add.stats"), dvCol)
             .collect().foreach { r =>
               val n = mapper.createObjectNode()
               n.put("path", r.getString(0))
               n.put("size", r.getLong(1))
               n.put("modificationTime", r.getLong(2))
               if (!r.isNullAt(3)) n.put("stats", r.getString(3))
+              if (!r.isNullAt(4)) {
+                val d = r.getStruct(4)
+                val dn = n.putObject("deletionVector")
+                dn.put("storageType", d.getString(0))
+                dn.put("pathOrInlineDv", d.getString(1))
+                dn.put("sizeInBytes", d.getInt(2))
+                dn.put("cardinality", d.getLong(3))
+              }
               live(r.getString(0)) = n
             }
           meta = cp.where(col("metaData").isNotNull)
@@ -645,7 +667,12 @@ object Sinks {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -658,9 +685,20 @@ object Sinks {
       if (m.has("createdTime")) m.get("createdTime").asLong() else 0L),
       null, null)
     val addRows = live.toSeq.map { case (p, n) =>
+      // a deletion vector is part of the file's logical state — a
+      // checkpoint that dropped it would resurrect deleted rows
+      val dv =
+        if (!n.has("deletionVector")) null
+        else {
+          val d = n.get("deletionVector")
+          Row(d.get("storageType").asText(),
+            d.get("pathOrInlineDv").asText(),
+            d.get("sizeInBytes").asInt(),
+            d.get("cardinality").asLong())
+        }
       Row(null, null, Row(p, emptyMap, n.get("size").asLong(),
         n.get("modificationTime").asLong(), false,
-        if (n.has("stats")) n.get("stats").asText() else null), null)
+        if (n.has("stats")) n.get("stats").asText() else null, dv), null)
     }
     val rows = (Seq(protoRow, metaRow) ++ addRows)
     val df = spark.createDataFrame(
@@ -912,13 +950,22 @@ object Sinks {
     */
   def deltaTableCount(spark: SparkSession, tablePath: String,
                       version: Long = Long.MaxValue): Option[Long] = {
-    val adds = deltaLiveAdds(spark, tablePath, version)
+    val (state, _) = deltaStateWithMeta(spark, tablePath, version)
     val mapper = jsonMapper
-    val counts = adds.map { case (_, statsOpt) =>
-      statsOpt.flatMap { s =>
-        val n = mapper.readTree(s).get("numRecords")
-        if (n == null || n.isNull) None else Some(n.asLong())
-      }
+    // logical count = physical numRecords minus each file's
+    // deletion-vector cardinality (stats stay physical per the protocol)
+    val counts = state.values.toSeq.map { add =>
+      val phys =
+        if (!add.has("stats")) None
+        else {
+          val n = mapper.readTree(add.get("stats").asText()).get("numRecords")
+          if (n == null || n.isNull) None else Some(n.asLong())
+        }
+      val dv =
+        if (add.has("deletionVector"))
+          add.get("deletionVector").get("cardinality").asLong()
+        else 0L
+      phys.map(_ - dv)
     }
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
@@ -982,7 +1029,18 @@ object Sinks {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
-    val scan = spark.read.parquet(files: _*)
+    // merge-on-read: surviving files may carry deletion vectors —
+    // route the kept subset through the DV-aware scan (stats pruning
+    // stays valid: a DV only ever REMOVES rows)
+    val keptRel = files.map(f => java.nio.file.Paths.get(tablePath)
+      .toAbsolutePath.relativize(java.nio.file.Paths.get(f)
+        .toAbsolutePath).toString.replace('\\', '/')).toSet
+    val (state, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    val keptNodes = state.toSeq.filter(p => keptRel.contains(p._1))
+    val scan =
+      if (keptNodes.exists(_._2.has("deletionVector")))
+        DeletionVectors.scanWithDvs(spark, tablePath, keptNodes)
+      else spark.read.parquet(files: _*)
     val c = col(colName)
     val bounded = (lo, hi) match {
       case (null, null) => scan
