@@ -39,6 +39,29 @@ object SparkEntry {
     * per document whose anchors exercise every href resolution branch.
     * The DuckDB mirror is [[linkFixtureCtes]].
     */
+  /** q224/q232's shared Delta table: documents mart built once per
+    * fixture dir (q183's marker protocol), then one DV merge-on-read
+    * DELETE of doc_id % 10 = 3 — history is exactly v0 (MERGE) and
+    * v1 (DELETE). Returns the table root.
+    */
+  private def q224DeltaTable(s: SparkSession, d: String): String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_q224_" + new java.io.File(d).getName).toString
+    val marker = java.nio.file.Paths.get(root, "_graft_q224_built.json")
+    val stamp = s"""{"src":"$d","layout":"dv-v1"}"""
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == stamp
+    if (!fresh) {
+      graft.sources.Sinks.upsertParquet(s, root,
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")), keys = Seq("doc_id"))
+      graft.sources.DeletionVectors.deleteDeltaWhere(s, root,
+        pmod(col("doc_id"), lit(10)) === 3)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    root
+  }
+
   private def linkFixture(s: SparkSession, d: String): DataFrame = {
     def m(n: Int): Column = pmod(col("doc_id"), lit(n)).cast("string")
     Tables.documents(s, d).select(col("doc_id"),
@@ -1139,12 +1162,174 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rank_in_domain"))),
 
     // ---- JL random projection 64 -> 16 dims against the deterministic
-    // LSH hyperplane family; DECIMAL-snapshotted components ----
+    // LSH hyperplane family; DECIMAL-snapshotted components. Posexploded
+    // to scalar rows (id, pos, component) — declared queries never expose
+    // an array column (the grading checker sorts pandas frames, and
+    // array cells are unhashable there) ----
     "q223_random_projection" -> ((s, d) =>
       Similarity.randomProject(
         Tables.embeddings(s, d).select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("vec")),
-        col("vec_id"), col("vec"), outDims = 16, dim = 64)),
+        col("vec_id"), col("vec"), outDims = 16, dim = 64)
+        .select(col("id"), posexplode(col("proj")).as(Seq("pos", "component")))
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          col("component"))),
+
+    // ---- merge-on-read DELETE via deletion vectors: build a Delta-
+    // logged doc mart once per fixture (q183's marker protocol), mark
+    // doc_id % 10 = 3 deleted WITHOUT rewriting any data file, then
+    // answer a grouped count/sum through the DV-applying reader — the
+    // oracle replays the surviving set from the raw fixture, proving
+    // the bitmap marks subtract exactly the matched rows ----
+    "q224_delta_mor_delete" -> ((s, d) => {
+      val root = q224DeltaTable(s, d)
+      graft.sources.DeletionVectors.readDeltaTableMor(s, root)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- time-travel version diff over the SAME table: v0 (pre-delete)
+    // vs v1 (DV delete commit) — every diff row is a 'D' for a marked
+    // doc; proves the MOR read at BOTH versions and that the delete
+    // touched exactly the matched rows ----
+    "q232_delta_version_diff" -> ((s, d) => {
+      val root = q224DeltaTable(s, d)
+      graft.sources.Sinks.deltaVersionDiff(s, root, 0L, 1L)
+        .select(col("op"), col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // ---- deterministic label propagation over the link-fixture domain
+    // graph: synchronous most-frequent-neighbor-label rounds (ties to
+    // the smallest label), labels mapped back to domain names; the
+    // oracle unrolls the same integer argmax rounds ----
+    "q225_label_propagation" -> ((s, d) => {
+      val links = TextAnalysis.extractLinks(linkFixture(s, d),
+        col("doc_id"), col("url"), col("html"))
+      val edges = TextAnalysis.linkGraphEdges(links, col("url"),
+        col("link"))
+      val lp = Graphs.labelPropagation(
+        edges.select(F.hash64(col("src_domain")).as("src"),
+          F.hash64(col("dst_domain")).as("dst")), iters = 4)
+      val names = edges.select(col("src_domain").as("domain"))
+        .union(edges.select(col("dst_domain"))).distinct()
+        .select(col("domain"), F.hash64(col("domain")).as("id"))
+      lp.join(broadcast(names), "id")
+        .join(broadcast(names.select(col("domain").as("community_domain"),
+          col("id").as("community"))), "community")
+        .select(col("domain"), col("community_domain"))
+    }),
+
+    // ---- two-stage binary-quantized retrieval: 64-bit sign signatures
+    // rank by Hamming distance (8 bytes/vector — the memory-bound
+    // serving form), top-50 shortlist reranked by exact cosine ----
+    "q226_binary_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      Similarity.binaryRerankTopK(e, col("vec_id"), col("vec"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("vec"),
+        shortlist = 50, k = 10, dim = 64)
+    }),
+
+    // ---- exact phrase search over a positional index: phrase
+    // occurrences injected by doc_id (7→"alpha beta gamma",
+    // 11→"beta gamma delta"); alignment-vote algebra, no per-position
+    // self-join chain ----
+    "q227_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" alpha beta gamma")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" beta gamma delta")).otherwise(lit(""))).as("text"))
+      val phrases = Seq((0L, "alpha beta gamma"), (1L, "beta gamma"),
+        (2L, "gamma delta"), (3L, "alpha gamma"))
+        .toDF("query_id", "phrase")
+      TextAnalysis.phraseSearch(docs, col("doc_id"), col("text"), phrases)
+    }),
+
+    // ---- link-density main-content extraction (jusText-family local
+    // signal): nav/footer blocks are mostly anchor text and drop; the
+    // body block survives; the keep rule is an exact integer compare ----
+    "q228_main_content" -> ((s, d) => {
+      val html = concat(
+        lit("<div><a href=\"/h\">Home</a> <a href=\"/a\">About</a>" +
+          " <a href=\"/c\">Contact</a></div><p>"),
+        col("text"),
+        lit("</p><div>site map <a href=\"/t\">Terms</a>" +
+          " <a href=\"/p\">Privacy</a></div>"))
+      TextAnalysis.extractMainContent(
+        Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+        col("doc_id"), col("html"))
+    }),
+
+    // ---- prototype-based data pruning (Sorscher 2022): q188's
+    // deterministic k-means assignment, keep the hardest half of each
+    // cluster by 4dp centroid-cosine rank ----
+    "q229_prototype_prune" -> ((s, d) =>
+      Similarity.prototypePrune(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        col("vec_id"), col("vec"), k = 16, keepNum = 1, keepDen = 2)),
+
+    // ---- pseudo-relevance-feedback expansion (RM3-lite): q171's term
+    // fixture, top-5 feedback docs promote up-to-3 terms (feedback df
+    // >= 2, integer-ranked), second BM25 pass over the expanded sets ----
+    "q230_prf_expansion" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq(
+        (0L, "table"), (0L, "scan"),
+        (1L, "window"), (1L, "agg"), (1L, "sort"),
+        (2L, "customer"), (2L, "value")).toDF("query_id", "term")
+      TextAnalysis.prfExpandTopK(Tables.documents(s, d), col("doc_id"),
+        col("text"), terms, k = 10, fbDocs = 5, fbTerms = 3, minFbDf = 2)
+    }),
+
+    // ---- hot-key-bounded skew join: ~1/2 of events collapse onto one
+    // synthetic hot user; the hot key is detected, broadcast, salted
+    // across 8 buckets, the cold tail takes the plain equi-join — and
+    // the oracle states the result as an ORDINARY join, proving the
+    // treatment is semantics-free ----
+    "q231_skew_join" -> ((s, d) => {
+      val fact = Tables.events(s, d).select(col("event_id"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
+          .otherwise(col("user_id")).as("uid"),
+        col("value"))
+      val dim = fact.select(col("uid")).distinct()
+        .select(col("uid"), pmod(col("uid"), lit(7)).as("grp"))
+      Joins.skewJoin(fact, dim, "uid", buckets = 8, hotThreshold = 1000L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    // ---- CDC batch apply: latest-change-per-key wins (seq DESC), D
+    // drops, I/U land, untouched base rows pass through — the debezium
+    // replay fold as one declarative operator ----
+    "q233_cdc_apply" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_nationkey").cast("long").as("nat"))
+      val src = base.filter(pmod(col("k"), lit(7)) === 0)
+      val del = src.filter(pmod(col("k"), lit(21)) === 0)
+        .select(col("k"), col("name"), col("nat"),
+          lit("D").as("op"), lit(1L).as("seq"))
+      val upd = src.filter(pmod(col("k"), lit(21)) === 7)
+        .select(col("k"), concat(col("name"), lit(" v2")).as("name"),
+          (col("nat") + 100).as("nat"), lit("U").as("op"), lit(1L).as("seq"))
+      val ins = src.filter(pmod(col("k"), lit(21)) === 14)
+        .select((col("k") + 10000000L).as("k"),
+          concat(lit("new "), col("name")).as("name"), col("nat"),
+          lit("I").as("op"), lit(1L).as("seq"))
+      // a second, higher-seq change for half the updated keys: the U
+      // must lose to this D (latest-wins)
+      val del2 = src.filter(pmod(col("k"), lit(42)) === 7)
+        .select(col("k"), col("name"), col("nat"),
+          lit("D").as("op"), lit(2L).as("seq"))
+      val changes = del.unionByName(upd).unionByName(ins).unionByName(del2)
+      MergeOps.applyCdcBatch(base, changes, keys = Seq("k"))
+    }),
 
     // ---- HITS hub/authority centrality over the link-fixture domain
     // graph — PageRank's complementary crawl-seeding signal, same
@@ -3109,18 +3294,209 @@ object SparkEntry {
 
   /** JL random-projection mirror: 16 list_dot_products against the SAME
     * `Similarity.planes(16, 64)` literals, each snapshotted through
-    * DECIMAL(18,6) exactly like the Spark side.
+    * DECIMAL(18,6) exactly like the Spark side. Emitted as scalar rows
+    * (id, pos, component) — one SELECT per plane UNION ALL'd — mirroring
+    * the Spark side's posexplode (array columns are banned from declared
+    * query output).
     */
   private def q223Oracle: String = {
     val pl = graft.operators.Similarity.planes(16, 64)
     val comps = (0 until 16).map { p =>
       val lit = pl(p).mkString("[", ", ", "]")
-      s"CAST(CAST(list_dot_product(v, $lit) AS DECIMAL(18,6)) AS DOUBLE)"
+      s"""SELECT vec_id AS id, CAST($p AS BIGINT) AS pos,
+         |  CAST(CAST(list_dot_product(v, $lit) AS DECIMAL(18,6)) AS DOUBLE)
+         |    AS component FROM e""".stripMargin
     }
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings)
-       |SELECT vec_id AS id, [${comps.mkString(",\n  ")}] AS proj
-       |FROM e""".stripMargin
+       |${comps.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** Unrolled deterministic label propagation over the link-fixture
+    * domain graph: symmetrized distinct edges, labels start at node id,
+    * each round every node adopts the most frequent neighbor label
+    * (ties to the SMALLEST label) — the same integer argmax as
+    * `Graphs.labelPropagation`.
+    */
+  private def q225Oracle: String = {
+    val (prefix, edges) = linkGraphOracleParts
+    val iters = 4
+    val header =
+      s"""WITH $prefix e0 AS MATERIALIZED ($edges),
+         |es AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+         |  WHERE src <> dst),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM es)""".stripMargin
+    val stages = (1 to iters).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, lbl FROM (
+         |  SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY cnt DESC, lbl ASC) AS rn
+         |  FROM (SELECT id, lbl, sum(cnt) AS cnt FROM (
+         |      SELECT es.dst AS id, l.lbl, count(*) AS cnt
+         |      FROM l${k - 1} l JOIN es ON es.src = l.id
+         |      GROUP BY es.dst, l.lbl
+         |      UNION ALL SELECT id, lbl, 1 FROM l${k - 1})
+         |    GROUP BY id, lbl)) WHERE rn = 1)""".stripMargin
+    }
+    header + ",\n" + stages.mkString(",\n") + "\n" +
+      s"""SELECT n.domain, cn.domain AS community_domain
+         |FROM l$iters l JOIN names n ON l.id = n.id
+         |JOIN names cn ON l.lbl = cn.id""".stripMargin
+  }
+
+  /** Binary-quantized two-stage retrieval mirror: the full 64-bit sign
+    * signature from the SAME `Similarity.planes(64, 64)` literals
+    * (bit 63 spelled as the BIGINT-safe `(-MAX - 1)` so DuckDB does not
+    * promote to HUGEINT), Hamming shortlist of 50 via bit_count(xor),
+    * exact-cosine rerank to 10 — q34's cosine arithmetic.
+    */
+  private def q226Oracle: String = {
+    val pl = graft.operators.Similarity.planes(64, 64)
+    val sigTerms = (0 until 64).map { p =>
+      val bit = 1L << p
+      val bitLit =
+        if (bit < 0) "(-9223372036854775807 - 1)" else s"CAST($bit AS BIGINT)"
+      s"(CASE WHEN list_dot_product(v, ${pl(p).mkString("[", ", ", "]")}) > 0" +
+        s" THEN $bitLit ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n     + ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |s AS MATERIALIZED (SELECT id, ($sigTerms) AS sig FROM e),
+       |qs AS (SELECT id AS qid, sig AS qsig FROM s WHERE id < 5),
+       |ham AS (SELECT qs.qid AS query_id, s.id AS corpus_id,
+       |    CAST(bit_count(xor(s.sig, qs.qsig)) AS BIGINT) AS hamming
+       |  FROM s CROSS JOIN qs WHERE s.id <> qs.qid),
+       |short AS (SELECT query_id, corpus_id, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, corpus_id) AS rn FROM ham)
+       |  WHERE rn <= 50),
+       |sc AS (SELECT sh.query_id, sh.corpus_id, sh.hamming,
+       |    CASE WHEN sqrt(list_dot_product(c.v, c.v)) = 0
+       |        OR sqrt(list_dot_product(qq.v, qq.v)) = 0 THEN 0.0
+       |      ELSE list_dot_product(c.v, qq.v)
+       |        / (sqrt(list_dot_product(c.v, c.v))
+       |           * sqrt(list_dot_product(qq.v, qq.v))) END AS cos
+       |  FROM short sh JOIN e c ON c.id = sh.corpus_id
+       |  JOIN e qq ON qq.id = sh.query_id)
+       |SELECT query_id, corpus_id, hamming, ROUND(cos, 4) AS cos,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, corpus_id) AS rn FROM sc) t
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** Prototype pruning mirror: q188's deterministic k-means CTEs, then
+    * per-cluster rank by (4dp sim ASC, id) with the exact integer ceil
+    * keep quota.
+    */
+  private def q229Oracle: String = {
+    val cos = (a: String, b: String) =>
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0
+         |      OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+         |    ELSE list_dot_product($a, $b)
+         |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+         |    END""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 16),
+       |asg0 AS (
+       |  SELECT e.id, e.v, c0.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cid) AS rn
+       |  FROM e CROSS JOIN c0),
+       |m AS (
+       |  SELECT cid, t.i AS pos, ROUND(AVG(v[t.i]), 6) AS mx
+       |  FROM asg0, (SELECT UNNEST(range(1, 65)) AS i) t
+       |  WHERE rn = 1 GROUP BY cid, t.i),
+       |c AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m GROUP BY cid),
+       |asg AS (
+       |  SELECT e.id, c.cid, ${cos("e.v", "c.cv")} AS cs,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c),
+       |af AS (SELECT id, cid, ROUND(cs, 4) AS sim FROM asg WHERE rn = 1),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY sim ASC, id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cid) AS n FROM af)
+       |SELECT id AS vec_id, cid AS cluster_id, sim,
+       |  CAST(rk AS BIGINT) AS rank_in_cluster,
+       |  rk <= (n * 1 + 1) // 2 AS keep FROM r""".stripMargin
+  }
+
+  /** PRF expansion mirror: q171's BM25 CTEs twice — pass 1 picks the
+    * top-5 feedback docs, the promoted terms (feedback df >= 2, ranked
+    * by df DESC then term, max 3, originals excluded) union into the
+    * query, pass 2 scores the expanded sets. Same 6dp DECIMAL score
+    * snapshot both passes.
+    */
+  private def q230Oracle: String = {
+    def sc(p: String, f: String) =
+      s"""CAST(round(
+         |      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST($f.df AS DOUBLE)
+         |          + 0.5) / (CAST($f.df AS DOUBLE) + 0.5)) *
+         |      (CAST($p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0) /
+         |        (CAST($p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |          ((1.0 - CAST(0.75 AS DOUBLE)) +
+         |           CAST(0.75 AS DOUBLE) * CAST($p.dl AS DOUBLE) /
+         |             (CAST(stats.sum_dl AS DOUBLE)
+         |               / CAST(stats.n_docs AS DOUBLE))))),
+         |      6) AS DECIMAL(18,6))""".stripMargin
+    s"""WITH q(query_id, term) AS (VALUES
+       |  (CAST(0 AS BIGINT), 'table'), (0, 'scan'),
+       |  (1, 'window'), (1, 'agg'), (1, 'sort'),
+       |  (2, 'customer'), (2, 'value')),
+       |t AS (SELECT doc_id, $dkToks AS t FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM t),
+       |d AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |    unnest(t) AS term FROM t),
+       |p1 AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       |    any_value(dl) AS dl
+       |  FROM d WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY term, doc_id),
+       |f1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM p1 GROUP BY term),
+       |sc1 AS (SELECT q.query_id, p1.doc_id, ${sc("p1", "f1")} AS s
+       |  FROM p1 JOIN f1 USING (term) JOIN q USING (term) CROSS JOIN stats),
+       |g1 AS (SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+       |  FROM sc1 GROUP BY 1, 2),
+       |fb AS (SELECT query_id, doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank FROM g1)
+       |  WHERE rank <= 5),
+       |dt AS (SELECT DISTINCT doc_id, term FROM d),
+       |ex0 AS (SELECT fb.query_id, dt.term,
+       |    CAST(count(*) AS BIGINT) AS fb_df
+       |  FROM dt JOIN fb USING (doc_id) GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |ex1 AS (SELECT query_id, term FROM (
+       |    SELECT ex0.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY fb_df DESC, term) AS rn
+       |    FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM q
+       |      WHERE q.query_id = ex0.query_id AND q.term = ex0.term))
+       |  WHERE rn <= 3),
+       |nexp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_expanded
+       |  FROM ex1 GROUP BY 1),
+       |nq AS (SELECT DISTINCT query_id, term FROM (
+       |  SELECT query_id, term FROM q
+       |  UNION ALL SELECT query_id, term FROM ex1)),
+       |p2 AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       |    any_value(dl) AS dl
+       |  FROM d WHERE term IN (SELECT DISTINCT term FROM nq)
+       |  GROUP BY term, doc_id),
+       |f2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM p2 GROUP BY term),
+       |sc2 AS (SELECT nq.query_id, p2.doc_id, ${sc("p2", "f2")} AS s
+       |  FROM p2 JOIN f2 USING (term) JOIN nq USING (term) CROSS JOIN stats),
+       |g2 AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(s) AS DOUBLE) AS score
+       |  FROM sc2 GROUP BY 1, 2),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank FROM g2)
+       |SELECT r2.query_id, doc_id, n_matched, score,
+       |  CAST(rank AS BIGINT) AS rank,
+       |  coalesce(nexp.n_expanded, 0) AS n_expanded
+       |FROM r2 LEFT JOIN nexp ON nexp.query_id = r2.query_id
+       |WHERE rank <= 10""".stripMargin
   }
 
   private def q220Oracle: String = {
@@ -6611,6 +6987,123 @@ object SparkEntry {
     // JL projection: the same plane literals, list_dot_product's
     // ascending fold = DotProduct's loop, DECIMAL(18,6) snapshot
     "q223_random_projection" -> q223Oracle,
+
+    // merge-on-read delete parity: the survivors of doc_id % 10 <> 3,
+    // re-aggregated from the raw fixture
+    "q224_delta_mor_delete" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 3
+        |GROUP BY source""".stripMargin,
+
+    "q225_label_propagation" -> q225Oracle,
+    "q226_binary_rerank" -> q226Oracle,
+    "q229_prototype_prune" -> q229Oracle,
+    "q230_prf_expansion" -> q230Oracle,
+
+    // the skew-treated join must reproduce the plain join (q167's
+    // contract at join grain)
+    "q231_skew_join" ->
+      """WITH fact AS (SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS uid,
+        |    value
+        |  FROM events),
+        |d2 AS (SELECT uid, uid % 7 AS grp FROM
+        |  (SELECT DISTINCT uid FROM fact)),
+        |j AS (SELECT f.uid, d2.grp, f.value FROM fact f JOIN d2 USING (uid))
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY grp""".stripMargin,
+
+    // version diff v0 -> v1 on the q224 table: exactly the DV-deleted
+    // rows, each op='D'
+    "q232_delta_version_diff" ->
+      """SELECT 'D' AS op, doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 3""".stripMargin,
+
+    // CDC latest-wins replay: D drops (incl. the seq-2 D overriding the
+    // seq-1 U on k%42=7), U rewrites, I appends, untouched rows pass
+    "q233_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nat FROM customer),
+        |src AS (SELECT * FROM base WHERE k % 7 = 0),
+        |ch AS (
+        |  SELECT k, name, nat, 'D' AS op, CAST(1 AS BIGINT) AS seq
+        |    FROM src WHERE k % 21 = 0
+        |  UNION ALL
+        |  SELECT k, name || ' v2', nat + 100, 'U', 1 FROM src
+        |    WHERE k % 21 = 7
+        |  UNION ALL
+        |  SELECT k + 10000000, 'new ' || name, nat, 'I', 1 FROM src
+        |    WHERE k % 21 = 14
+        |  UNION ALL
+        |  SELECT k, name, nat, 'D', 2 FROM src WHERE k % 42 = 7),
+        |latest AS (SELECT k, name, nat, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT b.k, b.name, b.nat FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+        |UNION ALL
+        |SELECT k, name, nat FROM latest WHERE op <> 'D'""".stripMargin,
+
+    // exact phrase search: alignment-vote algebra over the positional
+    // token index; injected phrase suffixes by doc_id
+    "q227_phrase_search" ->
+      s"""WITH d2 AS (SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' alpha beta gamma' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN ' beta gamma delta' ELSE '' END)
+         |    AS text
+         |  FROM documents),
+         |q(query_id, phrase) AS (VALUES
+         |  (CAST(0 AS BIGINT), 'alpha beta gamma'), (1, 'beta gamma'),
+         |  (2, 'gamma delta'), (3, 'alpha gamma')),
+         |t AS (SELECT doc_id, $dkToks AS t FROM d2),
+         |d AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    t[CAST(i AS INT)] AS term
+         |  FROM t, UNNEST(range(1, len(t) + 1)) u(i)),
+         |pq AS (SELECT query_id, string_split(phrase, ' ') AS pt FROM q),
+         |p AS (SELECT query_id, CAST(i - 1 AS BIGINT) AS ppos,
+         |    pt[CAST(i AS INT)] AS term, len(pt) AS plen
+         |  FROM pq, UNNEST(range(1, len(pt) + 1)) u(i)),
+         |o AS (SELECT query_id, doc_id, s FROM (
+         |    SELECT p.query_id, d.doc_id, d.pos - p.ppos AS s,
+         |      count(*) AS c, min(p.plen) AS plen
+         |    FROM d JOIN p USING (term) WHERE d.pos - p.ppos >= 0
+         |    GROUP BY 1, 2, 3) WHERE c = plen)
+         |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min(s) AS BIGINT) AS first_pos
+         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // link-density main-content extraction: same block split + tag
+    // strip + anchor-length integer keep rule
+    "q228_main_content" ->
+      raw"""WITH h AS (SELECT doc_id,
+         |    '<div><a href="/h">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><p>'
+         |    || text ||
+         |    '</p><div>site map <a href="/t">Terms</a> <a href="/p">Privacy</a></div>'
+         |    AS html
+         |  FROM documents),
+         |b AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS bpos,
+         |    blk[CAST(i AS INT)] AS block
+         |  FROM (SELECT doc_id, string_split_regex(html,
+         |      '(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|table|tr|td|section|article|header|footer|nav)[^>]*>')
+         |      AS blk FROM h),
+         |    UNNEST(range(1, len(blk) + 1)) u(i)),
+         |s AS (SELECT doc_id, bpos,
+         |    trim(regexp_replace(block, '<[^>]*>', '', 'g')) AS txt,
+         |    -- array_to_string([], '') is NULL in DuckDB: anchor-free
+         |    -- blocks must score alen = 0, not NULL
+         |    CAST(coalesce(length(array_to_string(regexp_extract_all(block,
+         |      '(?i)<a\b[^>]*>([^<]*)</a>', 1), '')), 0) AS BIGINT) AS alen
+         |  FROM b),
+         |f AS (SELECT doc_id, bpos, txt, alen,
+         |    CAST(length(txt) AS BIGINT) AS tlen
+         |  FROM s WHERE length(txt) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN alen * 2 <= tlen * 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN alen * 2 <= tlen * 1 THEN txt END,
+         |    chr(10) ORDER BY bpos), '') AS main_text
+         |FROM f GROUP BY doc_id""".stripMargin,
 
     // HITS: generated unrolled fixed-point iterations (see q220Oracle)
     "q220_hits" -> q220Oracle,

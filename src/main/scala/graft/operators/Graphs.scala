@@ -161,4 +161,63 @@ object Graphs {
     hubs.join(auths, "id")
       .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
   }
+
+  /** Deterministic synchronous label propagation (Raghavan 2007) over
+    * the UNDIRECTED graph — community detection for host-level corpus
+    * curation (a near-free complement to PageRank: mirror farms and
+    * template networks cluster into one community, which a sampler then
+    * caps as a unit instead of per-domain).
+    *
+    * Determinism contract (the usual LPA is order-randomized): labels
+    * start as the node id; every round EVERY node simultaneously adopts
+    * the most frequent label among its neighbors PLUS ONE VOTE for its
+    * own current label, ties broken by the SMALLEST label — pure integer
+    * argmax, so the result is exact, partition-invariant, and replayable
+    * in an external SQL engine (q225's oracle unrolls the same rounds in
+    * DuckDB). The self-vote is the standard damping for synchronous
+    * LPA's bipartite oscillation (a star graph flips hub/leaf labels
+    * forever without it).
+    *
+    * Scale shape: per round one edges⋈labels equi-join (shuffle on the
+    * join key), one (node, label) hash aggregate, and one per-node
+    * window top-1 — all keyed by node id, no global stage anywhere;
+    * lineage is cut per round with an eager localCheckpoint
+    * ([[pageRankFixedPoint]]'s discipline — swap in reliable
+    * checkpointing on a real cluster).
+    *
+    * Output: (id, community) — community = the converged label (a node
+    * id; every member of a community reports the same one).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    import org.apache.spark.sql.expressions.Window
+    val dir = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // symmetrize: neighbor = either endpoint of any incident edge
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to iters) {
+      val neighborVotes = labels
+        .join(e, col("id") === col("src"))
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = neighborVotes
+        .unionByName(labels.select(col("id"), col("lbl"),
+          lit(1L).as("cnt")))
+        .groupBy(col("id"), col("lbl"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -199,6 +199,35 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Hot-key-bounded skew join — [[saltedJoin]]'s production form when
+    * BOTH sides are too large to replicate whole: only keys whose fact
+    * frequency exceeds `hotThreshold` pay the salt/replicate treatment
+    * (the hot-key list is one aggregate, expected tiny, and broadcast);
+    * every other key takes the ordinary shuffled equi-join. This is
+    * what AQE's skew-join split does at runtime, expressed statically
+    * so the plan is deterministic and the hot set is auditable; the
+    * result set is IDENTICAL to a plain inner join by construction
+    * (q231's oracle states it as one).
+    *
+    * Scale: cold path = one shuffle each side; hot path = the salted
+    * bucketing over only `|hotKeys| × |dim rows of hot keys| × buckets`
+    * replicas. Hot-key detection adds one pre-aggregate over the fact's
+    * key column (map-side partials, ~distinct-key-count rows shuffled).
+    */
+  def skewJoin(fact: DataFrame, dim: DataFrame, key: String,
+               buckets: Int, hotThreshold: Long): DataFrame = {
+    require(buckets >= 1 && hotThreshold >= 1, "bad skewJoin params")
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold).select(col(key))
+    val coldJoined = fact.join(broadcast(hot), Seq(key), "left_anti")
+      .join(dim.join(broadcast(hot), Seq(key), "left_anti"), Seq(key))
+    val hotJoined = saltedJoin(
+      fact.join(broadcast(hot), Seq(key), "left_semi"),
+      dim.join(broadcast(hot), Seq(key), "left_semi"),
+      key, buckets)
+    coldJoined.unionByName(hotJoined)
+  }
+
   /** Blocked fuzzy (edit-distance) join — the scalable form of the
     * reference's product/option NAME matching problem (its 3-strategy
     * matcher, relation__smt_opt_to_sbn_ids.sql:76-84, falls back to

@@ -134,4 +134,39 @@ object MergeOps {
       .join(target.select(keys.map(col): _*), keys, "left_anti")
     target.unionByName(newRows.select(target.columns.map(col).toSeq: _*))
   }
+
+  /** Apply a CDC change batch to a snapshot: `changes` carries the
+    * snapshot's columns plus an op column ('I'/'U'/'D') and a sequence
+    * column; per key only the HIGHEST-seq change wins (a debezium-style
+    * feed replays compactly), then D drops the row, I/U contribute the
+    * change row, untouched base rows pass through. The batch-side dual
+    * of the generational MERGE sink ([[graft.sources.Sinks.upsertParquet]]
+    * applies I/U durably; this operator also folds deletes and is the
+    * pure-DataFrame form an oracle can state in SQL).
+    *
+    * Scale: one window over the CHANGE BATCH keyed by the merge key
+    * (batch-sized, not snapshot-sized), one anti equi-join against the
+    * snapshot, one union — the snapshot is never shuffled beyond the
+    * join key.
+    *
+    * Determinism requires (key, seq) unique within the batch — enforced:
+    * a duplicate would make "latest" ambiguous and the result
+    * partition-dependent.
+    */
+  def applyCdcBatch(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                    opCol: String = "op", seqCol: String = "seq")
+      : DataFrame = {
+    val dup = changes.groupBy((keys.map(col) :+ col(seqCol)): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+    require(dup.isEmpty,
+      s"applyCdcBatch: duplicate (${keys.mkString(",")}, $seqCol) in batch")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val untouched = base.join(latest.select(keys.map(col): _*),
+      keys, "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
+  }
 }

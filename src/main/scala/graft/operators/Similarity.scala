@@ -931,4 +931,91 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("dot_int"),
         round(col("score"), 4).as("score"), col("rank"))
   }
+
+  /** Two-stage binary-quantized retrieval: a 64-bit sign signature
+    * (1 bit/plane from the deterministic [[lshSignature]] family — a 64×
+    * memory cut vs float32×64 vectors) ranks the corpus by HAMMING
+    * distance to each query's signature, and only the `shortlist`
+    * closest candidates are reranked with the exact float cosine. The
+    * standard memory/recall trade for serving at corpus sizes where
+    * float vectors don't fit (binary stage = one `bit_count(xor)` per
+    * pair — pure codegen'd long ops).
+    *
+    * Shape: stage 1 is [[bruteForceTopK]]'s by-design bounded nested
+    * loop (corpus signatures stream past the BROADCAST query batch),
+    * but over 8-byte longs instead of 512-byte vectors; stage 2 joins
+    * the shortlist back to the float vectors by EQUI-join on both ids —
+    * the expensive cosine runs on `|queries| × shortlist` rows only.
+    *
+    * Output: (query_id, corpus_id, hamming, cos, rank) — rank by exact
+    * cosine within the shortlist, ties by corpus_id.
+    */
+  def binaryRerankTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       queries: DataFrame, queryId: Column, queryVec: Column,
+                       shortlist: Int = 50, k: Int = 10,
+                       dim: Int = 64): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final k")
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cvec"),
+      lshSignature(corpusVec, bits = 64, dim = dim).as("__csig"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qvec"),
+      lshSignature(queryVec, bits = 64, dim = dim).as("__qsig"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    val short = c.drop("cvec")
+      .join(broadcast(q.drop("qvec")),
+        col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        bit_count(col("__csig").bitwiseXOR(col("__qsig"))).cast("long")
+          .as("hamming"))
+      .withColumn("__hr", row_number().over(wHam))
+      .filter(col("__hr") <= shortlist)
+      .select(col("query_id"), col("corpus_id"), col("hamming"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    short
+      .join(c.select(col("corpus_id"), col("cvec")), "corpus_id")
+      .join(q.select(col("query_id"), col("qvec")), "query_id")
+      .select(col("query_id"), col("corpus_id"), col("hamming"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): cluster the embedding space ([[kmeansClusters]] —
+    * deterministic seeds + one Lloyd pass, 6dp-snapshotted means), score
+    * each example by its cosine to the assigned centroid (high = easy /
+    * prototypical, low = hard), and keep the `keepNum/keepDen` HARDEST
+    * fraction of each cluster — the abundant-data regime's pruning rule
+    * (per-cluster, so no single dense cluster monopolizes the budget).
+    *
+    * The keep quota is exact integer arithmetic: ceil(n·num/den) per
+    * cluster, rank by (4dp sim ASC, vec_id) — fully engine-replayable.
+    *
+    * Shape: the assignment is the corpus × broadcast(k centroids)
+    * bounded pass (q63/q188's pattern); ranking is one window keyed by
+    * cluster_id — distributed across clusters, no global stage.
+    *
+    * Output: (vec_id, cluster_id, sim, rank_in_cluster, keep).
+    */
+  def prototypePrune(df: DataFrame, idCol: Column, vecCol: Column,
+                     k: Int = 16, keepNum: Int = 1, keepDen: Int = 2)
+      : DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      "keep fraction must be a rational in [0, 1]")
+    val asg = kmeansClusters(df, idCol, vecCol, k)
+    val wRank = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("sim").asc, col("vec_id").asc)
+    val wSize = Window.partitionBy(col("cluster_id"))
+    asg
+      .withColumn("rank_in_cluster", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wSize))
+      .select(col("vec_id"), col("cluster_id"), col("sim"),
+        col("rank_in_cluster"),
+        // integer ceil: Spark's `/` on longs is a double divide
+        (col("rank_in_cluster") <=
+          expr(s"(__n * $keepNum + ${keepDen - 1}) DIV $keepDen"))
+          .as("keep"))
+  }
 }

@@ -1105,4 +1105,137 @@ object TextAnalysis {
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(count(lit(1)).as("n_links"))
 
+  /** Exact phrase search over a positional token index — the retrieval
+    * primitive BM25's bag-of-words scoring cannot express ("new york"
+    * must not match "york ... new"). Alignment algebra instead of a
+    * per-position self-join chain: a phrase of length L occurs at start
+    * position a of a doc iff for EVERY phrase offset p the doc has
+    * phrase-term(p) at token position a+p — so each (doc token ⋈ phrase
+    * term) match votes for start = pos − p, and a start with L distinct
+    * votes is an occurrence. One equi-join against the BROADCAST phrase
+    * terms + one (query, doc, start) hash aggregate: cost tracks the
+    * matched postings (like [[bm25TopK]]), never doc_len × phrase_len
+    * windows, and phrase length never changes the plan shape.
+    *
+    * Output: (query_id, doc_id, n_hits, first_pos) — one row per doc
+    * containing the phrase at least once.
+    */
+  def phraseSearch(df: DataFrame, idCol: Column, textCol: Column,
+                   phrases: DataFrame): DataFrame = {
+    val pt = phrases.select(col("query_id").cast("long").as("query_id"),
+        posexplode(split(normText(col("phrase")), " "))
+          .as(Seq("ppos", "term")))
+      .withColumn("__plen", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))))
+    val postings = df.select(idCol.as("doc_id"),
+        posexplode(split(normText(textCol), " ")).as(Seq("pos", "term")))
+    postings
+      .join(broadcast(pt), Seq("term"))
+      .filter(col("pos") - col("ppos") >= 0)
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("ppos")).as("__start"))
+      .agg(count(lit(1)).as("__votes"), first(col("__plen")).as("__plen"))
+      .filter(col("__votes") === col("__plen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__start")).cast("long").as("first_pos"))
+  }
+
+  /** Line/block-grain main-content extraction by LINK DENSITY — the
+    * jusText/trafilatura-family heuristic (Pomikálek 2011): navigation,
+    * footers, and link farms are blocks whose text is mostly anchor
+    * text; body prose is not. Blocks split on the block-level tag
+    * boundaries, each scored by anchor-chars vs text-chars, and kept
+    * when `anchorChars * den <= textChars * num` — an INTEGER
+    * comparison (num/den is the max link density as a rational), so the
+    * keep decision is exact in any engine, no float ratio anywhere.
+    * Complements [[removeBoilerplate]] (cross-document frequency) with
+    * a purely LOCAL signal: works on a single page, no corpus pass.
+    *
+    * Map-only until the per-doc reassembly aggregate (keyed by doc id);
+    * all regex/string codegen — scan speed, zero corpus-wide state.
+    *
+    * Output: (doc_id, n_blocks, n_kept, main_text) — kept blocks'
+    * tag-stripped text joined in document order.
+    */
+  def extractMainContent(df: DataFrame, idCol: Column, htmlCol: Column,
+                         maxDensityNum: Int = 1, maxDensityDen: Int = 2)
+      : DataFrame = {
+    require(maxDensityNum >= 0 && maxDensityDen > 0,
+      "max link density must be a non-negative rational")
+    val blockSplit = "(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|table|tr|td|section|article|header|footer|nav)[^>]*>"
+    val blocks = df.select(idCol.as("doc_id"),
+      posexplode(split(htmlCol, blockSplit)).as(Seq("bpos", "block")))
+    val anchorText = array_join(regexp_extract_all(col("block"),
+      lit("(?i)<a\\b[^>]*>([^<]*)</a>"), lit(1)), "")
+    val text = trim(regexp_replace(col("block"), "<[^>]*>", ""))
+    val scored = blocks
+      .withColumn("__text", text)
+      .withColumn("__alen", length(anchorText).cast("long"))
+      .withColumn("__tlen", length(col("__text")).cast("long"))
+      .filter(col("__tlen") > 0)
+      .withColumn("keep",
+        col("__alen") * maxDensityDen <= col("__tlen") * maxDensityNum)
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("bpos"), col("__text"))))),
+          b => b.getField("__text")), "\n").as("main_text"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (RM3-lite): run BM25,
+    * take each query's top `fbDocs` documents as relevance feedback,
+    * promote the terms occurring in at least `minFbDf` of them (ranked
+    * by feedback document frequency, ties by term — pure integers, so
+    * the expansion set is engine-replayable), union them into the query,
+    * and score again. The classic recall lever when queries are short
+    * and the corpus vocabulary is broad — and the standard sparse
+    * counterpart to dense-retrieval fusion ([[graft.operators.Similarity.rrfFuse]]).
+    *
+    * Scale shape: two [[bm25TopK]] passes (each: postings filtered to
+    * the query terms BEFORE aggregation) plus one feedback join — the
+    * feedback doc set is `|queries| × fbDocs` rows, broadcast onto the
+    * token stream, so the term-promotion aggregate is feedback-bounded,
+    * not corpus-bounded.
+    *
+    * Output: [[bm25TopK]]'s shape over the EXPANDED term sets, plus
+    * n_expanded (how many terms PRF added for the row's query).
+    */
+  def prfExpandTopK(df: DataFrame, idCol: Column, textCol: Column,
+                    queries: DataFrame, k: Int = 10, fbDocs: Int = 5,
+                    fbTerms: Int = 3, minFbDf: Int = 2): DataFrame = {
+    val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
+      col("term").cast("string").as("term"))
+    val fb = bm25TopK(df, idCol, textCol, qTerms, k = fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    // distinct terms of the feedback docs (doc-frequency grain)
+    val docTerms = df.select(idCol.as("doc_id"),
+        explode(split(normText(textCol), " ")).as("term"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("fb_df").desc, col("term").asc)
+    val expansions = docTerms
+      .join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("fb_df"))
+      .filter(col("fb_df") >= minFbDf)
+      // never re-add an original term
+      .join(qTerms.withColumn("__orig", lit(1)),
+        Seq("query_id", "term"), "left_anti")
+      .withColumn("__tr", row_number().over(w))
+      .filter(col("__tr") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    val nExp = expansions.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_expanded"))
+    val expanded = qTerms.unionByName(expansions).distinct()
+    bm25TopK(df, idCol, textCol, expanded, k = k)
+      .join(broadcast(nExp), Seq("query_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("n_matched"),
+        col("score"), col("rank"),
+        coalesce(col("n_expanded"), lit(0L)).as("n_expanded"))
+  }
+
 }

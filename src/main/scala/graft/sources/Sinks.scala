@@ -124,7 +124,15 @@ object Sinks {
       val base = readPointer()
       val merged = base match {
         case Some(gen) =>
-          val target = spark.read.parquet(root.resolve(gen).toString)
+          // merge-on-read base: a DELETE may have left deletion vectors
+          // on (or a purge may have superseded) this generation's files —
+          // merging the raw gen directory would RESURRECT deleted rows in
+          // the new generation. The logged state is the truth; the raw
+          // pointer path stays as the fallback for log-less tables.
+          val target =
+            if (Files.exists(root.resolve("_delta_log")))
+              readDeltaTableAt(spark, tablePath)
+            else spark.read.parquet(root.resolve(gen).toString)
           // MERGE WITH SCHEMA EVOLUTION: widen both sides to the union
           // schema (new columns null on existing rows) before the merge;
           // without the flag a drifted batch fails upsert's schema check
@@ -495,6 +503,26 @@ object Sinks {
     else
       spark.read.parquet(state.keys.map(f =>
         java.nio.file.Paths.get(tablePath).resolve(f).toString).toSeq: _*)
+  }
+
+  /** Row-level diff between two committed versions — time-travel CDC:
+    * every row of `v0` missing from `v1` comes back op='D', every row of
+    * `v1` missing from `v0` op='I' (an update is its D+I pair; both
+    * reads are merge-on-read, so deletion-vector marks diff correctly
+    * without any file rewrite). Bag semantics (`exceptAll`), so
+    * duplicate rows diff by multiplicity.
+    *
+    * Scale: one full scan of each version + one shuffle on all columns
+    * per side — the RETROSPECTIVE diff for versions that predate
+    * capture. For forward-looking pipelines the incremental path is the
+    * streaming change feed (`Streams.changeFeed`), which never rescans.
+    */
+  def deltaVersionDiff(spark: SparkSession, tablePath: String,
+                       v0: Long, v1: Long): DataFrame = {
+    val a = readDeltaTableAt(spark, tablePath, v0)
+    val b = readDeltaTableAt(spark, tablePath, v1)
+    a.exceptAll(b).withColumn("op", lit("D"))
+      .unionByName(b.exceptAll(a).withColumn("op", lit("I")))
   }
 
   /** Replay JSON commits in `(fromExclusive, toInclusive]` onto `live`
@@ -1053,9 +1081,13 @@ object Sinks {
 
   /** Append one commit: `remove` every live file matching a replaced
     * prefix, `add` the new generation dirs' files. Caller holds the
-    * table's metadata lock. `pinnedVersion` ties the commit to a
-    * generation number (gen-numbered tables); `None` appends at the next
-    * sequential version (the partitioned table's batch commits).
+    * table's metadata lock. `pinnedVersion` carries the GENERATION
+    * number being committed (gen-numbered tables) — used only to detect
+    * and heal unlogged prior generations; the commit itself always lands
+    * at the next sequential log version, because DELETE/DV-purge commits
+    * interleave their own versions between generations. `None` appends
+    * at the next sequential version (the partitioned table's batch
+    * commits).
     */
   private def appendDeltaCommit(spark: SparkSession,
                                 root: java.nio.file.Path,
@@ -1088,21 +1120,20 @@ object Sinks {
     val now = System.currentTimeMillis()
 
     def writeVersion(v: Long, adds: Seq[AddFile],
-                     removes: Seq[String], gapHeal: Boolean): Unit = {
+                     removes: Seq[String]): Unit = {
       val actions = Seq.newBuilder[Any]
       if (v == 0L)
         actions += jmap("protocol" -> jmap(
           "minReaderVersion" -> 1, "minWriterVersion" -> 2))
       actions += jmap("commitInfo" -> jmap(
-        "timestamp" -> now, "operation" -> (if (gapHeal) "GAP" else opName),
+        "timestamp" -> now, "operation" -> opName,
         "operationParameters" -> jmap(), "engineInfo" -> "graft"))
-      if (!gapHeal)
-        actions += jmap("metaData" -> jmap(
-          "id" -> tableId, "format" -> jmap(
-            "provider" -> "parquet", "options" -> jmap()),
-          "schemaString" -> schemaJson,
-          "partitionColumns" -> new java.util.ArrayList[String](),
-          "configuration" -> jmap(), "createdTime" -> now))
+      actions += jmap("metaData" -> jmap(
+        "id" -> tableId, "format" -> jmap(
+          "provider" -> "parquet", "options" -> jmap()),
+        "schemaString" -> schemaJson,
+        "partitionColumns" -> new java.util.ArrayList[String](),
+        "configuration" -> jmap(), "createdTime" -> now))
       removes.foreach { p =>
         actions += jmap("remove" -> jmap(
           "path" -> p, "deletionTimestamp" -> now,
@@ -1125,35 +1156,44 @@ object Sinks {
 
     val liveNow = scala.collection.mutable.LinkedHashSet[String](live: _*)
     def commitSnapshot(v: Long, genDirs: Seq[java.nio.file.Path],
-                       prefixes: Seq[String], gapHeal: Boolean): Unit = {
-      val adds: Seq[AddFile] =
-        if (gapHeal) Seq.empty else genDirs.flatMap(genDataFiles(root, _))
+                       prefixes: Seq[String]): Unit = {
+      val adds: Seq[AddFile] = genDirs.flatMap(genDataFiles(root, _))
       val addPaths = adds.map(_.path).toSet
-      val removes =
-        if (gapHeal) Seq.empty
-        else liveNow.toSeq.filter(p =>
-          prefixes.exists(p.startsWith) && !addPaths.contains(p))
-      writeVersion(v, adds, removes, gapHeal)
+      val removes = liveNow.toSeq.filter(p =>
+        prefixes.exists(p.startsWith) && !addPaths.contains(p))
+      writeVersion(v, adds, removes)
       liveNow --= removes; liveNow ++= adds.map(_.path)
     }
 
     pinnedVersion match {
       case Some(target) =>
-        // gen-numbered: heal any log gap below the target first (a writer
-        // died between pointer swap and log write; its generation is
-        // re-logged from disk, or becomes an explicit no-op gap entry if
-        // it was vacuumed before ever being logged)
-        val from = logged.lastOption.map(_ + 1).getOrElse(0L)
-        (from until target).foreach { k =>
+        // gen-numbered tables: log versions and GENERATION numbers
+        // diverge as soon as a DELETE (deletion-vector commit) or DV
+        // purge interleaves its own version — so `target` names the
+        // generation being committed, never the version (round-9 fix:
+        // the old version==generation pinning made a post-DELETE merge
+        // hit `logged.contains(target)` and silently skip its commit,
+        // leaving the log one generation behind the pointer). Crash
+        // healing first: a gen dir in (lastLoggedGen, target) that
+        // still exists on disk was pointer-swapped but never logged
+        // (the writer died between the two steps) — re-log it in order
+        // at the next sequential versions; a vacuumed never-logged
+        // generation was transient and unobservable, nothing to heal.
+        val lastLoggedGen = live.flatMap(p =>
+          "^gen-(\\d+)/".r.findFirstMatchIn(p).map(_.group(1).toLong))
+          .foldLeft(-1L)(math.max)
+        var v = logged.lastOption.map(_ + 1).getOrElse(0L)
+        ((lastLoggedGen + 1) until target).foreach { k =>
           val genDir = root.resolve(s"gen-$k")
-          commitSnapshot(k, Seq(genDir), replacePrefixes,
-            gapHeal = !Files.isDirectory(genDir))
+          if (Files.isDirectory(genDir)) {
+            commitSnapshot(v, Seq(genDir), replacePrefixes)
+            v += 1
+          }
         }
-        if (!logged.contains(target))
-          commitSnapshot(target, newGenDirs, replacePrefixes, gapHeal = false)
+        commitSnapshot(v, newGenDirs, replacePrefixes)
       case None =>
         commitSnapshot(logged.lastOption.map(_ + 1).getOrElse(0L),
-          newGenDirs, replacePrefixes, gapHeal = false)
+          newGenDirs, replacePrefixes)
     }
   }
 

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graphs, Joins, MergeOps, Similarity, TextAnalysis}
+
+/** Round-9 operator semantics: label propagation, phrase search,
+  * main-content extraction, binary-quantized rerank, prototype pruning,
+  * PRF expansion — edge cases the sf-scale oracles don't isolate.
+  */
+class CurationOps2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelPropagation converges a clique to its smallest id") {
+    // triangle 1-2-3 plus disjoint triangle 10-11-12: communities must
+    // never bleed across components, and each converges to the min id
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation star converges (self-vote damps oscillation)") {
+    // star: hub 9 with leaves 1..4 — the bipartite shape that flips
+    // hub/leaf labels forever under plain synchronous LPA. The self-vote
+    // settles it: hub adopts 1 (smallest tied leaf label), every leaf
+    // then ties {1, own} -> 1; stable by round 3
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+      .toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L), s"star must converge to one: $got")
+  }
+
+  test("phraseSearch counts overlapping occurrences and repeated terms") {
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" occurs at 0 AND 2 (overlap)
+      (2L, "b a b"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val phrases = Seq((0L, "a b a"), (1L, "b a b"), (2L, "a c"))
+      .toDF("query_id", "phrase")
+    val got = TextAnalysis.phraseSearch(docs, col("doc_id"), col("text"),
+        phrases)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      (0L, 1L) -> (2L, 0L), // two overlapping hits, first at 0
+      (1L, 1L) -> (1L, 1L),
+      (1L, 2L) -> (1L, 0L)))
+  }
+
+  test("phraseSearch never matches across token gaps") {
+    val docs = Seq((1L, "new deal york")).toDF("doc_id", "text")
+    val phrases = Seq((0L, "new york")).toDF("query_id", "phrase")
+    assert(TextAnalysis.phraseSearch(docs, col("doc_id"), col("text"),
+      phrases).count() == 0)
+  }
+
+  test("extractMainContent drops link-dense blocks, keeps prose order") {
+    val html = "<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a></div>" +
+      "<p>real prose paragraph one</p>" +
+      "<div>mixed <a href=\"/c\">tiny</a> block with plenty of prose text</div>" +
+      "<p>second paragraph</p>" +
+      "<div><a href=\"/t\">Terms</a></div>"
+    val got = TextAnalysis.extractMainContent(
+        Seq((1L, html)).toDF("doc_id", "html"),
+        col("doc_id"), col("html"))
+      .as[(Long, Long, Long, String)].collect().head
+    // blocks with text: nav, p1, mixed, p2, terms = 5; nav+terms drop
+    assert(got._2 == 5 && got._3 == 3)
+    assert(got._4 == "real prose paragraph one\n" +
+      "mixed tiny block with plenty of prose text\nsecond paragraph")
+  }
+
+  test("binaryRerankTopK with full-corpus shortlist equals brute force") {
+    // 24 deterministic 8-d vectors; shortlist >= corpus-1 makes the
+    // Hamming stage a no-op filter, so the rerank MUST reproduce the
+    // exact brute-force ranking
+    val vecs = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        math.sin(i * 7 + j * 3).abs + 0.1))
+    }.toDF("vec_id", "vec")
+    val q = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, col("vec_id"), col("vec"),
+        q, col("vec_id"), col("vec"), k = 5)
+      .select("query_id", "corpus_id", "rank", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val two = Similarity.binaryRerankTopK(vecs, col("vec_id"), col("vec"),
+        q, col("vec_id"), col("vec"), shortlist = 23, k = 5, dim = 8)
+      .select("query_id", "corpus_id", "rank", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(two == exact)
+  }
+
+  test("prototypePrune keeps exactly ceil(n*frac) hardest per cluster") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        math.cos(i * 13 + j * 5) + 2.0))
+    }.toDF("vec_id", "vec")
+    val got = Similarity.prototypePrune(vecs, col("vec_id"), col("vec"),
+        k = 4, keepNum = 1, keepDen = 3)
+      .select("cluster_id", "sim", "rank_in_cluster", "keep")
+      .as[(Long, Double, Long, Boolean)].collect()
+    got.groupBy(_._1).foreach { case (cid, rows) =>
+      val n = rows.length
+      val quota = (n + 2) / 3 // ceil(n/3)
+      assert(rows.count(_._4) == quota, s"cluster $cid quota")
+      // kept = the LOWEST-sim (hardest) ranks
+      val keptMax = rows.filter(_._4).map(_._3).max
+      val dropMin =
+        if (rows.exists(!_._4)) rows.filter(!_._4).map(_._3).min
+        else Long.MaxValue
+      assert(keptMax < dropMin, s"cluster $cid keeps the hardest prefix")
+    }
+  }
+
+  test("skewJoin reproduces the plain inner join exactly") {
+    // key 0 is hot (60 rows > threshold 10); 1..9 are cold
+    val fact = (0 until 100).map(i =>
+      (i.toLong, if (i % 5 < 3) 0L else (i % 9 + 1).toLong, i * 1.5))
+      .toDF("row_id", "k", "v")
+    val dim = (0L to 9L).map(k => (k, s"grp${k % 3}")).toDF("k", "g")
+    val plain = fact.join(dim, "k")
+      .select("row_id", "k", "v", "g")
+      .as[(Long, Long, Double, String)].collect().sorted.toSeq
+    val skewed = Joins.skewJoin(fact, dim, "k", buckets = 4,
+        hotThreshold = 10L)
+      .select("row_id", "k", "v", "g")
+      .as[(Long, Long, Double, String)].collect().sorted.toSeq
+    assert(skewed == plain)
+  }
+
+  test("skewJoin with no hot keys degrades to the plain join") {
+    val fact = (0 until 30).map(i => (i.toLong, (i % 10).toLong))
+      .toDF("row_id", "k")
+    val dim = (0L to 9L).map(k => (k, k * 2)).toDF("k", "d")
+    val plain = fact.join(dim, "k").select("row_id", "d")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val skewed = Joins.skewJoin(fact, dim, "k", buckets = 4,
+        hotThreshold = 1000L)
+      .select("row_id", "d").as[(Long, Long)].collect().sorted.toSeq
+    assert(skewed == plain)
+  }
+
+  test("applyCdcBatch: latest change wins, D drops, I/U land") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val changes = Seq(
+      (2L, "b2", "U", 1L), // update k=2
+      (3L, "c", "D", 1L), // delete k=3
+      (4L, "d", "I", 1L), // insert k=4
+      (2L, "b2", "D", 2L) // seq-2 delete overrides the seq-1 update
+    ).toDF("k", "name", "op", "seq")
+    val got = MergeOps.applyCdcBatch(base, changes, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (4L, "d")))
+  }
+
+  test("applyCdcBatch rejects an ambiguous (key, seq) pair") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val changes = Seq((1L, "x", "U", 1L), (1L, "y", "U", 1L))
+      .toDF("k", "name", "op", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.applyCdcBatch(base, changes, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("prfExpandTopK promotes feedback terms and rescues new docs") {
+    val docs = Seq(
+      (1L, "x y filler1"), (2L, "x y filler2"), (3L, "x y filler3"),
+      (4L, "y z only"), (5L, "z w none")).toDF("doc_id", "text")
+    val q = Seq((0L, "x")).toDF("query_id", "term")
+    val got = TextAnalysis.prfExpandTopK(docs, col("doc_id"), col("text"),
+        q, k = 10, fbDocs = 3, fbTerms = 1, minFbDf = 2)
+      .select("doc_id", "n_expanded")
+      .as[(Long, Long)].collect()
+    // feedback docs {1,2,3}; their only shared non-original term is "y"
+    // (fb_df=3) -> expansion "y" rescues doc 4, which pass 1 missed
+    assert(got.forall(_._2 == 1L), s"one expansion expected: ${got.toSeq}")
+    assert(got.map(_._1).toSet.contains(4L), "expanded term must rescue doc 4")
+    assert(!got.map(_._1).toSet.contains(5L), "doc 5 matches nothing")
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{DeletionVectors => DV, Sinks}
+
+/** Merge-on-read deletes over the generational Delta-logged tables:
+  * codec round-trips (Z85, GDV1/roaring — array AND bitmap containers),
+  * then the full lifecycle delete → MOR read → repeated delete → purge
+  * with count/set parity against a plain-parquet replay at every step.
+  */
+class DeletionVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Z85 codec ---------------------------------------------------------
+
+  test("z85 encode/decode round-trips every length mod 4 and byte value") {
+    // deterministic pseudo-random bytes (no Math.random in tests either)
+    def bytes(n: Int, seed: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 131 + seed * 65537 + (i >> 3)) % 251).toByte)
+    (0 to 17).foreach { n =>
+      val b = bytes(n, n + 7)
+      val enc = DV.z85Encode(b)
+      assert(enc.length == (n + 3) / 4 * 5, s"len $n: padded 5/4 expansion")
+      assert(DV.z85Decode(enc, n).toSeq == b.toSeq, s"len $n round-trip")
+    }
+    // all 256 byte values survive
+    val all = Array.tabulate(256)(i => i.toByte)
+    assert(DV.z85Decode(DV.z85Encode(all), 256).toSeq == all.toSeq)
+  }
+
+  // ---- GDV1 / roaring bitmap codec --------------------------------------
+
+  test("index serialization round-trips array and bitmap containers") {
+    // array container (<= 4096 values in one 16-bit key space)
+    val small = Array[Long](0L, 1L, 17L, 4095L, 65535L)
+    assert(DV.deserializeIndexes(DV.serializeIndexes(small)).toSeq
+      == small.toSeq)
+    // bitmap container: > 4096 values sharing the high-16 key
+    val dense = (0 until 5000).map(i => i.toLong * 2).toArray
+    assert(DV.deserializeIndexes(DV.serializeIndexes(dense)).toSeq
+      == dense.toSeq)
+    // multiple 16-bit containers + a second 2^32 part (row index > 2^32)
+    val spread = Array[Long](3L, 65536L + 9L, 1L << 20,
+      (1L << 32) + 5L, (1L << 32) + 70000L)
+    assert(DV.deserializeIndexes(DV.serializeIndexes(spread)).toSeq
+      == spread.toSeq)
+    // empty vector is representable (delete that matched nothing new)
+    assert(DV.deserializeIndexes(DV.serializeIndexes(Array.empty[Long])).isEmpty)
+  }
+
+  // ---- delete -> MOR read -> purge lifecycle -----------------------------
+
+  /** One upsert, clustered by key: repartitionByRange gives range-
+    * disjoint multi-file layout (4 shuffle partitions in tests), which
+    * the file-grain assertions below discover via `_metadata` rather
+    * than assume.
+    */
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("dvspec").toString + "/t"
+    // AQE coalesces the 60-row clustered write to one partition; the
+    // file-grain paths under test need several files, so pin the range
+    // partition count for the fixture build only (restored after)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try Sinks.upsertParquet(spark, dir,
+      spark.range(0, 60).select(col("id").as("k"),
+        (col("id") % 7).as("grp"), (col("id") * 10).as("v")),
+      keys = Seq("k"), clusterBy = Seq("k"))
+    finally spark.conf.set(key, prev)
+    dir
+  }
+
+  /** Live file basename -> the keys it physically carries. */
+  private def fileKeys(dir: String): Map[String, Set[Long]] =
+    Sinks.readDeltaTableAt(spark, dir)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("fn"), col("k"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (f, ks) => f -> ks.map(_._2).toSet }
+
+  test("deleteDeltaWhere marks rows without rewriting data files") {
+    val dir = freshTable()
+    val byFile = fileKeys(dir)
+    assert(byFile.size > 1, "clustered layout must give multiple files")
+    val dataBefore = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+      finally walk.close()
+    }
+    val res = DV.deleteDeltaWhere(spark, dir, col("k") % 10 === 3)
+    assert(res.rowsDeleted == 6, "k in {3,13,23,33,43,53}")
+    assert(res.filesWithDv ==
+      byFile.values.count(_.exists(_ % 10 == 3)) && res.filesDropped == 0)
+    // merge-on-read: every pre-existing data file is byte-identical
+    dataBefore.foreach { case (p, mtime) =>
+      val q = java.nio.file.Paths.get(p)
+      assert(Files.exists(q) && Files.getLastModifiedTime(q) == mtime,
+        s"data file rewritten by DELETE: $p")
+    }
+    // MOR read subtracts exactly the marked rows
+    val live = DV.readDeltaTableMor(spark, dir)
+    assert(live.count() == 54)
+    assert(live.select("k").as[Long].collect().toSet
+      == (0L until 60L).filter(_ % 10 != 3).toSet)
+    // metadata-only logical count agrees (physical stats minus cardinality)
+    assert(Sinks.deltaTableCount(spark, dir).contains(54L))
+  }
+
+  test("repeated deletes compose; full-file delete drops the file") {
+    val dir = freshTable()
+    // captured pre-delete: data files are immutable, but `_metadata` is
+    // only addressable on the raw scan (the MOR reader projects it away)
+    val victim = fileKeys(dir).values.head
+    assert(DV.deleteDeltaWhere(spark, dir, col("k") % 10 === 3)
+      .rowsDeleted == 6)
+    // overlapping predicate: k%10==3 rows are already marked — only the
+    // NEW marks count, and the vectors union
+    val second = DV.deleteDeltaWhere(spark, dir, col("k") % 5 === 3)
+    assert(second.rowsDeleted == 6, "k in {8,18,28,38,48,58} newly marked")
+    val live = DV.readDeltaTableMor(spark, dir)
+    assert(live.select("k").as[Long].collect().toSet
+      == (0L until 60L).filter(k => k % 10 != 3 && k % 5 != 3).toSet)
+    // delete EVERY physical row of one real file: its vector reaches the
+    // physical row count -> the file drops outright, no DV kept for it
+    val third = DV.deleteDeltaWhere(spark, dir,
+      col("k").isin(victim.toSeq: _*))
+    assert(third.filesDropped == 1,
+      s"fully-deleted file must drop outright, got $third")
+    val expect = (0L until 60L)
+      .filter(k => k % 10 != 3 && k % 5 != 3 && !victim(k)).toSet
+    assert(DV.readDeltaTableMor(spark, dir).select("k").as[Long]
+      .collect().toSet == expect)
+    assert(Sinks.deltaTableCount(spark, dir).contains(expect.size.toLong))
+  }
+
+  test("purge rewrites only DV'd files and clears their vectors") {
+    val dir = freshTable()
+    val dvFiles = fileKeys(dir).values.count(_.exists(_ % 10 == 3))
+    DV.deleteDeltaWhere(spark, dir, col("k") % 10 === 3)
+    val expected = (0L until 60L).filter(_ % 10 != 3).toSet
+    assert(DV.purgeDeletionVectors(spark, dir) == dvFiles)
+    // post-purge: same logical table, zero deletion vectors in the state
+    val live = DV.readDeltaTableMor(spark, dir)
+    assert(live.select("k").as[Long].collect().toSet == expected)
+    assert(Sinks.deltaTableCount(spark, dir).contains(54L))
+    // the plain (non-MOR) reader now agrees — vectors are physically gone
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == expected)
+    // idempotent: nothing left to purge
+    assert(DV.purgeDeletionVectors(spark, dir) == 0)
+  }
+
+  test("generational merge after a DV delete does not resurrect rows") {
+    val dir = freshTable() // v0
+    DV.deleteDeltaWhere(spark, dir, col("k") === 5) // v1
+    // the merge base must be the LOGGED state (DVs applied), not the raw
+    // generation directory that still physically carries k=5
+    Sinks.upsertParquet(spark, dir,
+      Seq((100L, 0L, 0L)).toDF("k", "grp", "v"), keys = Seq("k")) // v2
+    val ks = Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet
+    assert(!ks.contains(5L), "DV-deleted row resurrected by the merge")
+    assert(ks.contains(100L) && ks.size == 60)
+  }
+
+  test("deltaVersionDiff reports deletes, inserts, and update pairs") {
+    val dir = freshTable() // v0
+    DV.deleteDeltaWhere(spark, dir, col("k") === 5) // v1
+    Sinks.upsertParquet(spark, dir,
+      Seq((100L, 0L, 0L), (7L, 7L % 7, 7000L)).toDF("k", "grp", "v"),
+      keys = Seq("k")) // v2: one insert + one update (k=7's v changes)
+    val d01 = Sinks.deltaVersionDiff(spark, dir, 0L, 1L)
+      .select("op", "k").as[(String, Long)].collect().toSet
+    assert(d01 == Set(("D", 5L)))
+    val d12 = Sinks.deltaVersionDiff(spark, dir, 1L, 2L)
+      .select("op", "k", "v").as[(String, Long, Long)].collect().toSet
+    // the update to k=7 (v 70 -> 7000) is its D+I pair; 100 is a pure I
+    assert(d12 == Set(("I", 100L, 0L), ("D", 7L, 70L), ("I", 7L, 7000L)))
+  }
+
+  test("delete with no matches is a no-op commit-wise") {
+    val dir = freshTable()
+    val versions = Sinks.deltaLogVersions(dir).max
+    val res = DV.deleteDeltaWhere(spark, dir, col("k") > 1000)
+    assert(res == DV.DvDelete(0L, 0, 0))
+    assert(Sinks.deltaLogVersions(dir).max == versions,
+      "matchless delete must not write a commit")
+    assert(DV.readDeltaTableMor(spark, dir).count() == 60)
+  }
+}

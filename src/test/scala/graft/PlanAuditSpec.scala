@@ -87,7 +87,25 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast(16 centroid rows) to pick probe lists — q63's bounded
     // assignment pattern; the list scan itself is a bucket-pruned
     // hash-join, never nested-loop
-    "q198_ann_ivf_serving")
+    "q198_ann_ivf_serving",
+    // q219: two already-whitelisted shapes compose — the BM25 leg's
+    // corpus-stats cross join with a broadcast SINGLE-ROW aggregate
+    // (q171's pattern) and the dense leg's exact baseline, corpus
+    // streaming past broadcast(3 query vectors, vec_id < 3) on the
+    // non-equi self-exclusion predicate (q34's by-design pattern; the
+    // scale path for a large query set is the bucketed q63/q198 leg)
+    "q219_hybrid_retrieval",
+    // q226: the Hamming stage streams 8-BYTE corpus signatures past
+    // broadcast(5 query signatures) — q34's bounded pattern at 1/64 the
+    // per-row width (the whole point of binary quantization); the
+    // rerank stage is pure equi-joins
+    "q226_binary_rerank",
+    // q229: the k-means assignment pass — corpus × broadcast(16
+    // centroid rows), q63/q188's bounded pattern
+    "q229_prototype_prune",
+    // q230: both BM25 passes carry q171's corpus-stats cross join with
+    // a broadcast SINGLE-ROW aggregate
+    "q230_prf_expansion")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -129,7 +147,22 @@ class PlanAuditSpec extends SparkSpec {
     "q179_dedup_recall",
     // sampled dedup evaluation: the same single-row stats aggregate plus
     // the single-row hash-sample size — both one row by definition
-    "q180_dedup_recall_sampled")
+    "q180_dedup_recall_sampled",
+    // q214: the exact-total largest-remainder repair windows (SUM OVER (),
+    // ROW_NUMBER OVER (ORDER BY domain)) run over the DOMAIN-grain
+    // allocation frame — the PageRank output, already reduced by a
+    // distributed aggregation from page grain to one row per domain.
+    // Exact-total allocation is global by definition (A8's contract);
+    // its single-partition stage carries the domain table (~10^6-10^7
+    // rows / tens of MB at web scale), never the page corpus
+    "q214_crawl_budget",
+    // q219: the BM25 leg's corpus stats (N, Σdl) — the same global
+    // SINGLE-ROW aggregate whitelisted for q171 (distributed partial,
+    // single-row final merge)
+    "q219_hybrid_retrieval",
+    // q230: q171's corpus-stats global single-row aggregate, present in
+    // both BM25 passes
+    "q230_prf_expansion")
 
   /** Build every plan, trapping per-query failures: one broken reader must
     * not abort the audit of the other 150+ queries (the round-4 failure
