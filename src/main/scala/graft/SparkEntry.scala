@@ -1331,6 +1331,29 @@ object SparkEntry {
       MergeOps.applyCdcBatch(base, changes, keys = Seq("k"))
     }),
 
+    // ---- bigram-PMI collocations (Church & Hanks): exact integer
+    // counts, one DECIMAL-snapshotted double expression, distributed
+    // TakeOrdered top-100 ----
+    "q234_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), col("doc_id"),
+        col("text"), minCount = 5, k = 100)),
+
+    // ---- asymmetric n-gram containment (quote/subset-copy detection):
+    // every doc paired with an extended variant for doc_id % 13 = 0, so
+    // proper-subset pairs provably exist (orig ⊂ ext: containment 1.0);
+    // prefix-filtered candidates, exact intersect-over-|A| verify ----
+    "q235_ngram_containment" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val docs2 = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") * 2 + 1).as("doc_id"),
+            concat(col("text"), lit(" unique containment tail marker "),
+              col("doc_id").cast("string")).as("text")))
+      Dedup.ngramContainmentPairs(docs2, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9,
+        hashShingles = Some(Dedup.CrossEngineHash))
+    }),
+
     // ---- HITS hub/authority centrality over the link-fixture domain
     // graph — PageRank's complementary crawl-seeding signal, same
     // integer fixed-point determinism contract (q197/q209) ----
@@ -6999,6 +7022,52 @@ object SparkEntry {
     "q226_binary_rerank" -> q226Oracle,
     "q229_prototype_prune" -> q229Oracle,
     "q230_prf_expansion" -> q230Oracle,
+
+    // bigram-PMI collocations: exact counts, one pinned double
+    // expression DECIMAL-snapshotted, deterministic top-100
+    "q234_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS t FROM documents),
+         |bg AS (SELECT t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i + 1 AS INT)] AS w2
+         |  FROM t, UNNEST(range(1, len(t))) u(i)),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+         |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+         |stats AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tok,
+         |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_big FROM t),
+         |sc AS (SELECT w1, w2, n_ab,
+         |    CAST(CAST(ln(
+         |      (CAST(n_ab AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+         |      ((CAST(a.n_w AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+         |       (CAST(b.n_w AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+         |    ) AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+         |  FROM big JOIN uni a ON a.w = big.w1
+         |  JOIN uni b ON b.w = big.w2 CROSS JOIN stats)
+         |SELECT w1, w2, n_ab, pmi FROM sc
+         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // asymmetric containment: the oracle states the COMPLETE answer as
+    // an all-pairs join (the prefix filter must lose nothing)
+    "q235_ngram_containment" ->
+      s"""WITH d2 AS (
+         |  SELECT doc_id * 2 AS doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1,
+         |    text || ' unique containment tail marker ' || doc_id
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |t AS (SELECT doc_id, $dkToks AS toks FROM d2),
+         |s AS (SELECT doc_id,
+         |    list_distinct(list_transform(${dkShingles(3)},
+         |      s -> ${dkHash("s")})) AS sh
+         |  FROM t),
+         |f AS (SELECT * FROM s WHERE len(sh) > 0)
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(a.sh), 4) AS containment
+         |  FROM f a JOIN f b ON a.doc_id <> b.doc_id)
+         |WHERE containment >= 0.9""".stripMargin,
 
     // the skew-treated join must reproduce the plain join (q167's
     // contract at join grain)

@@ -262,6 +262,60 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Asymmetric n-gram CONTAINMENT join: ordered pairs (a, b) with
+    * |sh(a) ∩ sh(b)| / |sh(a)| >= threshold — the quote/subset-copy
+    * detector Jaccard cannot express (a short doc fully embedded in a
+    * long one has low Jaccard but containment 1.0; dedup policy usually
+    * drops the CONTAINED side).
+    *
+    * Prefix filtering adapts to the asymmetry: containment >= t means at
+    * least ceil(t·|A|) of A's shingles appear in B, so A's prefix of
+    * |A| − ceil(t·|A|) + 1 rarest shingles (global-frequency order) must
+    * intersect B's FULL shingle set — candidates are prefix(A) ⋈
+    * postings(B) on the shingle key, complete at the threshold by the
+    * standard prefix-filter argument. The joined keys are each doc's
+    * RAREST shingles, so bucket sizes track the corpus's rare-shingle
+    * ceiling, not its hot phrases; verification is the exact
+    * intersect-over-|A| on the candidate pairs only.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                            n: Int = 3, threshold: Double = 0.9,
+                            materialize: Boolean = true,
+                            hashShingles: Option[HashFamily] = None)
+      : DataFrame = {
+    val shRaw = array_distinct(shingles(textCol, n))
+    val shCol = hashShingles match {
+      case Some(fam) => array_distinct(transform(shRaw, s => fam.hash(s)))
+      case None => shRaw
+    }
+    val sh0 = df.select(idCol.as("id"), shCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sh = if (materialize) sh0.persist() else sh0
+    val ex = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("freq"), col("s"))
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .cast("int")
+    val prefix = ex.join(freq, "s")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= prefixLen)
+      .select(col("id"), col("s"))
+    val cand = prefix.alias("a")
+      .join(ex.select(col("id"), col("s")).alias("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity join: all pairs with sim >= threshold.
     *
     * Implemented as a PPJoin-style prefix-filtered similarity join — the

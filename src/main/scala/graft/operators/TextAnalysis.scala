@@ -1105,6 +1105,54 @@ object TextAnalysis {
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(count(lit(1)).as("n_links"))
 
+  /** Corpus-wide bigram collocations by pointwise mutual information —
+    * the classic multiword-expression extractor (Church & Hanks 1990):
+    * PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p from exact integer
+    * counts (bigrams over B, unigrams over N), snapshotted to 6dp
+    * DECIMAL so the ranking replays in any engine. `minCount` suppresses
+    * the low-frequency PMI explosion (a hapax pair maxes the score).
+    *
+    * Scale: bigrams are built IN-EXPRESSION (zip tokens with their own
+    * tail — map-only, no positional self-join); then one hash aggregate
+    * at bigram grain, one at unigram grain, two equi-joins of bigram
+    * counts to unigram counts on the word key, and the N/B single-row
+    * aggregate broadcast (q61's corpus-stats pattern). Top-k is a
+    * distributed TakeOrdered, never a global window.
+    */
+  def collocations(df: DataFrame, idCol: Column, textCol: Column,
+                   minCount: Long = 5, k: Int = 100): DataFrame = {
+    val toks = split(normText(textCol), " ")
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = df.select(explode(bgArr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val stats = df.select(toks.as("t"))
+      .agg(sum(size(col("t"))).cast("long").as("n_tok"),
+        sum(greatest(size(col("t")) - 1, lit(0))).cast("long").as("n_big"))
+    // DECIMAL-snapshot (no round(): cast rounding is the cross-engine-
+    // stable form) of one double expression with pinned parenthesization
+    val pmi = log(
+      (col("n_ab").cast("double") / col("n_big").cast("double")) /
+        ((col("n_a").cast("double") / col("n_tok").cast("double")) *
+          (col("n_b").cast("double") / col("n_tok").cast("double"))))
+      .cast("decimal(18,6)").cast("double")
+    big
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("n_ab"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Exact phrase search over a positional token index — the retrieval
     * primitive BM25's bag-of-words scoring cannot express ("new york"
     * must not match "york ... new"). Alignment algebra instead of a

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graphs, Joins, MergeOps, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graphs, Joins, MergeOps, Similarity, TextAnalysis}
 
 /** Round-9 operator semantics: label propagation, phrase search,
   * main-content extraction, binary-quantized rerank, prototype pruning,
@@ -164,6 +164,38 @@ class CurationOps2Spec extends SparkSpec {
       MergeOps.applyCdcBatch(base, changes, Seq("k"))
     }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("collocations: exact PMI from integer counts, minCount filter") {
+    // "alpha beta" 6x (passes minCount=5); every filler bigram is unique
+    val docs = ((1L to 6L).map(i => (i, "alpha beta")) ++
+      (10L to 19L).map(i => (i, s"f${i}a f${i}b f${i}c")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, col("doc_id"), col("text"),
+        minCount = 5, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length == 1, s"only the alpha-beta pair qualifies: ${got.toSeq}")
+    val (w1, w2, nAb, pmi) = got.head
+    assert((w1, w2, nAb) == ("alpha", "beta", 6L))
+    // N = 6*2 + 10*3 = 42 tokens; B = 6*1 + 10*2 = 26 bigrams
+    val expected = BigDecimal(math.log((6.0 / 26.0) /
+        ((6.0 / 42.0) * (6.0 / 42.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi == expected, s"pmi $pmi != $expected")
+  }
+
+  test("ngramContainmentPairs finds proper-subset copies one-way") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "p q r s t u v w x y z"), // 1 is fully contained in 2
+      (3L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, col("doc_id"),
+        col("text"), n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // sh(1) = 6 3-grams, all present in doc 2 -> containment 1.0;
+    // reverse = 6/9 = 0.667 < 0.9; doc 3 shares nothing
+    assert(got == Set((1L, 2L, 1.0)))
   }
 
   test("prfExpandTopK promotes feedback terms and rescues new docs") {

@@ -105,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     "q229_prototype_prune",
     // q230: both BM25 passes carry q171's corpus-stats cross join with
     // a broadcast SINGLE-ROW aggregate
-    "q230_prf_expansion")
+    "q230_prf_expansion",
+    // q234: the N/B token-count cross join — q61's corpus-stats
+    // broadcast SINGLE-ROW aggregate
+    "q234_collocations")
 
   /** Queries whose plans legitimately contain a SinglePartition exchange.
     * All but one are GLOBAL SINGLE-ROW AGGREGATES (a scalar/bounds/profile
@@ -162,7 +165,10 @@ class PlanAuditSpec extends SparkSpec {
     "q219_hybrid_retrieval",
     // q230: q171's corpus-stats global single-row aggregate, present in
     // both BM25 passes
-    "q230_prf_expansion")
+    "q230_prf_expansion",
+    // q234: the N/B token-count global single-row aggregate (q61 shape);
+    // the top-k itself is a distributed TakeOrdered, not a global sort
+    "q234_collocations")
 
   /** Build every plan, trapping per-query failures: one broken reader must
     * not abort the audit of the other 150+ queries (the round-4 failure
