@@ -1354,6 +1354,20 @@ object SparkEntry {
         hashShingles = Some(Dedup.CrossEngineHash))
     }),
 
+    // ---- grouped HyperLogLog distinct estimate vs the exact count:
+    // 256 integer registers per group, harmonic fold as an exact
+    // DECIMAL integer sum, one double division — engine-replayable
+    // (the scale path KMV/exact COUNT DISTINCT cannot walk) ----
+    "q236_hll_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"))
+      val est = Sketches.hllDistinct(ev, Seq("event_type"), col("event_id"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_empty"),
+          col("n_hll"))
+    }),
+
     // ---- HITS hub/authority centrality over the link-fixture domain
     // graph — PageRank's complementary crawl-seeding signal, same
     // integer fixed-point determinism contract (q197/q209) ----
@@ -7068,6 +7082,40 @@ object SparkEntry {
          |      / len(a.sh), 4) AS containment
          |  FROM f a JOIN f b ON a.doc_id <> b.doc_id)
          |WHERE containment >= 0.9""".stripMargin,
+
+    // grouped HLL: top-8-bits register, binary-string-length rank,
+    // exact HUGEINT harmonic fold, one double division, linear-counting
+    // branch when raw <= 640 with empty registers
+    "q236_hll_distinct" ->
+      s"""WITH k AS (SELECT event_type,
+         |    ${dkHash("CAST(event_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT event_type, h >> 52 AS j,
+         |    h & ${(1L << 52) - 1} AS w FROM k),
+         |rk AS (SELECT event_type, j,
+         |    max(CASE WHEN w = 0 THEN 53
+         |      ELSE 53 - length(printf('%b', w)) END) AS m
+         |  FROM r GROUP BY 1, 2),
+         |ag AS (SELECT event_type,
+         |    sum(1::BIGINT << (60 - m)) AS zsum,
+         |    CAST(count(*) AS BIGINT) AS np
+         |  FROM rk GROUP BY 1),
+         |est AS (SELECT event_type, CAST(256 - np AS BIGINT) AS n_empty,
+         |    ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+         |     (CAST(zsum + CAST(256 - np AS HUGEINT)
+         |         * 1152921504606846976 AS DOUBLE)
+         |      / CAST(1152921504606846976 AS DOUBLE))) AS raw
+         |  FROM ag),
+         |fin AS (SELECT event_type, n_empty,
+         |    CASE WHEN raw <= 640.0 AND n_empty > 0
+         |      THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
+         |      ELSE raw END AS e
+         |  FROM est),
+         |ex AS (SELECT event_type,
+         |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT f.event_type, ex.n_exact, f.n_empty,
+         |  CAST(CAST(f.e AS DECIMAL(18,4)) AS DOUBLE) AS n_hll
+         |FROM fin f JOIN ex ON ex.event_type = f.event_type""".stripMargin,
 
     // the skew-treated join must reproduce the plain join (q167's
     // contract at join grain)

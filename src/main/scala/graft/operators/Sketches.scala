@@ -116,4 +116,57 @@ object Sketches {
       .orderBy(col("est_total_count").desc, col("key"))
       .limit(topN)
   }
+
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007), grouped
+    * — and, unlike every library HLL, ENGINE-REPLAYABLE: the register
+    * index is the hash's top `p` bits, the rank is the leading-zero
+    * count of the remaining 60−p bits (computed as a binary-string
+    * length — exact integers, no float log2), and the harmonic-mean
+    * denominator Σ 2^−M_j is summed as the EXACT integer Σ 2^(60−M_j)
+    * in DECIMAL(38,0) before ONE double division — so the estimate is
+    * order-invariant at any parallelism and identical in an external
+    * SQL engine (q236's oracle). Small-range correction: linear
+    * counting (m·ln(m/V)) when raw ≤ 2.5m and empty registers exist.
+    *
+    * Scale: two hash aggregates — (groups, register) max-rank, then
+    * (groups) fold over ≤ 2^p register rows per group. Constant
+    * 2^p-bounded state per group at ANY key cardinality: the whole
+    * point vs an exact COUNT(DISTINCT), whose expand-shuffle carries
+    * every distinct key. KMV ([[kmvDistinct]]) needs one top-k heap per
+    * group of hashes; HLL's fixed registers also MERGE (max per
+    * register), making it the incremental/partitioned form.
+    *
+    * Output: (groupCols..., n_empty, n_hll).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, "p out of range (registers = 2^p)")
+    val m = 1 << p
+    val field = 60 - p
+    val h = F.hash64(key)
+    val w = h.bitwiseAND(lit((1L << field) - 1))
+    val rank = when(w === 0, lit(field + 1))
+      .otherwise(lit(field + 1) - length(bin(w)))
+    val regs = df
+      .select((groupCols.map(col) :+ shiftright(h, field).as("__j") :+
+        rank.as("__r")): _*)
+      .groupBy((groupCols.map(col) :+ col("__j")): _*)
+      .agg(max(col("__r")).as("__m"))
+    val two60 = lit(1152921504606846976L) // 2^60
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - __m) " +
+          "AS DECIMAL(38,0))")).as("__zsum"),
+        count(lit(1)).as("__np"))
+    val zeros = lit(m) - col("__np")
+    val zscaled = col("__zsum") +
+      zeros.cast("decimal(38,0)") * two60.cast("decimal(38,0)")
+    val zd = zscaled.cast("double") / two60.cast("double")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble * m) / zd
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    agg.select((groupCols.map(col) :+ zeros.cast("long").as("n_empty") :+
+      est.cast("decimal(18,4)").cast("double").as("n_hll")): _*)
+  }
 }

@@ -56,4 +56,28 @@ class SketchesSpec extends SparkSpec {
     // roughly a quarter of the 200 keys survive a 1/4 sample
     assert(got.length > 20 && got.length < 90)
   }
+
+  test("hllDistinct: sketch-accurate, partition/duplicate-invariant") {
+    import spark.implicits._
+    val df = spark.range(0, 5000).select(lit("g").as("g"), col("id"))
+    def est(d: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllDistinct(d, Seq("g"), col("id"))
+        .select("n_hll").as[Double].head()
+    val e = est(df)
+    // m=256 -> standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(e - 5000) / 5000.0 < 0.2, s"estimate $e vs 5000")
+    // the estimate is a pure function of the key SET: same under any
+    // partitioning and under duplicated rows
+    assert(est(df.repartition(13)) == e)
+    assert(est(df.union(df)) == e)
+  }
+
+  test("hllDistinct small-range linear counting branch") {
+    import spark.implicits._
+    val df = spark.range(0, 30).select(lit("g").as("g"), col("id"))
+    val row = Sketches.hllDistinct(df, Seq("g"), col("id"))
+      .select("n_empty", "n_hll").as[(Long, Double)].head()
+    assert(row._1 > 200, "30 keys must leave most of 256 registers empty")
+    assert(math.abs(row._2 - 30) / 30.0 < 0.15, s"linear count ${row._2}")
+  }
 }
