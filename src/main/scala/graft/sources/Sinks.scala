@@ -127,12 +127,26 @@ object Sinks {
           // merge-on-read base: a DELETE may have left deletion vectors
           // on (or a purge may have superseded) this generation's files —
           // merging the raw gen directory would RESURRECT deleted rows in
-          // the new generation. The logged state is the truth; the raw
-          // pointer path stays as the fallback for log-less tables.
+          // the new generation. The logged state is the truth — UNLESS
+          // the log is still BEHIND the pointer (a writer died between
+          // pointer swap and log write): merging the stale logged state
+          // would silently drop that writer's whole batch (the round-9
+          // heal-test trap). The log covers the pointer when its live set
+          // carries this generation's paths, or a purge has rewritten
+          // them (purge runs on logged state, so it postdates the gen's
+          // commit). An unlogged generation can carry no deletion
+          // vectors — its raw directory is DV-free by construction.
           val target =
-            if (Files.exists(root.resolve("_delta_log")))
-              readDeltaTableAt(spark, tablePath)
-            else spark.read.parquet(root.resolve(gen).toString)
+            if (Files.exists(root.resolve("_delta_log"))) {
+              val (state, _) = deltaStateWithMeta(spark, tablePath,
+                Long.MaxValue)
+              val logCoversPointer =
+                state.keys.exists(_.startsWith(s"$gen/")) ||
+                  state.keys.exists(_.startsWith("gen-dv-purge-"))
+              if (logCoversPointer && state.nonEmpty)
+                readDeltaTableAt(spark, tablePath)
+              else spark.read.parquet(root.resolve(gen).toString)
+            } else spark.read.parquet(root.resolve(gen).toString)
           // MERGE WITH SCHEMA EVOLUTION: widen both sides to the union
           // schema (new columns null on existing rows) before the merge;
           // without the flag a drifted batch fails upsert's schema check

@@ -142,6 +142,12 @@ class DeltaLogSpec extends SparkSpec {
       "the healed version replays the skipped generation from disk")
     assert(Sinks.readDeltaTableAt(spark, dir).orderBy("k").collect().toSeq
       == Sinks.readUpsertTable(spark, dir).orderBy("k").collect().toSeq)
+    // CONTENT pin (round-9 regression): the healing writer must merge
+    // from the POINTER generation, not the stale logged state — a
+    // log-state base here would silently drop k=2's acknowledged batch
+    assert(Sinks.readUpsertTable(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "no batch may be lost across the heal")
   }
 
   test("partitioned upserts log one batch commit scoped to affected partitions") {
