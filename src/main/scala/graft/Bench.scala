@@ -136,8 +136,16 @@ object Bench {
           val re = (1 to 2).map(_ => materialize(n)).filter(_ >= 0)
           if (re.isEmpty) None else Some(re.min / prevMin(n))
         }.sorted
+        // true median (average of middles when even — ratios(size/2)
+        // alone is the UPPER middle, which inflates drift and misfiles
+        // real regressions as machine_drift), floored at 1
         if (ratios.size < 2) 1.0
-        else math.max(1.0, ratios(ratios.size / 2)) // median, floored at 1
+        else {
+          val med =
+            if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+            else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+          math.max(1.0, med)
+        }
       }
     val confirms = suspects.map { case (name, _, best, _) =>
       spark.catalog.clearCache()

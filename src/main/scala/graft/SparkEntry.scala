@@ -52,6 +52,17 @@ object SparkEntry {
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker).trim == stamp
     if (!fresh) {
+      // q232 pins version numbers (v0=MERGE, v1=DELETE), so a stale or
+      // half-built root (layout change, crash before the marker write)
+      // must be WIPED, never built on top of
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
       graft.sources.Sinks.upsertParquet(s, root,
         Tables.documents(s, d).select(col("doc_id"), col("source"),
           col("n_chars")), keys = Seq("doc_id"))
@@ -5908,12 +5919,12 @@ object SparkEntry {
         |    list_distinct(list_transform(${dkShingles(3)},
         |      s -> ${dkHash("s")})) AS sh
         |  FROM t)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8""".stripMargin,
+        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.8""".stripMargin,
 
     "q30_lang_id" ->
       """WITH t AS (
@@ -7076,12 +7087,12 @@ object SparkEntry {
          |      s -> ${dkHash("s")})) AS sh
          |  FROM t),
          |f AS (SELECT * FROM s WHERE len(sh) > 0)
-         |SELECT id_a, id_b, containment FROM (
+         |SELECT id_a, id_b, ROUND(c, 4) AS containment FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / len(a.sh), 4) AS containment
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(a.sh) AS c
          |  FROM f a JOIN f b ON a.doc_id <> b.doc_id)
-         |WHERE containment >= 0.9""".stripMargin,
+         |WHERE c >= 0.9""".stripMargin,
 
     // grouped HLL: top-8-bits register, binary-string-length rank,
     // exact HUGEINT harmonic fold, one double division, linear-counting

@@ -311,9 +311,15 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")), 4).as("containment"))
-      .filter(col("containment") >= threshold)
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("__c"))
+      // threshold on the EXACT ratio — the prefix filter's completeness
+      // guarantee holds for exact containment >= t; thresholding on the
+      // 4dp-rounded value would admit pairs in [t - 5e-5, t) that the
+      // candidate join is allowed to miss. Round only for display.
+      .filter(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__c"), 4).as("containment"))
   }
 
   /** Exact n-gram Jaccard similarity join: all pairs with sim >= threshold.
@@ -371,9 +377,12 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
+      // exact-ratio threshold (prefix completeness holds for exact >= t;
+      // a rounded threshold admits pairs the candidate join may miss)
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
   /** k MinHash values per doc: min over shingle hashes under k independent

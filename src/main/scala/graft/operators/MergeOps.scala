@@ -156,13 +156,29 @@ object MergeOps {
   def applyCdcBatch(base: DataFrame, changes: DataFrame, keys: Seq[String],
                     opCol: String = "op", seqCol: String = "seq")
       : DataFrame = {
-    val dup = changes.groupBy((keys.map(col) :+ col(seqCol)): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
-    require(dup.isEmpty,
-      s"applyCdcBatch: duplicate (${keys.mkString(",")}, $seqCol) in batch")
+    // validation stays LAZY (no job at construction time — plan builds
+    // and pipeline composition must stay free) and DISTRIBUTED: an
+    // ambiguous (key, seq) pair or a NULL/unknown op fails the job
+    // loudly at execution instead of silently losing the change
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys.map(col) :+ col(seqCol)): _*)
+    val checked = changes
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn(opCol,
+        when(col("__dup") > 1, raise_error(concat(
+          lit(s"applyCdcBatch: duplicate (${keys.mkString(",")}, " +
+            s"$seqCol) in batch for key "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+          // explicit NULL arm: !isin(...) on NULL is NULL, not true
+          .when(col(opCol).isNull || !col(opCol).isin("I", "U", "D"),
+            raise_error(concat(
+            lit(s"applyCdcBatch: op must be I/U/D, got "),
+            coalesce(col(opCol).cast("string"), lit("NULL")))))
+          .otherwise(col(opCol)))
+      .drop("__dup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-    val latest = changes.withColumn("__rn", row_number().over(w))
+    val latest = checked.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val untouched = base.join(latest.select(keys.map(col): _*),
       keys, "left_anti")

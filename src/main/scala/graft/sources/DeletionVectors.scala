@@ -257,6 +257,10 @@ object DeletionVectors {
                        predicate: Column): DvDelete = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val mapper = Sinks.jsonMapper
+    // the version the matched row-indexes were computed against: the
+    // commit below is only valid against THIS state — a merge landing in
+    // between rewrites files and the indexes would mark wrong rows
+    val vAtRead = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
     val (state, meta) =
       Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     require(state.nonEmpty, s"no live files under $tablePath")
@@ -304,7 +308,6 @@ object DeletionVectors {
     }
 
     val logDir = root.resolve("_delta_log")
-    val v = Sinks.deltaLogVersions(tablePath).max + 1
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
     val ci = mapper.createObjectNode()
@@ -331,10 +334,22 @@ object DeletionVectors {
       actions += mapper.writeValueAsString(w)
     }
     val body = actions.result().mkString("", "\n", "\n")
-    val tmp = logDir.resolve(f"$v%020d.json.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // commit under the table's metadata lock, and only if no other
+    // commit landed since the predicate scan (the row indexes are only
+    // meaningful against the scanned state) — a racer fails loudly, the
+    // caller re-runs the delete against the fresh state
+    Sinks.withMetadataLock(root, 60000L) {
+      val vNow = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      if (vNow != vAtRead)
+        throw new java.util.ConcurrentModificationException(
+          s"deleteDeltaWhere($tablePath): version advanced " +
+            s"$vAtRead -> $vNow during the predicate scan; retry")
+      val v = vNow + 1
+      val tmp = logDir.resolve(f"$v%020d.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     DvDelete(rowsDeleted, adds.result().size, dropped)
   }
 
@@ -405,12 +420,13 @@ object DeletionVectors {
   def purgeDeletionVectors(spark: SparkSession, tablePath: String): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val mapper = Sinks.jsonMapper
+    val vAtRead = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
     val (state, meta) =
       Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     val withDv = state.toSeq.filter(_._2.has("deletionVector"))
     if (withDv.isEmpty) return 0
     val root = Paths.get(tablePath)
-    val v = Sinks.deltaLogVersions(tablePath).max + 1
+    val v = vAtRead + 1
     val genDir = root.resolve(f"gen-dv-purge-$v%020d")
     scanWithDvs(spark, tablePath, withDv)
       .write.mode("overwrite").parquet(genDir.toString)
@@ -446,10 +462,19 @@ object DeletionVectors {
     }
     val body = actions.result().mkString("", "\n", "\n")
     val logDir = root.resolve("_delta_log")
-    val tmp = logDir.resolve(f"$v%020d.json.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // same commit discipline as deleteDeltaWhere: lock + staleness check
+    // (the rewritten files were selected against the scanned state)
+    Sinks.withMetadataLock(root, 60000L) {
+      val vNow = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      if (vNow != vAtRead)
+        throw new java.util.ConcurrentModificationException(
+          s"purgeDeletionVectors($tablePath): version advanced " +
+            s"$vAtRead -> $vNow during the rewrite; retry")
+      val tmp = logDir.resolve(f"$v%020d.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     withDv.size
   }
 }

@@ -122,6 +122,15 @@ object Sinks {
     while (!committed) {
       attempt += 1
       val base = readPointer()
+      // captured BEFORE the merge base is read: any DELETE/purge/merge
+      // commit landing after this point changes the log tail, and the
+      // commit-time CAS below detects it and retries — without this, a
+      // DELETE racing the merge would be silently undone (its DVs are in
+      // the log, not the pointer, so the pointer CAS alone cannot see it)
+      val baseLogVersion: Option[Long] =
+        if (Files.exists(root.resolve("_delta_log")))
+          deltaLogVersions(tablePath).lastOption
+        else None
       val merged = base match {
         case Some(gen) =>
           // merge-on-read base: a DELETE may have left deletion vectors
@@ -130,31 +139,37 @@ object Sinks {
           // the new generation. The logged state is the truth — UNLESS
           // the log is still BEHIND the pointer (a writer died between
           // pointer swap and log write): merging the stale logged state
-          // would silently drop that writer's whole batch (the round-9
-          // heal-test trap). The log covers the pointer when its live set
-          // carries this generation's paths, or a purge has rewritten
-          // them (purge runs on logged state, so it postdates the gen's
-          // commit). An unlogged generation can carry no deletion
-          // vectors — its raw directory is DV-free by construction.
-          val target =
-            if (Files.exists(root.resolve("_delta_log"))) {
+          // would silently drop that writer's whole batch. The sidecar
+          // written with every generation commit ([[lastLoggedGeneration]])
+          // states exactly which generation the log covers — no
+          // inference from live paths (a purge rewrites them) or purge
+          // sentinels (a purge can coexist with a crashed newer writer).
+          // An unlogged generation can carry no deletion vectors, so its
+          // raw directory is DV-free by construction.
+          val genNum = gen.stripPrefix("gen-").toLong
+          val targetOpt: Option[DataFrame] =
+            if (Files.exists(root.resolve("_delta_log")) &&
+                lastLoggedGeneration(root).exists(_ >= genNum)) {
               val (state, _) = deltaStateWithMeta(spark, tablePath,
                 Long.MaxValue)
-              val logCoversPointer =
-                state.keys.exists(_.startsWith(s"$gen/")) ||
-                  state.keys.exists(_.startsWith("gen-dv-purge-"))
-              if (logCoversPointer && state.nonEmpty)
-                readDeltaTableAt(spark, tablePath)
-              else spark.read.parquet(root.resolve(gen).toString)
-            } else spark.read.parquet(root.resolve(gen).toString)
-          // MERGE WITH SCHEMA EVOLUTION: widen both sides to the union
-          // schema (new columns null on existing rows) before the merge;
-          // without the flag a drifted batch fails upsert's schema check
-          val (t, s) =
-            if (evolveSchema)
-              graft.operators.MergeOps.alignSchemas(target, source)
-            else (target, source)
-          graft.operators.MergeOps.upsert(t, s, keys, strategies)
+              // empty logged state = a DELETE dropped every live file;
+              // the merge base is NOTHING, never the raw (pre-delete) dir
+              if (state.isEmpty) None
+              else Some(readDeltaTableAt(spark, tablePath))
+            } else Some(spark.read.parquet(root.resolve(gen).toString))
+          targetOpt match {
+            case None => source.dropDuplicates(keys)
+            case Some(target) =>
+              // MERGE WITH SCHEMA EVOLUTION: widen both sides to the
+              // union schema (new columns null on existing rows) before
+              // the merge; without the flag a drifted batch fails
+              // upsert's schema check
+              val (t, s) =
+                if (evolveSchema)
+                  graft.operators.MergeOps.alignSchemas(target, source)
+                else (target, source)
+              graft.operators.MergeOps.upsert(t, s, keys, strategies)
+          }
         case None => source.dropDuplicates(keys)
       }
       val nextNum = base.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
@@ -173,7 +188,11 @@ object Sinks {
           .sortWithinPartitions(clusterBy.map(col): _*)
       laid.write.mode(SaveMode.Overwrite).parquet(stage.toString)
       withMetadataLock(root, staleLockMs) {
-        if (readPointer() == base) {
+        val logUnchanged = baseLogVersion ==
+          (if (Files.exists(root.resolve("_delta_log")))
+            deltaLogVersions(tablePath).lastOption
+          else None)
+        if (readPointer() == base && logUnchanged) {
           val genDir = root.resolve(s"gen-$nextNum")
           // an existing gen-N+1 while the pointer still names N is an
           // orphan from a committer that died between its move and its
@@ -213,7 +232,7 @@ object Sinks {
     * steal itself races benignly: both stealers delete, one create-new
     * wins, the other keeps polling).
     */
-  private def withMetadataLock[A](root: java.nio.file.Path,
+  private[sources] def withMetadataLock[A](root: java.nio.file.Path,
                                   staleLockMs: Long)(body: => A): A = {
     import java.nio.file.Files
     val lock = root.resolve("_LOCK")
@@ -1193,9 +1212,12 @@ object Sinks {
         // (the writer died between the two steps) — re-log it in order
         // at the next sequential versions; a vacuumed never-logged
         // generation was transient and unobservable, nothing to heal.
-        val lastLoggedGen = live.flatMap(p =>
-          "^gen-(\\d+)/".r.findFirstMatchIn(p).map(_.group(1).toLong))
-          .foldLeft(-1L)(math.max)
+        // lastLoggedGen comes from the sidecar written with every
+        // generation commit — NOT inferred from live paths (a purge or
+        // a delete-all leaves no gen-N path while the log is fully
+        // current, and the heal loop would then re-log old generations'
+        // deleted rows as spurious versions).
+        val lastLoggedGen = lastLoggedGeneration(root).getOrElse(-1L)
         var v = logged.lastOption.map(_ + 1).getOrElse(0L)
         ((lastLoggedGen + 1) until target).foreach { k =>
           val genDir = root.resolve(s"gen-$k")
@@ -1205,9 +1227,49 @@ object Sinks {
           }
         }
         commitSnapshot(v, newGenDirs, replacePrefixes)
+        val tmp = logDir.resolve("_GEN_LOGGED.tmp")
+        Files.writeString(tmp, target.toString)
+        Files.move(tmp, logDir.resolve("_GEN_LOGGED"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
       case None =>
         commitSnapshot(logged.lastOption.map(_ + 1).getOrElse(0L),
           newGenDirs, replacePrefixes)
+    }
+  }
+
+  /** The highest GENERATION number the delta log has committed — the
+    * `_GEN_LOGGED` sidecar [[appendDeltaCommit]] swaps in atomically
+    * after each generation commit (log versions outpace generations once
+    * DELETE/purge commits interleave, so this cannot be derived from
+    * version numbers; live paths cannot tell either — a purge or
+    * delete-all leaves none). Legacy tables without the sidecar fall
+    * back to the max generation among live paths.
+    */
+  private[sources] def lastLoggedGeneration(
+      root: java.nio.file.Path): Option[Long] = {
+    import java.nio.file.Files
+    val f = root.resolve("_delta_log").resolve("_GEN_LOGGED")
+    if (Files.exists(f))
+      scala.util.Try(Files.readString(f).trim.toLong).toOption
+    else if (!Files.exists(root.resolve("_delta_log"))) None
+    else {
+      // legacy fallback: infer from live paths (pre-sidecar tables had
+      // no purge/delete commits, so gen paths are always live)
+      val versions = deltaLogVersions(root.toString)
+      if (versions.isEmpty &&
+          !Files.exists(root.resolve("_delta_log")
+            .resolve("_last_checkpoint"))) None
+      else {
+        val live = scala.collection.mutable.LinkedHashMap[String,
+          com.fasterxml.jackson.databind.JsonNode]()
+        // cheap replay via the public reader path is overkill here; the
+        // JSON tail suffices for legacy tables
+        replayJsonRange(root.toString, -1L, Long.MaxValue, live)
+        val gens = live.keys.flatMap(p =>
+          "^gen-(\\d+)/".r.findFirstMatchIn(p).map(_.group(1).toLong))
+        if (gens.isEmpty) None else Some(gens.max)
+      }
     }
   }
 
@@ -1250,16 +1312,36 @@ object Sinks {
                                 keepGenerations: Int): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
+    val genName = "^gen-(\\d+)$".r
     val expired = {
       val ls = Files.list(root)
       try ls.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("gen-"))
-        .filter(p => p.getFileName.toString.stripPrefix("gen-").toLong
-          <= newestNum - keepGenerations)
+        .filter(p => genName.findFirstMatchIn(p.getFileName.toString)
+          .exists(_.group(1).toLong <= newestNum - keepGenerations))
         .toSeq
       finally ls.close()
     }
     expired.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    // DV-purge rewrite dirs (gen-dv-purge-<version>): dead as soon as a
+    // LATER generation commit replaced the whole live set; retained for
+    // the same count of commits as generations so recent time travel
+    // keeps resolving (version numbers advance at least as fast as
+    // generation numbers, so the version window is never shorter)
+    val maxV = deltaLogVersions(root.toString).foldLeft(-1L)(math.max)
+    val purgeName = "^gen-dv-purge-(\\d+)$".r
+    val deadPurges = {
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter(p => purgeName.findFirstMatchIn(p.getFileName.toString)
+          .exists(_.group(1).toLong <= maxV - keepGenerations))
+        .toSeq
+      finally ls.close()
+    }
+    deadPurges.foreach { p =>
       val walk = Files.walk(p)
       try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally walk.close()

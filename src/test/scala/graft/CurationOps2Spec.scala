@@ -156,14 +156,30 @@ class CurationOps2Spec extends SparkSpec {
     assert(got == Set((1L, "a"), (4L, "d")))
   }
 
-  test("applyCdcBatch rejects an ambiguous (key, seq) pair") {
+  test("applyCdcBatch rejects an ambiguous winning (key, seq) pair") {
+    // validation is lazy (no job at construction) and fires at execution
     val base = Seq((1L, "a")).toDF("k", "name")
     val changes = Seq((1L, "x", "U", 1L), (1L, "y", "U", 1L))
       .toDF("k", "name", "op", "seq")
-    val e = intercept[IllegalArgumentException] {
-      MergeOps.applyCdcBatch(base, changes, Seq("k"))
+    val df = MergeOps.applyCdcBatch(base, changes, Seq("k")) // must not throw
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate")), messages(e))
+  }
+
+  test("applyCdcBatch fails loudly on a NULL or unknown op") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val changes = Seq((1L, "x", null.asInstanceOf[String], 1L))
+      .toDF("k", "name", "op", "seq")
+    val e = intercept[Exception] {
+      MergeOps.applyCdcBatch(base, changes, Seq("k")).collect()
     }
-    assert(e.getMessage.contains("duplicate"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("op must be I/U/D")), messages(e))
   }
 
   test("collocations: exact PMI from integer counts, minCount filter") {

@@ -131,9 +131,12 @@ class DeltaLogSpec extends SparkSpec {
       Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
     Sinks.upsertParquet(spark, dir,
       Seq((2L, 2.0)).toDF("k", "v"), Seq("k"))
-    // simulate the crash window: gen-1 committed, its log entry lost
+    // simulate the crash window: gen-1 pointer-swapped, its log entry
+    // (and the generation sidecar, written in the same post-swap step)
+    // never landed
     Files.delete(Paths.get(dir, "_delta_log",
       f"${1L}%020d.json"))
+    Files.writeString(Paths.get(dir, "_delta_log", "_GEN_LOGGED"), "0")
     Sinks.upsertParquet(spark, dir,
       Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
     assert(Sinks.deltaLogVersions(dir) == Seq(0L, 1L, 2L),
