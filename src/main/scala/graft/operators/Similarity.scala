@@ -150,17 +150,13 @@ object Similarity {
   /** b-bit random-hyperplane signature of a `dim`-dimensional vector:
     * bit p = sign of dot(vec, plane_p).
     */
-  def lshSignature(vec: Column, bits: Int = 16, dim: Int = 64): Column = {
-    val pl = planes(bits, dim)
-    (0 until bits).map { p =>
-      val planeArr = array(pl(p).map(lit).toSeq: _*)
-      // codegen'd DotProduct: ascending-index accumulation, the same fold
-      // order as an external engine's list_dot_product — signatures replay
-      // bit-for-bit in a SQL oracle.
-      val proj = dot(vec, planeArr)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def lshSignature(vec: Column, bits: Int = 16, dim: Int = 64): Column =
+    // fused codegen'd SignBits: ONE two-level loop over the plane matrix
+    // instead of `bits` expression-tree dot products per row; per plane
+    // the fold is the same ascending-index accumulation as DotProduct /
+    // an external engine's list_dot_product, so signatures replay
+    // bit-for-bit in a SQL oracle
+    graft.plans.VectorExpressions.signBits(vec, planes(bits, dim))
 
   /** Per-band bucket columns: band b's bucket is its `bandBits` sign bits
     * (planes `b*bandBits until (b+1)*bandBits`) packed little-endian, then
@@ -182,10 +178,10 @@ object Similarity {
                          dim: Int): Seq[Column] = {
     val pl = planes(bands * bandBits, dim)
     (0 until bands).map { b =>
-      (0 until bandBits).map { r =>
-        val planeArr = array(pl(b * bandBits + r).map(lit).toSeq: _*)
-        when(dot(vec, planeArr) > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      // band b = the fused sign-bit pack of ITS slice of the plane
+      // family — values identical to the per-plane when/shift sum
+      graft.plans.VectorExpressions.signBits(vec,
+        pl.slice(b * bandBits, (b + 1) * bandBits))
     }
   }
 

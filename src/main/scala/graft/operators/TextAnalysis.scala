@@ -1242,30 +1242,37 @@ object TextAnalysis {
     * and the corpus vocabulary is broad — and the standard sparse
     * counterpart to dense-retrieval fusion ([[graft.operators.Similarity.rrfFuse]]).
     *
-    * Scale shape: two [[bm25TopK]] passes (each: postings filtered to
-    * the query terms BEFORE aggregation) plus one feedback join — the
-    * feedback doc set is `|queries| × fbDocs` rows, broadcast onto the
-    * token stream, so the term-promotion aggregate is feedback-bounded,
-    * not corpus-bounded.
+    * Scale shape: the corpus is tokenized ONCE into a persisted
+    * [[bm25BuildIndex]] index; both scoring passes serve from it
+    * (bit-identical to [[bm25TopK]] by that operator's contract), and
+    * the term-promotion aggregate reads the postings' (term, doc) grain
+    * directly — no second tokenization anywhere. The feedback doc set
+    * is `|queries| × fbDocs` rows, broadcast onto the postings, so the
+    * promotion aggregate is feedback-bounded, not corpus-bounded.
     *
     * Output: [[bm25TopK]]'s shape over the EXPANDED term sets, plus
     * n_expanded (how many terms PRF added for the row's query).
     */
   def prfExpandTopK(df: DataFrame, idCol: Column, textCol: Column,
                     queries: DataFrame, k: Int = 10, fbDocs: Int = 5,
-                    fbTerms: Int = 3, minFbDf: Int = 2): DataFrame = {
+                    fbTerms: Int = 3, minFbDf: Int = 2,
+                    materialize: Boolean = true): DataFrame = {
     val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term"))
-    val fb = bm25TopK(df, idCol, textCol, qTerms, k = fbDocs)
+    val (postings0, dfreq, stats) = bm25BuildIndex(df, idCol, textCol)
+    // the index feeds both scoring passes AND the promotion aggregate —
+    // persist it instead of re-tokenizing the corpus per consumer (at
+    // data-lake scale prefer materialize=false + the STORED index,
+    // bm25WriteIndex / bm25TopKFromStoredIndex)
+    val postings = if (materialize) postings0.persist() else postings0
+    val fb = bm25TopKFromIndex(postings, dfreq, stats, qTerms, k = fbDocs)
       .select(col("query_id"), col("doc_id"))
-    // distinct terms of the feedback docs (doc-frequency grain)
-    val docTerms = df.select(idCol.as("doc_id"),
-        explode(split(normText(textCol), " ")).as("term"))
-      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("fb_df").desc, col("term").asc)
-    val expansions = docTerms
+    val expansions = postings
+      // postings are already (term, doc_id)-distinct — doc-frequency grain
+      .select(col("doc_id"), col("term"))
       .join(broadcast(fb), Seq("doc_id"))
       .groupBy(col("query_id"), col("term"))
       .agg(count(lit(1)).as("fb_df"))
@@ -1279,7 +1286,7 @@ object TextAnalysis {
     val nExp = expansions.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_expanded"))
     val expanded = qTerms.unionByName(expansions).distinct()
-    bm25TopK(df, idCol, textCol, expanded, k = k)
+    bm25TopKFromIndex(postings, dfreq, stats, expanded, k = k)
       .join(broadcast(nExp), Seq("query_id"), "left")
       .select(col("query_id"), col("doc_id"), col("n_matched"),
         col("score"), col("rank"),
