@@ -1379,6 +1379,14 @@ object SparkEntry {
           col("n_hll"))
     }),
 
+    // ---- MinHash estimator quality: exact Jaccard (prefix-filtered
+    // ground truth at 0.5) vs the 32-component agreement fraction —
+    // the tune-k evidence table; est is an exact n/32 rational ----
+    "q237_minhash_estimate" -> ((s, d) =>
+      Dedup.minHashEstimatePairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 3, k = 32, threshold = 0.5,
+        fam = Dedup.CrossEngineHash)),
+
     // ---- HITS hub/authority centrality over the link-fixture domain
     // graph — PageRank's complementary crawl-seeding signal, same
     // integer fixed-point determinism contract (q197/q209) ----
@@ -3668,6 +3676,40 @@ object SparkEntry {
     * verify. Mirrors `Dedup.minHashLshPairs(n=3, k=32, bands=8,
     * CrossEngineHash)` stage for stage.
     */
+  /** MinHash estimator-quality mirror: all-pairs exact Jaccard at the
+    * 0.5 threshold (unrounded filter — the Spark side's exact-ratio
+    * contract), joined to q28's 32-component signature CTEs; est is
+    * the exact agreement count over 32.
+    */
+  private def q237Oracle: String = {
+    val k = 32
+    val P = Dedup.CrossEngineHash.P
+    val sigCols = (0 until k)
+      .map(s => s"MIN((${Dedup.CrossEngineHash.a(s)} * (hb % $P) + " +
+        s"${Dedup.CrossEngineHash.b(s)}) % $P) AS h$s")
+      .mkString(",\n    ")
+    val agree = (0 until k)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString("\n     + ")
+    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
+       |d AS (SELECT id, list_distinct(list_transform(${dkShingles(3)},
+       |    s -> ${dkHash("s")})) AS sh FROM t),
+       |hb AS (SELECT id, UNNEST(sh) AS hb FROM d),
+       |sig AS (SELECT id,
+       |    $sigCols
+       |  FROM hb GROUP BY id),
+       |ex AS (SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       |    FROM d a JOIN d b ON a.id < b.id)
+       |  WHERE j >= 0.5)
+       |SELECT ex.id_a, ex.id_b, ex.jaccard,
+       |  CAST($agree AS DOUBLE) / $k AS est_jaccard
+       |FROM ex JOIN sig sa ON sa.id = ex.id_a
+       |JOIN sig sb ON sb.id = ex.id_b""".stripMargin
+  }
+
   private def q28Oracle: String = q28OracleFrom("documents")
 
   private def q28OracleFrom(src: String): String = {
@@ -7044,6 +7086,7 @@ object SparkEntry {
         |GROUP BY source""".stripMargin,
 
     "q225_label_propagation" -> q225Oracle,
+    "q237_minhash_estimate" -> q237Oracle,
     "q226_binary_rerank" -> q226Oracle,
     "q229_prototype_prune" -> q229Oracle,
     "q230_prf_expansion" -> q230Oracle,

@@ -409,6 +409,38 @@ object Dedup {
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
   }
 
+  /** MinHash estimator evaluation: for every TRUE near-dup pair (exact
+    * n-gram Jaccard >= threshold, the prefix-filtered ground truth),
+    * the k-component MinHash agreement fraction next to the exact value
+    * — the tune-k loop's evidence table (E[est] = J, sd = sqrt(J(1-J)/k),
+    * so k=32 puts ±0.09 around 0.7; promote k until the observed spread
+    * supports the LSH band design). `est_jaccard` is an exact n/k
+    * rational in double, so the whole row replays in a SQL oracle.
+    *
+    * Scale: ground truth via [[ngramJaccardPairs]] (no cross join),
+    * signatures via [[minHashSignatures]] (one agg), then two equi-joins
+    * of pairs to signatures and a 32-element compare — pair-volume cost.
+    */
+  def minHashEstimatePairs(df: DataFrame, idCol: Column, textCol: Column,
+                           n: Int = 3, k: Int = 32,
+                           threshold: Double = 0.5,
+                           fam: HashFamily = XxHash): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, n, threshold,
+      hashShingles = Some(fam))
+    val sigs = minHashSignatures(df, idCol, textCol, n, k, fam)
+    val matches = aggregate(
+      zip_with(col("__ma"), col("__mb"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    exact
+      .join(sigs.select(col("id").as("id_a"), col("minhash").as("__ma")),
+        "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("minhash").as("__mb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (matches.cast("double") / k).as("est_jaccard"))
+  }
+
   /** k min-hash aggregate columns over a PRE-HASHED shingle column named
     * `s`: the k independent hash functions re-hash the small base value
     * with a seed — far cheaper than re-hashing the full string per

@@ -1625,6 +1625,9 @@ object Sinks {
       case "csv" => df.write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(path)
       case "json" => df.write.mode(SaveMode.Overwrite).json(path)
+      // columnar interchange with Hive/Trino-side consumers (Spark's
+      // built-in ORC source: predicate pushdown + column pruning on read)
+      case "orc" => df.write.mode(SaveMode.Overwrite).orc(path)
       case other =>
         throw new IllegalArgumentException(s"unsupported export format $other")
     }

@@ -214,6 +214,29 @@ class CurationOps2Spec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("minHashEstimatePairs: identical docs estimate 1.0; est is n/k") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta DIFFERENT"),
+      (4L, "totally unrelated words in this one here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minHashEstimatePairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 32, threshold = 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val (j12, e12) = got((1L, 2L))
+    assert(j12 == 1.0 && e12 == 1.0, "identical docs: exact and est 1.0")
+    // every estimate is an exact n/32 rational
+    got.values.foreach { case (_, e) =>
+      assert((e * 32).isWhole, s"est $e must be n/32") }
+    // pair (1,3) shares 5 of 7 shingles (j = 5/8 ~ 0.56): present, and
+    // the estimator lands within the k=32 binomial spread of the truth
+    val (j13, e13) = got((1L, 3L))
+    assert(j13 > 0.5 && math.abs(e13 - j13) < 0.35, s"($j13, $e13)")
+    assert(!got.contains((1L, 4L)) && !got.contains((4L, 1L)))
+  }
+
   test("prfExpandTopK promotes feedback terms and rescues new docs") {
     val docs = Seq(
       (1L, "x y filler1"), (2L, "x y filler2"), (3L, "x y filler3"),

@@ -109,16 +109,23 @@ class SinksSpec extends SparkSpec {
     assert(!r.head.success && r.head.error.exists(_.contains("outside declared")))
   }
 
-  test("export writes parquet, csv with header, and json lines") {
+  test("export writes parquet, csv with header, json lines, and orc") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val base = Files.createTempDirectory("graft_exp2").toString
     Sinks.export(df, s"$base/p")
     Sinks.export(df, s"$base/c", "csv")
     Sinks.export(df, s"$base/j", "json")
+    Sinks.export(df, s"$base/o", "orc")
     assert(spark.read.parquet(s"$base/p").count() == 2)
     val csv = spark.read.option("header", "true").csv(s"$base/c")
     assert(csv.columns.toSeq == Seq("k", "v") && csv.count() == 2)
     assert(spark.read.json(s"$base/j").count() == 2)
+    // orc round-trips names/types AND values (nullability widens on
+    // read — a storage artifact, same as parquet)
+    val orc = spark.read.orc(s"$base/o")
+    assert(orc.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(orc.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
     intercept[IllegalArgumentException](Sinks.export(df, s"$base/x", "xml"))
   }
 
