@@ -36,6 +36,13 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S4b — ORC scan (Spark's built-in columnar source: predicate
+    * pushdown + column pruning, same as parquet) — the read side of
+    * [[Sinks.export]]'s "orc" interchange with Hive/Trino consumers.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Drift-tolerant parquet scan: read whatever schema the files carry,
     * then align to the DECLARED contract — missing columns become typed
     * nulls, extra columns drop, drifted types cast (Spark casts, so a

@@ -120,9 +120,9 @@ class SinksSpec extends SparkSpec {
     val csv = spark.read.option("header", "true").csv(s"$base/c")
     assert(csv.columns.toSeq == Seq("k", "v") && csv.count() == 2)
     assert(spark.read.json(s"$base/j").count() == 2)
-    // orc round-trips names/types AND values (nullability widens on
-    // read — a storage artifact, same as parquet)
-    val orc = spark.read.orc(s"$base/o")
+    // orc round-trips names/types AND values via the Readers-side scan
+    // (nullability widens on read — a storage artifact, same as parquet)
+    val orc = graft.sources.Readers.orc(spark, s"$base/o")
     assert(orc.schema.map(f => (f.name, f.dataType)) ==
       df.schema.map(f => (f.name, f.dataType)))
     assert(orc.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
