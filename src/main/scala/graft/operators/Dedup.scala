@@ -358,6 +358,18 @@ object Dedup {
     }
     val sh0 = df.select(idCol.as("id"), shCol.as("sh"))
     val sh = if (materialize) sh0.persist() else sh0
+    jaccardPairsFromShingles(sh, threshold)
+  }
+
+  /** The PPJoin pipeline of [[ngramJaccardPairs]] over a PREPARED shingle
+    * frame (columns `id`, `sh` = distinct shingle array) — callers that
+    * derive the shingle frame once for several consumers (e.g.
+    * [[minHashEstimatePairs]], which also feeds the same frame to the
+    * signature aggregate) enter here and skip the tokenize/slice/hash scan.
+    */
+  private[operators] def jaccardPairsFromShingles(sh: DataFrame,
+                                                  threshold: Double)
+      : DataFrame = {
     val ex = sh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
@@ -401,9 +413,18 @@ object Dedup {
 
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, k: Int = 32,
-                        fam: HashFamily = XxHash): DataFrame = {
-    val ex = df.select(idCol.as("id"),
-      explode(hashedShingles(textCol, n, fam)).as("s"))
+                        fam: HashFamily = XxHash): DataFrame =
+    minHashSignaturesFromShingles(
+      df.select(idCol.as("id"), hashedShingles(textCol, n, fam).as("sh")),
+      k, fam)
+
+  /** [[minHashSignatures]] over a PREPARED pre-hashed shingle frame
+    * (columns `id`, `sh`) — the shared-scan entry point.
+    */
+  private[operators] def minHashSignaturesFromShingles(sh: DataFrame, k: Int,
+                                                       fam: HashFamily)
+      : DataFrame = {
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     ex.groupBy(col("id"))
       .agg(minHashAggs(k, fam).head, minHashAggs(k, fam).tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("minhash"))
@@ -425,9 +446,16 @@ object Dedup {
                            n: Int = 3, k: Int = 32,
                            threshold: Double = 0.5,
                            fam: HashFamily = XxHash): DataFrame = {
-    val exact = ngramJaccardPairs(df, idCol, textCol, n, threshold,
-      hashShingles = Some(fam))
-    val sigs = minHashSignatures(df, idCol, textCol, n, k, fam)
+    // ONE shingle scan serves both consumers (round 9 tokenized+shingled
+    // the corpus twice — once for the ground truth, once for the
+    // signatures; that was ~half the query's corpus-linear cost).
+    // hash == base for every HashFamily, so the shared pre-hashed frame
+    // produces bit-identical values on both paths and the oracle replays
+    // unchanged.
+    val sh = df.select(idCol.as("id"),
+      hashedShingles(textCol, n, fam).as("sh")).persist()
+    val exact = jaccardPairsFromShingles(sh, threshold)
+    val sigs = minHashSignaturesFromShingles(sh, k, fam)
     val matches = aggregate(
       zip_with(col("__ma"), col("__mb"),
         (x, y) => when(x === y, 1L).otherwise(0L)),

@@ -788,8 +788,15 @@ object Sinks {
         jsonMapper.readTree(Files.readString(lc)).get("version").asLong()
       else -1L
     if (v >= prevV) {
+      // carry the last logged GENERATION through log pruning: once
+      // cleanDeltaLog removes the JSONs that carried the generation
+      // markers in their commitInfo, this field is the only survivor
+      // (read third-to-last by [[lastLoggedGeneration]])
+      val genField = lastLoggedGeneration(Paths.get(tablePath))
+        .map(g => s""","graftLastGen":$g""").getOrElse("")
       val lcTmp = logDir.resolve("_last_checkpoint.tmp")
-      Files.writeString(lcTmp, s"""{"version":$v,"size":${rows.size}}""")
+      Files.writeString(lcTmp,
+        s"""{"version":$v,"size":${rows.size}$genField}""")
       Files.move(lcTmp, lc,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
@@ -1153,14 +1160,21 @@ object Sinks {
     val now = System.currentTimeMillis()
 
     def writeVersion(v: Long, adds: Seq[AddFile],
-                     removes: Seq[String]): Unit = {
+                     removes: Seq[String], gen: Option[Long]): Unit = {
       val actions = Seq.newBuilder[Any]
       if (v == 0L)
         actions += jmap("protocol" -> jmap(
           "minReaderVersion" -> 1, "minWriterVersion" -> 2))
+      // the GENERATION number commits atomically with the version file
+      // (inside commitInfo) — the old post-commit `_GEN_LOGGED` sidecar
+      // move left a crash window where the sidecar lagged the log and a
+      // later upsert would take the raw generation dir as merge base,
+      // resurrecting DV-deleted rows and re-logging the generation
+      val opParams = jmap()
+      gen.foreach(g => opParams.put("generation", g.toString))
       actions += jmap("commitInfo" -> jmap(
         "timestamp" -> now, "operation" -> opName,
-        "operationParameters" -> jmap(), "engineInfo" -> "graft"))
+        "operationParameters" -> opParams, "engineInfo" -> "graft"))
       actions += jmap("metaData" -> jmap(
         "id" -> tableId, "format" -> jmap(
           "provider" -> "parquet", "options" -> jmap()),
@@ -1189,12 +1203,12 @@ object Sinks {
 
     val liveNow = scala.collection.mutable.LinkedHashSet[String](live: _*)
     def commitSnapshot(v: Long, genDirs: Seq[java.nio.file.Path],
-                       prefixes: Seq[String]): Unit = {
+                       prefixes: Seq[String], gen: Option[Long]): Unit = {
       val adds: Seq[AddFile] = genDirs.flatMap(genDataFiles(root, _))
       val addPaths = adds.map(_.path).toSet
       val removes = liveNow.toSeq.filter(p =>
         prefixes.exists(p.startsWith) && !addPaths.contains(p))
-      writeVersion(v, adds, removes)
+      writeVersion(v, adds, removes, gen)
       liveNow --= removes; liveNow ++= adds.map(_.path)
     }
 
@@ -1222,37 +1236,59 @@ object Sinks {
         ((lastLoggedGen + 1) until target).foreach { k =>
           val genDir = root.resolve(s"gen-$k")
           if (Files.isDirectory(genDir)) {
-            commitSnapshot(v, Seq(genDir), replacePrefixes)
+            commitSnapshot(v, Seq(genDir), replacePrefixes, Some(k))
             v += 1
           }
         }
-        commitSnapshot(v, newGenDirs, replacePrefixes)
-        val tmp = logDir.resolve("_GEN_LOGGED.tmp")
-        Files.writeString(tmp, target.toString)
-        Files.move(tmp, logDir.resolve("_GEN_LOGGED"),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        commitSnapshot(v, newGenDirs, replacePrefixes, Some(target))
       case None =>
         commitSnapshot(logged.lastOption.map(_ + 1).getOrElse(0L),
-          newGenDirs, replacePrefixes)
+          newGenDirs, replacePrefixes, None)
     }
   }
 
-  /** The highest GENERATION number the delta log has committed — the
-    * `_GEN_LOGGED` sidecar [[appendDeltaCommit]] swaps in atomically
-    * after each generation commit (log versions outpace generations once
-    * DELETE/purge commits interleave, so this cannot be derived from
+  /** The highest GENERATION number the delta log has committed, derived
+    * from the LOG TAIL: each generation commit carries its number in
+    * `commitInfo.operationParameters.generation`, so the marker commits
+    * atomically with the version file (log versions outpace generations
+    * once DELETE/purge commits interleave, so this cannot be derived from
     * version numbers; live paths cannot tell either — a purge or
-    * delete-all leaves none). Legacy tables without the sidecar fall
-    * back to the max generation among live paths.
+    * delete-all leaves none). When every generation commit's JSON has
+    * been pruned by [[cleanDeltaLog]], the `_last_checkpoint` pointer's
+    * `graftLastGen` field (recorded at checkpoint time from the same
+    * scan) answers. Legacy fallbacks, in order: the round-9 `_GEN_LOGGED`
+    * sidecar, then max generation among live paths (pre-sidecar tables
+    * had no purge/delete commits, so gen paths are always live).
     */
   private[sources] def lastLoggedGeneration(
       root: java.nio.file.Path): Option[Long] = {
-    import java.nio.file.Files
-    val f = root.resolve("_delta_log").resolve("_GEN_LOGGED")
+    import java.nio.file.{Files, Paths}
+    val logDir = root.resolve("_delta_log")
+    if (!Files.exists(logDir)) return None
+    val fromLog = deltaLogVersions(root.toString).reverseIterator
+      .flatMap { v =>
+        val f = logDir.resolve(f"$v%020d.json")
+        if (!Files.exists(f)) None
+        else Files.readString(f).linesIterator.flatMap { line =>
+          val n = scala.util.Try(jsonMapper.readTree(line)).toOption
+          n.filter(_.has("commitInfo"))
+            .map(_.get("commitInfo"))
+            .filter(_.has("operationParameters"))
+            .map(_.get("operationParameters"))
+            .filter(_.has("generation"))
+            .flatMap(p => scala.util.Try(
+              p.get("generation").asText().toLong).toOption)
+        }.toSeq.headOption
+      }.nextOption()
+    if (fromLog.nonEmpty) return fromLog
+    val lc = logDir.resolve("_last_checkpoint")
+    if (Files.exists(lc)) {
+      val n = jsonMapper.readTree(Files.readString(lc))
+      if (n.has("graftLastGen")) return Some(n.get("graftLastGen").asLong())
+    }
+    val f = logDir.resolve("_GEN_LOGGED")
     if (Files.exists(f))
       scala.util.Try(Files.readString(f).trim.toLong).toOption
-    else if (!Files.exists(root.resolve("_delta_log"))) None
     else {
       // legacy fallback: infer from live paths (pre-sidecar tables had
       // no purge/delete commits, so gen paths are always live)

@@ -132,11 +132,10 @@ class DeltaLogSpec extends SparkSpec {
     Sinks.upsertParquet(spark, dir,
       Seq((2L, 2.0)).toDF("k", "v"), Seq("k"))
     // simulate the crash window: gen-1 pointer-swapped, its log entry
-    // (and the generation sidecar, written in the same post-swap step)
-    // never landed
+    // (which carries the generation marker in its commitInfo) never
+    // landed — the surviving log tail still says generation 0
     Files.delete(Paths.get(dir, "_delta_log",
       f"${1L}%020d.json"))
-    Files.writeString(Paths.get(dir, "_delta_log", "_GEN_LOGGED"), "0")
     Sinks.upsertParquet(spark, dir,
       Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
     assert(Sinks.deltaLogVersions(dir) == Seq(0L, 1L, 2L),
@@ -151,6 +150,62 @@ class DeltaLogSpec extends SparkSpec {
     assert(Sinks.readUpsertTable(spark, dir).select("k")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
       "no batch may be lost across the heal")
+  }
+
+  test("a lagging legacy _GEN_LOGGED sidecar cannot resurrect a DV DELETE") {
+    // round-10 fix for the round-9 advice: the generation marker now
+    // commits atomically INSIDE each generation commit's commitInfo, so
+    // a sidecar left one generation behind (the old post-commit-move
+    // crash window) is ignored whenever the log itself carries markers.
+    // Old behavior: lastLoggedGen=0 -> the next upsert re-logs gen-1
+    // (erasing the DELETE from the log) and merges from the raw gen dir
+    // (resurrecting the deleted rows).
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Seq("k"))
+    Sinks.upsertParquet(spark, dir,
+      Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
+    Files.writeString(Paths.get(dir, "_delta_log", "_GEN_LOGGED"), "0")
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 2L)
+    val versionsBefore = Sinks.deltaLogVersions(dir).size
+    Sinks.upsertParquet(spark, dir,
+      Seq((4L, 4.0)).toDF("k", "v"), Seq("k"))
+    assert(Sinks.deltaLogVersions(dir).size == versionsBefore + 1,
+      "no spurious re-log of an already-logged generation")
+    assert(Sinks.readUpsertTable(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L),
+      "the DV DELETE must survive the next merge")
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L),
+      "protocol replay agrees")
+  }
+
+  test("lastLoggedGeneration survives checkpoint + log pruning") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, 2.0)).toDF("k", "v"), Seq("k"))
+    // a DELETE version on top so the checkpoint lands on a commit that
+    // carries NO generation marker — pruning then removes every JSON
+    // that did, forcing the pointer's graftLastGen path
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 2L)
+    Sinks.checkpointDeltaLog(spark, dir)
+    assert(Sinks.cleanDeltaLog(dir) == 2,
+      "pruning removed the generation-marker JSONs")
+    // every gen-commit JSON below the checkpoint is gone; the pointer's
+    // graftLastGen field must answer, or the next upsert would re-log
+    // old generations
+    val versionsBefore = Sinks.deltaLogVersions(dir).size
+    Sinks.upsertParquet(spark, dir,
+      Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
+    assert(Sinks.deltaLogVersions(dir).size == versionsBefore + 1,
+      "exactly one new commit after pruning")
+    assert(Sinks.readUpsertTable(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "the pre-checkpoint DELETE holds and the new batch lands")
   }
 
   test("partitioned upserts log one batch commit scoped to affected partitions") {

@@ -24,6 +24,78 @@ import pyarrow.parquet as pq
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
+
+def pa_family(t):
+    """pyarrow DataType -> type-family tag, matching the driver's typed
+    hash: all machine ints (<=64 bit) are ONE family (q124/q125 have been
+    driver-green for rounds with int32-vs-int64 columns), while int128
+    (DuckDB HUGEINT) is a DIFFERENT family (round-9 q224 was driver-red
+    on exactly that)."""
+    s = str(t)
+    if s.startswith("int") or (s.startswith("uint") and s != "uint64"):
+        return "int"
+    if s == "uint64":
+        return "uint64"  # can exceed int64 — not the machine-int family
+    if s in ("float", "halffloat"):
+        return "float32"
+    if s == "double":
+        return "float64"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("string", "large_string"):
+        return "str"
+    if s.startswith("date"):
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "bool":
+        return "bool"
+    if "binary" in s:
+        return "bytes"
+    if s.startswith("list") or s.startswith("large_list"):
+        return "list"
+    return s
+
+
+DUCK_INTS = {"TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+             "BIGINT": "int", "HUGEINT": "int128", "UTINYINT": "int",
+             "USMALLINT": "int", "UINTEGER": "int",
+             "UBIGINT": "uint64", "UHUGEINT": "uint128"}
+
+
+def duck_family(t):
+    """DuckDB type string -> the same family tags as pa_family."""
+    s = str(t).upper()
+    if s in DUCK_INTS:
+        return DUCK_INTS[s]
+    if s == "FLOAT":
+        return "float32"
+    if s == "DOUBLE":
+        return "float64"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "VARCHAR":
+        return "str"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "BLOB":
+        return "bytes"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "list"
+    return s
+
+
+def type_mismatches(cols, s_fams, d_fams):
+    """Column-aligned type-family diffs (the class the round-9 q224 red was:
+    DuckDB sum(BIGINT) -> HUGEINT vs Spark int64 — values equal, widths not;
+    Python ints erase the width so value comparison alone cannot catch it)."""
+    return [f"{c}: spark={sf} duckdb={df}"
+            for c, sf, df in zip(cols, s_fams, d_fams) if sf != df]
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -62,18 +134,45 @@ def spark_rows(name):
     tbl = pq.read_table(files)
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
-    return cols, [tuple(row[c] for c in cols) for row in tbl.to_pylist()]
+    fams = [pa_family(tbl.schema.field(c).type) for c in cols]
+    return cols, fams, [tuple(row[c] for c in cols) for row in tbl.to_pylist()]
 
 
 def duck_rows(con, sql):
     cur = con.sql(sql)
     cols = list(cur.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    fams = [duck_family(cur.types[i]) for i in order]
     rows = [tuple(r[i] for i in order) for r in cur.fetchall()]
-    return sorted(c for c in cols), rows
+    return sorted(c for c in cols), fams, rows
+
+
+def selftest():
+    """Seeded violation: a naked DuckDB sum(BIGINT) must be flagged as
+    int128 vs a parquet int64, and the CAST-wrapped form must pass."""
+    import pyarrow as pa
+    import tempfile
+    import os
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(pa.table({"s": pa.array([3], type=pa.int64())}), p)
+        s_fam = pa_family(pq.read_table(p).schema.field("s").type)
+        naked = con.sql("SELECT sum(x) AS s FROM (SELECT 1::BIGINT AS x)")
+        cast_ = con.sql(
+            "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 1::BIGINT AS x)")
+        bad = type_mismatches(["s"], [s_fam], [duck_family(naked.types[0])])
+        good = type_mismatches(["s"], [s_fam], [duck_family(cast_.types[0])])
+        assert bad == ["s: spark=int duckdb=int128"], bad
+        assert good == [], good
+    print("selftest OK: naked sum(BIGINT) flagged int128 vs int64; "
+          "CAST-wrapped form clean")
 
 
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        return
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -81,10 +180,16 @@ def main():
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            s_cols, s_raw = spark_rows(name)
-            d_cols, d_raw = duck_rows(con, sql)
+            s_cols, s_fams, s_raw = spark_rows(name)
+            d_cols, d_fams, d_raw = duck_rows(con, sql)
             if s_cols != d_cols:
                 print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
+                fail += 1
+                continue
+            tdiffs = type_mismatches(s_cols, s_fams, d_fams)
+            if tdiffs:
+                print(f"FAIL {name}: type families differ "
+                      f"({'; '.join(tdiffs)})")
                 fail += 1
                 continue
             svals = sorted((tuple(norm_cell(x) for x in r) for r in s_raw))
