@@ -35,8 +35,11 @@ import org.apache.spark.sql.SparkSession
   * ("noise" when the re-time refutes the regression, "machine_drift"
   * when a panel of UNCHANGED control queries shows the same global
   * slowdown — round 8's judge adjudication, now automated as a
-  * ratio-of-ratios test against the emitted `drift` factor —
-  * "regression" only when the suspect is slow beyond both). Round 7
+  * ratio-of-ratios test against the emitted `drift` factor,
+  * "noise_floor" when a sub-1.5s baseline grew by less than 3x — the
+  * round-9 judge's worktree re-bench showed short queries jitter to ~2x
+  * beyond what the control panel measures — and "regression" only when
+  * the suspect is slow beyond all three). Round 7
   * lost a full judge re-bench to four phantom 2-4× "regressions" that
   * were pure VM contention; the harness now adjudicates its own
   * suspects instead of publishing them.
@@ -158,6 +161,14 @@ object Bench {
             confirmed - p <= 0.3)) "noise"
         else if (prevMin.get(name).exists(p =>
             confirmed / p <= 1.3 * drift)) "machine_drift"
+        // absolute floor (round-9 adjudication: four 0.8-1.6s suspects
+        // published as "regression" at 1.8-2.0x were ALL reproduced by
+        // the previous round's code in a judge worktree re-bench — the
+        // shared VM's noise floor for short queries sits at ~2x, above
+        // what the 0.3-1.1s control panel can measure): a sub-1.5s
+        // baseline never earns a "regression" verdict under 3x
+        else if (prevMin.get(name).exists(p =>
+            p < 1.5 && confirmed / p <= 3.0)) "noise_floor"
         else "regression"
       (name, confirmed, status)
     }

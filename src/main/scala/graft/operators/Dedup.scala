@@ -277,6 +277,12 @@ object Dedup {
     * RAREST shingles, so bucket sizes track the corpus's rare-shingle
     * ceiling, not its hot phrases; verification is the exact
     * intersect-over-|A| on the candidate pairs only.
+    *
+    * Persist lifetime: with materialize=true the shingle cache lives
+    * until LRU eviction or `spark.catalog.clearCache()` — the result is
+    * lazy, so the operator cannot unpersist before the caller's action.
+    * Long-lived sessions issuing many calls should pass
+    * materialize=false and checkpoint the shingle frame themselves.
     */
   def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
                             n: Int = 3, threshold: Double = 0.9,
@@ -445,15 +451,18 @@ object Dedup {
   def minHashEstimatePairs(df: DataFrame, idCol: Column, textCol: Column,
                            n: Int = 3, k: Int = 32,
                            threshold: Double = 0.5,
-                           fam: HashFamily = XxHash): DataFrame = {
+                           fam: HashFamily = XxHash,
+                           materialize: Boolean = true): DataFrame = {
     // ONE shingle scan serves both consumers (round 9 tokenized+shingled
     // the corpus twice — once for the ground truth, once for the
     // signatures; that was ~half the query's corpus-linear cost).
     // hash == base for every HashFamily, so the shared pre-hashed frame
     // produces bit-identical values on both paths and the oracle replays
-    // unchanged.
-    val sh = df.select(idCol.as("id"),
-      hashedShingles(textCol, n, fam).as("sh")).persist()
+    // unchanged. materialize=false for long-lived sessions (see
+    // [[ngramContainmentPairs]]'s persist-lifetime note).
+    val sh0 = df.select(idCol.as("id"),
+      hashedShingles(textCol, n, fam).as("sh"))
+    val sh = if (materialize) sh0.persist() else sh0
     val exact = jaccardPairsFromShingles(sh, threshold)
     val sigs = minHashSignaturesFromShingles(sh, k, fam)
     val matches = aggregate(

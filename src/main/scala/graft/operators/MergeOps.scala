@@ -157,29 +157,37 @@ object MergeOps {
                     opCol: String = "op", seqCol: String = "seq")
       : DataFrame = {
     // validation stays LAZY (no job at construction time — plan builds
-    // and pipeline composition must stay free) and DISTRIBUTED: an
-    // ambiguous (key, seq) pair or a NULL/unknown op fails the job
-    // loudly at execution instead of silently losing the change
+    // and pipeline composition must stay free), DISTRIBUTED, and covers
+    // the FULL batch: the violation flags are per-KEY window aggregates,
+    // so losing rows (rn > 1, pruned from the output) still feed them
+    // and the group's winner raises for ANY violation in its group. The
+    // round-9 form rewrote opCol per row, which the optimizer was free
+    // to evaluate only for rows surviving the latest-wins filter — a bad
+    // op on a superseded change slid through silently.
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy((keys.map(col) :+ col(seqCol)): _*)
-    val checked = changes
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val flagged = changes
       .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("__anyDup", max(col("__dup")).over(wKey))
+      // explicit NULL arm: !isin(...) on NULL is NULL, not true
+      .withColumn("__badOp", max(when(
+        col(opCol).isNull || !col(opCol).isin("I", "U", "D"),
+        coalesce(col(opCol).cast("string"), lit("NULL")))).over(wKey))
+    val w = wKey.orderBy(col(seqCol).desc)
+    val latest = flagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .withColumn(opCol,
-        when(col("__dup") > 1, raise_error(concat(
+        when(col("__anyDup") > 1, raise_error(concat(
           lit(s"applyCdcBatch: duplicate (${keys.mkString(",")}, " +
             s"$seqCol) in batch for key "),
           concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
-          // explicit NULL arm: !isin(...) on NULL is NULL, not true
-          .when(col(opCol).isNull || !col(opCol).isin("I", "U", "D"),
-            raise_error(concat(
+          .when(col("__badOp").isNotNull, raise_error(concat(
             lit(s"applyCdcBatch: op must be I/U/D, got "),
-            coalesce(col(opCol).cast("string"), lit("NULL")))))
+            col("__badOp"))))
           .otherwise(col(opCol)))
-      .drop("__dup")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-    val latest = checked.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .drop("__rn", "__dup", "__anyDup", "__badOp")
     val untouched = base.join(latest.select(keys.map(col): _*),
       keys, "left_anti")
     untouched.unionByName(

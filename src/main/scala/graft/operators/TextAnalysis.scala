@@ -1252,6 +1252,13 @@ object TextAnalysis {
     *
     * Output: [[bm25TopK]]'s shape over the EXPANDED term sets, plus
     * n_expanded (how many terms PRF added for the row's query).
+    *
+    * Persist lifetime: with materialize=true the postings cache lives
+    * until LRU eviction or `spark.catalog.clearCache()` — the result is
+    * lazy, so the operator cannot unpersist before the caller's action.
+    * Long-lived sessions issuing many calls should pass
+    * materialize=false and serve from the STORED index instead
+    * ([[bm25WriteIndex]] / [[bm25TopKFromStoredIndex]]).
     */
   def prfExpandTopK(df: DataFrame, idCol: Column, textCol: Column,
                     queries: DataFrame, k: Int = 10, fbDocs: Int = 5,

@@ -1260,26 +1260,34 @@ object Sinks {
     * sidecar, then max generation among live paths (pre-sidecar tables
     * had no purge/delete commits, so gen paths are always live).
     */
+  /** The GENERATION marker a logged version carries in its commitInfo
+    * (None for DELETE/purge/OPTIMIZE commits, pre-marker legacy commits,
+    * and pruned JSONs).
+    */
+  private def commitGeneration(root: java.nio.file.Path,
+                               v: Long): Option[Long] = {
+    import java.nio.file.Files
+    val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
+    if (!Files.exists(f)) None
+    else Files.readString(f).linesIterator.flatMap { line =>
+      scala.util.Try(jsonMapper.readTree(line)).toOption
+        .filter(_.has("commitInfo"))
+        .map(_.get("commitInfo"))
+        .filter(_.has("operationParameters"))
+        .map(_.get("operationParameters"))
+        .filter(_.has("generation"))
+        .flatMap(p => scala.util.Try(
+          p.get("generation").asText().toLong).toOption)
+    }.nextOption()
+  }
+
   private[sources] def lastLoggedGeneration(
       root: java.nio.file.Path): Option[Long] = {
     import java.nio.file.{Files, Paths}
     val logDir = root.resolve("_delta_log")
     if (!Files.exists(logDir)) return None
     val fromLog = deltaLogVersions(root.toString).reverseIterator
-      .flatMap { v =>
-        val f = logDir.resolve(f"$v%020d.json")
-        if (!Files.exists(f)) None
-        else Files.readString(f).linesIterator.flatMap { line =>
-          val n = scala.util.Try(jsonMapper.readTree(line)).toOption
-          n.filter(_.has("commitInfo"))
-            .map(_.get("commitInfo"))
-            .filter(_.has("operationParameters"))
-            .map(_.get("operationParameters"))
-            .filter(_.has("generation"))
-            .flatMap(p => scala.util.Try(
-              p.get("generation").asText().toLong).toOption)
-        }.toSeq.headOption
-      }.nextOption()
+      .flatMap(v => commitGeneration(root, v)).nextOption()
     if (fromLog.nonEmpty) return fromLog
     val lc = logDir.resolve("_last_checkpoint")
     if (Files.exists(lc)) {
@@ -1363,17 +1371,34 @@ object Sinks {
       finally walk.close()
     }
     // DV-purge rewrite dirs (gen-dv-purge-<version>): dead as soon as a
-    // LATER generation commit replaced the whole live set; retained for
-    // the same count of commits as generations so recent time travel
-    // keeps resolving (version numbers advance at least as fast as
-    // generation numbers, so the version window is never shorter)
-    val maxV = deltaLogVersions(root.toString).foldLeft(-1L)(math.max)
+    // LATER generation commit replaced the whole live set; retained on
+    // the GENERATION clock, same as generation dirs — the old version-age
+    // cutoff (maxV - keepGenerations) deleted purge files early whenever
+    // DELETE commits advanced versions without advancing generations,
+    // breaking recent time travel sooner than for generation dirs. The
+    // generation in effect at the purge version comes from the commitInfo
+    // markers; when every marker at or below the purge version is pruned,
+    // the first marker ABOVE it is a conservative stand-in (markers are
+    // nondecreasing, so it can only RETAIN longer); a table with no
+    // markers at all predates them and keeps the version-age rule.
+    val versions = deltaLogVersions(root.toString)
+    val maxV = versions.foldLeft(-1L)(math.max)
+    lazy val marks: Seq[(Long, Long)] =
+      versions.flatMap(v => commitGeneration(root, v).map(v -> _))
+    def purgeGeneration(vp: Long): Option[Long] =
+      marks.filter(_._1 <= vp).lastOption.map(_._2)
+        .orElse(marks.find(_._1 > vp).map(_._2))
     val purgeName = "^gen-dv-purge-(\\d+)$".r
     val deadPurges = {
       val ls = Files.list(root)
       try ls.iterator().asScala
         .filter(p => purgeName.findFirstMatchIn(p.getFileName.toString)
-          .exists(_.group(1).toLong <= maxV - keepGenerations))
+          .map(_.group(1).toLong).exists { vp =>
+            purgeGeneration(vp) match {
+              case Some(g) => g <= newestNum - keepGenerations
+              case None => vp <= maxV - keepGenerations
+            }
+          })
         .toSeq
       finally ls.close()
     }

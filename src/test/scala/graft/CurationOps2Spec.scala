@@ -182,6 +182,24 @@ class CurationOps2Spec extends SparkSpec {
     assert(messages(e).exists(_.contains("op must be I/U/D")), messages(e))
   }
 
+  test("applyCdcBatch validates LOSING changes too (full-batch contract)") {
+    // round-10 advice fix: the old per-row opCol rewrite let the
+    // optimizer skip validation for rows pruned by the latest-wins
+    // filter — a bad op on a superseded change slid through silently
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val changes = Seq(
+      (1L, "x", "BOGUS", 1L), // loses to seq 2 — must STILL raise
+      (1L, "y", "U", 2L)
+    ).toDF("k", "name", "op", "seq")
+    val e = intercept[Exception] {
+      MergeOps.applyCdcBatch(base, changes, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("op must be I/U/D")), messages(e))
+  }
+
   test("collocations: exact PMI from integer counts, minCount filter") {
     // "alpha beta" 6x (passes minCount=5); every filler bigram is unique
     val docs = ((1L to 6L).map(i => (i, "alpha beta")) ++

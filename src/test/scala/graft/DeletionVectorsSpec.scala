@@ -154,6 +154,44 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.purgeDeletionVectors(spark, dir) == 0)
   }
 
+  test("purge rewrite dirs are retained on the generation clock") {
+    // round-10 advice fix: the old cutoff aged purge dirs by log VERSION
+    // (maxV - keepGenerations), but DELETE commits advance versions
+    // without advancing generations — interleave enough deletes and the
+    // purge files vanished while versions newer than the generation
+    // retention window still referenced them, breaking recent time
+    // travel earlier than for generation dirs.
+    val dir = freshTable() // gen 0, v0
+    Sinks.upsertParquet(spark, dir,
+      Seq((200L, 0L, 0L)).toDF("k", "grp", "v"), keys = Seq("k")) // gen1 v1
+    DV.deleteDeltaWhere(spark, dir, col("k") === 3) // v2
+    assert(DV.purgeDeletionVectors(spark, dir) > 0) // v3, gen-dv-purge-3
+    val purgeDir = java.nio.file.Paths.get(dir, f"gen-dv-purge-${3L}%020d")
+    assert(Files.exists(purgeDir))
+    val expectAtPurge = Sinks.readDeltaTableAt(spark, dir, 3L)
+      .select("k").as[Long].collect().toSet
+    // versions race ahead on DELETEs alone: v4..v6
+    Seq(7L, 11L, 13L).foreach(k =>
+      DV.deleteDeltaWhere(spark, dir, col("k") === k))
+    // one generation commit (gen 2, v7) triggers the vacuum; under the
+    // old version-age rule purge-v3 <= maxV(7) - keep(3) deletes the dir
+    // while the generation clock moved just one tick
+    Sinks.upsertParquet(spark, dir,
+      Seq((201L, 0L, 0L)).toDF("k", "grp", "v"), keys = Seq("k"))
+    assert(Files.exists(purgeDir),
+      "purge dir vacuumed on the version clock — time travel broken")
+    assert(Sinks.readDeltaTableAt(spark, dir, 3L).select("k").as[Long]
+      .collect().toSet == expectAtPurge, "time travel to the purge version")
+    // and it DOES go once the generation counter has advanced past the
+    // retention window: gens 3 and 4 put purge-gen 1 <= 4 - keep(3)
+    Sinks.upsertParquet(spark, dir,
+      Seq((202L, 0L, 0L)).toDF("k", "grp", "v"), keys = Seq("k"))
+    Sinks.upsertParquet(spark, dir,
+      Seq((203L, 0L, 0L)).toDF("k", "grp", "v"), keys = Seq("k"))
+    assert(!Files.exists(purgeDir),
+      "generation-clock retention must still expire old purge dirs")
+  }
+
   test("generational merge after a DV delete does not resurrect rows") {
     val dir = freshTable() // v0
     DV.deleteDeltaWhere(spark, dir, col("k") === 5) // v1
