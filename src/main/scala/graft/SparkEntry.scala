@@ -1361,6 +1361,55 @@ object SparkEntry {
         col("text"), n = 3, k = 32, threshold = 0.5,
         fam = Dedup.CrossEngineHash)),
 
+    // ---- crawl-frontier admission, END TO END in one batch plan
+    // (round-9 directive 6): sitemap parse -> URL canonicalization ->
+    // exact frontier dedup -> domain blocklist -> robots replay ->
+    // per-host budget quota. Every stage is the already-verified
+    // operator (q211/q191/q202/q207/q222); this query pins the
+    // COMPOSITION — the funnel a crawler actually runs per discovery
+    // batch — under one oracle. Fixture: each doc's sitemap advertises
+    // a content URL (uppercased scheme/www/port/tracking params — the
+    // canonicalizer's work) and a /private URL (the robots case);
+    // h3.example.com is blocklisted; h0-h3 carry robots disallowing
+    // /private except /private/ok; h4 has no robots file (allowed by
+    // default); quota keeps 10 URLs per host by canonical-URL order ----
+    "q238_crawl_frontier" -> ((s, d) => {
+      import s.implicits._
+      def m(n: Int): Column = pmod(col("doc_id"), lit(n)).cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> HTTPS://WWW.h"),
+        m(5), lit(".example.com:443/Sec"), m(7), lit("/item"), m(13),
+        lit("?utm_source=x&b=2&a=1 </loc></url><url><loc>https://h"),
+        m(5), lit(".example.com"),
+        when(m(3) === "0", lit("/private/ok/x")).otherwise(lit("/private/x")),
+        lit("</loc></url></urlset>"))
+      val sm = TextAnalysis.sitemapEntries(
+        Tables.documents(s, d).select(col("doc_id"), xml.as("xml")),
+        col("doc_id"), col("xml"))
+      val canon = sm.select(col("doc_id"),
+        TextAnalysis.canonicalUrl(col("loc")).as("url"))
+      // frontier dedup: one canonical URL, smallest discovering doc
+      val deduped = canon.groupBy("url")
+        .agg(min(col("doc_id")).as("doc_id"))
+      val unblocked = TextAnalysis.domainBlocklistFilter(deduped,
+          col("doc_id"), col("url"),
+          Seq("h3.example.com").toDF("domain"))
+        .filter(!col("blocked")).select("doc_id", "url")
+      val robots = s.range(0, 4).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example.com"))
+          .as("domain"),
+        lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+          .as("robots_txt"))
+      val admitted = Robots.robotsFilter(unblocked, col("doc_id"),
+          col("url"), robots, agent = "graftbot")
+        .filter(col("allowed"))
+        .select(col("doc_id"), col("url"), col("host"))
+      Sampling.domainQuotaSample(admitted, col("doc_id"), col("host"),
+          Seq(col("url").asc, col("doc_id").asc), n = 10)
+        .select(col("doc_id"), col("url"), col("host"),
+          col("rank_in_domain"))
+    }),
+
     // ---- HITS hub/authority centrality over the link-fixture domain
     // graph — PageRank's complementary crawl-seeding signal, same
     // integer fixed-point determinism contract (q197/q209) ----
@@ -7033,6 +7082,44 @@ object SparkEntry {
 
     "q225_label_propagation" -> q225Oracle,
     "q237_minhash_estimate" -> q237Oracle,
+
+    // frontier funnel, each stage in closed form: the canonicalizer's
+    // output is stated directly (lowered scheme/host, www/port stripped,
+    // tracking params dropped, params sorted), dedup is min-doc per URL,
+    // blocklist/robots verdicts are the fixture's CASE logic, quota is
+    // the same (url, doc_id) total-order window
+    "q238_crawl_frontier" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://h' || (doc_id % 5) || '.example.com/Sec' ||
+        |      (doc_id % 7) || '/item' || (doc_id % 13) || '?a=1&b=2' AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://h' || (doc_id % 5) || '.example.com' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '/private/ok/x'
+        |           ELSE '/private/x' END AS url
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT url, CAST(min(doc_id) AS BIGINT) AS doc_id
+        |  FROM urls GROUP BY url),
+        |hosted AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^https://([^/]+)', 1) AS host
+        |  FROM dedup),
+        |admitted AS (
+        |  SELECT doc_id, url, host FROM hosted
+        |  WHERE host <> 'h3.example.com'
+        |    AND (host = 'h4.example.com'
+        |         OR url NOT LIKE '%/private/%'
+        |         OR url LIKE '%/private/ok%')),
+        |quota AS (
+        |  SELECT doc_id, url, host,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY url, doc_id) AS BIGINT) AS rank_in_domain
+        |  FROM admitted)
+        |SELECT doc_id, url, host, rank_in_domain FROM quota
+        |WHERE rank_in_domain <= 10""".stripMargin,
     "q226_binary_rerank" -> q226Oracle,
     "q229_prototype_prune" -> q229Oracle,
     "q230_prf_expansion" -> q230Oracle,

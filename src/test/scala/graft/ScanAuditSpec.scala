@@ -100,4 +100,44 @@ class ScanAuditSpec extends SparkSpec {
       bounded.exists(_.contains("l_shipdate,1996-01-01")),
       "the insight daily's ds range must prune the source scan")
   }
+
+  // ---- ORC parity (round-9 directive 8): Readers.orc was spec'd for
+  // round-trip values only; the scan-level properties — plain predicates
+  // reaching PushedFilters, projection reaching ReadSchema — must hold
+  // for ORC exactly as the tests above pin them for parquet, or an
+  // ORC-backed lake pays full-table reads the parquet path never would.
+
+  private lazy val orcDocsDir: String =
+    Fixtures.buildOnce(sf001, "orcaudit", "docs-v1") { root =>
+      Tables.documents(spark, sf001)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").orc(root)
+    }
+
+  test("ORC scan: plain predicate reaches PushedFilters") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Readers.orc(spark, orcDocsDir)
+      .filter(col("doc_id") > 100L)
+      .select("doc_id", "source")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse(fail("no ORC FileScan in the plan"))
+    val pushed = pushedFilters(scan)
+    assert(pushed.contains("doc_id"),
+      s"plain-column predicate must push to the ORC reader: [$pushed]")
+    assert(df.count() > 0)
+  }
+
+  test("ORC scan: projection prunes ReadSchema to the referenced columns") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = graft.sources.Readers.orc(spark, orcDocsDir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse(fail("no ORC FileScan in the plan"))
+    val schema = readSchema(scan)
+    assert(schema.count(_ == ':') <= 2,
+      s"2-column aggregate must not read the 4-column ORC file: $schema")
+  }
 }
