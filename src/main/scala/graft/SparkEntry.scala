@@ -2515,6 +2515,19 @@ object SparkEntry {
           "ds_start_date" -> "1996-02-01", "ds_end_date" -> "1996-04-30")))
     }),
 
+    // ---- smartstore sales daily (the third sales-daily sibling,
+    // closing the reference's mart trio): channel money columns
+    // (unit+option price × qty − seller discount), sentinel-bundled
+    // explode with the '9'-component status-6 downgrade and ZEROED cost,
+    // product-grain ecount sheet, CJ fallback chain, the n_arrival
+    // delivery-type-7 tier branch the sabangnet sibling never reaches,
+    // and both cost-weighted allocation stages ----
+    "q239_smartstore_sales_daily" -> ((s, d) => {
+      graft.models.Analytics.registry(d).run("smartstore_sales_daily", s,
+        graft.models.Params(Map(
+          "ds_start_date" -> "1996-02-01", "ds_end_date" -> "1996-04-30")))
+    }),
+
     // ---- per-channel insight dailies (intermediate/ads dbt family):
     // ranged 3-level bundle ladder + account fallback, ad-day ANY_VALUE
     // re-aggregation, renewal-mapped div/mod bundle explode ----
@@ -6481,6 +6494,7 @@ object SparkEntry {
     "q126_nsh_stock_sales" -> SalesDailyOracle.q126,
     "q127_smt_opt_relation" -> SmtOptOracle.q127,
     "q128_sabangnet_sales_daily" -> SbnSalesOracle.q128,
+    "q239_smartstore_sales_daily" -> SmtSalesOracle.q239,
     "q129_gads_insight_daily" -> InsightOracles.q129,
     "q130_meta_insight_daily" -> InsightOracles.q130,
     "q131_cads_insight_daily" -> InsightOracles.q131,

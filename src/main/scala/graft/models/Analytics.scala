@@ -856,6 +856,7 @@ object Analytics {
     SalesDaily.install(r, sfDir)
     SmtOptRelation.install(r, sfDir)
     SbnSales.install(r, sfDir)
+    SmtSales.install(r, sfDir)
     InsightDaily.install(r, sfDir)
     SearchadFull.install(r, sfDir)
     StockBatch.install(r, sfDir)

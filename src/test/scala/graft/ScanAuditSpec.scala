@@ -93,6 +93,15 @@ class ScanAuditSpec extends SparkSpec {
       "the ±7d widened dep-model invocation must push its own bounds")
   }
 
+  test("q239 (incremental): orders scans push the ds range AND the widened CJ range") {
+    val bounded = dateBoundedScans("q239_smartstore_sales_daily",
+      "orders", "o_orderdate")
+    assert(bounded.exists(_.contains("o_orderdate,1996-02-01")),
+      "the mart's own ds_start_date bound must push")
+    assert(bounded.exists(_.contains("o_orderdate,1996-01-25")),
+      "the ±7d widened CJ invocation must push its own bounds")
+  }
+
   test("q129 (incremental): insight source scan pushes the ds range") {
     val bounded = dateBoundedScans("q129_gads_insight_daily",
       "lineitem", "l_shipdate")
