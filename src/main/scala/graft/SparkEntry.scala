@@ -1404,8 +1404,11 @@ object SparkEntry {
           col("url"), robots, agent = "graftbot")
         .filter(col("allowed"))
         .select(col("doc_id"), col("url"), col("host"))
+      // n=20 reaches past the region a doc-keyed robots verdict would
+      // corrupt (round-10 review find) — the oracle evaluates robots per
+      // URL, so the quota must expose those rows, not mask them
       Sampling.domainQuotaSample(admitted, col("doc_id"), col("host"),
-          Seq(col("url").asc, col("doc_id").asc), n = 10)
+          Seq(col("url").asc, col("doc_id").asc), n = 20)
         .select(col("doc_id"), col("url"), col("host"),
           col("rank_in_domain"))
     }),
@@ -7133,7 +7136,7 @@ object SparkEntry {
         |      ORDER BY url, doc_id) AS BIGINT) AS rank_in_domain
         |  FROM admitted)
         |SELECT doc_id, url, host, rank_in_domain FROM quota
-        |WHERE rank_in_domain <= 10""".stripMargin,
+        |WHERE rank_in_domain <= 20""".stripMargin,
     "q226_binary_rerank" -> q226Oracle,
     "q229_prototype_prune" -> q229Oracle,
     "q230_prf_expansion" -> q230Oracle,

@@ -95,17 +95,21 @@ object Robots {
       // path (+ query) the rules match against; missing path == '/'
       when(stripped === "", "/").otherwise(stripped).as("path"))
     // longest matching prefix wins; on equal length Allow beats
-    // Disallow (RFC 9309 §2.2.2) — encoded as (len, is_allow) struct max
+    // Disallow (RFC 9309 §2.2.2) — encoded as (len, is_allow) struct max.
+    // Hits key on (doc_id, url), not doc_id alone: callers may legally
+    // pass several URLs under one id (q238's frontier keeps the MIN
+    // discovering doc per canonical URL), and a doc-keyed verdict would
+    // leak one URL's Disallow onto its siblings (round-10 review find)
     val hits = base.join(rules, base("host") === rules("domain"))
       .filter(col("path").startsWith(col("rule_path")))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("url"))
       .agg(max(struct(length(col("rule_path")).as("l"),
           (col("rule_kind") === "allow").cast("int").as("a"),
           col("rule_kind").as("k"), col("rule_path").as("p")))
         .as("__best"))
-      .select(col("doc_id"), col("__best.k").as("matched_kind"),
+      .select(col("doc_id"), col("url"), col("__best.k").as("matched_kind"),
         col("__best.p").as("matched_path"))
-    base.join(hits, Seq("doc_id"), "left")
+    base.join(hits, Seq("doc_id", "url"), "left")
       .select(col("doc_id"), col("url"), col("host"), col("path"),
         (col("matched_kind").isNull || col("matched_kind") === "allow")
           .as("allowed"),

@@ -1247,6 +1247,37 @@ object Sinks {
     }
   }
 
+  /** The GENERATION marker a logged version carries in its commitInfo
+    * (None for DELETE/purge/OPTIMIZE commits, pre-marker legacy commits,
+    * and pruned JSONs). Reads only the leading lines of the commit file:
+    * our writer emits commitInfo first (after the v0 protocol line), so
+    * this stays O(1) regardless of how many add/remove actions the
+    * commit carries — [[lastLoggedGeneration]] walks the tail per upsert
+    * and a whole-file read here would make that walk O(table width)
+    * (round-10 review find).
+    */
+  private def commitGeneration(root: java.nio.file.Path,
+                               v: Long): Option[Long] = {
+    import java.nio.file.Files
+    val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
+    if (!Files.exists(f)) return None
+    val reader = Files.newBufferedReader(f)
+    try {
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .take(3) // protocol? commitInfo metaData — never deeper
+        .flatMap { line =>
+          scala.util.Try(jsonMapper.readTree(line)).toOption
+            .filter(_.has("commitInfo"))
+            .map(_.get("commitInfo"))
+            .filter(_.has("operationParameters"))
+            .map(_.get("operationParameters"))
+            .filter(_.has("generation"))
+            .flatMap(p => scala.util.Try(
+              p.get("generation").asText().toLong).toOption)
+        }.nextOption()
+    } finally reader.close()
+  }
+
   /** The highest GENERATION number the delta log has committed, derived
     * from the LOG TAIL: each generation commit carries its number in
     * `commitInfo.operationParameters.generation`, so the marker commits
@@ -1260,27 +1291,6 @@ object Sinks {
     * sidecar, then max generation among live paths (pre-sidecar tables
     * had no purge/delete commits, so gen paths are always live).
     */
-  /** The GENERATION marker a logged version carries in its commitInfo
-    * (None for DELETE/purge/OPTIMIZE commits, pre-marker legacy commits,
-    * and pruned JSONs).
-    */
-  private def commitGeneration(root: java.nio.file.Path,
-                               v: Long): Option[Long] = {
-    import java.nio.file.Files
-    val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
-    if (!Files.exists(f)) None
-    else Files.readString(f).linesIterator.flatMap { line =>
-      scala.util.Try(jsonMapper.readTree(line)).toOption
-        .filter(_.has("commitInfo"))
-        .map(_.get("commitInfo"))
-        .filter(_.has("operationParameters"))
-        .map(_.get("operationParameters"))
-        .filter(_.has("generation"))
-        .flatMap(p => scala.util.Try(
-          p.get("generation").asText().toLong).toOption)
-    }.nextOption()
-  }
-
   private[sources] def lastLoggedGeneration(
       root: java.nio.file.Path): Option[Long] = {
     import java.nio.file.{Files, Paths}

@@ -437,6 +437,25 @@ class WebMediaSpec extends SparkSpec {
       Seq((1L, true), (2L, true), (3L, false), (4L, true), (5L, true)))
   }
 
+  test("robotsFilter verdicts are per URL when several URLs share an id") {
+    // round-10 review find: hits keyed by doc_id alone leaked one URL's
+    // Disallow onto its siblings — q238's frontier legally keeps the MIN
+    // discovering doc per canonical URL, so one id can carry many URLs
+    val robots = Seq(("e.com", robotsTxt)).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://e.com/private/x"), // disallowed
+      (1L, "https://e.com/other"),     // same id — must stay allowed
+      (1L, "https://e.com/private/ok/p") // same id — Allow wins
+    ).toDF("doc_id", "url")
+    val out = graft.operators.Robots.robotsFilter(urls, col("doc_id"),
+        col("url"), robots, agent = "crawler")
+      .orderBy("url").collect()
+    assert(out.map(r => (r.getString(1), r.getBoolean(4))).toSeq == Seq(
+      ("https://e.com/other", true),
+      ("https://e.com/private/ok/p", true),
+      ("https://e.com/private/x", false)))
+  }
+
   // ---------------- link extraction ----------------
 
   test("resolveUrl covers every RFC-3986-subset branch") {

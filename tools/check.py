@@ -53,7 +53,9 @@ def pa_family(t):
     if "binary" in s:
         return "bytes"
     if s.startswith("list") or s.startswith("large_list"):
-        return "list"
+        # recurse: list<HUGEINT> vs array<bigint> is the same silent
+        # width mismatch one nesting level down
+        return f"list<{pa_family(t.value_type)}>"
     return s
 
 
@@ -84,8 +86,10 @@ def duck_family(t):
         return "bool"
     if s == "BLOB":
         return "bytes"
-    if s.endswith("[]") or s.startswith("LIST"):
-        return "list"
+    if s.endswith("[]"):
+        return f"list<{duck_family(s[:-2])}>"
+    if s.startswith("LIST(") and s.endswith(")"):
+        return f"list<{duck_family(s[5:-1])}>"
     return s
 
 
@@ -165,8 +169,18 @@ def selftest():
         good = type_mismatches(["s"], [s_fam], [duck_family(cast_.types[0])])
         assert bad == ["s: spark=int duckdb=int128"], bad
         assert good == [], good
-    print("selftest OK: naked sum(BIGINT) flagged int128 vs int64; "
-          "CAST-wrapped form clean")
+        # one nesting level down: [sum(x)] is HUGEINT[] vs array<bigint>
+        pl = os.path.join(d, "l.parquet")
+        pq.write_table(
+            pa.table({"s": pa.array([[3]], type=pa.list_(pa.int64()))}), pl)
+        l_fam = pa_family(pq.read_table(pl).schema.field("s").type)
+        nakedl = con.sql(
+            "SELECT [sum(x)] AS s FROM (SELECT 1::BIGINT AS x)")
+        badl = type_mismatches(["s"], [l_fam],
+                               [duck_family(nakedl.types[0])])
+        assert badl == ["s: spark=list<int> duckdb=list<int128>"], badl
+    print("selftest OK: naked sum(BIGINT) flagged int128 vs int64 (also "
+          "inside list elements); CAST-wrapped form clean")
 
 
 def main():
