@@ -53,6 +53,11 @@ object GraftSql {
     *     [[graft.sources.Sinks.cleanDeltaLog]])
     *   DESCRIBE HISTORY '<path>'             → the commit log as a frame
     *     ([[graft.sources.Sinks.deltaHistory]])
+    *   RESTORE '<path>' TO VERSION AS OF <v> → undo-by-append: commit
+    *     the state at version v on top of the log
+    *     ([[graft.sources.Sinks.restoreDeltaTable]]); also
+    *     `TO TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.f]>'` via
+    *     [[graft.sources.Sinks.versionAtTimestamp]]
     *
     * Each returns a one-row summary frame. Anything else returns None
     * and falls through to the query path — valid Spark SQL never
@@ -65,9 +70,24 @@ object GraftSql {
     val Cp = """(?is)\s*CHECKPOINT\s+'([^']+)'(?:\s+AT\s+(\d+))?\s*;?\s*""".r
     val Vac = """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*;?\s*""".r
     val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+    val RstV =
+      """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    val RstTs =
+      """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    def restore(path: String, version: Long) = {
+      val (nv, added, removed) =
+        graft.sources.Sinks.restoreDeltaTable(spark, path, version)
+      Some(Seq((path, "RESTORE", version, nv, added.toLong,
+        removed.toLong)).toDF("path", "operation", "restored_version",
+        "new_version", "files_added", "files_removed"))
+    }
     text match {
       case Hist(path) =>
         Some(graft.sources.Sinks.deltaHistory(spark, path))
+      case RstV(path, v) => restore(path, v.toLong)
+      case RstTs(path, ts) =>
+        restore(path, graft.sources.Sinks.versionAtTimestamp(path,
+          java.sql.Timestamp.valueOf(ts).getTime))
       case Opt(path, target) =>
         val tb = Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024)
         val (before, after) =

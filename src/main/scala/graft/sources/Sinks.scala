@@ -538,6 +538,97 @@ object Sinks {
         java.nio.file.Paths.get(tablePath).resolve(f).toString).toSeq: _*)
   }
 
+  /** The version a wall-clock timestamp resolves to — Delta's
+    * `TIMESTAMP AS OF` rule: the LATEST commit whose commitInfo
+    * timestamp is at or before `tsMillis`. Loud error when the
+    * timestamp predates the first commit (nothing to read) — a
+    * timestamp past the last commit reads the latest version, like any
+    * protocol reader. O(#versions) leading-line reads.
+    */
+  def versionAtTimestamp(tablePath: String, tsMillis: Long): Long = {
+    val root = java.nio.file.Paths.get(tablePath)
+    val stamped = deltaLogVersions(tablePath).flatMap { v =>
+      commitInfoLeading(root, v)
+        .filter(_.has("timestamp"))
+        .map(ci => v -> ci.get("timestamp").asLong())
+    }
+    require(stamped.nonEmpty, s"no timestamped commits under $tablePath")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates the first commit of $tablePath " +
+        s"(earliest: ${stamped.head._2})")
+    eligible.map(_._1).max
+  }
+
+  /** [[readDeltaTableAt]] addressed by wall-clock time instead of
+    * version number (`TIMESTAMP AS OF`).
+    */
+  def readDeltaTableAsOf(spark: SparkSession, tablePath: String,
+                         tsMillis: Long): DataFrame =
+    readDeltaTableAt(spark, tablePath,
+      versionAtTimestamp(tablePath, tsMillis))
+
+  /** RESTORE the table to its state at `version` — as a NEW commit (the
+    * Delta RESTORE semantics: history is append-only, so a bad write is
+    * undone by committing the old state on top, never by rewriting the
+    * log). The commit removes every live file absent from the target
+    * state, re-adds every target file not currently live — carrying the
+    * target's stats AND deletion vectors verbatim — and re-emits files
+    * whose DV changed between the versions (an add action overwrites
+    * the live entry wholesale, so a DV added after `version` is
+    * dropped by the re-add). Restores the target's metaData (schema)
+    * too. Fails loudly when a target file was vacuumed.
+    *
+    * Like the DV DELETE path, this is a LOG-level operation on the
+    * generational tables: the `_CURRENT` pointer converges at the next
+    * MERGE (whose base is the logged state).
+    *
+    * Returns (newVersion, filesAdded, filesRemoved).
+    */
+  def restoreDeltaTable(spark: SparkSession, tablePath: String,
+                        version: Long): (Long, Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(tablePath)
+    val (target, metaT) = deltaStateWithMeta(spark, tablePath, version)
+    require(target.nonEmpty, s"no live files at version $version")
+    require(metaT.nonEmpty, s"no metaData at or below version $version")
+    val (live, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    val mapper = jsonMapper
+    // a file is re-added when missing from the live set OR live with a
+    // different logical entry (deletion vector / stats drift)
+    val readds = target.filter { case (p, node) =>
+      !live.get(p).contains(node) }
+    val removes = live.keys.filterNot(target.contains).toSeq
+    readds.keys.foreach { p =>
+      require(Files.exists(root.resolve(p)),
+        s"RESTORE target file vacuumed: $p (version $version is past " +
+          "the retention window)")
+    }
+    val logged = deltaLogVersions(tablePath)
+    require(logged.nonEmpty, s"no _delta_log under $tablePath")
+    val v = logged.max + 1
+    val now = System.currentTimeMillis()
+    val sb = new StringBuilder
+    def line(a: Any): Unit =
+      sb.append(mapper.writeValueAsString(a)).append('\n')
+    val opParams = jmap("version" -> version.toString)
+    line(jmap("commitInfo" -> jmap(
+      "timestamp" -> now, "operation" -> "RESTORE",
+      "operationParameters" -> opParams, "engineInfo" -> "graft")))
+    line(jmap("metaData" -> metaT.get))
+    removes.foreach { p =>
+      line(jmap("remove" -> jmap(
+        "path" -> p, "deletionTimestamp" -> now, "dataChange" -> true)))
+    }
+    readds.foreach { case (_, node) => line(jmap("add" -> node)) }
+    val logDir = root.resolve("_delta_log")
+    val tmp = logDir.resolve(f"$v%020d.json.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    (v, readds.size, removes.size)
+  }
+
   /** Row-level diff between two committed versions — time-travel CDC:
     * every row of `v0` missing from `v1` comes back op='D', every row of
     * `v1` missing from `v0` op='I' (an update is its D+I pair; both
@@ -1257,7 +1348,22 @@ object Sinks {
     * (round-10 review find).
     */
   private def commitGeneration(root: java.nio.file.Path,
-                               v: Long): Option[Long] = {
+                               v: Long): Option[Long] =
+    commitInfoLeading(root, v)
+      .filter(_.has("operationParameters"))
+      .map(_.get("operationParameters"))
+      .filter(_.has("generation"))
+      .flatMap(p => scala.util.Try(
+        p.get("generation").asText().toLong).toOption)
+
+  /** A version's commitInfo node, read from the file's LEADING lines
+    * only (our writer emits commitInfo first, after the v0 protocol
+    * line) — O(1) regardless of the commit's add/remove volume, so the
+    * per-upsert log-tail walks stay cheap.
+    */
+  private def commitInfoLeading(
+      root: java.nio.file.Path,
+      v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
     import java.nio.file.Files
     val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
     if (!Files.exists(f)) return None
@@ -1269,11 +1375,6 @@ object Sinks {
           scala.util.Try(jsonMapper.readTree(line)).toOption
             .filter(_.has("commitInfo"))
             .map(_.get("commitInfo"))
-            .filter(_.has("operationParameters"))
-            .map(_.get("operationParameters"))
-            .filter(_.has("generation"))
-            .flatMap(p => scala.util.Try(
-              p.get("generation").asText().toLong).toOption)
         }.nextOption()
     } finally reader.close()
   }

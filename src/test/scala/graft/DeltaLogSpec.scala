@@ -152,6 +152,86 @@ class DeltaLogSpec extends SparkSpec {
       "no batch may be lost across the heal")
   }
 
+  test("timestamp time travel resolves to the latest commit at-or-before") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    Thread.sleep(30) // distinct wall-clock stamps for the two commits
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, 2.0)).toDF("k", "v"), Seq("k"))
+    val hist = Sinks.deltaHistory(spark, dir)
+      .select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(Sinks.versionAtTimestamp(dir, hist(0L)) == 0L)
+    assert(Sinks.versionAtTimestamp(dir, hist(1L) - 1) == 0L)
+    assert(Sinks.versionAtTimestamp(dir, hist(1L)) == 1L)
+    // past the last commit reads the latest, like any protocol reader
+    assert(Sinks.versionAtTimestamp(dir, hist(1L) + 60000) == 1L)
+    assert(Sinks.readDeltaTableAsOf(spark, dir, hist(0L))
+      .select("k").as[Long].collect().toSet == Set(1L))
+    // before the first commit: nothing to read — loud error
+    intercept[IllegalArgumentException] {
+      Sinks.versionAtTimestamp(dir, hist(0L) - 60000)
+    }
+  }
+
+  test("RESTORE commits the old state on top; DVs and merges respect it") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Seq("k")) // v0, gen 0
+    Sinks.upsertParquet(spark, dir,
+      Seq((3L, 3.0)).toDF("k", "v"), Seq("k")) // v1, gen 1
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 2L) // v2: DV marks k=2
+    // restore to v1: the re-add drops the DV added after it
+    val (v3, added, removed) = Sinks.restoreDeltaTable(spark, dir, 1L)
+    assert(v3 == 3L && added > 0)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L),
+      "RESTORE must undo the DELETE by re-adding the DV-free entries")
+    // restore to v0: files from gen-1 are removed, gen-0's re-added
+    val (v4, _, removed4) = Sinks.restoreDeltaTable(spark, dir, 0L)
+    assert(v4 == 4L && removed4 > 0)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // history records the operation with its parameter
+    val ops = Sinks.deltaHistory(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(ops(3L) == "RESTORE" && ops(4L) == "RESTORE")
+    // the next MERGE bases on the RESTORED logged state and converges
+    // the pointer path too
+    Sinks.upsertParquet(spark, dir,
+      Seq((4L, 4.0)).toDF("k", "v"), Seq("k"))
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    assert(Sinks.readUpsertTable(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+  }
+
+  test("RESTORE and time travel lower through GraftSql") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    Thread.sleep(30)
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, 2.0)).toDF("k", "v"), Seq("k"))
+    val row = graft.plans.GraftSql.sql(spark,
+      s"RESTORE '$dir' TO VERSION AS OF 0").collect().head
+    assert(row.getAs[String]("operation") == "RESTORE" &&
+      row.getAs[Long]("new_version") == 2L)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L))
+    // timestamp form: restore forward to v1's state via its wall clock
+    val ts1 = Sinks.deltaHistory(spark, dir)
+      .filter(col("version") === 1L).select("timestamp")
+      .collect().head.getTimestamp(0)
+    val row2 = graft.plans.GraftSql.sql(spark,
+      s"RESTORE '$dir' TO TIMESTAMP AS OF '$ts1'").collect().head
+    assert(row2.getAs[Long]("restored_version") == 1L)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
+
   test("a lagging legacy _GEN_LOGGED sidecar cannot resurrect a DV DELETE") {
     // round-10 fix for the round-9 advice: the generation marker now
     // commits atomically INSIDE each generation commit's commitInfo, so
