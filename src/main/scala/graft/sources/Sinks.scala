@@ -527,16 +527,32 @@ object Sinks {
     */
   def readDeltaTableAt(spark: SparkSession, tablePath: String,
                        version: Long = Long.MaxValue): DataFrame = {
-    val (state, _) = deltaStateWithMeta(spark, tablePath, version)
+    val (state, meta) = deltaStateWithMeta(spark, tablePath, version)
     require(state.nonEmpty, s"no live files at version $version of $tablePath")
     // merge-on-read: any file carrying a deletion vector must have its
     // marked rows subtracted; the DV-free fast path is one plain scan
     if (state.values.exists(_.has("deletionVector")))
       DeletionVectors.scanWithDvs(spark, tablePath, state.toSeq)
-    else
-      spark.read.parquet(state.keys.map(f =>
+    else {
+      // read under the LOGGED schema, not whichever file's footer Spark
+      // samples first: partition-scoped commits leave untouched
+      // partitions on the pre-evolution schema, and the metaData action
+      // is the protocol's source of truth (missing columns read as null)
+      val reader = metaSchema(meta)
+        .map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(state.keys.map(f =>
         java.nio.file.Paths.get(tablePath).resolve(f).toString).toSeq: _*)
+    }
   }
+
+  /** The StructType a metaData action declares, if any. */
+  private def metaSchema(
+      meta: Option[com.fasterxml.jackson.databind.JsonNode])
+      : Option[org.apache.spark.sql.types.StructType] =
+    meta.filter(_.has("schemaString")).flatMap(m => scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(
+        m.get("schemaString").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
 
   /** The version a wall-clock timestamp resolves to — Delta's
     * `TIMESTAMP AS OF` rule: the LATEST commit whose commitInfo
@@ -1554,7 +1570,8 @@ object Sinks {
       source: DataFrame, keys: Seq[String], partitionCol: String,
       strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
       keepGenerations: Int = 3, maxRetries: Int = 5,
-      staleLockMs: Long = 60000L, maxPartitions: Int = 100000): Unit = {
+      staleLockMs: Long = 60000L, maxPartitions: Int = 100000,
+      evolveSchema: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
@@ -1614,9 +1631,18 @@ object Sinks {
         partDir(v).resolve(g).toString))
       val merged =
         if (existing.isEmpty) source.dropDuplicates(keys)
-        else graft.operators.MergeOps.upsert(
-          spark.read.parquet(existing.toIndexedSeq: _*), source, keys,
-          strategies)
+        else {
+          // the merge base is only the TOUCHED partitions; under schema
+          // evolution the untouched ones keep old-schema files, which the
+          // read paths align to the logged schema (readDeltaTableAt /
+          // readUpsertPartitionedTable)
+          val target = spark.read.parquet(existing.toIndexedSeq: _*)
+          val (t, s) =
+            if (evolveSchema)
+              graft.operators.MergeOps.alignSchemas(target, source)
+            else (target, source)
+          graft.operators.MergeOps.upsert(t, s, keys, strategies)
+        }
       // one staged partitioned write (no lock held); `__p` duplicates the
       // partition column so the data files keep the original column
       // (partitionBy drops its column)
@@ -1693,7 +1719,17 @@ object Sinks {
       finally ls.close()
     }
     require(gens.nonEmpty, s"no partitions under $tablePath")
-    spark.read.parquet(gens: _*)
+    // align to the logged schema when the table has a log: partitions
+    // last rewritten before a schema evolution keep old-schema files,
+    // and a bare multi-path read would serve whichever footer Spark
+    // samples first (dropping late-added columns silently)
+    val meta =
+      if (Files.exists(root.resolve("_delta_log")) &&
+          deltaLogVersions(tablePath).nonEmpty)
+        deltaStateWithMeta(spark, tablePath, Long.MaxValue)._2
+      else None
+    metaSchema(meta).map(spark.read.schema).getOrElse(spark.read)
+      .parquet(gens: _*)
   }
 
   /** S8 — catalog CTAS (reference: common/load.py:522-585 `create_table` —

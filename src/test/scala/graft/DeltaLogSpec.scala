@@ -319,6 +319,39 @@ class DeltaLogSpec extends SparkSpec {
     assert(viaLog == Seq((1L, 1.0), (2L, 5.0), (3L, 3.0)))
   }
 
+  test("partitioned reads align mixed per-partition schemas to the logged schema") {
+    // a 100 TB lake WILL contain partitions last rewritten by an older
+    // producer: batch 2 adds a column but touches only its own
+    // partitions, so files under untouched partitions keep the old
+    // schema. Both read paths must serve the LOGGED (latest metaData)
+    // schema, nulls for the column a partition's files predate — not
+    // whatever schema the first listed file happens to carry.
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+        .toDF("k", "ds", "v"), Seq("k"), "ds")
+    // second batch carries a NEW column and touches only 01-02; without
+    // the evolution flag the drifted batch must fail loudly
+    val drifted = Seq((2L, "2024-01-02", 5.0, "late"))
+      .toDF("k", "ds", "v", "w")
+    intercept[IllegalArgumentException] {
+      Sinks.upsertParquetPartitioned(spark, dir, drifted, Seq("k"), "ds")
+    }
+    Sinks.upsertParquetPartitioned(spark, dir, drifted, Seq("k"), "ds",
+      evolveSchema = true)
+    val viaPointer = Sinks.readUpsertPartitionedTable(spark, dir)
+    assert(viaPointer.columns.contains("w"),
+      s"late column lost by the pointer read: ${viaPointer.columns.toSeq}")
+    val got = viaPointer.select("k", "w").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some("late")))
+    val viaLog = Sinks.readDeltaTableAt(spark, dir)
+    assert(viaLog.columns.contains("w"),
+      s"late column lost by the log read: ${viaLog.columns.toSeq}")
+    assert(viaLog.select("k", "w").as[(Long, Option[String])]
+      .collect().toMap == got)
+  }
+
   test("add actions carry footer-derived stats; skipped types are omitted") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"
     Sinks.upsertParquet(spark, dir,
