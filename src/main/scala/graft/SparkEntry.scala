@@ -2531,6 +2531,40 @@ object SparkEntry {
           "ds_start_date" -> "1996-02-01", "ds_end_date" -> "1996-04-30")))
     }),
 
+    // ---- Delta RESTORE through a DV DELETE, oracle-anchored: v0 MERGE,
+    // v1 deletion-vector DELETE of doc_id % 10 = 3, v2 RESTORE to v0 —
+    // the current state must equal the RAW fixture again (the re-add
+    // drops the vector), so the oracle is the unfiltered aggregate ----
+    "q240_delta_restore" -> ((s, d) => {
+      val root = Fixtures.buildOnce(d, "q240", "restore-v1") { r =>
+        graft.sources.Sinks.upsertParquet(s, r,
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")), keys = Seq("doc_id"))
+        graft.sources.DeletionVectors.deleteDeltaWhere(s, r,
+          pmod(col("doc_id"), lit(10)) === 3)
+        graft.sources.Sinks.restoreDeltaTable(s, r, 0L)
+      }
+      graft.sources.Sinks.readDeltaTableAt(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- TIMESTAMP AS OF time travel, oracle-anchored: q224's table
+    // (v0 MERGE, v1 DV DELETE), version resolved from v1's own
+    // commitInfo wall clock — the read must serve the DELETE state,
+    // i.e. the survivors of doc_id % 10 <> 3 ----
+    "q241_timestamp_travel" -> ((s, d) => {
+      val root = q224DeltaTable(s, d)
+      val ts1 = graft.sources.Sinks.deltaHistory(s, root)
+        .filter(col("version") === 1L)
+        .select(col("timestamp")).head().getTimestamp(0).getTime
+      graft.sources.Sinks.readDeltaTableAsOf(s, root, ts1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- per-channel insight dailies (intermediate/ads dbt family):
     // ranged 3-level bundle ladder + account fallback, ad-day ANY_VALUE
     // re-aggregation, renewal-mapped div/mod bundle explode ----
@@ -7092,6 +7126,19 @@ object SparkEntry {
     // merge-on-read delete parity: the survivors of doc_id % 10 <> 3,
     // re-aggregated from the raw fixture
     "q224_delta_mor_delete" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 3
+        |GROUP BY source""".stripMargin,
+
+    // RESTORE undid the DV DELETE: the unfiltered fixture aggregate
+    "q240_delta_restore" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // the v1 wall clock resolves to the DELETE state: q224's survivors
+    "q241_timestamp_travel" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 3
