@@ -123,6 +123,18 @@ object MergeOps {
     (widen(target, tf, sf), widen(source, sf, tf))
   }
 
+  /** [[upsert]] behind the additive-evolution gate the MERGE sinks share:
+    * widen both sides to the union schema when `evolveSchema`, else let
+    * [[upsert]]'s exact-schema check fail loudly on drift.
+    */
+  def upsertAligned(target: DataFrame, source: DataFrame, keys: Seq[String],
+                    strategies: Map[String, Strategy],
+                    evolveSchema: Boolean): DataFrame = {
+    val (t, s) =
+      if (evolveSchema) alignSchemas(target, source) else (target, source)
+    upsert(t, s, keys, strategies)
+  }
+
   /** Insert-ignore (D2): `INSERT … ON CONFLICT DO NOTHING` — keep all target
     * rows, add only source rows whose key is absent (113 uses in the
     * reference, e.g. core/smartstore/api/order/models.sql:82,136,167).

@@ -272,7 +272,10 @@ object DeletionVectors {
       "duplicate data-file basenames — DV bookkeeping requires the " +
         "UUID-named files the generational writers produce")
     val absPaths = state.keys.map(p => root.resolve(p).toString).toSeq
-    val matched = spark.read.parquet(absPaths: _*)
+    // logged-schema read: a predicate over a late-added column must see
+    // nulls on pre-evolution files, not depend on footer sampling
+    val matched = Sinks.metaSchema(meta).map(spark.read.schema)
+      .getOrElse(spark.read).parquet(absPaths: _*)
       .filter(predicate)
       .select(
         element_at(split(col("_metadata.file_path"), "/"), -1).as("fn"),
@@ -362,10 +365,15 @@ object DeletionVectors {
     * set (joined by unique file basename).
     */
   private[sources] def scanWithDvs(spark: SparkSession, tablePath: String,
-      addNodes: Seq[(String, com.fasterxml.jackson.databind.JsonNode)])
+      addNodes: Seq[(String, com.fasterxml.jackson.databind.JsonNode)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     val root = java.nio.file.Paths.get(tablePath)
     def abs(p: String) = root.resolve(p).toString
+    // under schema evolution files span eras; both scans read under the
+    // LOGGED schema so the union's sides line up and a partition's
+    // late-added column is nulls, not an AnalysisException
+    def reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val (withDv, plain) = addNodes.partition(_._2.has("deletionVector"))
     require(addNodes.map(p =>
         java.nio.file.Paths.get(p._1).getFileName.toString).distinct.size ==
@@ -373,7 +381,7 @@ object DeletionVectors {
       "duplicate data-file basenames — DV reads require UUID-named files")
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.parquet(plain.map(p => abs(p._1)): _*))
+      else Some(reader.parquet(plain.map(p => abs(p._1)): _*))
     val dvDf =
       if (withDv.isEmpty) None
       else {
@@ -383,7 +391,7 @@ object DeletionVectors {
         }
         import spark.implicits._
         val delDf = deleted.toDF("__fn", "__ri")
-        val scan = spark.read.parquet(withDv.map(p => abs(p._1)): _*)
+        val scan = reader.parquet(withDv.map(p => abs(p._1)): _*)
           .withColumn("__fn",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("__ri", col("_metadata.row_index"))
@@ -404,9 +412,9 @@ object DeletionVectors {
     */
   def readDeltaTableMor(spark: SparkSession, tablePath: String,
                         version: Long = Long.MaxValue): DataFrame = {
-    val (state, _) = Sinks.deltaStateWithMeta(spark, tablePath, version)
+    val (state, meta) = Sinks.deltaStateWithMeta(spark, tablePath, version)
     require(state.nonEmpty, s"no live files at version $version")
-    scanWithDvs(spark, tablePath, state.toSeq)
+    scanWithDvs(spark, tablePath, state.toSeq, Sinks.metaSchema(meta))
   }
 
   // ------------------------------------------------------------------

@@ -164,11 +164,8 @@ object Sinks {
               // union schema (new columns null on existing rows) before
               // the merge; without the flag a drifted batch fails
               // upsert's schema check
-              val (t, s) =
-                if (evolveSchema)
-                  graft.operators.MergeOps.alignSchemas(target, source)
-                else (target, source)
-              graft.operators.MergeOps.upsert(t, s, keys, strategies)
+              graft.operators.MergeOps.upsertAligned(target, source, keys,
+                strategies, evolveSchema)
           }
         case None => source.dropDuplicates(keys)
       }
@@ -532,7 +529,8 @@ object Sinks {
     // merge-on-read: any file carrying a deletion vector must have its
     // marked rows subtracted; the DV-free fast path is one plain scan
     if (state.values.exists(_.has("deletionVector")))
-      DeletionVectors.scanWithDvs(spark, tablePath, state.toSeq)
+      DeletionVectors.scanWithDvs(spark, tablePath, state.toSeq,
+        metaSchema(meta))
     else {
       // read under the LOGGED schema, not whichever file's footer Spark
       // samples first: partition-scoped commits leave untouched
@@ -546,7 +544,7 @@ object Sinks {
   }
 
   /** The StructType a metaData action declares, if any. */
-  private def metaSchema(
+  private[sources] def metaSchema(
       meta: Option[com.fasterxml.jackson.databind.JsonNode])
       : Option[org.apache.spark.sql.types.StructType] =
     meta.filter(_.has("schemaString")).flatMap(m => scala.util.Try(
@@ -602,47 +600,89 @@ object Sinks {
     * Returns (newVersion, filesAdded, filesRemoved).
     */
   def restoreDeltaTable(spark: SparkSession, tablePath: String,
-                        version: Long): (Long, Int, Int) = {
+                        version: Long,
+                        staleLockMs: Long = 60000L): (Long, Int, Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(tablePath)
-    val (target, metaT) = deltaStateWithMeta(spark, tablePath, version)
-    require(target.nonEmpty, s"no live files at version $version")
-    require(metaT.nonEmpty, s"no metaData at or below version $version")
-    val (live, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
-    val mapper = jsonMapper
-    // a file is re-added when missing from the live set OR live with a
-    // different logical entry (deletion vector / stats drift)
-    val readds = target.filter { case (p, node) =>
-      !live.get(p).contains(node) }
-    val removes = live.keys.filterNot(target.contains).toSeq
-    readds.keys.foreach { p =>
-      require(Files.exists(root.resolve(p)),
-        s"RESTORE target file vacuumed: $p (version $version is past " +
-          "the retention window)")
+    // the whole compute+commit runs under the table lock, like every
+    // other committer: an unlocked RESTORE could compute logged.max,
+    // lose the race to a concurrent MERGE, and overwrite its version
+    // file — erasing the batch AND its generation marker from the log
+    withMetadataLock(root, staleLockMs) {
+      val logged = deltaLogVersions(tablePath)
+      require(logged.nonEmpty, s"no _delta_log under $tablePath")
+      require(version <= logged.max,
+        s"version $version does not exist (latest: ${logged.max})")
+      val (target, metaT) = deltaStateWithMeta(spark, tablePath, version)
+      require(target.nonEmpty, s"no live files at version $version")
+      require(metaT.nonEmpty, s"no metaData at or below version $version")
+      val (live, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+      val mapper = jsonMapper
+      // comparison + emission go through ONE canonical shape: state
+      // nodes reconstructed from a checkpoint lack partitionValues /
+      // dataChange, so verbatim node equality across eras would re-add
+      // the whole table, and verbatim emission would write adds missing
+      // spec-required fields
+      def canonical(node: com.fasterxml.jackson.databind.JsonNode)
+          : java.util.LinkedHashMap[String, Any] = {
+        val add = jmap(
+          "path" -> node.get("path").asText(),
+          "partitionValues" -> jmap(),
+          "size" -> node.get("size").asLong(),
+          "modificationTime" -> node.get("modificationTime").asLong(),
+          "dataChange" -> true)
+        if (node.has("stats"))
+          add.put("stats", node.get("stats").asText())
+        if (node.has("deletionVector"))
+          add.put("deletionVector", node.get("deletionVector"))
+        add
+      }
+      def key(node: com.fasterxml.jackson.databind.JsonNode): String =
+        mapper.writeValueAsString(canonical(node))
+      // a file is re-added when missing from the live set OR live with a
+      // different logical entry (deletion vector / stats drift)
+      val liveKeys = live.map { case (p, n) => p -> key(n) }
+      val readds = target.filter { case (p, node) =>
+        !liveKeys.get(p).contains(key(node)) }
+      val removes = live.keys.filterNot(target.contains).toSeq
+      readds.keys.foreach { p =>
+        require(Files.exists(root.resolve(p)),
+          s"RESTORE target file vacuumed: $p (version $version is past " +
+            "the retention window)")
+      }
+      val v = logged.max + 1
+      val now = System.currentTimeMillis()
+      val sb = new StringBuilder
+      def line(a: Any): Unit =
+        sb.append(mapper.writeValueAsString(a)).append('\n')
+      val opParams = jmap("version" -> version.toString)
+      line(jmap("commitInfo" -> jmap(
+        "timestamp" -> now, "operation" -> "RESTORE",
+        "operationParameters" -> opParams, "engineInfo" -> "graft")))
+      // canonical full metaData: a checkpoint-derived node carries only
+      // (id, schemaString, createdTime)
+      val m = metaT.get
+      line(jmap("metaData" -> jmap(
+        "id" -> m.get("id").asText(),
+        "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
+        "schemaString" -> m.get("schemaString").asText(),
+        "partitionColumns" -> new java.util.ArrayList[String](),
+        "configuration" -> jmap(),
+        "createdTime" ->
+          (if (m.has("createdTime")) m.get("createdTime").asLong()
+           else now))))
+      removes.foreach { p =>
+        line(jmap("remove" -> jmap(
+          "path" -> p, "deletionTimestamp" -> now, "dataChange" -> true)))
+      }
+      readds.foreach { case (_, node) => line(jmap("add" -> canonical(node))) }
+      val logDir = root.resolve("_delta_log")
+      val tmp = logDir.resolve(f"$v%020d.json.tmp")
+      Files.writeString(tmp, sb.toString)
+      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+      (v, readds.size, removes.size)
     }
-    val logged = deltaLogVersions(tablePath)
-    require(logged.nonEmpty, s"no _delta_log under $tablePath")
-    val v = logged.max + 1
-    val now = System.currentTimeMillis()
-    val sb = new StringBuilder
-    def line(a: Any): Unit =
-      sb.append(mapper.writeValueAsString(a)).append('\n')
-    val opParams = jmap("version" -> version.toString)
-    line(jmap("commitInfo" -> jmap(
-      "timestamp" -> now, "operation" -> "RESTORE",
-      "operationParameters" -> opParams, "engineInfo" -> "graft")))
-    line(jmap("metaData" -> metaT.get))
-    removes.foreach { p =>
-      line(jmap("remove" -> jmap(
-        "path" -> p, "deletionTimestamp" -> now, "dataChange" -> true)))
-    }
-    readds.foreach { case (_, node) => line(jmap("add" -> node)) }
-    val logDir = root.resolve("_delta_log")
-    val tmp = logDir.resolve(f"$v%020d.json.tmp")
-    Files.writeString(tmp, sb.toString)
-    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    (v, readds.size, removes.size)
   }
 
   /** Row-level diff between two committed versions — time-travel CDC:
@@ -1265,6 +1305,10 @@ object Sinks {
       java.util.UUID.nameUUIDFromBytes(
         root.toAbsolutePath.toString.getBytes("UTF-8")).toString
     val now = System.currentTimeMillis()
+    // the logged schema only ever GROWS: a partition-scoped batch's own
+    // schema may lack columns an earlier evolution added
+    val effSchemaJson = unionWithLoggedSchema(spark, root.toString,
+      schemaJson)
 
     def writeVersion(v: Long, adds: Seq[AddFile],
                      removes: Seq[String], gen: Option[Long]): Unit = {
@@ -1285,7 +1329,7 @@ object Sinks {
       actions += jmap("metaData" -> jmap(
         "id" -> tableId, "format" -> jmap(
           "provider" -> "parquet", "options" -> jmap()),
-        "schemaString" -> schemaJson,
+        "schemaString" -> effSchemaJson,
         "partitionColumns" -> new java.util.ArrayList[String](),
         "configuration" -> jmap(), "createdTime" -> now))
       removes.foreach { p =>
@@ -1379,20 +1423,81 @@ object Sinks {
     */
   private def commitInfoLeading(
       root: java.nio.file.Path,
-      v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
+      v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
+    leadingAction(root, v, "commitInfo")
+
+  /** A version's metaData node from the leading lines (our writers emit
+    * protocol? commitInfo metaData before any add/remove).
+    */
+  private def metaDataLeading(
+      root: java.nio.file.Path,
+      v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
+    leadingAction(root, v, "metaData")
+
+  private def leadingAction(
+      root: java.nio.file.Path, v: Long,
+      key: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     import java.nio.file.Files
     val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
     if (!Files.exists(f)) return None
     val reader = Files.newBufferedReader(f)
     try {
       Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .take(3) // protocol? commitInfo metaData — never deeper
+        .take(4) // protocol? commitInfo metaData — never deeper
         .flatMap { line =>
           scala.util.Try(jsonMapper.readTree(line)).toOption
-            .filter(_.has("commitInfo"))
-            .map(_.get("commitInfo"))
+            .filter(_.has(key))
+            .map(_.get(key))
         }.nextOption()
     } finally reader.close()
+  }
+
+  /** The LOGGED table schema via an O(#versions-until-hit) reverse walk
+    * of leading-line metaData actions — the cheap form every hot path
+    * uses (a full deltaStateWithMeta rebuild reads the checkpoint parquet
+    * and replays the whole JSON tail just to reach the same node).
+    * Falls back to the checkpoint when every metaData-carrying JSON was
+    * pruned.
+    */
+  private[sources] def loggedSchema(spark: SparkSession, tablePath: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val root = java.nio.file.Paths.get(tablePath)
+    val fromTail = deltaLogVersions(tablePath).reverseIterator
+      .flatMap(v => metaDataLeading(root, v)).nextOption()
+    val meta = fromTail.orElse {
+      if (!java.nio.file.Files.exists(
+        root.resolve("_delta_log").resolve("_last_checkpoint"))) None
+      else deltaStateWithMeta(spark, tablePath, Long.MaxValue)._2
+    }
+    metaSchema(meta)
+  }
+
+  /** Additive-evolution guard for the metaData a commit logs: UNION the
+    * batch's schema with the previously logged one, previous columns
+    * first. Without this a partition-scoped batch that doesn't carry an
+    * evolved column would REGRESS the logged schema, and the
+    * schema-aligned readers would then hide that column's data
+    * everywhere (round-10 review find). Type changes stay loud.
+    */
+  private def unionWithLoggedSchema(spark: SparkSession, tablePath: String,
+                                    schemaJson: String): String = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val next = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    loggedSchema(spark, tablePath) match {
+      case None => schemaJson
+      case Some(prev) =>
+        val nextByName = next.fields.map(f => f.name -> f).toMap
+        prev.fields.foreach { f =>
+          nextByName.get(f.name).foreach(nf => require(
+            nf.dataType == f.dataType,
+            s"schema evolution cannot change a column's type: " +
+              s"${f.name} (${f.dataType} vs ${nf.dataType})"))
+        }
+        val prevNames = prev.fieldNames.toSet
+        StructType(prev.fields.map(f =>
+          nextByName.getOrElse(f.name, f)) ++
+          next.fields.filterNot(f => prevNames.contains(f.name))).json
+    }
   }
 
   /** The highest GENERATION number the delta log has committed, derived
@@ -1632,16 +1737,16 @@ object Sinks {
       val merged =
         if (existing.isEmpty) source.dropDuplicates(keys)
         else {
-          // the merge base is only the TOUCHED partitions; under schema
-          // evolution the untouched ones keep old-schema files, which the
-          // read paths align to the logged schema (readDeltaTableAt /
-          // readUpsertPartitionedTable)
-          val target = spark.read.parquet(existing.toIndexedSeq: _*)
-          val (t, s) =
-            if (evolveSchema)
-              graft.operators.MergeOps.alignSchemas(target, source)
-            else (target, source)
-          graft.operators.MergeOps.upsert(t, s, keys, strategies)
+          // the merge base reads the touched partitions under the LOGGED
+          // schema: after an evolution a batch can touch both an
+          // old-schema and a new-schema partition, and a bare multi-path
+          // read would sample one footer — if the old one, the rewrite
+          // of the evolved partition would silently DROP its new column
+          val target = loggedSchema(spark, tablePath)
+            .map(spark.read.schema).getOrElse(spark.read)
+            .parquet(existing.toIndexedSeq: _*)
+          graft.operators.MergeOps.upsertAligned(target, source, keys,
+            strategies, evolveSchema)
         }
       // one staged partitioned write (no lock held); `__p` duplicates the
       // partition column so the data files keep the original column
@@ -1722,13 +1827,11 @@ object Sinks {
     // align to the logged schema when the table has a log: partitions
     // last rewritten before a schema evolution keep old-schema files,
     // and a bare multi-path read would serve whichever footer Spark
-    // samples first (dropping late-added columns silently)
-    val meta =
-      if (Files.exists(root.resolve("_delta_log")) &&
-          deltaLogVersions(tablePath).nonEmpty)
-        deltaStateWithMeta(spark, tablePath, Long.MaxValue)._2
-      else None
-    metaSchema(meta).map(spark.read.schema).getOrElse(spark.read)
+    // samples first (dropping late-added columns silently). loggedSchema
+    // is the leading-lines reverse walk — NOT a full state rebuild; the
+    // pointer read path must stay log-replay-free
+    loggedSchema(spark, tablePath).map(spark.read.schema)
+      .getOrElse(spark.read)
       .parquet(gens: _*)
   }
 

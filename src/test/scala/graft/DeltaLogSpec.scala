@@ -350,6 +350,30 @@ class DeltaLogSpec extends SparkSpec {
       s"late column lost by the log read: ${viaLog.columns.toSeq}")
     assert(viaLog.select("k", "w").as[(Long, Option[String])]
       .collect().toMap == got)
+    // batch 3 does NOT carry w and opens a brand-NEW partition: its
+    // commit has no merge target at all, so without the metaData union
+    // the logged schema would REGRESS to (k,ds,v) and the aligned
+    // readers would hide w everywhere (round-10 review find)
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((3L, "2024-01-03", 9.0)).toDF("k", "ds", "v"), Seq("k"), "ds",
+      evolveSchema = true)
+    val after = Sinks.readUpsertPartitionedTable(spark, dir)
+    assert(after.columns.contains("w"),
+      "a later w-less batch regressed the logged schema")
+    assert(after.select("k", "w").as[(Long, Option[String])]
+      .collect().toMap ==
+      Map(1L -> None, 2L -> Some("late"), 3L -> None))
+    assert(Sinks.readDeltaTableAt(spark, dir)
+      .select("k", "w").as[(Long, Option[String])].collect().toMap ==
+      Map(1L -> None, 2L -> Some("late"), 3L -> None))
+    // an evolved table with a DV: the MOR scan must align both its
+    // plain and DV'd file groups to the logged schema (union across
+    // eras), serving nulls instead of throwing
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 3L)
+    assert(Sinks.readDeltaTableAt(spark, dir)
+      .select("k", "w").as[(Long, Option[String])].collect().toMap ==
+      Map(1L -> None, 2L -> Some("late")))
   }
 
   test("add actions carry footer-derived stats; skipped types are omitted") {
