@@ -253,6 +253,13 @@ object DeletionVectors {
     * remove+re-add per touched file with the protocol's DV descriptor;
     * operation=DELETE with the predicate in operationParameters.
     */
+  /** `_metadata.file_path` (a `file:` URI) normalized to the plain
+    * absolute filesystem path `Paths.toAbsolutePath` produces — one key
+    * space for the DV bookkeeping joins.
+    */
+  private def normalizedFilePath: Column =
+    regexp_replace(col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
   def deleteDeltaWhere(spark: SparkSession, tablePath: String,
                        predicate: Column): DvDelete = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -266,23 +273,23 @@ object DeletionVectors {
     require(state.nonEmpty, s"no live files under $tablePath")
     require(meta.nonEmpty, s"no metaData action under $tablePath")
     val root = Paths.get(tablePath)
-    val relByName = state.keys.map(p =>
-      Paths.get(p).getFileName.toString -> p).toMap
-    require(relByName.size == state.size,
-      "duplicate data-file basenames — DV bookkeeping requires the " +
-        "UUID-named files the generational writers produce")
+    // DV bookkeeping keys on the NORMALIZED ABSOLUTE PATH, not the
+    // basename: one partitioned batch write reuses task file names
+    // across its partition dirs (part-00000-<same-uuid> under every
+    // p=…), so basenames legitimately collide on partitioned tables
+    val relByAbs = state.keys.map(p =>
+      root.resolve(p).toAbsolutePath.toString -> p).toMap
     val absPaths = state.keys.map(p => root.resolve(p).toString).toSeq
     // logged-schema read: a predicate over a late-added column must see
     // nulls on pre-evolution files, not depend on footer sampling
     val matched = Sinks.metaSchema(meta).map(spark.read.schema)
       .getOrElse(spark.read).parquet(absPaths: _*)
       .filter(predicate)
-      .select(
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("fn"),
+      .select(normalizedFilePath.as("fp"),
         col("_metadata.row_index").as("ri"))
-      .groupBy(col("fn"))
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("ri"))).as("ris"))
-      .collect().map(r => relByName(r.getString(0)) ->
+      .collect().map(r => relByAbs(r.getString(0)) ->
         r.getSeq[Long](1).toArray).toMap
     if (matched.isEmpty) return DvDelete(0L, 0, 0)
 
@@ -322,7 +329,11 @@ object DeletionVectors {
     ciBody.put("engineInfo", "graft")
     actions += mapper.writeValueAsString(ci)
     val md = mapper.createObjectNode()
-    md.set[com.fasterxml.jackson.databind.JsonNode]("metaData", meta.get)
+    // canonical full shape: after checkpoint pruning the reconstructed
+    // node is the checkpoint skeleton (no format/partitionColumns)
+    md.set[com.fasterxml.jackson.databind.JsonNode]("metaData",
+      mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        Sinks.canonicalMetaData(meta.get, now)))
     actions += mapper.writeValueAsString(md)
     removes.result().foreach { p =>
       val r = mapper.createObjectNode()
@@ -362,7 +373,7 @@ object DeletionVectors {
   /** Scan `addNodes` (relative path -> add node) applying any deletion
     * vectors: plain files stream through one untouched scan; DV'd files
     * anti-join their `_metadata.row_index` against the exploded deleted
-    * set (joined by unique file basename).
+    * set (joined by normalized absolute path).
     */
   private[sources] def scanWithDvs(spark: SparkSession, tablePath: String,
       addNodes: Seq[(String, com.fasterxml.jackson.databind.JsonNode)],
@@ -375,28 +386,25 @@ object DeletionVectors {
     // late-added column is nulls, not an AnalysisException
     def reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val (withDv, plain) = addNodes.partition(_._2.has("deletionVector"))
-    require(addNodes.map(p =>
-        java.nio.file.Paths.get(p._1).getFileName.toString).distinct.size ==
-      addNodes.size,
-      "duplicate data-file basenames — DV reads require UUID-named files")
     val plainDf =
       if (plain.isEmpty) None
       else Some(reader.parquet(plain.map(p => abs(p._1)): _*))
     val dvDf =
       if (withDv.isEmpty) None
       else {
+        // keyed by normalized absolute path (basenames collide across a
+        // partitioned batch's partition dirs — see deleteDeltaWhere)
         val deleted = withDv.flatMap { case (rel, node) =>
-          val fn = java.nio.file.Paths.get(rel).getFileName.toString
-          dvIndexes(node.get("deletionVector")).map(i => (fn, i))
+          val fp = root.resolve(rel).toAbsolutePath.toString
+          dvIndexes(node.get("deletionVector")).map(i => (fp, i))
         }
         import spark.implicits._
-        val delDf = deleted.toDF("__fn", "__ri")
+        val delDf = deleted.toDF("__fp", "__ri")
         val scan = reader.parquet(withDv.map(p => abs(p._1)): _*)
-          .withColumn("__fn",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__fp", normalizedFilePath)
           .withColumn("__ri", col("_metadata.row_index"))
-        Some(scan.join(delDf, Seq("__fn", "__ri"), "left_anti")
-          .drop("__fn", "__ri"))
+        Some(scan.join(delDf, Seq("__fp", "__ri"), "left_anti")
+          .drop("__fp", "__ri"))
       }
     (plainDf, dvDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -436,7 +444,10 @@ object DeletionVectors {
     val root = Paths.get(tablePath)
     val v = vAtRead + 1
     val genDir = root.resolve(f"gen-dv-purge-$v%020d")
-    scanWithDvs(spark, tablePath, withDv)
+    // logged-schema scan: an era-spanning purge rewrite must carry the
+    // evolved columns (nulls where the old files lack them), not
+    // whichever footer Spark samples
+    scanWithDvs(spark, tablePath, withDv, Sinks.metaSchema(meta))
       .write.mode("overwrite").parquet(genDir.toString)
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
@@ -447,7 +458,10 @@ object DeletionVectors {
     cb.put("engineInfo", "graft")
     actions += mapper.writeValueAsString(ci)
     val md = mapper.createObjectNode()
-    md.set[com.fasterxml.jackson.databind.JsonNode]("metaData", meta.get)
+    // canonical full shape (see deleteDeltaWhere)
+    md.set[com.fasterxml.jackson.databind.JsonNode]("metaData",
+      mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        Sinks.canonicalMetaData(meta.get, now)))
     actions += mapper.writeValueAsString(md)
     withDv.foreach { case (rel, _) =>
       val r = mapper.createObjectNode()

@@ -604,78 +604,74 @@ object Sinks {
                         staleLockMs: Long = 60000L): (Long, Int, Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(tablePath)
-    // the whole compute+commit runs under the table lock, like every
-    // other committer: an unlocked RESTORE could compute logged.max,
-    // lose the race to a concurrent MERGE, and overwrite its version
-    // file — erasing the batch AND its generation marker from the log
+    // every committer's discipline: the EXPENSIVE state reconstruction
+    // runs OUTSIDE the lock (holding the ms-scale _LOCK across Spark
+    // jobs would make it look stale and stealable), then the lock is
+    // taken only to CAS on the log tail and move the version file — a
+    // racer fails loudly and the caller re-runs against fresh state
+    val logged = deltaLogVersions(tablePath)
+    require(logged.nonEmpty, s"no _delta_log under $tablePath")
+    val vAtRead = logged.max
+    require(version <= vAtRead,
+      s"version $version does not exist (latest: $vAtRead)")
+    val (target, metaT) = deltaStateWithMeta(spark, tablePath, version)
+    require(target.nonEmpty, s"no live files at version $version")
+    require(metaT.nonEmpty, s"no metaData at or below version $version")
+    val (live, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    val mapper = jsonMapper
+    // comparison + emission go through ONE canonical shape: state
+    // nodes reconstructed from a checkpoint lack partitionValues /
+    // dataChange, so verbatim node equality across eras would re-add
+    // the whole table, and verbatim emission would write adds missing
+    // spec-required fields
+    def canonical(node: com.fasterxml.jackson.databind.JsonNode)
+        : java.util.LinkedHashMap[String, Any] = {
+      val add = jmap(
+        "path" -> node.get("path").asText(),
+        "partitionValues" -> jmap(),
+        "size" -> node.get("size").asLong(),
+        "modificationTime" -> node.get("modificationTime").asLong(),
+        "dataChange" -> true)
+      if (node.has("stats"))
+        add.put("stats", node.get("stats").asText())
+      if (node.has("deletionVector"))
+        add.put("deletionVector", node.get("deletionVector"))
+      add
+    }
+    def key(node: com.fasterxml.jackson.databind.JsonNode): String =
+      mapper.writeValueAsString(canonical(node))
+    // a file is re-added when missing from the live set OR live with a
+    // different logical entry (deletion vector / stats drift)
+    val liveKeys = live.map { case (p, n) => p -> key(n) }
+    val readds = target.filter { case (p, node) =>
+      !liveKeys.get(p).contains(key(node)) }
+    val removes = live.keys.filterNot(target.contains).toSeq
+    readds.keys.foreach { p =>
+      require(Files.exists(root.resolve(p)),
+        s"RESTORE target file vacuumed: $p (version $version is past " +
+          "the retention window)")
+    }
+    val now = System.currentTimeMillis()
+    val sb = new StringBuilder
+    def line(a: Any): Unit =
+      sb.append(mapper.writeValueAsString(a)).append('\n')
+    val opParams = jmap("version" -> version.toString)
+    line(jmap("commitInfo" -> jmap(
+      "timestamp" -> now, "operation" -> "RESTORE",
+      "operationParameters" -> opParams, "engineInfo" -> "graft")))
+    line(jmap("metaData" -> canonicalMetaData(metaT.get, now)))
+    removes.foreach { p =>
+      line(jmap("remove" -> jmap(
+        "path" -> p, "deletionTimestamp" -> now, "dataChange" -> true)))
+    }
+    readds.foreach { case (_, node) => line(jmap("add" -> canonical(node))) }
     withMetadataLock(root, staleLockMs) {
-      val logged = deltaLogVersions(tablePath)
-      require(logged.nonEmpty, s"no _delta_log under $tablePath")
-      require(version <= logged.max,
-        s"version $version does not exist (latest: ${logged.max})")
-      val (target, metaT) = deltaStateWithMeta(spark, tablePath, version)
-      require(target.nonEmpty, s"no live files at version $version")
-      require(metaT.nonEmpty, s"no metaData at or below version $version")
-      val (live, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
-      val mapper = jsonMapper
-      // comparison + emission go through ONE canonical shape: state
-      // nodes reconstructed from a checkpoint lack partitionValues /
-      // dataChange, so verbatim node equality across eras would re-add
-      // the whole table, and verbatim emission would write adds missing
-      // spec-required fields
-      def canonical(node: com.fasterxml.jackson.databind.JsonNode)
-          : java.util.LinkedHashMap[String, Any] = {
-        val add = jmap(
-          "path" -> node.get("path").asText(),
-          "partitionValues" -> jmap(),
-          "size" -> node.get("size").asLong(),
-          "modificationTime" -> node.get("modificationTime").asLong(),
-          "dataChange" -> true)
-        if (node.has("stats"))
-          add.put("stats", node.get("stats").asText())
-        if (node.has("deletionVector"))
-          add.put("deletionVector", node.get("deletionVector"))
-        add
-      }
-      def key(node: com.fasterxml.jackson.databind.JsonNode): String =
-        mapper.writeValueAsString(canonical(node))
-      // a file is re-added when missing from the live set OR live with a
-      // different logical entry (deletion vector / stats drift)
-      val liveKeys = live.map { case (p, n) => p -> key(n) }
-      val readds = target.filter { case (p, node) =>
-        !liveKeys.get(p).contains(key(node)) }
-      val removes = live.keys.filterNot(target.contains).toSeq
-      readds.keys.foreach { p =>
-        require(Files.exists(root.resolve(p)),
-          s"RESTORE target file vacuumed: $p (version $version is past " +
-            "the retention window)")
-      }
-      val v = logged.max + 1
-      val now = System.currentTimeMillis()
-      val sb = new StringBuilder
-      def line(a: Any): Unit =
-        sb.append(mapper.writeValueAsString(a)).append('\n')
-      val opParams = jmap("version" -> version.toString)
-      line(jmap("commitInfo" -> jmap(
-        "timestamp" -> now, "operation" -> "RESTORE",
-        "operationParameters" -> opParams, "engineInfo" -> "graft")))
-      // canonical full metaData: a checkpoint-derived node carries only
-      // (id, schemaString, createdTime)
-      val m = metaT.get
-      line(jmap("metaData" -> jmap(
-        "id" -> m.get("id").asText(),
-        "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
-        "schemaString" -> m.get("schemaString").asText(),
-        "partitionColumns" -> new java.util.ArrayList[String](),
-        "configuration" -> jmap(),
-        "createdTime" ->
-          (if (m.has("createdTime")) m.get("createdTime").asLong()
-           else now))))
-      removes.foreach { p =>
-        line(jmap("remove" -> jmap(
-          "path" -> p, "deletionTimestamp" -> now, "dataChange" -> true)))
-      }
-      readds.foreach { case (_, node) => line(jmap("add" -> canonical(node))) }
+      val vNow = deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      if (vNow != vAtRead)
+        throw new java.util.ConcurrentModificationException(
+          s"restoreDeltaTable($tablePath): version advanced " +
+            s"$vAtRead -> $vNow during state reconstruction; retry")
+      val v = vNow + 1
       val logDir = root.resolve("_delta_log")
       val tmp = logDir.resolve(f"$v%020d.json.tmp")
       Files.writeString(tmp, sb.toString)
@@ -684,6 +680,24 @@ object Sinks {
       (v, readds.size, removes.size)
     }
   }
+
+  /** Full protocol-shaped metaData from a possibly checkpoint-reduced
+    * node (the checkpoint rebuild keeps only id/schemaString/createdTime;
+    * format and partitionColumns are spec-required) — shared by every
+    * writer that re-emits reconstructed metaData (RESTORE, DELETE,
+    * DV purge).
+    */
+  private[sources] def canonicalMetaData(
+      m: com.fasterxml.jackson.databind.JsonNode,
+      now: Long): java.util.LinkedHashMap[String, Any] =
+    jmap(
+      "id" -> m.get("id").asText(),
+      "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
+      "schemaString" -> m.get("schemaString").asText(),
+      "partitionColumns" -> new java.util.ArrayList[String](),
+      "configuration" -> jmap(),
+      "createdTime" ->
+        (if (m.has("createdTime")) m.get("createdTime").asLong() else now))
 
   /** Row-level diff between two committed versions — time-travel CDC:
     * every row of `v0` missing from `v1` comes back op='D', every row of
@@ -1250,12 +1264,17 @@ object Sinks {
     val keptRel = files.map(f => java.nio.file.Paths.get(tablePath)
       .toAbsolutePath.relativize(java.nio.file.Paths.get(f)
         .toAbsolutePath).toString.replace('\\', '/')).toSet
-    val (state, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    val (state, meta) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     val keptNodes = state.toSeq.filter(p => keptRel.contains(p._1))
+    // logged-schema scan on both branches: an era-spanning kept set
+    // must serve the evolved columns (a range predicate on a late-added
+    // column keeps old-era files — no stats — and still has to resolve)
     val scan =
       if (keptNodes.exists(_._2.has("deletionVector")))
-        DeletionVectors.scanWithDvs(spark, tablePath, keptNodes)
-      else spark.read.parquet(files: _*)
+        DeletionVectors.scanWithDvs(spark, tablePath, keptNodes,
+          metaSchema(meta))
+      else metaSchema(meta).map(spark.read.schema).getOrElse(spark.read)
+        .parquet(files: _*)
     val c = col(colName)
     val bounded = (lo, hi) match {
       case (null, null) => scan
@@ -1729,25 +1748,44 @@ object Sinks {
     var committed = false
     while (!committed) {
       attempt += 1
-      // pointer snapshot: the merge bases on exactly these generations
+      // pointer snapshot (names the next generation numbers) + log-tail
+      // snapshot (the CAS guard)
       val base: Map[String, Option[String]] =
         affected.map(v => v -> currentGen(v)).toMap
       val existing = affected.flatMap(v => base(v).map(g =>
         partDir(v).resolve(g).toString))
-      val merged =
-        if (existing.isEmpty) source.dropDuplicates(keys)
-        else {
-          // the merge base reads the touched partitions under the LOGGED
-          // schema: after an evolution a batch can touch both an
-          // old-schema and a new-schema partition, and a bare multi-path
-          // read would sample one footer — if the old one, the rewrite
-          // of the evolved partition would silently DROP its new column
-          val target = loggedSchema(spark, tablePath)
-            .map(spark.read.schema).getOrElse(spark.read)
-            .parquet(existing.toIndexedSeq: _*)
+      val baseLogVersion = deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      // the merge base is the LOGGED state of the affected partitions —
+      // DV-aware and under the logged schema. A raw pointer-dir read
+      // would resurrect rows a DELETE (deletion-vector commit) marked
+      // after the partition's last rewrite, and would sample one footer
+      // across old/new-schema partitions, silently dropping an evolved
+      // column from the rewrite. (Pre-log legacy tables keep the pointer
+      // read.)
+      val targetOpt: Option[DataFrame] =
+        if (baseLogVersion < 0) {
+          if (existing.isEmpty) None
+          else Some(spark.read.parquet(existing.toIndexedSeq: _*))
+        } else {
+          val (state, meta) =
+            deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+          val inParts = state.toSeq.filter { case (p, _) =>
+            affected.exists(v => p.startsWith(s"p=$v/")) }
+          if (inParts.isEmpty) None
+          else if (inParts.exists(_._2.has("deletionVector")))
+            Some(DeletionVectors.scanWithDvs(spark, tablePath, inParts,
+              metaSchema(meta)))
+          else Some(metaSchema(meta).map(spark.read.schema)
+            .getOrElse(spark.read)
+            .parquet(inParts.map(p =>
+              root.resolve(p._1).toString): _*))
+        }
+      val merged = targetOpt match {
+        case None => source.dropDuplicates(keys)
+        case Some(target) =>
           graft.operators.MergeOps.upsertAligned(target, source, keys,
             strategies, evolveSchema)
-        }
+      }
       // one staged partitioned write (no lock held); `__p` duplicates the
       // partition column so the data files keep the original column
       // (partitionBy drops its column)
@@ -1756,7 +1794,12 @@ object Sinks {
       merged.withColumn("__p", col(partitionCol).cast("string"))
         .write.partitionBy("__p").parquet(stage.toString)
       withMetadataLock(root, staleLockMs) {
-        if (affected.forall(v => currentGen(v) == base(v))) {
+        // CAS on BOTH clocks: the partition pointers (another batch's
+        // rewrite) AND the log tail (a DELETE/RESTORE commits a version
+        // without touching any pointer — merging over it would undo it)
+        if (affected.forall(v => currentGen(v) == base(v)) &&
+            deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+              == baseLogVersion) {
           val committedGenDirs = Seq.newBuilder[java.nio.file.Path]
           val committedPrefixes = Seq.newBuilder[String]
           affected.foreach { v =>

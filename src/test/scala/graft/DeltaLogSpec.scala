@@ -353,27 +353,54 @@ class DeltaLogSpec extends SparkSpec {
     // batch 3 does NOT carry w and opens a brand-NEW partition: its
     // commit has no merge target at all, so without the metaData union
     // the logged schema would REGRESS to (k,ds,v) and the aligned
-    // readers would hide w everywhere (round-10 review find)
+    // readers would hide w everywhere (round-10 review find). TWO rows
+    // so a later one-row delete leaves a real deletion vector
     Sinks.upsertParquetPartitioned(spark, dir,
-      Seq((3L, "2024-01-03", 9.0)).toDF("k", "ds", "v"), Seq("k"), "ds",
+      Seq((3L, "2024-01-03", 9.0), (4L, "2024-01-03", 10.0))
+        .toDF("k", "ds", "v"), Seq("k"), "ds",
       evolveSchema = true)
     val after = Sinks.readUpsertPartitionedTable(spark, dir)
     assert(after.columns.contains("w"),
       "a later w-less batch regressed the logged schema")
     assert(after.select("k", "w").as[(Long, Option[String])]
       .collect().toMap ==
-      Map(1L -> None, 2L -> Some("late"), 3L -> None))
+      Map(1L -> None, 2L -> Some("late"), 3L -> None, 4L -> None))
     assert(Sinks.readDeltaTableAt(spark, dir)
       .select("k", "w").as[(Long, Option[String])].collect().toMap ==
-      Map(1L -> None, 2L -> Some("late"), 3L -> None))
-    // an evolved table with a DV: the MOR scan must align both its
-    // plain and DV'd file groups to the logged schema (union across
-    // eras), serving nulls instead of throwing
-    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      Map(1L -> None, 2L -> Some("late"), 3L -> None, 4L -> None))
+    // an evolved table with a LIVE DV (k=3 marked, k=4 survives in the
+    // same file): the MOR scan must align its plain and DV'd file
+    // groups to the logged schema (union across eras), serving nulls
+    // instead of throwing
+    val del = graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
       col("k") === 3L)
+    assert(del.filesWithDv == 1 && del.filesDropped == 0,
+      s"the delete must leave a real deletion vector, got $del")
     assert(Sinks.readDeltaTableAt(spark, dir)
       .select("k", "w").as[(Long, Option[String])].collect().toMap ==
-      Map(1L -> None, 2L -> Some("late")))
+      Map(1L -> None, 2L -> Some("late"), 4L -> None))
+  }
+
+  test("a partitioned MERGE after a DV DELETE does not resurrect rows") {
+    // round-10 review find: the partitioned merge base read raw pointer
+    // gen dirs (which still physically carry DV-deleted rows) and its
+    // CAS checked only partition pointers — a DELETE between batches
+    // was silently undone for the touched partition
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+        (3L, "2024-01-02", 3.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 2L)
+    // the next batch touches the DELETE's partition
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((5L, "2024-01-01", 5.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 3L, 5L),
+      "DV-deleted row resurrected by the partitioned merge (log read)")
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).select("k")
+      .as[Long].collect().toSet == Set(1L, 3L, 5L),
+      "DV-deleted row resurrected by the partitioned merge (pointer read)")
   }
 
   test("add actions carry footer-derived stats; skipped types are omitted") {
