@@ -2147,12 +2147,23 @@ object Sinks {
       val nextNum = base.stripPrefix("gen-").toLong + 1
       val stage = root.resolve(
         s"_txn-${System.nanoTime()}-${java.util.UUID.randomUUID().toString.take(8)}")
-      val compacted = spark.read.parquet(genDir.toString)
+      // compact the LOGGED (merge-on-read) state, never the raw pointer
+      // dir: after a DV DELETE the generation dir still physically
+      // carries the deleted rows, and a raw-read rewrite would resurrect
+      // them under a dataChange=false commit. Reading MOR also purges
+      // the vectors — logical content unchanged, so the OPTIMIZE
+      // semantics hold.
+      val baseLogVersion = deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      val compacted =
+        if (baseLogVersion < 0) spark.read.parquet(genDir.toString)
+        else readDeltaTableAt(spark, tablePath)
       compacted.coalesce(nOut)
         .write.mode(SaveMode.Overwrite).parquet(stage.toString)
       var committed = false
       withMetadataLock(root, staleLockMs) {
-        if (readPointer().contains(base)) {
+        if (readPointer().contains(base) &&
+            deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+              == baseLogVersion) {
           val newGen = root.resolve(s"gen-$nextNum")
           if (Files.exists(newGen)) deleteRecursively(newGen)
           Files.move(stage, newGen, StandardCopyOption.ATOMIC_MOVE)

@@ -381,6 +381,37 @@ class DeltaLogSpec extends SparkSpec {
       Map(1L -> None, 2L -> Some("late"), 4L -> None))
   }
 
+  test("OPTIMIZE after a DV DELETE compacts the LOGICAL rows") {
+    // same resurrection class as the merge base: compaction must read
+    // the logged (MOR) state, not the raw pointer generation dir that
+    // still physically carries the deleted rows. The rewrite purges the
+    // vectors (logical content unchanged — dataChange=false holds).
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try Sinks.upsertParquet(spark, dir,
+      spark.range(0, 64).select(col("id").as("k"),
+        (col("id") * 2).as("v")).repartition(16), Seq("k"))
+    finally spark.conf.set(key, prev)
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") < 8L)
+    val (before, after) = Sinks.compactUpsertTable(spark, dir,
+      targetBytes = 1L << 30)
+    assert(after < before)
+    val expect = (8L until 64L).toSet
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == expect,
+      "OPTIMIZE resurrected DV-deleted rows (log read)")
+    assert(Sinks.readUpsertTable(spark, dir).select("k").as[Long]
+      .collect().toSet == expect,
+      "OPTIMIZE resurrected DV-deleted rows (pointer read)")
+    // the compacted generation is vector-free
+    assert(Sinks.deltaLiveFiles(dir).nonEmpty)
+    assert(graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
+      == 0, "compaction must have purged the vectors")
+  }
+
   test("a partitioned MERGE after a DV DELETE does not resurrect rows") {
     // round-10 review find: the partitioned merge base read raw pointer
     // gen dirs (which still physically carry DV-deleted rows) and its
