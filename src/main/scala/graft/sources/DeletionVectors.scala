@@ -246,6 +246,17 @@ object DeletionVectors {
     */
   case class DvDelete(rowsDeleted: Long, filesWithDv: Int, filesDropped: Int)
 
+  /** `_metadata.file_path` (a `file:` URI, percent-encoded) normalized
+    * to the plain absolute filesystem path `Paths.toAbsolutePath`
+    * produces — one key space for the DV bookkeeping joins. The decode
+    * matters: a table path containing a space (or any URI-special char)
+    * renders as %XX in the metadata column, and an undecoded join would
+    * silently subtract NOTHING, resurrecting every deleted row.
+    */
+  private def normalizedFilePath: Column =
+    url_decode(regexp_replace(col("_metadata.file_path"),
+      "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+
   /** MERGE-ON-READ `DELETE WHERE predicate`: no data file is rewritten.
     * Matching is computed per physical file via `_metadata.row_index`
     * (the scan is the only data-touching step); existing vectors union
@@ -253,12 +264,6 @@ object DeletionVectors {
     * remove+re-add per touched file with the protocol's DV descriptor;
     * operation=DELETE with the predicate in operationParameters.
     */
-  /** `_metadata.file_path` (a `file:` URI) normalized to the plain
-    * absolute filesystem path `Paths.toAbsolutePath` produces — one key
-    * space for the DV bookkeeping joins.
-    */
-  private def normalizedFilePath: Column =
-    regexp_replace(col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   def deleteDeltaWhere(spark: SparkSession, tablePath: String,
                        predicate: Column): DvDelete = {
@@ -267,7 +272,7 @@ object DeletionVectors {
     // the version the matched row-indexes were computed against: the
     // commit below is only valid against THIS state — a merge landing in
     // between rewrites files and the indexes would mark wrong rows
-    val vAtRead = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+    val vAtRead = Sinks.logTailVersion(tablePath)
     val (state, meta) =
       Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     require(state.nonEmpty, s"no live files under $tablePath")
@@ -313,6 +318,10 @@ object DeletionVectors {
         re.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector",
           dvDescriptor(mapper, union))
         re.put("dataChange", true)
+        // checkpoint-reconstructed nodes are skeletons: fill the
+        // spec-required field the rebuild drops (same class as the
+        // canonical metaData below)
+        if (!re.has("partitionValues")) re.putObject("partitionValues")
         adds += re
       }
     }
@@ -353,7 +362,7 @@ object DeletionVectors {
     // meaningful against the scanned state) — a racer fails loudly, the
     // caller re-runs the delete against the fresh state
     Sinks.withMetadataLock(root, 60000L) {
-      val vNow = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      val vNow = Sinks.logTailVersion(tablePath)
       if (vNow != vAtRead)
         throw new java.util.ConcurrentModificationException(
           s"deleteDeltaWhere($tablePath): version advanced " +
@@ -436,11 +445,22 @@ object DeletionVectors {
   def purgeDeletionVectors(spark: SparkSession, tablePath: String): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val mapper = Sinks.jsonMapper
-    val vAtRead = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+    val vAtRead = Sinks.logTailVersion(tablePath)
     val (state, meta) =
       Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     val withDv = state.toSeq.filter(_._2.has("deletionVector"))
     if (withDv.isEmpty) return 0
+    // PARTITIONED tables are out of purge's scope: the rewrite lands in
+    // a root-level gen-dv-purge dir that mixes partitions, which the
+    // partition-scoped merge base and remove prefixes can neither read
+    // nor replace — a later merge would duplicate the purged rows. The
+    // partition-grain purge IS a merge touching the partition (its base
+    // is the MOR logged state, so the rewrite drops the vectors).
+    require(!state.keys.exists(_.startsWith("p=")),
+      s"purgeDeletionVectors does not support partitioned tables " +
+        s"($tablePath): re-merge the affected partitions instead — a " +
+        "partition-scoped MERGE rebases on the MOR state and purges " +
+        "its vectors")
     val root = Paths.get(tablePath)
     val v = vAtRead + 1
     val genDir = root.resolve(f"gen-dv-purge-$v%020d")
@@ -487,7 +507,7 @@ object DeletionVectors {
     // same commit discipline as deleteDeltaWhere: lock + staleness check
     // (the rewritten files were selected against the scanned state)
     Sinks.withMetadataLock(root, 60000L) {
-      val vNow = Sinks.deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      val vNow = Sinks.logTailVersion(tablePath)
       if (vNow != vAtRead)
         throw new java.util.ConcurrentModificationException(
           s"purgeDeletionVectors($tablePath): version advanced " +

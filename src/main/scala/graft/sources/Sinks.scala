@@ -497,6 +497,12 @@ object Sinks {
     finally ls.close()
   }
 
+  /** The newest logged version, -1 when the table has no log — the
+    * one spelling of the log-tail snapshot every CAS site shares.
+    */
+  private[sources] def logTailVersion(tablePath: String): Long =
+    deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+
   /** Replay the log: the live file set (paths relative to the table root)
     * at `version` (default: latest). Add-then-remove accumulation per the
     * Delta protocol's state reconstruction rule.
@@ -666,7 +672,7 @@ object Sinks {
     }
     readds.foreach { case (_, node) => line(jmap("add" -> canonical(node))) }
     withMetadataLock(root, staleLockMs) {
-      val vNow = deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      val vNow = logTailVersion(tablePath)
       if (vNow != vAtRead)
         throw new java.util.ConcurrentModificationException(
           s"restoreDeltaTable($tablePath): version advanced " +
@@ -1301,7 +1307,9 @@ object Sinks {
                                 replacePrefixes: Seq[String],
                                 schemaJson: String, opName: String,
                                 pinnedVersion: Option[Long],
-                                dataChange: Boolean = true): Unit = {
+                                dataChange: Boolean = true,
+                                partitionGens: Map[String, Long] =
+                                  Map.empty): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
@@ -1342,6 +1350,16 @@ object Sinks {
       // resurrecting DV-deleted rows and re-logging the generation
       val opParams = jmap()
       gen.foreach(g => opParams.put("generation", g.toString))
+      // partitioned batches record the GENERATION each touched partition
+      // advanced to — the per-partition twin of the `generation` marker,
+      // read back by [[lastLoggedPartitionGens]] to detect a writer that
+      // died between its pointer swaps and this log write
+      if (partitionGens.nonEmpty) {
+        val pg = jmap()
+        partitionGens.toSeq.sortBy(_._1).foreach { case (p, g) =>
+          pg.put(p, g.toString) }
+        opParams.put("partitionGens", pg)
+      }
       actions += jmap("commitInfo" -> jmap(
         "timestamp" -> now, "operation" -> opName,
         "operationParameters" -> opParams, "engineInfo" -> "graft"))
@@ -1517,6 +1535,36 @@ object Sinks {
           nextByName.getOrElse(f.name, f)) ++
           next.fields.filterNot(f => prevNames.contains(f.name))).json
     }
+  }
+
+  /** The newest logged GENERATION per partition, for the partitions in
+    * `parts` — the per-partition analogue of [[lastLoggedGeneration]],
+    * read from the `partitionGens` commitInfo markers by a reverse
+    * leading-lines walk that stops once every requested partition has
+    * resolved. A partition absent from the result has no marker in the
+    * retained log (legacy table, or partition never committed).
+    */
+  private[sources] def lastLoggedPartitionGens(
+      root: java.nio.file.Path,
+      parts: Set[String]): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val it = deltaLogVersions(root.toString).reverseIterator
+    while (it.hasNext && out.size < parts.size) {
+      commitInfoLeading(root, it.next())
+        .filter(_.has("operationParameters"))
+        .map(_.get("operationParameters"))
+        .filter(_.has("partitionGens"))
+        .map(_.get("partitionGens"))
+        .foreach { pg =>
+          pg.fields().forEachRemaining { e =>
+            val p = e.getKey
+            if (parts.contains(p) && !out.contains(p))
+              scala.util.Try(e.getValue.asText().toLong)
+                .foreach(out(p) = _)
+          }
+        }
+    }
+    out.toMap
   }
 
   /** The highest GENERATION number the delta log has committed, derived
@@ -1754,7 +1802,7 @@ object Sinks {
         affected.map(v => v -> currentGen(v)).toMap
       val existing = affected.flatMap(v => base(v).map(g =>
         partDir(v).resolve(g).toString))
-      val baseLogVersion = deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      val baseLogVersion = logTailVersion(tablePath)
       // the merge base is the LOGGED state of the affected partitions —
       // DV-aware and under the logged schema. A raw pointer-dir read
       // would resurrect rows a DELETE (deletion-vector commit) marked
@@ -1762,6 +1810,22 @@ object Sinks {
       // across old/new-schema partitions, silently dropping an evolved
       // column from the rewrite. (Pre-log legacy tables keep the pointer
       // read.)
+      //
+      // Crash-window guard, PER PARTITION: a writer that died between
+      // its pointer swaps and the batch's log commit leaves a
+      // partition's pointer generation AHEAD of its last logged
+      // `partitionGens` marker — that partition bases on its RAW
+      // pointer dir (DV-free by construction: the generation was never
+      // logged), or the crashed batch's rows would be silently erased.
+      // Markerless legacy partitions infer the lag from path
+      // containment (pointer gen has no logged file under it).
+      val affectedSet = affected.toSet
+      def partOf(p: String): Option[String] =
+        if (!p.startsWith("p=")) None
+        else {
+          val i = p.indexOf('/')
+          if (i < 0) None else Some(p.substring(2, i))
+        }
       val targetOpt: Option[DataFrame] =
         if (baseLogVersion < 0) {
           if (existing.isEmpty) None
@@ -1769,16 +1833,43 @@ object Sinks {
         } else {
           val (state, meta) =
             deltaStateWithMeta(spark, tablePath, Long.MaxValue)
-          val inParts = state.toSeq.filter { case (p, _) =>
-            affected.exists(v => p.startsWith(s"p=$v/")) }
-          if (inParts.isEmpty) None
-          else if (inParts.exists(_._2.has("deletionVector")))
-            Some(DeletionVectors.scanWithDvs(spark, tablePath, inParts,
-              metaSchema(meta)))
-          else Some(metaSchema(meta).map(spark.read.schema)
-            .getOrElse(spark.read)
-            .parquet(inParts.map(p =>
-              root.resolve(p._1).toString): _*))
+          val inParts = state.toSeq.filter(p =>
+            partOf(p._1).exists(affectedSet.contains))
+          val markers = lastLoggedPartitionGens(root, affectedSet)
+          val byPart = inParts.groupBy(p => partOf(p._1).get)
+          val lagging = affected.filter { v =>
+            base(v).exists { g =>
+              markers.get(v) match {
+                case Some(lg) => lg < g.stripPrefix("gen-").toLong
+                case None => !byPart.getOrElse(v, Nil)
+                  .exists(_._1.startsWith(s"p=$v/$g/"))
+              }
+            }
+          }
+          val laggingSet = lagging.toSet
+          val covered = inParts.filterNot(p =>
+            laggingSet.contains(partOf(p._1).get))
+          val schemaR = metaSchema(meta)
+          val coveredDf =
+            if (covered.isEmpty) None
+            else if (covered.exists(_._2.has("deletionVector")))
+              Some(DeletionVectors.scanWithDvs(spark, tablePath, covered,
+                schemaR))
+            else Some(schemaR.map(spark.read.schema).getOrElse(spark.read)
+              .parquet(covered.map(p => root.resolve(p._1).toString): _*))
+          // a crashed dir is one write's output — schema-consistent
+          // internally, possibly NEWER than the logged schema, so it
+          // reads bare and the union fills either side's gaps
+          val rawDirs = lagging.flatMap(v =>
+            base(v).map(g => partDir(v).resolve(g).toString))
+          val rawDf =
+            if (rawDirs.isEmpty) None
+            else Some(spark.read.parquet(rawDirs.toIndexedSeq: _*))
+          (coveredDf, rawDf) match {
+            case (Some(a), Some(b)) =>
+              Some(a.unionByName(b, allowMissingColumns = true))
+            case (a, b) => a.orElse(b)
+          }
         }
       val merged = targetOpt match {
         case None => source.dropDuplicates(keys)
@@ -1798,10 +1889,10 @@ object Sinks {
         // rewrite) AND the log tail (a DELETE/RESTORE commits a version
         // without touching any pointer — merging over it would undo it)
         if (affected.forall(v => currentGen(v) == base(v)) &&
-            deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
-              == baseLogVersion) {
+            logTailVersion(tablePath) == baseLogVersion) {
           val committedGenDirs = Seq.newBuilder[java.nio.file.Path]
           val committedPrefixes = Seq.newBuilder[String]
+          val committedGens = Map.newBuilder[String, Long]
           affected.foreach { v =>
             val staged = stage.resolve(s"__p=$v")
             if (Files.exists(staged)) {
@@ -1827,14 +1918,16 @@ object Sinks {
               vacuumGenerations(dir, nextNum, keepGenerations)
               committedGenDirs += genDir
               committedPrefixes += s"p=$v/"
+              committedGens += v -> nextNum
             }
           }
           // one Delta commit for the whole batch: adds for every affected
           // partition's new generation, removes scoped to those partitions
-          // (untouched partitions' files stay live in the log, untouched)
+          // (untouched partitions' files stay live in the log, untouched);
+          // partitionGens markers commit atomically with the version file
           appendDeltaCommit(spark, root, committedGenDirs.result(),
             committedPrefixes.result(), merged.schema.json, "MERGE",
-            pinnedVersion = None)
+            pinnedVersion = None, partitionGens = committedGens.result())
           committed = true
         }
       }
@@ -2153,17 +2246,32 @@ object Sinks {
       // them under a dataChange=false commit. Reading MOR also purges
       // the vectors — logical content unchanged, so the OPTIMIZE
       // semantics hold.
-      val baseLogVersion = deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
+      //
+      // Crash-window guard (upsertParquet's merge-base rule): when the
+      // pointer generation was never LOGGED (a writer died between its
+      // pointer swap and its log write), the logged state predates the
+      // crashed batch — compacting it would erase that batch. An
+      // unlogged generation is DV-free by construction, so the raw dir
+      // is the correct base there.
+      val baseLogVersion = logTailVersion(tablePath)
+      val genNum = base.stripPrefix("gen-").toLong
+      val logCoversPointer = baseLogVersion >= 0 &&
+        lastLoggedGeneration(root).exists(_ >= genNum)
+      if (logCoversPointer &&
+          deltaStateWithMeta(spark, tablePath, Long.MaxValue)._1.isEmpty)
+        // a DELETE dropped every live file: nothing logical to compact —
+        // no-op rather than crashing the maintenance job on the
+        // physically-present pointer files
+        return (nFiles, nFiles)
       val compacted =
-        if (baseLogVersion < 0) spark.read.parquet(genDir.toString)
+        if (!logCoversPointer) spark.read.parquet(genDir.toString)
         else readDeltaTableAt(spark, tablePath)
       compacted.coalesce(nOut)
         .write.mode(SaveMode.Overwrite).parquet(stage.toString)
       var committed = false
       withMetadataLock(root, staleLockMs) {
         if (readPointer().contains(base) &&
-            deltaLogVersions(tablePath).foldLeft(-1L)(math.max)
-              == baseLogVersion) {
+            logTailVersion(tablePath) == baseLogVersion) {
           val newGen = root.resolve(s"gen-$nextNum")
           if (Files.exists(newGen)) deleteRecursively(newGen)
           Files.move(stage, newGen, StandardCopyOption.ATOMIC_MOVE)

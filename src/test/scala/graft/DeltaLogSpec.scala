@@ -412,6 +412,32 @@ class DeltaLogSpec extends SparkSpec {
       == 0, "compaction must have purged the vectors")
   }
 
+  test("a partitioned writer crash between pointer swap and log write " +
+      "loses no batch") {
+    // round-10 fourth-pass find: the logged-state merge base needs the
+    // per-partition twin of upsertParquet's log-covers-pointer guard —
+    // without it, a batch whose log write never landed (pointer swapped,
+    // writer died) is erased by the next merge of that partition. The
+    // partitionGens commitInfo markers carry the guard's evidence.
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+        .toDF("k", "ds", "v"), Seq("k"), "ds") // v0
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((3L, "2024-01-01", 3.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds") // v1: p=01-01 -> gen-1
+    // simulate the crash window: v1's log entry never landed
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((4L, "2024-01-01", 4.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).select("k")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
+      "the crashed batch's rows were erased (pointer read)")
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L),
+      "the crashed batch's rows were erased (log read)")
+  }
+
   test("a partitioned MERGE after a DV DELETE does not resurrect rows") {
     // round-10 review find: the partitioned merge base read raw pointer
     // gen dirs (which still physically carry DV-deleted rows) and its
@@ -432,6 +458,19 @@ class DeltaLogSpec extends SparkSpec {
     assert(Sinks.readUpsertPartitionedTable(spark, dir).select("k")
       .as[Long].collect().toSet == Set(1L, 3L, 5L),
       "DV-deleted row resurrected by the partitioned merge (pointer read)")
+    // purge is out of scope for partitioned layouts (its root-level
+    // rewrite dir would escape the partition-scoped merge base) — the
+    // partition-grain purge is a merge, as above; the refusal is loud.
+    // k=5 shares p=01-01's merged file with k=1, so the delete leaves a
+    // REAL vector (a lone-row file would drop outright and purge would
+    // no-op before the layout check)
+    val del2 = graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 5L)
+    assert(del2.filesWithDv == 1 && del2.filesDropped == 0, s"$del2")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
+    }
+    assert(e.getMessage.contains("partitioned"))
   }
 
   test("add actions carry footer-derived stats; skipped types are omitted") {
