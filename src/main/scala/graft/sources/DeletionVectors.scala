@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * roaring portable format.
   *
   * Scale notes (100 TB lens):
-  * - the predicate scan reads only LIVE files and ships one (file, index)
-  *   pair per MATCHED row; per-file index lists are bounded by file row
-  *   count (~1M for 128 MiB files) — the same bound a file rewrite would
-  *   shuffle, minus every unmatched row.
+  * - the predicate scan reads only LIVE files; matched row indexes are
+  *   grouped per file, unioned with the file's prior vector, and
+  *   roaring-serialized IN THE EXECUTORS — the driver receives one
+  *   (path, bytes, cardinality) row per touched file, never a row-index
+  *   list, so a broad DELETE's driver footprint tracks the table's FILE
+  *   count, not its matched-ROW count.
   * - files whose vector reaches the physical row count are dropped
   *   outright (full-file delete needs no vector, no read amplification).
   * - readers split the scan: files with no vector stream through
@@ -216,14 +218,13 @@ object DeletionVectors {
   }
 
   private def dvDescriptor(mapper: com.fasterxml.jackson.databind.ObjectMapper,
-                           sorted: Array[Long])
+                           bytes: Array[Byte], cardinality: Long)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
-    val bytes = serializeIndexes(sorted)
     val n = mapper.createObjectNode()
     n.put("storageType", "i")
     n.put("pathOrInlineDv", z85Encode(bytes))
     n.put("sizeInBytes", bytes.length)
-    n.put("cardinality", sorted.length.toLong)
+    n.put("cardinality", cardinality)
     n
   }
 
@@ -246,16 +247,104 @@ object DeletionVectors {
     */
   case class DvDelete(rowsDeleted: Long, filesWithDv: Int, filesDropped: Int)
 
+  /** One touched file's finished deletion vector, as shipped to the
+    * driver: the GDV1 roaring BYTES (already unioned with the file's
+    * previous vector), never the raw row-index list — driver memory is
+    * bounded by touched-FILE count × bitmap size, not by matched-ROW
+    * count (a broad DELETE on a 10k-file table matches ~10^10 rows; as
+    * raw longs in collected Rows that is a silent driver OOM, as roaring
+    * bitmaps it is ~the table's add-entry volume).
+    */
+  private[graft] case class FileDv(absPath: String, dvBytes: Array[Byte],
+                                     cardinality: Long, prevCardinality: Long)
+
+  /** The predicate scan + per-file vector build for [[deleteDeltaWhere]]:
+    * matched row indexes are grouped per physical file IN THE EXECUTORS,
+    * unioned there with the file's existing vector (broadcast — bounded
+    * by the table's unpurged delete volume, the same bytes every MOR
+    * reader already ships), and serialized there; the driver receives
+    * one (path, bytes, cardinality, prevCardinality) row per touched
+    * file. Package-private so DeletionVectorsSpec can pin the bound.
+    */
+  private[graft] def collectFileDvs(spark: SparkSession,
+      root: java.nio.file.Path,
+      state: scala.collection.Map[String,
+        com.fasterxml.jackson.databind.JsonNode],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      predicate: Column): Array[FileDv] = {
+    import spark.implicits._
+    val absPaths = state.keys.map(p => root.resolve(p).toString).toSeq
+    val existingDv: Map[String, Array[Byte]] = state.toSeq.flatMap {
+      case (rel, add) =>
+        if (!add.has("deletionVector")) None
+        else {
+          val n = add.get("deletionVector")
+          require(n.get("storageType").asText() == "i",
+            "only inline (storageType=i) deletion vectors are produced/read")
+          Some(root.resolve(rel).toAbsolutePath.toString ->
+            z85Decode(n.get("pathOrInlineDv").asText(),
+              n.get("sizeInBytes").asInt()))
+        }
+    }.toMap
+    val exB = spark.sparkContext.broadcast(existingDv)
+    // logged-schema read: a predicate over a late-added column must see
+    // nulls on pre-evolution files, not depend on footer sampling
+    val out = schema.map(spark.read.schema).getOrElse(spark.read)
+      .parquet(absPaths: _*)
+      .filter(predicate)
+      .select(normalizedFilePath.as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fp, it) =>
+        // executor-side: one file's matched indexes (bounded by that
+        // file's physical row count — the same bound a rewrite shuffles)
+        val newIdx = it.map(_._2).toArray
+        val existing = exB.value.get(fp).map(deserializeIndexes)
+          .getOrElse(Array.empty[Long])
+        val union = (existing ++ newIdx).distinct.sorted
+        FileDv(fp, serializeIndexes(union), union.length.toLong,
+          existing.length.toLong)
+      }
+      // collect-bound: one row per TOUCHED FILE (roaring bytes, not row
+      // indexes) — see FileDv's scale contract
+      .collect()
+    exB.unpersist(false)
+    out
+  }
+
+  /** [[collectFileDvs]] against a table's current logged state — the
+    * spec-facing entry that pins the driver-side bound without widening
+    * Sinks' state internals.
+    */
+  private[graft] def collectFileDvsAt(spark: SparkSession,
+      tablePath: String, predicate: Column): Array[FileDv] = {
+    val (state, meta) =
+      Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    collectFileDvs(spark, java.nio.file.Paths.get(tablePath), state,
+      Sinks.metaSchema(meta), predicate)
+  }
+
   /** `_metadata.file_path` (a `file:` URI, percent-encoded) normalized
     * to the plain absolute filesystem path `Paths.toAbsolutePath`
     * produces — one key space for the DV bookkeeping joins. The decode
     * matters: a table path containing a space (or any URI-special char)
     * renders as %XX in the metadata column, and an undecoded join would
     * silently subtract NOTHING, resurrecting every deleted row.
+    *
+    * The decode must be PURE percent-decoding: `url_decode` speaks
+    * x-www-form-urlencoded, where a literal '+' means space — but a
+    * filesystem '+' stays '+' in the file URI, so a table path
+    * containing '+' would decode to a space, miss the filesystem-side
+    * key, and silently resurrect the file's deleted rows. Escaping
+    * every literal '+' to %2B first makes url_decode percent-decode
+    * only (and keeps the whole expression codegen'd — no UDF).
     */
   private def normalizedFilePath: Column =
-    url_decode(regexp_replace(col("_metadata.file_path"),
-      "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+    url_decode(regexp_replace(
+      regexp_replace(col("_metadata.file_path"),
+        "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"),
+      "\\+", "%2B"))
 
   /** MERGE-ON-READ `DELETE WHERE predicate`: no data file is rewritten.
     * Matching is computed per physical file via `_metadata.row_index`
@@ -284,39 +373,28 @@ object DeletionVectors {
     // p=…), so basenames legitimately collide on partitioned tables
     val relByAbs = state.keys.map(p =>
       root.resolve(p).toAbsolutePath.toString -> p).toMap
-    val absPaths = state.keys.map(p => root.resolve(p).toString).toSeq
-    // logged-schema read: a predicate over a late-added column must see
-    // nulls on pre-evolution files, not depend on footer sampling
-    val matched = Sinks.metaSchema(meta).map(spark.read.schema)
-      .getOrElse(spark.read).parquet(absPaths: _*)
-      .filter(predicate)
-      .select(normalizedFilePath.as("fp"),
-        col("_metadata.row_index").as("ri"))
-      .groupBy(col("fp"))
-      .agg(sort_array(collect_list(col("ri"))).as("ris"))
-      .collect().map(r => relByAbs(r.getString(0)) ->
-        r.getSeq[Long](1).toArray).toMap
-    if (matched.isEmpty) return DvDelete(0L, 0, 0)
+    // matched rows never reach the driver: the vectors are unioned and
+    // roaring-serialized in the executors, one FileDv per touched file
+    val fileDvs = collectFileDvs(spark, root, state,
+      Sinks.metaSchema(meta), predicate)
+    if (fileDvs.isEmpty) return DvDelete(0L, 0, 0)
 
     var rowsDeleted = 0L
     var dropped = 0
     val removes = Seq.newBuilder[String]
     val adds = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
-    matched.foreach { case (rel, newIdx) =>
+    fileDvs.foreach { fd =>
+      val rel = relByAbs(fd.absPath)
       val add = state(rel)
-      val existing =
-        if (add.has("deletionVector")) dvIndexes(add.get("deletionVector"))
-        else Array.empty[Long]
-      val union = (existing ++ newIdx).distinct.sorted
-      rowsDeleted += union.length - existing.length
+      rowsDeleted += fd.cardinality - fd.prevCardinality
       val phys = statsNumRecords(mapper, add)
       removes += rel
-      if (phys.contains(union.length.toLong)) {
+      if (phys.contains(fd.cardinality)) {
         dropped += 1 // every physical row deleted: drop the file outright
       } else {
         val re = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
         re.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector",
-          dvDescriptor(mapper, union))
+          dvDescriptor(mapper, fd.dvBytes, fd.cardinality))
         re.put("dataChange", true)
         // checkpoint-reconstructed nodes are skeletons: fill the
         // spec-required field the rebuild drops (same class as the
