@@ -959,11 +959,25 @@ object Sinks {
       // cleanDeltaLog removes the JSONs that carried the generation
       // markers in their commitInfo, this field is the only survivor
       // (read third-to-last by [[lastLoggedGeneration]])
-      val genField = lastLoggedGeneration(Paths.get(tablePath))
-        .map(g => s""","graftLastGen":$g""").getOrElse("")
+      val node = jsonMapper.createObjectNode()
+      node.put("version", v)
+      node.put("size", rows.size.toLong)
+      lastLoggedGeneration(Paths.get(tablePath))
+        .foreach(node.put("graftLastGen", _))
+      // the PER-PARTITION twin: every partition's newest logged
+      // generation marker, merged over the previous pointer's snapshot
+      // (markers only live in commitInfo JSONs, which cleanDeltaLog
+      // prunes — without this snapshot a partition-wide DV DELETE plus
+      // pruning leaves the crash-window guard markerless AND live-file-
+      // less, and the next merge would base on the raw pointer dir,
+      // resurrecting the whole deleted partition)
+      val partGens = allLoggedPartitionGens(Paths.get(tablePath))
+      if (partGens.nonEmpty) {
+        val pg = node.putObject("graftPartGens")
+        partGens.toSeq.sortBy(_._1).foreach { case (p, g) => pg.put(p, g) }
+      }
       val lcTmp = logDir.resolve("_last_checkpoint.tmp")
-      Files.writeString(lcTmp,
-        s"""{"version":$v,"size":${rows.size}$genField}""")
+      Files.writeString(lcTmp, jsonMapper.writeValueAsString(node))
       Files.move(lcTmp, lc,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
@@ -1436,8 +1450,10 @@ object Sinks {
   }
 
   /** The GENERATION marker a logged version carries in its commitInfo
-    * (None for DELETE/purge/OPTIMIZE commits, pre-marker legacy commits,
-    * and pruned JSONs). Reads only the leading lines of the commit file:
+    * (None for DELETE/DV-purge/RESTORE commits, pre-marker legacy
+    * commits, and pruned JSONs; OPTIMIZE commits DO carry one —
+    * compaction advances the pointer generation, so compactUpsertTable
+    * pins it). Reads only the leading lines of the commit file:
     * our writer emits commitInfo first (after the v0 protocol line), so
     * this stays O(1) regardless of how many add/remove actions the
     * commit carries — [[lastLoggedGeneration]] walks the tail per upsert
@@ -1541,8 +1557,10 @@ object Sinks {
     * `parts` — the per-partition analogue of [[lastLoggedGeneration]],
     * read from the `partitionGens` commitInfo markers by a reverse
     * leading-lines walk that stops once every requested partition has
-    * resolved. A partition absent from the result has no marker in the
-    * retained log (legacy table, or partition never committed).
+    * resolved, then from the `_last_checkpoint` pointer's
+    * `graftPartGens` snapshot for partitions whose marker JSONs were
+    * pruned. A partition absent from the result has no marker anywhere
+    * (legacy table, or partition never committed).
     */
   private[sources] def lastLoggedPartitionGens(
       root: java.nio.file.Path,
@@ -1564,7 +1582,72 @@ object Sinks {
           }
         }
     }
+    if (out.size < parts.size) {
+      val cp = checkpointPartGens(root)
+      parts.foreach(p =>
+        if (!out.contains(p)) cp.get(p).foreach(out(p) = _))
+    }
     out.toMap
+  }
+
+  /** The `graftPartGens` snapshot persisted in `_last_checkpoint` (empty
+    * for tables checkpointed before the snapshot existed, or never
+    * checkpointed).
+    */
+  private def checkpointPartGens(
+      root: java.nio.file.Path): Map[String, Long] = {
+    import java.nio.file.Files
+    val lc = root.resolve("_delta_log").resolve("_last_checkpoint")
+    if (!Files.exists(lc)) return Map.empty
+    val n = jsonMapper.readTree(Files.readString(lc))
+    if (!n.has("graftPartGens")) return Map.empty
+    val b = Map.newBuilder[String, Long]
+    n.get("graftPartGens").fields().forEachRemaining(e =>
+      scala.util.Try(e.getValue.asLong()).foreach(b += e.getKey -> _))
+    b.result()
+  }
+
+  /** EVERY partition's newest logged generation: the previous
+    * checkpoint's snapshot overlaid by an ascending walk of the retained
+    * log's `partitionGens` markers (later commits win). Checkpoint-time
+    * only — O(#retained versions) leading-line reads, amortized by the
+    * full-log replay a checkpoint already performs.
+    */
+  private def allLoggedPartitionGens(
+      root: java.nio.file.Path): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    checkpointPartGens(root).foreach { case (p, g) => out(p) = g }
+    deltaLogVersions(root.toString).foreach { v =>
+      commitInfoLeading(root, v)
+        .filter(_.has("operationParameters"))
+        .map(_.get("operationParameters"))
+        .filter(_.has("partitionGens"))
+        .map(_.get("partitionGens"))
+        .foreach(pg => pg.fields().forEachRemaining { e =>
+          scala.util.Try(e.getValue.asText().toLong)
+            .foreach(out(e.getKey) = _)
+        })
+    }
+    out.toMap
+  }
+
+  /** Whether any RETAINED log commit mentions a data file under
+    * `p=<part>/<gen>/` — add and remove actions alike (the needle is the
+    * serialized `"path":"<prefix>` form, so DV payloads and stats can't
+    * false-positive). Distinguishes "this generation WAS logged and its
+    * files were later all removed (partition-wide delete)" from "this
+    * generation was never logged (writer crashed before its commit)"
+    * for markerless legacy partitions. Raw-text scan of the retained
+    * JSONs; called only for partitions with no marker anywhere (rare).
+    */
+  private def generationEverLogged(root: java.nio.file.Path,
+                                   part: String, gen: String): Boolean = {
+    import java.nio.file.Files
+    val needle = "\"path\":\"p=" + part + "/" + gen + "/"
+    deltaLogVersions(root.toString).reverseIterator.exists { v =>
+      val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
+      Files.exists(f) && Files.readString(f).contains(needle)
+    }
   }
 
   /** The highest GENERATION number the delta log has committed, derived
@@ -1835,14 +1918,30 @@ object Sinks {
             deltaStateWithMeta(spark, tablePath, Long.MaxValue)
           val inParts = state.toSeq.filter(p =>
             partOf(p._1).exists(affectedSet.contains))
-          val markers = lastLoggedPartitionGens(root, affectedSet)
+          // only partitions with an existing pointer can be crash-lagging
+          // — querying a brand-new partition would walk the whole
+          // retained log per merge without ever resolving
+          val markers = lastLoggedPartitionGens(root,
+            affectedSet.filter(v => base(v).nonEmpty))
           val byPart = inParts.groupBy(p => partOf(p._1).get)
           val lagging = affected.filter { v =>
             base(v).exists { g =>
               markers.get(v) match {
                 case Some(lg) => lg < g.stripPrefix("gen-").toLong
+                // markerless (legacy table, or pre-snapshot pruning):
+                // "no live file under the pointer gen" alone cannot
+                // decide — a partition-wide DV DELETE also leaves zero
+                // live files. Lagging only if the retained log NEVER
+                // mentioned the pointer generation (added or removed);
+                // a generation the log once carried was committed, and
+                // basing on its raw dir would resurrect deleted rows.
+                // (Residual: a pre-snapshot checkpoint taken after a
+                // partition-wide delete prunes that evidence too — new
+                // checkpoints persist graftPartGens, closing this for
+                // every table checkpointed by current code.)
                 case None => !byPart.getOrElse(v, Nil)
-                  .exists(_._1.startsWith(s"p=$v/$g/"))
+                  .exists(_._1.startsWith(s"p=$v/$g/")) &&
+                  !generationEverLogged(root, v, g)
               }
             }
           }

@@ -473,6 +473,35 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("partition-wide delete + checkpoint pruning cannot re-arm the " +
+      "crash-window guard") {
+    // round-10 advice: when a DV DELETE drops a partition's EVERY live
+    // file and cleanDeltaLog then prunes the JSONs that carried its
+    // partitionGens markers, the markerless guard saw "no live file
+    // under the pointer gen" and classified the partition as
+    // crash-lagging — the next merge based on the raw pointer dir and
+    // resurrected the whole deleted partition. The _last_checkpoint
+    // graftPartGens snapshot (plus the ever-logged containment check)
+    // closes it.
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+        (3L, "2024-01-02", 3.0)).toDF("k", "ds", "v"), Seq("k"), "ds") // v0
+    // partition-wide delete: every physical row of p=2024-01-01 goes,
+    // so BOTH its files drop outright — zero live files, no DVs left
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("ds") === "2024-01-01") // v1
+    Sinks.checkpointDeltaLog(spark, dir) // snapshot carries graftPartGens
+    assert(Sinks.cleanDeltaLog(dir) == 1, "v0 (the marker JSON) pruned")
+    // the merge of the deleted partition must see it as CURRENT (gen-0
+    // logged, then emptied), not crash-lagging
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((9L, "2024-01-01", 9.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(3L, 9L),
+      "partition-wide-deleted rows resurrected after marker pruning")
+  }
+
   test("add actions carry footer-derived stats; skipped types are omitted") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"
     Sinks.upsertParquet(spark, dir,
