@@ -518,7 +518,10 @@ object DeletionVectors {
   /** Rewrite ONLY the files carrying deletion vectors into clean files
     * (deleted rows physically gone), commit remove+add, and return how
     * many files were purged. Untouched files keep their add entries —
-    * purge cost tracks the delete volume, not the table.
+    * purge cost tracks the delete volume, not the table. Partitioned
+    * layouts delegate to [[Sinks.purgePartitionedDvs]]: each DV-carrying
+    * partition is rewritten at partition grain (merge-shaped — MOR base,
+    * pointer swap, `partitionGens` markers, one batch commit).
     */
   def purgeDeletionVectors(spark: SparkSession, tablePath: String): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -528,17 +531,14 @@ object DeletionVectors {
       Sinks.deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     val withDv = state.toSeq.filter(_._2.has("deletionVector"))
     if (withDv.isEmpty) return 0
-    // PARTITIONED tables are out of purge's scope: the rewrite lands in
-    // a root-level gen-dv-purge dir that mixes partitions, which the
+    // PARTITIONED layouts take the partition-grain path: the root-level
+    // gen-dv-purge rewrite dir below would mix partitions, which the
     // partition-scoped merge base and remove prefixes can neither read
     // nor replace — a later merge would duplicate the purged rows. The
-    // partition-grain purge IS a merge touching the partition (its base
-    // is the MOR logged state, so the rewrite drops the vectors).
-    require(!state.keys.exists(_.startsWith("p=")),
-      s"purgeDeletionVectors does not support partitioned tables " +
-        s"($tablePath): re-merge the affected partitions instead — a " +
-        "partition-scoped MERGE rebases on the MOR state and purges " +
-        "its vectors")
+    // partition purge IS a merge-shaped rewrite of each DV-carrying
+    // partition (MOR base, pointer swap, partitionGens markers).
+    if (state.keys.exists(_.startsWith("p=")))
+      return Sinks.purgePartitionedDvs(spark, tablePath)
     val root = Paths.get(tablePath)
     val v = vAtRead + 1
     val genDir = root.resolve(f"gen-dv-purge-$v%020d")

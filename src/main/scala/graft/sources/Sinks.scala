@@ -2070,6 +2070,112 @@ object Sinks {
       .parquet(gens: _*)
   }
 
+  /** Partition-grain DV purge for [[upsertParquetPartitioned]] tables
+    * (round-10 directive — the unpartitioned purge's root-level rewrite
+    * dir would escape the partition-scoped merge base, so partitioned
+    * layouts refused loudly until now). The refusal message already said
+    * the answer: a partition's purge IS a merge-shaped rewrite of that
+    * partition. Every partition carrying a deletion vector is rewritten
+    * from its LOGGED MOR state (vectors applied, logged schema) into a
+    * fresh generation — pointer swap, manifest, generation vacuum, and
+    * ONE batch Delta commit with `partitionGens` markers, exactly the
+    * partitioned merge's commit shape but `dataChange=false`. Untouched
+    * partitions keep their files and pointers; purge cost tracks the
+    * DV-carrying partitions, not the table. Returns the number of files
+    * whose vectors were purged.
+    *
+    * Same commit discipline as every rewrite: the expensive scan+write
+    * runs OUTSIDE the lock; inside it a CAS on the log tail AND the
+    * touched pointers aborts loudly if anything advanced (the rewrite
+    * was computed against the scanned state — the caller re-runs).
+    */
+  private[sources] def purgePartitionedDvs(spark: SparkSession,
+      tablePath: String, keepGenerations: Int = 3,
+      staleLockMs: Long = 60000L): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(tablePath)
+    val vAtRead = logTailVersion(tablePath)
+    val (state, meta) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    val withDv = state.toSeq.filter(_._2.has("deletionVector"))
+    if (withDv.isEmpty) return 0
+    def partOf(p: String): Option[String] =
+      if (!p.startsWith("p=")) None
+      else {
+        val i = p.indexOf('/')
+        if (i < 0) None else Some(p.substring(2, i))
+      }
+    val badDv = withDv.map(_._1).filterNot(p => partOf(p).nonEmpty)
+    require(badDv.isEmpty,
+      s"purgePartitionedDvs($tablePath): DV'd files outside any " +
+        s"partition dir: ${badDv.mkString(", ")}")
+    val parts = withDv.flatMap(p => partOf(p._1)).distinct.sorted
+    def partDir(v: String) = root.resolve(s"p=$v")
+    def currentGen(v: String): Option[String] = {
+      val ptr = partDir(v).resolve("_CURRENT")
+      if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
+    }
+    val base: Map[String, String] = parts.map { v =>
+      val g = currentGen(v)
+      require(g.nonEmpty,
+        s"purgePartitionedDvs($tablePath): partition p=$v carries " +
+          "deletion vectors but has no _CURRENT pointer")
+      v -> g.get
+    }.toMap
+    val schemaR = metaSchema(meta)
+    // one rewrite per affected partition, staged outside the lock; the
+    // _stage- prefix rides the partitioned merge's 24h crash sweep
+    val stage = root.resolve(s"_stage-dvpurge-${System.nanoTime()}-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val byPart = state.toSeq.filter(p => partOf(p._1).exists(base.contains))
+      .groupBy(p => partOf(p._1).get)
+    parts.foreach { v =>
+      DeletionVectors.scanWithDvs(spark, tablePath, byPart(v), schemaR)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(stage.resolve(v).toString)
+    }
+    var purged = 0
+    try {
+      withMetadataLock(root, staleLockMs) {
+        if (logTailVersion(tablePath) != vAtRead ||
+            !parts.forall(v => currentGen(v).contains(base(v))))
+          throw new java.util.ConcurrentModificationException(
+            s"purgePartitionedDvs($tablePath): table advanced during " +
+              "the rewrite; retry")
+        val genDirs = Seq.newBuilder[java.nio.file.Path]
+        val prefixes = Seq.newBuilder[String]
+        val gens = Map.newBuilder[String, Long]
+        parts.foreach { v =>
+          val dir = partDir(v)
+          val nextNum = base(v).stripPrefix("gen-").toLong + 1
+          val genDir = dir.resolve(s"gen-$nextNum")
+          // an unreferenced gen-N from a dead committer is replaceable
+          // under the lock (see upsertParquetPartitioned)
+          if (Files.exists(genDir)) deleteRecursively(genDir)
+          Files.move(stage.resolve(v), genDir,
+            StandardCopyOption.ATOMIC_MOVE)
+          val tmp = dir.resolve("_CURRENT.tmp")
+          Files.writeString(tmp, s"gen-$nextNum")
+          Files.move(tmp, dir.resolve("_CURRENT"),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          publishManifest(
+            root.resolve("_symlink_format_manifest").resolve(s"p=$v"),
+            genDir)
+          vacuumGenerations(dir, nextNum, keepGenerations)
+          genDirs += genDir
+          prefixes += s"p=$v/"
+          gens += v -> nextNum
+        }
+        appendDeltaCommit(spark, root, genDirs.result(), prefixes.result(),
+          meta.get.get("schemaString").asText(), "OPTIMIZE_DV_PURGE",
+          pinnedVersion = None, dataChange = false,
+          partitionGens = gens.result())
+        purged = withDv.size
+      }
+    } finally deleteRecursively(stage)
+    purged
+  }
+
   /** S8 — catalog CTAS (reference: common/load.py:522-585 `create_table` —
     * CTAS into the warehouse vs a session-scoped temp relation): register
     * the frame in the session catalog, either as a managed parquet table

@@ -458,19 +458,41 @@ class DeltaLogSpec extends SparkSpec {
     assert(Sinks.readUpsertPartitionedTable(spark, dir).select("k")
       .as[Long].collect().toSet == Set(1L, 3L, 5L),
       "DV-deleted row resurrected by the partitioned merge (pointer read)")
-    // purge is out of scope for partitioned layouts (its root-level
-    // rewrite dir would escape the partition-scoped merge base) — the
-    // partition-grain purge is a merge, as above; the refusal is loud.
-    // k=5 shares p=01-01's merged file with k=1, so the delete leaves a
-    // REAL vector (a lone-row file would drop outright and purge would
-    // no-op before the layout check)
+    // partition-grain purge (round-10 directive 6): k=5 shares p=01-01's
+    // merged file with k=1, so the delete leaves a REAL vector (a
+    // lone-row file would drop outright and purge would no-op)
     val del2 = graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
       col("k") === 5L)
     assert(del2.filesWithDv == 1 && del2.filesDropped == 0, s"$del2")
-    val e = intercept[IllegalArgumentException] {
-      graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
-    }
-    assert(e.getMessage.contains("partitioned"))
+    val preV = Sinks.deltaLogVersions(dir).max
+    assert(graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
+      == 1, "one DV-carrying file purged at partition grain")
+    // vectors physically gone: log reader, MOR reader, and the pointer
+    // reader all agree; no vector left in the live state
+    val expect = Set(1L, 3L)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == expect)
+    assert(graft.sources.DeletionVectors.readDeltaTableMor(spark, dir)
+      .select("k").as[Long].collect().toSet == expect)
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).select("k")
+      .as[Long].collect().toSet == expect)
+    assert(graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
+      == 0, "idempotent: nothing left to purge")
+    // time-travel retention intact: the pre-purge version still reads
+    // (its files survive on the generation clock), WITH its vector
+    assert(Sinks.readDeltaTableAt(spark, dir, preV).count() >= 2,
+      "pre-purge version unreadable after partition purge")
+    assert(graft.sources.DeletionVectors
+      .readDeltaTableMor(spark, dir, preV)
+      .select("k").as[Long].collect().toSet == expect,
+      "pre-purge MOR read must still subtract the purged vector")
+    // and a later merge of the purged partition neither duplicates nor
+    // resurrects (partitionGens markers advanced with the purge commit)
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((7L, "2024-01-01", 7.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 3L, 7L),
+      "post-purge merge corrupted the partition")
   }
 
   test("partition-wide delete + checkpoint pruning cannot re-arm the " +
