@@ -111,6 +111,7 @@ object Sinks {
     require(missingKeys.isEmpty,
       s"source batch is missing merge key column(s): " +
         missingKeys.mkString(", "))
+    requireNoDroppedColumns(spark, tablePath, source)
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")
@@ -688,22 +689,119 @@ object Sinks {
   }
 
   /** Full protocol-shaped metaData from a possibly checkpoint-reduced
-    * node (the checkpoint rebuild keeps only id/schemaString/createdTime;
-    * format and partitionColumns are spec-required) — shared by every
-    * writer that re-emits reconstructed metaData (RESTORE, DELETE,
-    * DV purge).
+    * node (the checkpoint rebuild keeps only id/schemaString/createdTime/
+    * configuration; format and partitionColumns are spec-required) —
+    * shared by every writer that re-emits reconstructed metaData
+    * (RESTORE, DELETE, DV purge).
     */
   private[sources] def canonicalMetaData(
       m: com.fasterxml.jackson.databind.JsonNode,
-      now: Long): java.util.LinkedHashMap[String, Any] =
+      now: Long): java.util.LinkedHashMap[String, Any] = {
+    // configuration carries state (the droppedColumns marker) — a
+    // canonicalization that blanked it would let the next DELETE/purge
+    // commit silently re-admit a dropped column name
+    val config = jmap()
+    metaConfiguration(Some(m)).toSeq.sortBy(_._1).foreach { case (k, c) =>
+      config.put(k, c) }
     jmap(
       "id" -> m.get("id").asText(),
       "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
       "schemaString" -> m.get("schemaString").asText(),
       "partitionColumns" -> new java.util.ArrayList[String](),
-      "configuration" -> jmap(),
+      "configuration" -> config,
       "createdTime" ->
         (if (m.has("createdTime")) m.get("createdTime").asLong() else now))
+  }
+
+  /** METADATA-ONLY column drop: commits a new metaData whose schema
+    * omits `column` and records the name in the configuration's
+    * `graft.droppedColumns` marker. No data file is touched — every
+    * sanctioned reader projects the LOGGED schema, so the column
+    * disappears from scans immediately (old files' physical values are
+    * orphaned, reclaimed by the next rewrite of each file); time travel
+    * and RESTORE to a pre-drop version read that version's metaData and
+    * see the column again. The evolution guard refuses re-adding a
+    * dropped name (pre-drop files still carry the old values, which
+    * would resurface as the "new" column's data — real column mapping
+    * would mint a fresh physical name; see [[renameDeltaColumn]]).
+    *
+    * NOTE: raw `spark.read.parquet` over the data dirs bypasses the
+    * logged schema and still sees the column — the same contract as
+    * every other log-level operation here (DVs, RESTORE).
+    */
+  def dropDeltaColumn(spark: SparkSession, tablePath: String,
+                      column: String, staleLockMs: Long = 60000L): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types.StructType
+    val root = Paths.get(tablePath)
+    val mapper = jsonMapper
+    // metadata-only: cheap enough to compute inside the lock, so the
+    // schema read and the commit are atomic against racing writers
+    withMetadataLock(root, staleLockMs) {
+      val vNow = logTailVersion(tablePath)
+      require(vNow >= 0, s"no _delta_log under $tablePath")
+      val meta = loggedMetaNode(spark, tablePath)
+      require(meta.nonEmpty, s"no metaData action under $tablePath")
+      val schema = metaSchema(meta).get
+      require(schema.fieldNames.contains(column),
+        s"dropDeltaColumn($tablePath): no column '$column' " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1,
+        s"dropDeltaColumn($tablePath): cannot drop the only column")
+      val newSchema = StructType(schema.fields.filterNot(_.name == column))
+      val config = metaConfiguration(meta)
+      val newConfig = config + ("graft.droppedColumns" ->
+        (droppedColumns(config) + column).toSeq.sorted.mkString(","))
+      val now = System.currentTimeMillis()
+      val configJ = jmap()
+      newConfig.toSeq.sortBy(_._1).foreach { case (k, c) =>
+        configJ.put(k, c) }
+      val sb = new StringBuilder
+      def line(a: Any): Unit =
+        sb.append(mapper.writeValueAsString(a)).append('\n')
+      line(jmap("commitInfo" -> jmap(
+        "timestamp" -> now, "operation" -> "DROP COLUMNS",
+        "operationParameters" -> jmap("columns" -> s"""["$column"]"""),
+        "engineInfo" -> "graft")))
+      line(jmap("metaData" -> jmap(
+        "id" -> (if (meta.get.has("id")) meta.get.get("id").asText()
+          else java.util.UUID.nameUUIDFromBytes(
+            root.toAbsolutePath.toString.getBytes("UTF-8")).toString),
+        "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
+        "schemaString" -> newSchema.json,
+        "partitionColumns" -> new java.util.ArrayList[String](),
+        "configuration" -> configJ,
+        "createdTime" -> (if (meta.get.has("createdTime"))
+          meta.get.get("createdTime").asLong() else now))))
+      val logDir = root.resolve("_delta_log")
+      val tmp = logDir.resolve(f"${vNow + 1}%020d.json.tmp")
+      Files.writeString(tmp, sb.toString)
+      Files.move(tmp, logDir.resolve(f"${vNow + 1}%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Column RENAME is refused loudly (round-10 directive: rename/drop
+    * must either get column-mapping semantics or a pinned refusal — no
+    * silent data reshuffle). This engine keys parquet fields by LOGICAL
+    * name everywhere: a metadata-only rename would read no data for the
+    * new name, and drop+re-add would resurface the old physical values
+    * under the new name. Delta solves this with column mapping (stable
+    * per-column physical names minted at add time), which is a reader+
+    * writer protocol change this engine does not implement.
+    */
+  def renameDeltaColumn(spark: SparkSession, tablePath: String,
+                        from: String, to: String): Unit = {
+    val schema = loggedSchema(spark, tablePath)
+    val have = schema.map(_.fieldNames.mkString(", ")).getOrElse("<none>")
+    throw new UnsupportedOperationException(
+      s"renameDeltaColumn($tablePath): '$from' -> '$to' requires " +
+        "column mapping (per-column physical names), which this engine " +
+        "does not implement — a metadata rename would read no data and " +
+        "a drop+add would resurface orphaned values. Rewrite the table " +
+        s"instead: CTAS with `col(\"$from\").as(\"$to\")`. " +
+        s"(logged columns: $have)")
+  }
 
   /** Row-level diff between two committed versions — time-travel CDC:
     * every row of `v0` missing from `v1` comes back op='D', every row of
@@ -819,12 +917,17 @@ object Sinks {
             }
           meta = cp.where(col("metaData").isNotNull)
             .select(col("metaData.id"), col("metaData.schemaString"),
-              col("metaData.createdTime"))
+              col("metaData.createdTime"), col("metaData.configuration"))
             .collect().headOption.map { r =>
               val n = mapper.createObjectNode()
               n.put("id", r.getString(0))
               n.put("schemaString", r.getString(1))
               if (!r.isNullAt(2)) n.put("createdTime", r.getLong(2))
+              // configuration survives the round-trip (droppedColumns)
+              val cfg = n.putObject("configuration")
+              if (!r.isNullAt(3))
+                r.getMap[String, String](3).foreach { case (k, c) =>
+                  cfg.put(k, c) }
               n
             }
           v
@@ -907,9 +1010,12 @@ object Sinks {
         StructField("dataChange", BooleanType))))))
     val emptyMap = Map.empty[String, String]
     val protoRow = Row(Row(1, 2), null, null, null)
+    // configuration persists through the checkpoint (it carries the
+    // droppedColumns marker — blanking it here would re-admit a dropped
+    // column name as soon as cleanDeltaLog pruned the marker JSONs)
     val metaRow = Row(null, Row(m.get("id").asText(),
       Row("parquet", emptyMap), m.get("schemaString").asText(),
-      Seq.empty[String], emptyMap,
+      Seq.empty[String], metaConfiguration(Some(m)),
       if (m.has("createdTime")) m.get("createdTime").asLong() else 0L),
       null, null)
     val addRows = live.toSeq.map { case (p, n) =>
@@ -1347,9 +1453,10 @@ object Sinks {
         root.toAbsolutePath.toString.getBytes("UTF-8")).toString
     val now = System.currentTimeMillis()
     // the logged schema only ever GROWS: a partition-scoped batch's own
-    // schema may lack columns an earlier evolution added
-    val effSchemaJson = unionWithLoggedSchema(spark, root.toString,
-      schemaJson)
+    // schema may lack columns an earlier evolution added. The logged
+    // configuration rides along (it carries the droppedColumns marker).
+    val (effSchemaJson, effConfig) = unionWithLoggedSchema(spark,
+      root.toString, schemaJson)
 
     def writeVersion(v: Long, adds: Seq[AddFile],
                      removes: Seq[String], gen: Option[Long]): Unit = {
@@ -1377,12 +1484,15 @@ object Sinks {
       actions += jmap("commitInfo" -> jmap(
         "timestamp" -> now, "operation" -> opName,
         "operationParameters" -> opParams, "engineInfo" -> "graft"))
+      val configMap = jmap()
+      effConfig.toSeq.sortBy(_._1).foreach { case (k, c) =>
+        configMap.put(k, c) }
       actions += jmap("metaData" -> jmap(
         "id" -> tableId, "format" -> jmap(
           "provider" -> "parquet", "options" -> jmap()),
         "schemaString" -> effSchemaJson,
         "partitionColumns" -> new java.util.ArrayList[String](),
-        "configuration" -> jmap(), "createdTime" -> now))
+        "configuration" -> configMap, "createdTime" -> now))
       removes.foreach { p =>
         actions += jmap("remove" -> jmap(
           "path" -> p, "deletionTimestamp" -> now,
@@ -1513,16 +1623,70 @@ object Sinks {
     * pruned.
     */
   private[sources] def loggedSchema(spark: SparkSession, tablePath: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
+      : Option[org.apache.spark.sql.types.StructType] =
+    metaSchema(loggedMetaNode(spark, tablePath))
+
+  /** The newest logged metaData node (same reverse leading-lines walk as
+    * [[loggedSchema]]), carrying schemaString AND configuration — the
+    * latter holds the `graft.droppedColumns` marker.
+    */
+  private def loggedMetaNode(spark: SparkSession, tablePath: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val root = java.nio.file.Paths.get(tablePath)
     val fromTail = deltaLogVersions(tablePath).reverseIterator
       .flatMap(v => metaDataLeading(root, v)).nextOption()
-    val meta = fromTail.orElse {
+    fromTail.orElse {
       if (!java.nio.file.Files.exists(
         root.resolve("_delta_log").resolve("_last_checkpoint"))) None
       else deltaStateWithMeta(spark, tablePath, Long.MaxValue)._2
     }
-    metaSchema(meta)
+  }
+
+  /** A metaData node's configuration map (empty when absent). */
+  private[sources] def metaConfiguration(
+      meta: Option[com.fasterxml.jackson.databind.JsonNode])
+      : Map[String, String] =
+    meta.filter(_.has("configuration")).map { m =>
+      val b = Map.newBuilder[String, String]
+      m.get("configuration").fields().forEachRemaining(e =>
+        b += e.getKey -> e.getValue.asText())
+      b.result()
+    }.getOrElse(Map.empty)
+
+  /** Columns DROPPED from the logged schema (metadata-only — data files
+    * still carry the physical column; sanctioned readers project the
+    * logged schema). Recorded in the metaData configuration under
+    * `graft.droppedColumns` so the evolution guard can refuse re-adding
+    * the name: old files' orphaned values would resurface as the "new"
+    * column's data (real column mapping would mint a fresh physical
+    * name; this engine does not implement it — see renameDeltaColumn).
+    */
+  private[sources] def droppedColumns(config: Map[String, String])
+      : Set[String] =
+    config.get("graft.droppedColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** ENTRY guard for every MERGE sink: refuse a source batch carrying a
+    * DROPPED column name BEFORE any state is mutated. The commit-time
+    * check in [[unionWithLoggedSchema]] is defense-in-depth only — it
+    * fires inside the lock after the pointer swap, which would leave the
+    * pointer ahead of the log (a torn state the crash-window guard then
+    * heals by re-reading the raw dir, resurrecting the column forever).
+    */
+  private def requireNoDroppedColumns(spark: SparkSession,
+      tablePath: String, source: DataFrame): Unit = {
+    val root = java.nio.file.Paths.get(tablePath)
+    if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) return
+    val dropped =
+      droppedColumns(metaConfiguration(loggedMetaNode(spark, tablePath)))
+    if (dropped.isEmpty) return
+    val readded = source.columns.toSet.intersect(dropped)
+    require(readded.isEmpty,
+      s"cannot re-add dropped column(s) ${readded.mkString(", ")} to " +
+        s"$tablePath: pre-drop files still carry the old physical values," +
+        " which would resurface as the new column's data. Column mapping" +
+        " is not implemented — rewrite the table (CTAS) to reuse the name")
   }
 
   /** Additive-evolution guard for the metaData a commit logs: UNION the
@@ -1530,14 +1694,28 @@ object Sinks {
     * first. Without this a partition-scoped batch that doesn't carry an
     * evolved column would REGRESS the logged schema, and the
     * schema-aligned readers would then hide that column's data
-    * everywhere (round-10 review find). Type changes stay loud.
+    * everywhere (round-10 review find). Type changes stay loud, and so
+    * does re-adding a DROPPED column name (old files still physically
+    * carry the dropped values — without column mapping they would
+    * resurface as the new column's data). Returns the effective schema
+    * JSON plus the logged configuration the commit must carry forward
+    * (dropping it would erase the droppedColumns marker).
     */
   private def unionWithLoggedSchema(spark: SparkSession, tablePath: String,
-                                    schemaJson: String): String = {
+                                    schemaJson: String)
+      : (String, Map[String, String]) = {
     import org.apache.spark.sql.types.{DataType, StructType}
     val next = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    loggedSchema(spark, tablePath) match {
-      case None => schemaJson
+    val metaN = loggedMetaNode(spark, tablePath)
+    val config = metaConfiguration(metaN)
+    val readded = next.fieldNames.toSet.intersect(droppedColumns(config))
+    require(readded.isEmpty,
+      s"cannot re-add dropped column(s) ${readded.mkString(", ")} to " +
+        s"$tablePath: pre-drop files still carry the old physical values," +
+        " which would resurface as the new column's data. Column mapping" +
+        " is not implemented — rewrite the table (CTAS) to reuse the name")
+    metaSchema(metaN) match {
+      case None => (schemaJson, config)
       case Some(prev) =>
         val nextByName = next.fields.map(f => f.name -> f).toMap
         prev.fields.foreach { f =>
@@ -1547,9 +1725,10 @@ object Sinks {
               s"${f.name} (${f.dataType} vs ${nf.dataType})"))
         }
         val prevNames = prev.fieldNames.toSet
-        StructType(prev.fields.map(f =>
+        (StructType(prev.fields.map(f =>
           nextByName.getOrElse(f.name, f)) ++
-          next.fields.filterNot(f => prevNames.contains(f.name))).json
+          next.fields.filterNot(f => prevNames.contains(f.name))).json,
+          config)
     }
   }
 
@@ -1833,6 +2012,7 @@ object Sinks {
     require(keys.nonEmpty, "keys must be non-empty")
     require(maxRetries >= 1, "maxRetries must allow at least one attempt")
     if (source.isEmpty) return
+    requireNoDroppedColumns(spark, tablePath, source)
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     // crash recovery: a _stage-* older than 24h is a writer that died

@@ -524,6 +524,65 @@ class DeltaLogSpec extends SparkSpec {
       "partition-wide-deleted rows resurrected after marker pruning")
   }
 
+  test("dropDeltaColumn is metadata-only; re-add and rename refuse loudly") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v"),
+      keys = Seq("k")) // v0
+    val filesBefore = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(dir))
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally walk.close()
+    }
+    Sinks.dropDeltaColumn(spark, dir, "name") // v1, metadata-only
+    val post = Sinks.readDeltaTableAt(spark, dir)
+    assert(post.columns.toSet == Set("k", "v"), "column still visible")
+    assert(post.count() == 2)
+    val filesAfter = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(dir))
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally walk.close()
+    }
+    assert(filesAfter == filesBefore, "drop must not touch data files")
+    // time travel to the pre-drop version reads that version's schema
+    assert(Sinks.readDeltaTableAt(spark, dir, 0L).columns.toSet
+      == Set("k", "name", "v"))
+    // re-adding the dropped name is refused: old files still carry the
+    // orphaned physical values, which would resurface as the new data
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((3L, "ghost", 30.0)).toDF("k", "name", "v"), keys = Seq("k"),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("re-add"), e.getMessage)
+    // a narrow batch without the column merges fine under the new schema
+    Sinks.upsertParquet(spark, dir,
+      Seq((3L, 30.0)).toDF("k", "v"), keys = Seq("k"))
+    assert(Sinks.readDeltaTableAt(spark, dir).columns.toSet
+      == Set("k", "v"))
+    // the marker survives checkpoint + log pruning (configuration rides
+    // the checkpoint parquet and canonicalMetaData)
+    Sinks.checkpointDeltaLog(spark, dir)
+    Sinks.cleanDeltaLog(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((4L, "ghost", 40.0)).toDF("k", "name", "v"), keys = Seq("k"),
+        evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("re-add"),
+      s"droppedColumns marker lost through checkpoint pruning: " +
+        e2.getMessage)
+    // rename: loud refusal, never a silent reshuffle
+    val r = intercept[UnsupportedOperationException] {
+      Sinks.renameDeltaColumn(spark, dir, "v", "val")
+    }
+    assert(r.getMessage.contains("column mapping"), r.getMessage)
+  }
+
   test("add actions carry footer-derived stats; skipped types are omitted") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"
     Sinks.upsertParquet(spark, dir,
