@@ -1099,6 +1099,7 @@ object Dedup {
         call_function("shiftleft", lit(1L),
           (col("pos") % lit(64L)).cast("int")).as("bit"))
       .groupBy(col("w")).agg(bit_or(col("bit")).as("word"))
+      // collect-bound: mBits/64 bitmap words — bloom-filter-sized, not corpus-sized
       .collect()
     val arr = new Array[Long]((mBits / 64L).toInt)
     words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
@@ -1194,10 +1195,12 @@ object Dedup {
     // (legacy single-column indices fall back to the coalesce(1) order
     // they were written with)
     if (df.columns.contains("idx"))
+      // collect-bound: mBits/64 persisted bitmap words — bloom-filter-sized
       df.select("idx", "word").collect().foreach { r =>
         words(r.getInt(0)) = r.getLong(1)
       }
     else
+      // collect-bound: mBits/64 persisted bitmap words (legacy single-column layout)
       df.collect().zipWithIndex.foreach { case (r, i) =>
         words(i) = r.getLong(0)
       }

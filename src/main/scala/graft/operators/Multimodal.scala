@@ -1802,6 +1802,7 @@ object Multimodal {
       col("lkey").cast("int").as("lkey"),
       col("toff").cast("int").as("toff")).distinct()
     val keys = batch.select(col("lkey")).distinct()
+      // collect-bound: <= maxKeys+1 distinct landmark keys (limit-capped)
       .limit(maxKeys + 1).collect().map(_.getInt(0))
     val corpus0 = spark.table(ensureLandmarkTable(spark, path))
     // literal/join crossover (the Streams.keysFilter rule): a literal

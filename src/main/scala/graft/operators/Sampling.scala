@@ -92,6 +92,7 @@ object Sampling {
     require(targetRows > 0, "targetRows must be positive")
     val counts = df.groupBy(domainCol.as("__dom"))
       .agg(count(lit(1)).as("__n"))
+      // collect-bound: <= maxDomains+1 domain rows (limit-capped, loud require below)
       .limit(maxDomains + 1).collect()
       .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
       .sortBy(_._1)

@@ -551,6 +551,7 @@ object Similarity {
     val probes = assignToCentroids(q, cents, nProbe)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("cid"))
     // ≤ nCentroids distinct values — bounded driver traffic by design
+    // collect-bound: <= nCentroids distinct probed list ids
     val probedCids = probes.select("cid").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq
     val lists = spark.table(table)

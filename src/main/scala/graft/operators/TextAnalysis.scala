@@ -128,6 +128,7 @@ object TextAnalysis {
     while (i < merges && !done) {
       val top = bpePairCounts(vocab)
         .orderBy(col("freq").desc, col("left_sym"), col("right_sym"))
+        // collect-bound: limit(1) — the single best merge pair per BPE iteration
         .limit(1).collect()
       if (top.isEmpty || top.head.getLong(2) < 2) done = true
       else {
@@ -636,6 +637,7 @@ object TextAnalysis {
                               maxTerms: Int = 1 << 16): DataFrame = {
     val (pT, fT) = bm25IndexTableNames(path)
     val terms = queries.select(col("term").cast("string").as("term"))
+      // collect-bound: <= maxTerms+1 distinct query terms (limit-capped)
       .distinct().limit(maxTerms + 1).collect().map(_.getString(0))
     val (p, f) =
       if (terms.length > maxTerms) (spark.table(pT), spark.table(fT))

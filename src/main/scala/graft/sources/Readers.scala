@@ -94,6 +94,7 @@ object Readers {
       ArrayType(ArrayType(StringType)))))
     import spark.implicits._
     val parsed = spark.read.schema(schema).json(Seq(payload).toDS())
+      // collect-bound: single one-document JSON payload row
       .collect().headOption
       .flatMap(r => Option(r.getSeq[scala.collection.Seq[String]](0)))
       .getOrElse(throw new IllegalArgumentException(

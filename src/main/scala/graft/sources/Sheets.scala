@@ -61,6 +61,7 @@ object Sheets {
                         includeHeader: Boolean = false): Seq[Seq[Any]] = {
     val coerced = sheetCompatible(df, expectedHeaders)
     val headers: Seq[Any] = coerced.columns.toSeq
+    // collect-bound: a worksheet payload is driver-sized by the Sheets API contract (cell-count cap upstream)
     val rows = coerced.collect().toSeq
       .map(r => (0 until r.length).map(i =>
         if (r.isNullAt(i)) null else r.get(i)))

@@ -899,6 +899,7 @@ object Sinks {
           cp.where(col("add").isNotNull)
             .select(col("add.path"), col("add.size"),
               col("add.modificationTime"), col("add.stats"), dvCol)
+            // collect-bound: one row per LIVE FILE in the checkpoint — table-metadata-scale
             .collect().foreach { r =>
               val n = mapper.createObjectNode()
               n.put("path", r.getString(0))
@@ -918,6 +919,7 @@ object Sinks {
           meta = cp.where(col("metaData").isNotNull)
             .select(col("metaData.id"), col("metaData.schemaString"),
               col("metaData.createdTime"), col("metaData.configuration"))
+            // collect-bound: the checkpoint's single metaData row
             .collect().headOption.map { r =>
               val n = mapper.createObjectNode()
               n.put("id", r.getString(0))
@@ -1199,6 +1201,7 @@ object Sinks {
     // file that failed to write. One tiny agg over the already-derived
     // shard keys; rows-per-shard is numShards-bounded.
     val counts = sel.groupBy(col("__shard")).agg(count(lit(1)).as("n"))
+      // collect-bound: one count row per shard — numShards-bounded
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val manifest = counts.map { case (sh, n) =>
       s"""{"shard":"${f"shard-$sh%05d.tar"}","samples":$n}"""
@@ -2038,6 +2041,7 @@ object Sinks {
     val affected = source
       .select(col(partitionCol).cast("string").as("__v")).distinct()
       .limit(maxPartitions + 1)
+      // collect-bound: <= maxPartitions+1 partition values (limit-capped, loud require below)
       .collect().map(_.getString(0))
     require(affected.length <= maxPartitions,
       s"upsertParquetPartitioned($tablePath): batch touches more than " +
@@ -2473,6 +2477,7 @@ object Sinks {
   def assertUniqueKeys(df: DataFrame, keys: Seq[String]): Unit = {
     val dups = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      // collect-bound: limit(5) sample of duplicate keys for the error message
       .limit(5).collect()
     if (dups.nonEmpty)
       throw new IllegalStateException(

@@ -316,6 +316,7 @@ object Streams {
     val shFull = spark.table(shTable).select("id", "sh")
     val bandsFull = spark.table(bandsTable).select("id", "band", "bucket")
     val bucketVals = batchBands.select("bucket").distinct()
+      // collect-bound: <= maxProbeKeys+1 bucket keys (limit-capped; loud full-scan fallback above the cap)
       .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
     if (bucketVals.length > maxProbeKeys) {
       Console.err.println(s"[graft] dedup index probe: batch touches " +
@@ -330,6 +331,7 @@ object Streams {
       val candIds = bandsPruned
         .join(batchBands.select("band", "bucket").distinct(),
           Seq("band", "bucket"), "left_semi")
+        // collect-bound: <= maxProbeKeys+1 candidate ids (limit-capped, same fallback)
         .select("id").distinct().limit(maxProbeKeys + 1).collect()
         .map(_.getLong(0))
       val shPruned =
@@ -365,6 +367,7 @@ object Streams {
     val membership =
       keysFilter(spark, shT, "id", admittedIds.toIndexedSeq, negate = false)
     val stale = membership.filter(col("batch") =!= currentBatch)
+      // collect-bound: keysFilter-pruned to one micro-batch's admitted ids — batch-sized
       .select("id", "batch").collect()
     if (stale.nonEmpty) {
       val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
@@ -452,6 +455,7 @@ object Streams {
           if (!admitted.isEmpty) {
             val admittedIds = admitted.select(col(idColName).as("id"))
             compactReadmittedIds(spark, shTable, bandsTable,
+              // collect-bound: one micro-batch's admitted ids
               admitted.select(col(idColName)).collect().map(_.getLong(0)),
               batchId)
             graft.sources.Sinks.upsertParquet(spark, corpusPath, admitted,
@@ -505,6 +509,7 @@ object Streams {
       val stale = keysFilter(spark, spark.table(table), "id",
           admittedIds.toIndexedSeq, negate = false)
         .filter(col("batch") =!= currentBatch)
+        // collect-bound: keysFilter-pruned to one micro-batch's admitted ids — batch-sized
         .select("id", "batch").collect()
       if (stale.nonEmpty) {
         val staleIds = stale.map(_.getLong(0)).distinct.toIndexedSeq
@@ -584,6 +589,7 @@ object Streams {
         Multimodal.bandedHashes(hashes.limit(0), maxHamming),
         "bucket", indexBuckets)
       val bucketVals = Multimodal.bandedHashes(hashes, maxHamming)
+        // collect-bound: one micro-batch's distinct band buckets (<= batch rows x bands)
         .select("bucket").distinct().collect().map(_.getLong(0))
         .toIndexedSeq
       val batchIds = hashes.select("id")
@@ -604,6 +610,7 @@ object Streams {
       // partitions actually holding stale rows (the text sink's
       // compactReadmittedIds discipline at signature grain).
       compactStaleSignatureRows(spark, table,
+        // collect-bound: one micro-batch's admitted ids
         admittedIds.collect().map(_.getLong(0)), batchId)
       if (!admitted.isEmpty)
         Sinks.upsertParquet(spark, corpusPath, admitted, Seq(idColName))
@@ -661,6 +668,7 @@ object Streams {
       val table = videoIndexTableName(indexPath)
       Sinks.ensureBucketedIndexTable(spark, table, s"$indexPath/bands",
         bandedB.limit(0), "bucket", indexBuckets)
+      // collect-bound: one micro-batch's distinct band buckets (<= batch rows x bands)
       val bucketVals = bandedB.select("bucket").distinct().collect()
         .map(_.getLong(0)).toIndexedSeq
       val corpusBanded = keysFilter(spark,
@@ -674,6 +682,7 @@ object Streams {
         .localCheckpoint(true)
       val admittedIds = verdict.filter(col("is_admitted")).select("id")
       compactStaleSignatureRows(spark, table,
+        // collect-bound: one micro-batch's admitted ids
         admittedIds.collect().map(_.getLong(0)), batchId)
       val admitted = batch.join(
         admittedIds.withColumnRenamed("id", idColName), idColName)
