@@ -1361,6 +1361,16 @@ object SparkEntry {
         col("text"), n = 3, k = 32, threshold = 0.5,
         fam = Dedup.CrossEngineHash)),
 
+    // ---- q237's 100 TB form (round-10 directive 5): the estimator
+    // eval over a hash-ticket doc sample — exact-side cost is
+    // ~corpus-size-independent (the q180 ticket-modulus rule; at
+    // sf0.01's 500 docs the modulus is 1 and the gate sees the full
+    // 25-pair overlap, at scale the sample holds ~targetSample docs) ----
+    "q242_minhash_estimate_sampled" -> ((s, d) =>
+      Dedup.minHashEstimatePairsSampled(Tables.documents(s, d),
+        col("doc_id"), col("text"), targetSample = 512, n = 3, k = 32,
+        threshold = 0.5, fam = Dedup.CrossEngineHash)),
+
     // ---- crawl-frontier admission, END TO END in one batch plan
     // (round-9 directive 6): sitemap parse -> URL canonicalization ->
     // exact frontier dedup -> domain blocklist -> robots replay ->
@@ -3725,7 +3735,9 @@ object SparkEntry {
     * contract), joined to q28's 32-component signature CTEs; est is
     * the exact agreement count over 32.
     */
-  private def q237Oracle: String = {
+  private def q237Oracle: String = q237OracleFrom("documents")
+
+  private def q237OracleFrom(src: String): String = {
     val k = 32
     val P = Dedup.CrossEngineHash.P
     val sigCols = (0 until k)
@@ -3735,7 +3747,7 @@ object SparkEntry {
     val agree = (0 until k)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
       .mkString("\n     + ")
-    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id AS id, $dkToks AS toks FROM $src),
        |d AS (SELECT id, list_distinct(list_transform(${dkShingles(3)},
        |    s -> ${dkHash("s")})) AS sh FROM t),
        |hb AS (SELECT id, UNNEST(sh) AS hb FROM d),
@@ -7146,6 +7158,22 @@ object SparkEntry {
 
     "q225_label_propagation" -> q225Oracle,
     "q237_minhash_estimate" -> q237Oracle,
+
+    // q237 over the q180-style hash-ticket sample: integer-derived
+    // modulus, deterministic md5-hash ticket, then the estimator body
+    // against the sampled doc universe
+    "q242_minhash_estimate_sampled" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |bb AS (SELECT CASE WHEN (n + 511) // 512 <= 1 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(len(bin((n + 511) // 512 - 1)) AS BIGINT) END AS bits
+        |  FROM nn),
+        |mm AS (SELECT CAST(1 AS BIGINT) << bits AS m FROM bb),
+        |sd AS (SELECT d.* FROM documents d CROSS JOIN mm
+        |  WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % m = 0),
+        |res AS (
+        |${q237OracleFrom("sd")}
+        |)
+        |SELECT * FROM res""".stripMargin,
 
     // frontier funnel, each stage in closed form: the canonicalizer's
     // output is stated directly (lowered scheme/host, www/port stripped,

@@ -898,6 +898,20 @@ object Dedup {
     * Output (single row): n_sample, sample_bits, n_exact, n_approx,
     * n_hit, pair_precision, pair_recall.
     */
+  /** Ticket-modulus BITS for an auto-sized hash sample: the smallest
+    * power of two with `n / 2^bits <= targetSample` — pure integer
+    * derivation, no float-boundary drift between engines. One count()
+    * action; `sampleBits >= 0` pins the modulus and skips it.
+    */
+  private def sampleTicketBits(df: DataFrame, sampleBits: Int,
+                               targetSample: Int): Int =
+    if (sampleBits >= 0) sampleBits
+    else {
+      val cnt = df.count()
+      val q = (cnt + targetSample - 1) / targetSample
+      if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    }
+
   def pairRecallSampled(df: DataFrame, idCol: Column, textCol: Column,
                         sampleBits: Int = -1, targetSample: Int = 4096,
                         n: Int = 3, threshold: Double = 0.7,
@@ -905,13 +919,7 @@ object Dedup {
                         fam: HashFamily = XxHash,
                         maxBucket: Int = 64): DataFrame = {
     require(targetSample >= 2, "targetSample must be >= 2")
-    val bits =
-      if (sampleBits >= 0) sampleBits
-      else {
-        val cnt = df.count()
-        val q = (cnt + targetSample - 1) / targetSample
-        if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
-      }
+    val bits = sampleTicketBits(df, sampleBits, targetSample)
     val m = 1L << bits
     val sample = df.select(idCol.as("id"), textCol.as("text"))
       .filter(pmod(F.hash64(col("id")), lit(m)) === 0)
@@ -932,6 +940,31 @@ object Dedup {
         when(col("n_approx") > 0, col("pair_precision")))
       .withColumn("pair_recall",
         when(col("n_exact") > 0, col("pair_recall")))
+  }
+
+  /** [[minHashEstimatePairs]] over a hash-ticket SAMPLE of the corpus —
+    * the 100 TB form of the estimator-quality eval. The exact all-pairs
+    * ground truth is corpus-quadratic, so production tunes k on a
+    * deterministic identity-keyed sample (same ticket rule as
+    * [[pairRecallSampled]]: every engine and every run samples the same
+    * docs) whose cost is ~CONSTANT as the corpus grows — the only
+    * corpus-linear step left is the ticket filter scan itself. The
+    * estimator-vs-exact rows over the sampled pair universe read the
+    * estimator's spread at any corpus size; the exact whole-corpus form
+    * ([[minHashEstimatePairs]]) stays the small-scale tune-time tool.
+    */
+  def minHashEstimatePairsSampled(df: DataFrame, idCol: Column,
+                                  textCol: Column, sampleBits: Int = -1,
+                                  targetSample: Int = 512, n: Int = 3,
+                                  k: Int = 32, threshold: Double = 0.5,
+                                  fam: HashFamily = XxHash): DataFrame = {
+    require(targetSample >= 2, "targetSample must be >= 2")
+    val named = df.select(idCol.as("id"), textCol.as("text"))
+    val bits = sampleTicketBits(named, sampleBits, targetSample)
+    val m = 1L << bits
+    minHashEstimatePairs(
+      named.filter(pmod(F.hash64(col("id")), lit(m)) === 0),
+      col("id"), col("text"), n, k, threshold, fam)
   }
 
   /** The (shingles, bands) index tables [[incrementalDedupAgainstIndex]]
