@@ -114,6 +114,21 @@ object SparkEntry {
     (idEdges, names)
   }
 
+  /** BENCH-TIME substitutions (round-10 directive 8): a key here is
+    * TIMED as the named substitute query instead of its own declared
+    * form. Used for queries whose declared form intentionally carries a
+    * small-scale exhaustive component — the sf0.01 oracle gate keeps
+    * checking the exhaustive form, the benchmark pays the
+    * production-sampled cost a deployment actually would, and the
+    * substitute is itself a declared, oracle-anchored query. Bench
+    * emits a `bench_form` marker naming every substitution, so the
+    * artifact is self-describing.
+    */
+  def benchForm: Map[String, String] = Map(
+    // exhaustive pair-recall ground truth is contractually sample-scale
+    // in production; the benched form keeps the corpus-scale LSH side
+    "q179_dedup_recall" -> "q243_dedup_recall_sampled_exact")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A1: hash group-by with SUM/COUNT (155 GROUP BYs in reference) ----
@@ -3094,6 +3109,17 @@ object SparkEntry {
         col("text"), targetSample = 128, n = 3, threshold = 0.7,
         k = 32, bands = 8, fam = Dedup.CrossEngineHash)
     }),
+
+    // ---- q179's bench/production form (round-10 directive 8): the LSH
+    // pipeline runs at CORPUS scale (its cost is the number being
+    // trusted), only the quadratic exact ground truth is ticket-sampled,
+    // recall evaluated over the sampled pair universe. Bench substitutes
+    // this for q179 (see benchForm); the exhaustive q179 stays the
+    // sf0.01 gate-time form ----
+    "q243_dedup_recall_sampled_exact" -> ((s, d) =>
+      Dedup.pairRecallSampledExact(Tables.documents(s, d), col("doc_id"),
+        col("text"), targetSample = 128, n = 3, threshold = 0.7, k = 32,
+        bands = 8, fam = Dedup.CrossEngineHash)),
 
     // ---- bloom-prefiltered incremental exact dedup: even doc_ids are
     // the stored corpus, odd ones the incoming batch (the q155 split at
@@ -7691,6 +7717,49 @@ object SparkEntry {
         |ap AS (
         |${q28OracleFrom("sd")}
         |),
+        |c AS (SELECT (SELECT count(*) FROM ex) AS ne,
+        |      (SELECT count(*) FROM ap) AS na,
+        |      (SELECT count(*) FROM ex JOIN ap USING (id_a, id_b)) AS nh,
+        |      (SELECT count(*) FROM sd) AS ns)
+        |SELECT CAST(ns AS BIGINT) AS n_sample,
+        |  (SELECT bits FROM bb) AS sample_bits,
+        |  CAST(ne AS BIGINT) AS n_exact, CAST(na AS BIGINT) AS n_approx,
+        |  CAST(nh AS BIGINT) AS n_hit,
+        |  CASE WHEN na > 0 THEN
+        |    round(CAST(nh AS DOUBLE) / CAST(na AS DOUBLE), 4) END
+        |    AS pair_precision,
+        |  CASE WHEN ne > 0 THEN
+        |    round(CAST(nh AS DOUBLE) / CAST(ne AS DOUBLE), 4) END
+        |    AS pair_recall
+        |FROM c""".stripMargin,
+
+    // q179's bench form: corpus-scale LSH vs ticket-sampled exact
+    // ground truth; approx pairs restricted to the sampled universe by
+    // the same deterministic ticket on both endpoints
+    "q243_dedup_recall_sampled_exact" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |bb AS (SELECT CASE WHEN (n + 127) // 128 <= 1 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(len(bin((n + 127) // 128 - 1)) AS BIGINT) END AS bits
+        |  FROM nn),
+        |mm AS (SELECT bits, CAST(1 AS BIGINT) << bits AS m FROM bb),
+        |sd AS (SELECT d.* FROM documents d CROSS JOIN mm
+        |  WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % m = 0),
+        |ex AS (
+        |  WITH t AS (SELECT doc_id, $dkToks AS toks FROM sd),
+        |  s AS (SELECT doc_id,
+        |      list_distinct(list_transform(${dkShingles(3)},
+        |        s -> ${dkHash("s")})) AS sh
+        |    FROM t)
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7),
+        |ap0 AS (
+        |$q28Oracle
+        |),
+        |ap AS (SELECT id_a, id_b FROM ap0 CROSS JOIN mm
+        |  WHERE ${dkHash("CAST(id_a AS VARCHAR)")} % m = 0
+        |    AND ${dkHash("CAST(id_b AS VARCHAR)")} % m = 0),
         |c AS (SELECT (SELECT count(*) FROM ex) AS ne,
         |      (SELECT count(*) FROM ap) AS na,
         |      (SELECT count(*) FROM ex JOIN ap USING (id_a, id_b)) AS nh,

@@ -942,6 +942,44 @@ object Dedup {
         when(col("n_exact") > 0, col("pair_recall")))
   }
 
+  /** [[pairRecall]] with only the EXACT side sampled — the production/
+    * bench form when the LSH pipeline ITSELF is the system under test:
+    * the approx generator runs at CORPUS scale (its cost is the number
+    * being trusted), the corpus-quadratic exact generator runs on the
+    * hash-ticket sample, and precision/recall are evaluated over the
+    * sampled pair universe — approx pairs restricted by the same
+    * deterministic ticket predicate on BOTH endpoints (a filter, not a
+    * join: ticket membership is recomputable from the id). Unbiased for
+    * the same reason [[pairRecallSampled]] is; differs from it in that
+    * the candidate-generation cost being measured is the corpus-scale
+    * one. Output shape matches pairRecallSampled (single row).
+    */
+  def pairRecallSampledExact(df: DataFrame, idCol: Column, textCol: Column,
+                             sampleBits: Int = -1, targetSample: Int = 128,
+                             n: Int = 3, threshold: Double = 0.7,
+                             k: Int = 32, bands: Int = 8,
+                             fam: HashFamily = XxHash,
+                             maxBucket: Int = 64): DataFrame = {
+    require(targetSample >= 2, "targetSample must be >= 2")
+    val named = df.select(idCol.as("id"), textCol.as("text"))
+    val bits = sampleTicketBits(named, sampleBits, targetSample)
+    val m = 1L << bits
+    def inSample(c: Column): Column = pmod(F.hash64(c), lit(m)) === 0
+    val sample = named.filter(inSample(col("id"))).persist()
+    val exact = ngramJaccardPairs(sample, col("id"), col("text"), n,
+      threshold, materialize = true, hashShingles = Some(fam))
+    val approx = minHashLshPairs(named, col("id"), col("text"), n, k,
+        bands, threshold, materialize = true, fam, maxBucket)
+      .filter(inSample(col("id_a")) && inSample(col("id_b")))
+    sample.agg(count(lit(1)).as("n_sample"))
+      .withColumn("sample_bits", lit(bits.toLong))
+      .crossJoin(pairRecall(exact, approx))
+      .withColumn("pair_precision",
+        when(col("n_approx") > 0, col("pair_precision")))
+      .withColumn("pair_recall",
+        when(col("n_exact") > 0, col("pair_recall")))
+  }
+
   /** [[minHashEstimatePairs]] over a hash-ticket SAMPLE of the corpus —
     * the 100 TB form of the estimator-quality eval. The exact all-pairs
     * ground truth is corpus-quadratic, so production tunes k on a

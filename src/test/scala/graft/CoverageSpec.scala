@@ -157,18 +157,17 @@ class CoverageSpec extends AnyFunSuite {
     "analytics__stock_report_ds" -> ("stock_report_ds", "stock_report_ds"),
     "analytics__stock_time_ds" -> ("stock_time_ds", "stock_time_ds"))
 
-  test("every reference dbt model instance is PORTED, registered, and " +
-    "reachable from an anchored entry model") {
-    val models = walk(refRoot.resolve("dbt_bigquery/models"))
-      .filter(_.toString.endsWith(".sql"))
-      .map(_.getFileName.toString.stripSuffix(".sql"))
-    assume(models.nonEmpty, "reference checkout not present")
+  /** The port+topo proof shared by the BigQuery and Postgres walks:
+    * every enumerated reference instance must map to a registered model
+    * that an oracle-anchored entry model transitively depends on.
+    */
+  private def assertInstancePorts(models: Seq[String]): Unit = {
     val unmapped = models.filterNot(instancePorts.contains)
     assert(unmapped.isEmpty,
       s"reference instances with no declared port: ${unmapped.mkString(", ")}")
     val r = graft.models.Analytics.registry("/root/testdata/sf0.001")
     val names = r.names.toSet
-    val bad = instancePorts.collect {
+    val bad = models.map(m => m -> instancePorts(m)).collect {
       case (ref, (port, anchor)) if !names.contains(port) =>
         s"$ref -> $port (not registered)"
       case (ref, (port, anchor)) if !names.contains(anchor) =>
@@ -177,6 +176,61 @@ class CoverageSpec extends AnyFunSuite {
         s"$ref -> $port not in topo($anchor)"
     }
     assert(bad.isEmpty, s"broken ports:\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("every reference dbt model instance is PORTED, registered, and " +
+    "reachable from an anchored entry model") {
+    val models = walk(refRoot.resolve("dbt_bigquery/models"))
+      .filter(_.toString.endsWith(".sql"))
+      .map(_.getFileName.toString.stripSuffix(".sql"))
+    assume(models.nonEmpty, "reference checkout not present")
+    assertInstancePorts(models)
+  }
+
+  test("every reference dbt_postgres model instance is PORTED, " +
+    "registered, and reachable from an anchored entry model") {
+    // round-10 directive 4: the PG side previously had only the
+    // citation pin above; this walk gives its instances the same
+    // structural port+topo proof as dbt_bigquery (the 61 PG models are
+    // a subset of the 63 BQ names today — a future PG-only model fails
+    // the instancePorts lookup here instead of hiding behind a citation)
+    val models = walk(refRoot.resolve("dbt_postgres/models"))
+      .filter(_.toString.endsWith(".sql"))
+      .map(_.getFileName.toString.stripSuffix(".sql"))
+    assume(models.nonEmpty, "reference checkout not present")
+    assertInstancePorts(models)
+  }
+
+  test("PG-only dialect divergences are pinned to their ports") {
+    // the three places dbt_postgres/linkmerce-PG genuinely diverges from
+    // the BigQuery project, each pinned: the reference file must still
+    // carry the divergent construct AND the covering port must exist.
+    // 1. plain UNION (distinct) where the BQ side re-aggregates —
+    //    stock_cost_mom; engine semantics declared as q148
+    val ucm = refRoot.resolve(
+      "dbt_postgres/models/marts/stock/analytics__stock_cost_mom.sql")
+    assume(Files.exists(ucm), "reference checkout not present")
+    val ucmTxt = new String(Files.readAllBytes(ucm), "UTF-8")
+    assert("(?i)\\bUNION\\b(?!\\s+ALL)".r.findFirstIn(ucmTxt).nonEmpty,
+      "reference divergence moved: no plain UNION left in stock_cost_mom")
+    assert(SparkEntry.queries.contains("q148_pg_union_dedup"),
+      "plain-UNION semantics lost their declared query")
+    // 2. native MEDIAN in the PG searchad staging (BQ spells it
+    //    PERCENTILE_CONT) — declared as q149
+    val med = refRoot.resolve(
+      "src/linkmerce/core/searchad/center/report/models.sql")
+    val medTxt = new String(Files.readAllBytes(med), "UTF-8")
+    assert("(?i)median".r.findFirstIn(medTxt).nonEmpty,
+      "reference divergence moved: MEDIAN gone from searchad report")
+    assert(SparkEntry.queries.contains("q149_pg_median"),
+      "MEDIAN semantics lost their declared query")
+    // 3. the partitioned_table materialization's batched rebuild
+    //    (macros/partitioned_tables.sql) — D7's rebuildPartitionsBatched
+    val macroF = refRoot.resolve("dbt_postgres/macros/partitioned_tables.sql")
+    assert(Files.exists(macroF), "reference macro moved")
+    assert(sources.contains("rebuildPartitionsBatched") &&
+      sources.contains("partitioned_tables.sql"),
+      "batched partition rebuild port or its citation dropped")
   }
 
   test("every reference staging domain is cited in the source tree") {

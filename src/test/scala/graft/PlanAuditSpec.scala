@@ -75,6 +75,9 @@ class PlanAuditSpec extends SparkSpec {
     // SINGLE-ROW precision/recall aggregate (q61's corpus-count pattern,
     // both sides one row by definition)
     "q180_dedup_recall_sampled",
+    // q243: q180's shape with the exact side sampled and the LSH side at
+    // corpus scale — the same single-row × single-row stats crossJoin
+    "q243_dedup_recall_sampled_exact",
     // q188: the k-means assignment = corpus × broadcast(16 centroid
     // rows) — q63's IVF pattern exposed as a first-class clustering
     // output; the n·k distance computations ARE the algorithm
@@ -151,6 +154,8 @@ class PlanAuditSpec extends SparkSpec {
     // sampled dedup evaluation: the same single-row stats aggregate plus
     // the single-row hash-sample size — both one row by definition
     "q180_dedup_recall_sampled",
+    // sampled-exact dedup evaluation: same single-row stats shape
+    "q243_dedup_recall_sampled_exact",
     // q214: the exact-total largest-remainder repair windows (SUM OVER (),
     // ROW_NUMBER OVER (ORDER BY domain)) run over the DOMAIN-grain
     // allocation frame — the PageRank output, already reduced by a
