@@ -536,9 +536,11 @@ object DeletionVectors {
     // partition-scoped merge base and remove prefixes can neither read
     // nor replace — a later merge would duplicate the purged rows. The
     // partition purge IS a merge-shaped rewrite of each DV-carrying
-    // partition (MOR base, pointer swap, partitionGens markers).
+    // partition (MOR base, pointer swap, partitionGens markers). The
+    // already-built state rides along — no second reconstruction.
     if (state.keys.exists(_.startsWith("p=")))
-      return Sinks.purgePartitionedDvs(spark, tablePath)
+      return Sinks.purgePartitionedDvs(spark, tablePath, vAtRead, state,
+        meta)
     val root = Paths.get(tablePath)
     val v = vAtRead + 1
     val genDir = root.resolve(f"gen-dv-purge-$v%020d")

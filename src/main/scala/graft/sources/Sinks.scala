@@ -694,24 +694,41 @@ object Sinks {
     * shared by every writer that re-emits reconstructed metaData
     * (RESTORE, DELETE, DV purge).
     */
+  /** A string map as a writer-ready jmap, key-sorted for stable commit
+    * bytes — the one spelling every metaData emitter shares.
+    */
+  private def configJmap(c: Map[String, String])
+      : java.util.LinkedHashMap[String, Any] = {
+    val out = jmap()
+    c.toSeq.sortBy(_._1).foreach { case (k, v) => out.put(k, v) }
+    out
+  }
+
+  /** The partition value a state path belongs to (`p=<value>/...`), or
+    * None for root-level files — the ONE parsing rule the partitioned
+    * merge, purge, and guards all share.
+    */
+  private[sources] def partitionOf(p: String): Option[String] =
+    if (!p.startsWith("p=")) None
+    else {
+      val i = p.indexOf('/')
+      if (i < 0) None else Some(p.substring(2, i))
+    }
+
   private[sources] def canonicalMetaData(
       m: com.fasterxml.jackson.databind.JsonNode,
-      now: Long): java.util.LinkedHashMap[String, Any] = {
+      now: Long): java.util.LinkedHashMap[String, Any] =
     // configuration carries state (the droppedColumns marker) — a
     // canonicalization that blanked it would let the next DELETE/purge
     // commit silently re-admit a dropped column name
-    val config = jmap()
-    metaConfiguration(Some(m)).toSeq.sortBy(_._1).foreach { case (k, c) =>
-      config.put(k, c) }
     jmap(
       "id" -> m.get("id").asText(),
       "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
       "schemaString" -> m.get("schemaString").asText(),
       "partitionColumns" -> new java.util.ArrayList[String](),
-      "configuration" -> config,
+      "configuration" -> configJmap(metaConfiguration(Some(m))),
       "createdTime" ->
         (if (m.has("createdTime")) m.get("createdTime").asLong() else now))
-  }
 
   /** METADATA-ONLY column drop: commits a new metaData whose schema
     * omits `column` and records the name in the configuration's
@@ -753,9 +770,6 @@ object Sinks {
       val newConfig = config + ("graft.droppedColumns" ->
         (droppedColumns(config) + column).toSeq.sorted.mkString(","))
       val now = System.currentTimeMillis()
-      val configJ = jmap()
-      newConfig.toSeq.sortBy(_._1).foreach { case (k, c) =>
-        configJ.put(k, c) }
       val sb = new StringBuilder
       def line(a: Any): Unit =
         sb.append(mapper.writeValueAsString(a)).append('\n')
@@ -763,16 +777,11 @@ object Sinks {
         "timestamp" -> now, "operation" -> "DROP COLUMNS",
         "operationParameters" -> jmap("columns" -> s"""["$column"]"""),
         "engineInfo" -> "graft")))
-      line(jmap("metaData" -> jmap(
-        "id" -> (if (meta.get.has("id")) meta.get.get("id").asText()
-          else java.util.UUID.nameUUIDFromBytes(
-            root.toAbsolutePath.toString.getBytes("UTF-8")).toString),
-        "format" -> jmap("provider" -> "parquet", "options" -> jmap()),
-        "schemaString" -> newSchema.json,
-        "partitionColumns" -> new java.util.ArrayList[String](),
-        "configuration" -> configJ,
-        "createdTime" -> (if (meta.get.has("createdTime"))
-          meta.get.get("createdTime").asLong() else now))))
+      // the one canonical metaData shape, narrowed schema + marker over it
+      val md = canonicalMetaData(meta.get, now)
+      md.put("schemaString", newSchema.json)
+      md.put("configuration", configJmap(newConfig))
+      line(jmap("metaData" -> md))
       val logDir = root.resolve("_delta_log")
       val tmp = logDir.resolve(f"${vNow + 1}%020d.json.tmp")
       Files.writeString(tmp, sb.toString)
@@ -1487,15 +1496,12 @@ object Sinks {
       actions += jmap("commitInfo" -> jmap(
         "timestamp" -> now, "operation" -> opName,
         "operationParameters" -> opParams, "engineInfo" -> "graft"))
-      val configMap = jmap()
-      effConfig.toSeq.sortBy(_._1).foreach { case (k, c) =>
-        configMap.put(k, c) }
       actions += jmap("metaData" -> jmap(
         "id" -> tableId, "format" -> jmap(
           "provider" -> "parquet", "options" -> jmap()),
         "schemaString" -> effSchemaJson,
         "partitionColumns" -> new java.util.ArrayList[String](),
-        "configuration" -> configMap, "createdTime" -> now))
+        "configuration" -> configJmap(effConfig), "createdTime" -> now))
       removes.foreach { p =>
         actions += jmap("remove" -> jmap(
           "path" -> p, "deletionTimestamp" -> now,
@@ -1784,8 +1790,13 @@ object Sinks {
     val n = jsonMapper.readTree(Files.readString(lc))
     if (!n.has("graftPartGens")) return Map.empty
     val b = Map.newBuilder[String, Long]
+    // asText().toLong (not asLong()): Jackson's asLong returns 0 for
+    // garbage instead of throwing, and a phantom generation 0 would
+    // classify the partition as crash-lagging — raw-dir merge base,
+    // resurrected deletes. toLong throws, Try skips the entry.
     n.get("graftPartGens").fields().forEachRemaining(e =>
-      scala.util.Try(e.getValue.asLong()).foreach(b += e.getKey -> _))
+      scala.util.Try(e.getValue.asText().toLong)
+        .foreach(b += e.getKey -> _))
     b.result()
   }
 
@@ -2087,12 +2098,6 @@ object Sinks {
       // Markerless legacy partitions infer the lag from path
       // containment (pointer gen has no logged file under it).
       val affectedSet = affected.toSet
-      def partOf(p: String): Option[String] =
-        if (!p.startsWith("p=")) None
-        else {
-          val i = p.indexOf('/')
-          if (i < 0) None else Some(p.substring(2, i))
-        }
       val targetOpt: Option[DataFrame] =
         if (baseLogVersion < 0) {
           if (existing.isEmpty) None
@@ -2101,13 +2106,13 @@ object Sinks {
           val (state, meta) =
             deltaStateWithMeta(spark, tablePath, Long.MaxValue)
           val inParts = state.toSeq.filter(p =>
-            partOf(p._1).exists(affectedSet.contains))
+            partitionOf(p._1).exists(affectedSet.contains))
           // only partitions with an existing pointer can be crash-lagging
           // — querying a brand-new partition would walk the whole
           // retained log per merge without ever resolving
           val markers = lastLoggedPartitionGens(root,
             affectedSet.filter(v => base(v).nonEmpty))
-          val byPart = inParts.groupBy(p => partOf(p._1).get)
+          val byPart = inParts.groupBy(p => partitionOf(p._1).get)
           val lagging = affected.filter { v =>
             base(v).exists { g =>
               markers.get(v) match {
@@ -2131,7 +2136,7 @@ object Sinks {
           }
           val laggingSet = lagging.toSet
           val covered = inParts.filterNot(p =>
-            laggingSet.contains(partOf(p._1).get))
+            laggingSet.contains(partitionOf(p._1).get))
           val schemaR = metaSchema(meta)
           val coveredDf =
             if (covered.isEmpty) None
@@ -2274,25 +2279,21 @@ object Sinks {
     * was computed against the scanned state — the caller re-runs).
     */
   private[sources] def purgePartitionedDvs(spark: SparkSession,
-      tablePath: String, keepGenerations: Int = 3,
+      tablePath: String, vAtRead: Long,
+      state: scala.collection.Map[String,
+        com.fasterxml.jackson.databind.JsonNode],
+      meta: Option[com.fasterxml.jackson.databind.JsonNode],
+      keepGenerations: Int = 3,
       staleLockMs: Long = 60000L): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(tablePath)
-    val vAtRead = logTailVersion(tablePath)
-    val (state, meta) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
     val withDv = state.toSeq.filter(_._2.has("deletionVector"))
     if (withDv.isEmpty) return 0
-    def partOf(p: String): Option[String] =
-      if (!p.startsWith("p=")) None
-      else {
-        val i = p.indexOf('/')
-        if (i < 0) None else Some(p.substring(2, i))
-      }
-    val badDv = withDv.map(_._1).filterNot(p => partOf(p).nonEmpty)
+    val badDv = withDv.map(_._1).filterNot(p => partitionOf(p).nonEmpty)
     require(badDv.isEmpty,
       s"purgePartitionedDvs($tablePath): DV'd files outside any " +
         s"partition dir: ${badDv.mkString(", ")}")
-    val parts = withDv.flatMap(p => partOf(p._1)).distinct.sorted
+    val parts = withDv.flatMap(p => partitionOf(p._1)).distinct.sorted
     def partDir(v: String) = root.resolve(s"p=$v")
     def currentGen(v: String): Option[String] = {
       val ptr = partDir(v).resolve("_CURRENT")
@@ -2305,13 +2306,38 @@ object Sinks {
           "deletion vectors but has no _CURRENT pointer")
       v -> g.get
     }.toMap
+    val byPart = state.toSeq.filter(p => partitionOf(p._1).exists(base.contains))
+      .groupBy(p => partitionOf(p._1).get)
+    // crash-window refusal (this round's own review find): a partition
+    // whose pointer is AHEAD of its logged generation is a crashed
+    // merge's unhealed batch — the purge's rewrite comes from the STALE
+    // logged state, and committing it with a fresh partitionGens marker
+    // would cover the pointer and erase that batch permanently under a
+    // dataChange=false commit. The merge heals this window (it re-bases
+    // on the raw dir); the purge must refuse and point there.
+    locally {
+      val markers = lastLoggedPartitionGens(root, parts.toSet)
+      val lagging = parts.filter { v =>
+        val gNum = base(v).stripPrefix("gen-").toLong
+        markers.get(v) match {
+          case Some(lg) => lg < gNum
+          case None => !byPart.getOrElse(v, Nil)
+            .exists(_._1.startsWith(s"p=$v/${base(v)}/")) &&
+            !generationEverLogged(root, v, base(v))
+        }
+      }
+      require(lagging.isEmpty,
+        s"purgePartitionedDvs($tablePath): partition(s) " +
+          s"${lagging.map(v => s"p=$v").mkString(", ")} have a pointer " +
+          "generation ahead of the logged state (a merge crashed between " +
+          "its pointer swap and its log commit) — re-run a merge for " +
+          "those partitions first; it heals the window, then purge")
+    }
     val schemaR = metaSchema(meta)
     // one rewrite per affected partition, staged outside the lock; the
     // _stage- prefix rides the partitioned merge's 24h crash sweep
     val stage = root.resolve(s"_stage-dvpurge-${System.nanoTime()}-" +
       java.util.UUID.randomUUID().toString.take(8))
-    val byPart = state.toSeq.filter(p => partOf(p._1).exists(base.contains))
-      .groupBy(p => partOf(p._1).get)
     parts.foreach { v =>
       DeletionVectors.scanWithDvs(spark, tablePath, byPart(v), schemaR)
         .write.mode(SaveMode.Overwrite)

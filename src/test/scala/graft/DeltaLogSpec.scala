@@ -524,6 +524,44 @@ class DeltaLogSpec extends SparkSpec {
       "partition-wide-deleted rows resurrected after marker pruning")
   }
 
+  test("partitioned purge refuses a crash-lagging partition " +
+      "(pointer ahead of log)") {
+    // this round's own review find: a purge of a partition whose merge
+    // crashed between pointer swap and log commit would rewrite the
+    // STALE logged state and stamp a fresh partitionGens marker over
+    // the pointer — permanently erasing the crashed batch under a
+    // dataChange=false commit. The purge must refuse; the MERGE is the
+    // healer (it re-bases on the raw pointer dir).
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+        (3L, "2024-01-02", 3.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds") // v0: gen-0 both partitions
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((5L, "2024-01-01", 5.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds") // v1: p=01-01 -> gen-1
+    // simulate the crash window: v1's log entry never landed
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    // a DELETE against the (stale) logged state leaves a REAL vector on
+    // the shared gen-0 file (k=2 stays live, so the file cannot drop)
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
+    }
+    assert(e.getMessage.contains("pointer generation ahead"), e.getMessage)
+    // the merge heals the window (raw-dir base carries the crashed
+    // batch); afterwards the partition has no vectors left and purge
+    // is a clean no-op
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((7L, "2024-01-01", 7.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    assert(graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
+      == 0)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 5L, 7L),
+      "crashed batch lost through the heal")
+  }
+
   test("dropDeltaColumn is metadata-only; re-add and rename refuse loudly") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"
     Sinks.upsertParquet(spark, dir,
