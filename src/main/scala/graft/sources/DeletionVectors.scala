@@ -378,6 +378,14 @@ object DeletionVectors {
     val fileDvs = collectFileDvs(spark, root, state,
       Sinks.metaSchema(meta), predicate)
     if (fileDvs.isEmpty) return DvDelete(0L, 0, 0)
+    // crash-window refusal (round-11 review find): a DELETE touching a
+    // partition whose pointer is ahead of its logged state would be
+    // ACKNOWLEDGED and then silently undone — the healing merge
+    // re-bases that partition on the raw pointer dir and the prefix
+    // removes drop this commit's vectors. Refuse; merge first.
+    Sinks.requireNoCrashLagging(root, state,
+      fileDvs.flatMap(fd => Sinks.partitionOf(relByAbs(fd.absPath)))
+        .distinct.toSeq, "deleteDeltaWhere")
 
     var rowsDeleted = 0L
     var dropped = 0

@@ -688,12 +688,6 @@ object Sinks {
     }
   }
 
-  /** Full protocol-shaped metaData from a possibly checkpoint-reduced
-    * node (the checkpoint rebuild keeps only id/schemaString/createdTime/
-    * configuration; format and partitionColumns are spec-required) —
-    * shared by every writer that re-emits reconstructed metaData
-    * (RESTORE, DELETE, DV purge).
-    */
   /** A string map as a writer-ready jmap, key-sorted for stable commit
     * bytes — the one spelling every metaData emitter shares.
     */
@@ -715,6 +709,12 @@ object Sinks {
       if (i < 0) None else Some(p.substring(2, i))
     }
 
+  /** Full protocol-shaped metaData from a possibly checkpoint-reduced
+    * node (the checkpoint rebuild keeps only id/schemaString/createdTime/
+    * configuration; format and partitionColumns are spec-required) —
+    * shared by every writer that re-emits reconstructed metaData
+    * (RESTORE, DELETE, DV purge).
+    */
   private[sources] def canonicalMetaData(
       m: com.fasterxml.jackson.databind.JsonNode,
       now: Long): java.util.LinkedHashMap[String, Any] =
@@ -1824,6 +1824,71 @@ object Sinks {
     out.toMap
   }
 
+  /** The partitions among `parts` whose `_CURRENT` pointer generation is
+    * AHEAD of the logged state — a writer died between its pointer swap
+    * and its log commit. THE one crash-window predicate every
+    * partition-state committer shares (merge bases such partitions on
+    * the raw pointer dir to heal them; DELETE and purge refuse and point
+    * at the merge). Decision per pointered partition: the newest
+    * `partitionGens` marker when one exists anywhere (JSON tail or the
+    * checkpoint's graftPartGens snapshot); markerless legacy partitions
+    * fall back to "pointer generation has a logged live file" and then
+    * to the retained-log containment scan — a generation the log EVER
+    * mentioned was committed (a partition-wide delete leaves zero live
+    * files but keeps that evidence). Residual: a pre-snapshot checkpoint
+    * taken after a partition-wide delete prunes the evidence too; every
+    * table checkpointed by current code persists the snapshot.
+    *
+    * `byPart` is the logged live state grouped by partition (only the
+    * entries for `parts` are consulted).
+    */
+  private[sources] def crashLaggingPartitions(
+      root: java.nio.file.Path, parts: Seq[String],
+      pointerGen: String => Option[String],
+      byPart: Map[String, Seq[(String,
+        com.fasterxml.jackson.databind.JsonNode)]]): Seq[String] = {
+    val withPtr = parts.filter(v => pointerGen(v).nonEmpty)
+    val markers = lastLoggedPartitionGens(root, withPtr.toSet)
+    withPtr.filter { v =>
+      val g = pointerGen(v).get
+      markers.get(v) match {
+        case Some(lg) => lg < g.stripPrefix("gen-").toLong
+        case None => !byPart.getOrElse(v, Nil)
+          .exists(_._1.startsWith(s"p=$v/$g/")) &&
+          !generationEverLogged(root, v, g)
+      }
+    }
+  }
+
+  /** Loud refusal form of [[crashLaggingPartitions]] for the committers
+    * that must NOT write over a crash-lagging partition (DELETE, purge):
+    * their commit would be computed from the STALE logged state, and its
+    * effect would be silently discarded — or worse, a fresh
+    * partitionGens marker would cover the pointer and erase the crashed
+    * batch permanently. The MERGE is the healer.
+    */
+  private[sources] def requireNoCrashLagging(root: java.nio.file.Path,
+      state: scala.collection.Map[String,
+        com.fasterxml.jackson.databind.JsonNode],
+      parts: Seq[String], op: String): Unit = {
+    import java.nio.file.Files
+    if (parts.isEmpty) return
+    def pointerGen(v: String): Option[String] = {
+      val ptr = root.resolve(s"p=$v").resolve("_CURRENT")
+      if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
+    }
+    val byPart = state.toSeq
+      .filter(p => partitionOf(p._1).exists(parts.contains))
+      .groupBy(p => partitionOf(p._1).get)
+    val lagging = crashLaggingPartitions(root, parts, pointerGen, byPart)
+    require(lagging.isEmpty,
+      s"$op(${root}): partition(s) " +
+        s"${lagging.map(v => s"p=$v").mkString(", ")} have a pointer " +
+        "generation ahead of the logged state (a merge crashed between " +
+        "its pointer swap and its log commit) — re-run a merge for " +
+        "those partitions first; it heals the window")
+  }
+
   /** Whether any RETAINED log commit mentions a data file under
     * `p=<part>/<gen>/` — add and remove actions alike (the needle is the
     * serialized `"path":"<prefix>` form, so DV payloads and stats can't
@@ -2107,33 +2172,13 @@ object Sinks {
             deltaStateWithMeta(spark, tablePath, Long.MaxValue)
           val inParts = state.toSeq.filter(p =>
             partitionOf(p._1).exists(affectedSet.contains))
-          // only partitions with an existing pointer can be crash-lagging
-          // — querying a brand-new partition would walk the whole
-          // retained log per merge without ever resolving
-          val markers = lastLoggedPartitionGens(root,
-            affectedSet.filter(v => base(v).nonEmpty))
           val byPart = inParts.groupBy(p => partitionOf(p._1).get)
-          val lagging = affected.filter { v =>
-            base(v).exists { g =>
-              markers.get(v) match {
-                case Some(lg) => lg < g.stripPrefix("gen-").toLong
-                // markerless (legacy table, or pre-snapshot pruning):
-                // "no live file under the pointer gen" alone cannot
-                // decide — a partition-wide DV DELETE also leaves zero
-                // live files. Lagging only if the retained log NEVER
-                // mentioned the pointer generation (added or removed);
-                // a generation the log once carried was committed, and
-                // basing on its raw dir would resurrect deleted rows.
-                // (Residual: a pre-snapshot checkpoint taken after a
-                // partition-wide delete prunes that evidence too — new
-                // checkpoints persist graftPartGens, closing this for
-                // every table checkpointed by current code.)
-                case None => !byPart.getOrElse(v, Nil)
-                  .exists(_._1.startsWith(s"p=$v/$g/")) &&
-                  !generationEverLogged(root, v, g)
-              }
-            }
-          }
+          // the shared crash-window predicate (see its scaladoc for the
+          // marker/markerless decision and the pruning residual): the
+          // merge is the HEALER — lagging partitions base on their raw
+          // pointer dir so the crashed batch's rows survive
+          val lagging = crashLaggingPartitions(root, affected.toSeq,
+            base, byPart)
           val laggingSet = lagging.toSet
           val covered = inParts.filterNot(p =>
             laggingSet.contains(partitionOf(p._1).get))
@@ -2315,24 +2360,7 @@ object Sinks {
     // would cover the pointer and erase that batch permanently under a
     // dataChange=false commit. The merge heals this window (it re-bases
     // on the raw dir); the purge must refuse and point there.
-    locally {
-      val markers = lastLoggedPartitionGens(root, parts.toSet)
-      val lagging = parts.filter { v =>
-        val gNum = base(v).stripPrefix("gen-").toLong
-        markers.get(v) match {
-          case Some(lg) => lg < gNum
-          case None => !byPart.getOrElse(v, Nil)
-            .exists(_._1.startsWith(s"p=$v/${base(v)}/")) &&
-            !generationEverLogged(root, v, base(v))
-        }
-      }
-      require(lagging.isEmpty,
-        s"purgePartitionedDvs($tablePath): partition(s) " +
-          s"${lagging.map(v => s"p=$v").mkString(", ")} have a pointer " +
-          "generation ahead of the logged state (a merge crashed between " +
-          "its pointer swap and its log commit) — re-run a merge for " +
-          "those partitions first; it heals the window, then purge")
-    }
+    requireNoCrashLagging(root, state, parts, "purgePartitionedDvs")
     val schemaR = metaSchema(meta)
     // one rewrite per affected partition, staged outside the lock; the
     // _stage- prefix rides the partitioned merge's 24h crash sweep

@@ -524,42 +524,53 @@ class DeltaLogSpec extends SparkSpec {
       "partition-wide-deleted rows resurrected after marker pruning")
   }
 
-  test("partitioned purge refuses a crash-lagging partition " +
-      "(pointer ahead of log)") {
-    // this round's own review find: a purge of a partition whose merge
-    // crashed between pointer swap and log commit would rewrite the
-    // STALE logged state and stamp a fresh partitionGens marker over
-    // the pointer — permanently erasing the crashed batch under a
-    // dataChange=false commit. The purge must refuse; the MERGE is the
-    // healer (it re-bases on the raw pointer dir).
+  test("DELETE and purge refuse a crash-lagging partition " +
+      "(pointer ahead of log); the merge heals") {
+    // this round's own review finds: writing over a partition whose
+    // merge crashed between pointer swap and log commit either erases
+    // the crashed batch (purge: fresh partitionGens marker covers the
+    // pointer) or is silently undone (DELETE: the healing merge's
+    // raw-dir base discards the vector after the delete was
+    // acknowledged). Both must refuse; the MERGE is the healer.
     val dir = Files.createTempDirectory("dlog").toString + "/t"
     Sinks.upsertParquetPartitioned(spark, dir,
       Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
         (3L, "2024-01-02", 3.0)).toDF("k", "ds", "v"),
       Seq("k"), "ds") // v0: gen-0 both partitions
+    // a healthy DELETE first: leaves a REAL vector on the shared gen-0
+    // file (k=2 stays live, so the file cannot drop outright)
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 1L) // v1
     Sinks.upsertParquetPartitioned(spark, dir,
       Seq((5L, "2024-01-01", 5.0)).toDF("k", "ds", "v"),
-      Seq("k"), "ds") // v1: p=01-01 -> gen-1
-    // simulate the crash window: v1's log entry never landed
-    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
-    // a DELETE against the (stale) logged state leaves a REAL vector on
-    // the shared gen-0 file (k=2 stays live, so the file cannot drop)
-    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
-      col("k") === 1L)
-    val e = intercept[IllegalArgumentException] {
+      Seq("k"), "ds") // v2: p=01-01 -> gen-1 (MOR base, so k=1 stays gone)
+    // simulate the crash window: v2's log entry never landed — the
+    // pointer names gen-1, the logged state still holds gen-0 + the DV
+    Files.delete(Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+    val eDel = intercept[IllegalArgumentException] {
+      graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+        col("k") === 2L)
+    }
+    assert(eDel.getMessage.contains("pointer generation ahead"),
+      eDel.getMessage)
+    val ePurge = intercept[IllegalArgumentException] {
       graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
     }
-    assert(e.getMessage.contains("pointer generation ahead"), e.getMessage)
+    assert(ePurge.getMessage.contains("pointer generation ahead"),
+      ePurge.getMessage)
     // the merge heals the window (raw-dir base carries the crashed
-    // batch); afterwards the partition has no vectors left and purge
-    // is a clean no-op
+    // batch, which was itself MOR-based, so the pre-crash delete
+    // holds); afterwards no vectors remain and purge is a clean no-op
     Sinks.upsertParquetPartitioned(spark, dir,
       Seq((7L, "2024-01-01", 7.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
     assert(graft.sources.DeletionVectors.purgeDeletionVectors(spark, dir)
       == 0)
     assert(Sinks.readDeltaTableAt(spark, dir).select("k").as[Long]
-      .collect().toSet == Set(1L, 2L, 3L, 5L, 7L),
-      "crashed batch lost through the heal")
+      .collect().toSet == Set(2L, 3L, 5L, 7L),
+      "crashed batch lost or pre-crash delete resurrected through the heal")
+    // post-heal, DELETE works again
+    assert(graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir,
+      col("k") === 2L).rowsDeleted == 1L)
   }
 
   test("dropDeltaColumn is metadata-only; re-add and rename refuse loudly") {
