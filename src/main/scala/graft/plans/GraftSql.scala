@@ -58,6 +58,11 @@ object GraftSql {
     *     ([[graft.sources.Sinks.restoreDeltaTable]]); also
     *     `TO TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.f]>'` via
     *     [[graft.sources.Sinks.versionAtTimestamp]]
+    *   ALTER TABLE '<path>' ADD CONSTRAINT <name> CHECK (<expr>) →
+    *     validate every existing row, then enforce on all future MERGEs
+    *     ([[graft.sources.Sinks.addDeltaCheckConstraint]]); DROP
+    *     CONSTRAINT <name> removes it
+    *     ([[graft.sources.Sinks.dropDeltaCheckConstraint]])
     *
     * Each returns a one-row summary frame. Anything else returns None
     * and falls through to the query path — valid Spark SQL never
@@ -74,6 +79,10 @@ object GraftSql {
       """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
     val RstTs =
       """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    val AddCk =
+      """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    val DropCk =
+      """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
     def restore(path: String, version: Long) = {
       val (nv, added, removed) =
         graft.sources.Sinks.restoreDeltaTable(spark, path, version)
@@ -88,6 +97,15 @@ object GraftSql {
       case RstTs(path, ts) =>
         restore(path, graft.sources.Sinks.versionAtTimestamp(path,
           java.sql.Timestamp.valueOf(ts).getTime))
+      case AddCk(path, name, check) =>
+        graft.sources.Sinks.addDeltaCheckConstraint(spark, path, name,
+          check.trim)
+        Some(Seq((path, "ADD CONSTRAINT", name, check.trim))
+          .toDF("path", "operation", "constraint_name", "check_expr"))
+      case DropCk(path, name) =>
+        graft.sources.Sinks.dropDeltaCheckConstraint(spark, path, name)
+        Some(Seq((path, "DROP CONSTRAINT", name))
+          .toDF("path", "operation", "constraint_name"))
       case Opt(path, target) =>
         val tb = Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024)
         val (before, after) =

@@ -91,6 +91,17 @@ object Sinks {
     * upserts, or its generation may be vacuumed under it (a merge that
     * loses its base's files to vacuum fails and retries from the new
     * pointer — consistent, just slower).
+    *
+    * `txn = Some((appId, version))` commits a Delta `txn` action with the
+    * batch and SKIPS the whole upsert when the table already carries that
+    * (appId, >= version) — the idempotent-writer protocol that makes
+    * replayed streaming micro-batches and restarted ingestion jobs
+    * exactly-once ([[lastTxnVersion]]; checked per retry attempt, CAS'd
+    * by the commit's log-tail guard).
+    *
+    * CHECK constraints ([[addDeltaCheckConstraint]]) are enforced on
+    * every batch: fail-fast on the source at entry, authoritatively on
+    * the staged merged snapshot before any pointer/log mutation.
     */
   def upsertParquet(spark: SparkSession, tablePath: String, source: DataFrame,
                     keys: Seq[String],
@@ -99,7 +110,8 @@ object Sinks {
                     staleLockMs: Long = 60000L,
                     evolveSchema: Boolean = false,
                     checkpointInterval: Int = 10,
-                    clusterBy: Seq[String] = Nil): Unit = {
+                    clusterBy: Seq[String] = Nil,
+                    txn: Option[(String, Long)] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
@@ -112,6 +124,26 @@ object Sinks {
       s"source batch is missing merge key column(s): " +
         missingKeys.mkString(", "))
     requireNoDroppedColumns(spark, tablePath, source)
+    // an already-committed batch skips EVERYTHING, constraints included —
+    // a replay must not spuriously fail against a constraint added after
+    // the batch landed (the loop-top twin of this check covers retries)
+    if (txn.exists { case (appId, ver) =>
+        lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
+    // CHECK constraints fail-fast entry check on the batch (scoped to
+    // constraints whose columns the batch carries — an evolved table's
+    // narrow batch lacks late-added ones); the authoritative check runs
+    // on the staged merged snapshot below, against constraints re-read
+    // per attempt
+    locally {
+      val constraints = tableConstraints(
+        metaConfiguration(loggedMetaNode(spark, tablePath)))
+      if (constraints.nonEmpty) {
+        val batchCols = source.columns.toSet
+        requireCheckConstraints(
+          constraints.filter(c => constraintRefs(c._2).subsetOf(batchCols)),
+          source, tablePath, "source-batch")
+      }
+    }
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")
@@ -122,6 +154,15 @@ object Sinks {
     var committed = false
     while (!committed) {
       attempt += 1
+      // idempotent-writer short-circuit (the Delta txn protocol): a
+      // batch this appId already committed is skipped BEFORE any Spark
+      // work — this is what makes a replayed streaming micro-batch or a
+      // restarted ingestion job exactly-once. Checked at the top of
+      // EVERY attempt: a retry whose lost race was a concurrent twin
+      // committing this very batch must return, not re-commit it (the
+      // log-tail CAS below forces the loser back through this check).
+      if (txn.exists { case (appId, ver) =>
+          lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
       val base = readPointer()
       // captured BEFORE the merge base is read: any DELETE/purge/merge
       // commit landing after this point changes the log tail, and the
@@ -185,6 +226,25 @@ object Sinks {
         else merged.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       laid.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // authoritative CHECK enforcement, on the rows ABOUT TO COMMIT:
+      // merge strategies combine per-column values across source and
+      // target (Greatest(a) beside Least(b) mints rows neither side
+      // carried), so the batch-entry check alone is not sound. One scan
+      // of the just-written generation (local parquet, no recompute),
+      // only when constraints exist; a violation aborts before any
+      // pointer or log mutation. Constraints are RE-READ per attempt: a
+      // concurrent ADD CONSTRAINT advances the log tail, the CAS below
+      // forces this retry, and the retry must enforce the new set.
+      locally {
+        val constraints = tableConstraints(
+          metaConfiguration(loggedMetaNode(spark, tablePath)))
+        if (constraints.nonEmpty) {
+          try requireCheckConstraints(constraints,
+            spark.read.parquet(stage.toString), tablePath,
+            "merged-snapshot")
+          catch { case e: Throwable => deleteRecursively(stage); throw e }
+        }
+      }
       withMetadataLock(root, staleLockMs) {
         val logUnchanged = baseLogVersion ==
           (if (Files.exists(root.resolve("_delta_log")))
@@ -203,7 +263,8 @@ object Sinks {
             StandardCopyOption.REPLACE_EXISTING)
           publishManifest(root.resolve("_symlink_format_manifest"), genDir)
           appendDeltaCommit(spark, root, Seq(genDir), Seq(""),
-            merged.schema.json, "MERGE", pinnedVersion = Some(nextNum))
+            merged.schema.json, "MERGE", pinnedVersion = Some(nextNum),
+            txn = txn)
           vacuumGenerations(root, nextNum, keepGenerations)
           committed = true
         }
@@ -767,6 +828,14 @@ object Sinks {
         s"dropDeltaColumn($tablePath): cannot drop the only column")
       val newSchema = StructType(schema.fields.filterNot(_.name == column))
       val config = metaConfiguration(meta)
+      // a CHECK constraint reading the column would make every future
+      // writer's enforcement scan fail to analyze — refuse the drop
+      // while the constraint stands
+      val refing = tableConstraints(config)
+        .filter(c => constraintRefs(c._2).contains(column)).keys.toSeq.sorted
+      require(refing.isEmpty,
+        s"dropDeltaColumn($tablePath): column '$column' is referenced by " +
+          s"CHECK constraint(s) ${refing.mkString(", ")} — DROP them first")
       val newConfig = config + ("graft.droppedColumns" ->
         (droppedColumns(config) + column).toSeq.sorted.mkString(","))
       val now = System.currentTimeMillis()
@@ -1092,6 +1161,15 @@ object Sinks {
       if (partGens.nonEmpty) {
         val pg = node.putObject("graftPartGens")
         partGens.toSeq.sortBy(_._1).foreach { case (p, g) => pg.put(p, g) }
+      }
+      // the idempotent-writer twin: every appId's newest txn version
+      // (txn actions live in commit JSONs, which cleanDeltaLog prunes —
+      // without this snapshot a restarted writer would re-commit a batch
+      // it already wrote)
+      val txns = allLoggedTxns(Paths.get(tablePath))
+      if (txns.nonEmpty) {
+        val tx = node.putObject("graftTxns")
+        txns.toSeq.sortBy(_._1).foreach { case (a, ver) => tx.put(a, ver) }
       }
       val lcTmp = logDir.resolve("_last_checkpoint.tmp")
       Files.writeString(lcTmp, jsonMapper.writeValueAsString(node))
@@ -1441,7 +1519,8 @@ object Sinks {
                                 pinnedVersion: Option[Long],
                                 dataChange: Boolean = true,
                                 partitionGens: Map[String, Long] =
-                                  Map.empty): Unit = {
+                                  Map.empty,
+                                txn: Option[(String, Long)] = None): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
@@ -1471,7 +1550,8 @@ object Sinks {
       root.toString, schemaJson)
 
     def writeVersion(v: Long, adds: Seq[AddFile],
-                     removes: Seq[String], gen: Option[Long]): Unit = {
+                     removes: Seq[String], gen: Option[Long],
+                     txnHere: Option[(String, Long)]): Unit = {
       val actions = Seq.newBuilder[Any]
       if (v == 0L)
         actions += jmap("protocol" -> jmap(
@@ -1496,6 +1576,17 @@ object Sinks {
       actions += jmap("commitInfo" -> jmap(
         "timestamp" -> now, "operation" -> opName,
         "operationParameters" -> opParams, "engineInfo" -> "graft"))
+      // the Delta `txn` action — an application-level idempotence marker
+      // (appId + monotonic batch version). Emitted in the LEADING block
+      // (right after commitInfo) so [[lastTxnVersion]]'s reverse walk
+      // reads it without replaying add/remove lines. Attached ONLY to
+      // the commit that carries the declaring writer's batch — the
+      // crash-healing commits re-log OTHER writers' generations and
+      // must not claim this writer's (appId, version).
+      txnHere.foreach { case (appId, ver) =>
+        actions += jmap("txn" -> jmap(
+          "appId" -> appId, "version" -> ver, "lastUpdated" -> now))
+      }
       actions += jmap("metaData" -> jmap(
         "id" -> tableId, "format" -> jmap(
           "provider" -> "parquet", "options" -> jmap()),
@@ -1524,12 +1615,13 @@ object Sinks {
 
     val liveNow = scala.collection.mutable.LinkedHashSet[String](live: _*)
     def commitSnapshot(v: Long, genDirs: Seq[java.nio.file.Path],
-                       prefixes: Seq[String], gen: Option[Long]): Unit = {
+                       prefixes: Seq[String], gen: Option[Long],
+                       txnHere: Option[(String, Long)] = None): Unit = {
       val adds: Seq[AddFile] = genDirs.flatMap(genDataFiles(root, _))
       val addPaths = adds.map(_.path).toSet
       val removes = liveNow.toSeq.filter(p =>
         prefixes.exists(p.startsWith) && !addPaths.contains(p))
-      writeVersion(v, adds, removes, gen)
+      writeVersion(v, adds, removes, gen, txnHere)
       liveNow --= removes; liveNow ++= adds.map(_.path)
     }
 
@@ -1561,10 +1653,10 @@ object Sinks {
             v += 1
           }
         }
-        commitSnapshot(v, newGenDirs, replacePrefixes, Some(target))
+        commitSnapshot(v, newGenDirs, replacePrefixes, Some(target), txn)
       case None =>
         commitSnapshot(logged.lastOption.map(_ + 1).getOrElse(0L),
-          newGenDirs, replacePrefixes, None)
+          newGenDirs, replacePrefixes, None, txn)
     }
   }
 
@@ -1615,7 +1707,7 @@ object Sinks {
     val reader = Files.newBufferedReader(f)
     try {
       Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .take(4) // protocol? commitInfo metaData — never deeper
+        .take(5) // protocol? commitInfo txn? metaData — never deeper
         .flatMap { line =>
           scala.util.Try(jsonMapper.readTree(line)).toOption
             .filter(_.has(key))
@@ -1675,6 +1767,145 @@ object Sinks {
     config.get("graft.droppedColumns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+
+  /** The table's CHECK constraints from the logged metaData
+    * configuration — Delta's spelling: one `delta.constraints.<name>`
+    * key per constraint, value = the boolean SQL expression every row
+    * must satisfy.
+    */
+  private[sources] def tableConstraints(config: Map[String, String])
+      : Map[String, String] = {
+    val prefix = "delta.constraints."
+    config.collect { case (k, v) if k.startsWith(prefix) =>
+      k.stripPrefix(prefix) -> v }
+  }
+
+  /** Enforce CHECK constraints on a frame: a row violates when its
+    * expression evaluates to FALSE — NULL passes, the SQL-standard CHECK
+    * semantics (and Delta's). Distributed filter per constraint; only a
+    * 5-row violation sample ever reaches the driver. `phase` names the
+    * enforcement point in the error (entry batch vs merged snapshot).
+    */
+  private def requireCheckConstraints(constraints: Map[String, String],
+      df: DataFrame, tablePath: String, phase: String): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val violating = df.filter(!coalesce(expr(sql), lit(true)))
+      // collect-bound: limit(5) violation sample for the error message
+      val sample = violating.limit(5).collect()
+      if (sample.nonEmpty)
+        throw new IllegalStateException(
+          s"CHECK constraint '$name' (`$sql`) on $tablePath violated by " +
+            s"$phase rows, e.g.:\n  ${sample.mkString("\n  ")}")
+    }
+
+  /** Column names a constraint expression references (top-level name
+    * part of every unresolved attribute) — used to scope the fail-fast
+    * entry check to batches that actually carry the columns (an evolved
+    * table's narrow batch lacks late-added columns; the merged snapshot
+    * fills them with nulls, which CHECK passes) and to refuse dropping a
+    * column a constraint still reads.
+    */
+  private def constraintRefs(exprSql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.toSet
+
+  /** ADD CONSTRAINT — commit-time CHECK enforcement for the generational
+    * MERGE tables (the Delta `delta.constraints.<name>` protocol): every
+    * EXISTING row is validated first (one distributed scan of the
+    * current MOR state — the same cost Delta's ALTER TABLE ADD
+    * CONSTRAINT pays), then the constraint lands in the logged metaData
+    * configuration, where every later MERGE enforces it on the batch at
+    * entry (fail-fast, batch-scale) AND on the staged merged snapshot
+    * before its commit (authoritative — merge strategies can combine
+    * per-column values across source/target into rows neither side
+    * carried). The validation scan runs OUTSIDE the lock; a log-tail CAS
+    * inside aborts loudly if any commit interleaved (the validated state
+    * is stale — re-run).
+    */
+  def addDeltaCheckConstraint(spark: SparkSession, tablePath: String,
+                              name: String, exprSql: String,
+                              staleLockMs: Long = 60000L): Unit = {
+    import java.nio.file.Paths
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val root = Paths.get(tablePath)
+    val vAtRead = logTailVersion(tablePath)
+    require(vAtRead >= 0, s"no _delta_log under $tablePath")
+    val meta = loggedMetaNode(spark, tablePath)
+    require(meta.nonEmpty, s"no metaData action under $tablePath")
+    val config = metaConfiguration(meta)
+    require(!tableConstraints(config).contains(name),
+      s"constraint '$name' already exists on $tablePath (DROP it first)")
+    // parse early: a malformed expression must fail here, not inside
+    // every future writer's entry check
+    expr(exprSql)
+    // validate EXISTING rows (distributed; outside the lock)
+    requireCheckConstraints(Map(name -> exprSql),
+      readDeltaTableAt(spark, tablePath), tablePath, "existing")
+    commitConfigChange(spark, root, vAtRead, meta.get, staleLockMs,
+      "ADD CONSTRAINT", jmap("name" -> name, "expr" -> exprSql),
+      config + (s"delta.constraints.$name" -> exprSql))
+  }
+
+  /** DROP CONSTRAINT — removes the `delta.constraints.<name>` key; loud
+    * when absent (a typo must not silently leave the constraint active).
+    */
+  def dropDeltaCheckConstraint(spark: SparkSession, tablePath: String,
+                               name: String,
+                               staleLockMs: Long = 60000L): Unit = {
+    import java.nio.file.Paths
+    val root = Paths.get(tablePath)
+    val vAtRead = logTailVersion(tablePath)
+    require(vAtRead >= 0, s"no _delta_log under $tablePath")
+    val meta = loggedMetaNode(spark, tablePath)
+    require(meta.nonEmpty, s"no metaData action under $tablePath")
+    val config = metaConfiguration(meta)
+    require(tableConstraints(config).contains(name),
+      s"no CHECK constraint '$name' on $tablePath " +
+        s"(have: ${tableConstraints(config).keys.toSeq.sorted
+          .mkString(", ")})")
+    commitConfigChange(spark, root, vAtRead, meta.get, staleLockMs,
+      "DROP CONSTRAINT", jmap("name" -> name),
+      config - s"delta.constraints.$name")
+  }
+
+  /** The shared metaData-only commit for configuration changes (ADD/DROP
+    * CONSTRAINT): schema unchanged, a fresh log version carrying the new
+    * configuration, CAS'd on the log tail against the version the caller
+    * validated at.
+    */
+  private def commitConfigChange(spark: SparkSession,
+      root: java.nio.file.Path, vAtRead: Long,
+      meta: com.fasterxml.jackson.databind.JsonNode, staleLockMs: Long,
+      opName: String, opParams: java.util.LinkedHashMap[String, Any],
+      newConfig: Map[String, String]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val mapper = jsonMapper
+    withMetadataLock(root, staleLockMs) {
+      if (logTailVersion(root.toString) != vAtRead)
+        throw new java.util.ConcurrentModificationException(
+          s"$opName(${root}): table advanced past version $vAtRead " +
+            "during validation; retry")
+      val now = System.currentTimeMillis()
+      val sb = new StringBuilder
+      def line(a: Any): Unit =
+        sb.append(mapper.writeValueAsString(a)).append('\n')
+      line(jmap("commitInfo" -> jmap(
+        "timestamp" -> now, "operation" -> opName,
+        "operationParameters" -> opParams, "engineInfo" -> "graft")))
+      val md = canonicalMetaData(meta, now)
+      md.put("configuration", configJmap(newConfig))
+      line(jmap("metaData" -> md))
+      val logDir = root.resolve("_delta_log")
+      val tmp = logDir.resolve(f"${vAtRead + 1}%020d.json.tmp")
+      Files.writeString(tmp, sb.toString)
+      Files.move(tmp, logDir.resolve(f"${vAtRead + 1}%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   /** ENTRY guard for every MERGE sink: refuse a source batch carrying a
     * DROPPED column name BEFORE any state is mutated. The commit-time
@@ -1798,6 +2029,78 @@ object Sinks {
       scala.util.Try(e.getValue.asText().toLong)
         .foreach(b += e.getKey -> _))
     b.result()
+  }
+
+  /** A version's `txn` action from the leading lines (our writer emits
+    * it right after commitInfo — see [[appendDeltaCommit]]).
+    */
+  private def txnLeading(root: java.nio.file.Path,
+      v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
+    leadingAction(root, v, "txn")
+
+  /** The newest committed `txn` version for `appId` — the Delta
+    * idempotent-writer protocol's read side: a writer about to commit
+    * batch `version` for its appId skips the work when
+    * `lastTxnVersion >= version` (the batch already landed; this is how
+    * a replayed streaming micro-batch or a restarted ingestion job
+    * becomes exactly-once). Reverse leading-lines walk of the retained
+    * log (O(#versions-until-hit), O(1) per version), then the
+    * `_last_checkpoint` pointer's `graftTxns` snapshot for appIds whose
+    * txn-carrying JSONs were pruned.
+    */
+  def lastTxnVersion(tablePath: String, appId: String): Option[Long] = {
+    val root = java.nio.file.Paths.get(tablePath)
+    deltaLogVersions(tablePath).reverseIterator
+      .flatMap(v => txnLeading(root, v))
+      .collectFirst {
+        case t if t.get("appId").asText() == appId =>
+          t.get("version").asLong()
+      }
+      .orElse(checkpointTxns(root).get(appId))
+  }
+
+  /** The `graftTxns` snapshot persisted in `_last_checkpoint` (empty for
+    * tables checkpointed before the snapshot existed, or never
+    * checkpointed). Same garbage discipline as [[checkpointPartGens]]:
+    * asText().toLong throws on garbage and Try skips the entry — a
+    * phantom version 0 would make a writer skip a batch it never wrote.
+    */
+  private def checkpointTxns(
+      root: java.nio.file.Path): Map[String, Long] = {
+    import java.nio.file.Files
+    val lc = root.resolve("_delta_log").resolve("_last_checkpoint")
+    if (!Files.exists(lc)) return Map.empty
+    val n = jsonMapper.readTree(Files.readString(lc))
+    if (!n.has("graftTxns")) return Map.empty
+    val b = Map.newBuilder[String, Long]
+    n.get("graftTxns").fields().forEachRemaining(e =>
+      scala.util.Try(e.getValue.asText().toLong)
+        .foreach(b += e.getKey -> _))
+    b.result()
+  }
+
+  /** EVERY appId's newest committed txn version: the previous
+    * checkpoint's snapshot overlaid by an ascending walk of the retained
+    * log's txn actions. Checkpoint-time only — the per-appId twin of
+    * [[allLoggedPartitionGens]] (without it, cleanDeltaLog would prune
+    * the txn-carrying JSONs and a restarted writer would re-commit a
+    * batch it already wrote — duplicate rows for append-shaped merges).
+    */
+  private def allLoggedTxns(
+      root: java.nio.file.Path): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    checkpointTxns(root).foreach { case (a, v) => out(a) = v }
+    deltaLogVersions(root.toString).foreach { v =>
+      txnLeading(root, v).foreach { t =>
+        scala.util.Try(t.get("version").asLong()).foreach { ver =>
+          val a = t.get("appId").asText()
+          // max, not last-wins: txn versions are contractually monotonic
+          // per appId, and max makes an out-of-order replay harmless
+          out(a) = out.get(a).fold(ver)(math.max(_, ver))
+        }
+      }
+    }
+    out.toMap
   }
 
   /** EVERY partition's newest logged generation: the previous
@@ -2084,7 +2387,8 @@ object Sinks {
       strategies: Map[String, graft.operators.MergeOps.Strategy] = Map.empty,
       keepGenerations: Int = 3, maxRetries: Int = 5,
       staleLockMs: Long = 60000L, maxPartitions: Int = 100000,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
@@ -2092,6 +2396,22 @@ object Sinks {
     require(maxRetries >= 1, "maxRetries must allow at least one attempt")
     if (source.isEmpty) return
     requireNoDroppedColumns(spark, tablePath, source)
+    // an already-committed batch skips everything, constraints included
+    // (see [[upsertParquet]]'s twin check)
+    if (txn.exists { case (appId, ver) =>
+        lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
+    // CHECK constraints: fail-fast on the batch, authoritative on the
+    // staged merged snapshot (see [[upsertParquet]]'s twin checks)
+    locally {
+      val constraints = tableConstraints(
+        metaConfiguration(loggedMetaNode(spark, tablePath)))
+      if (constraints.nonEmpty) {
+        val batchCols = source.columns.toSet
+        requireCheckConstraints(
+          constraints.filter(c => constraintRefs(c._2).subsetOf(batchCols)),
+          source, tablePath, "source-batch")
+      }
+    }
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     // crash recovery: a _stage-* older than 24h is a writer that died
@@ -2139,6 +2459,11 @@ object Sinks {
     var committed = false
     while (!committed) {
       attempt += 1
+      // idempotent-writer short-circuit, per attempt (see
+      // [[upsertParquet]]'s twin check): a replayed or concurrently-won
+      // batch must return, never re-commit
+      if (txn.exists { case (appId, ver) =>
+          lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
       // pointer snapshot (names the next generation numbers) + log-tail
       // snapshot (the CAS guard)
       val base: Map[String, Option[String]] =
@@ -2217,6 +2542,20 @@ object Sinks {
         java.util.UUID.randomUUID().toString.take(8))
       merged.withColumn("__p", col(partitionCol).cast("string"))
         .write.partitionBy("__p").parquet(stage.toString)
+      // authoritative CHECK enforcement on the rows about to commit (the
+      // extra __p partition column rides along harmlessly — constraints
+      // reference data columns, which the staged files keep); re-read
+      // per attempt so a CAS-forced retry sees a concurrent ADD
+      locally {
+        val constraints = tableConstraints(
+          metaConfiguration(loggedMetaNode(spark, tablePath)))
+        if (constraints.nonEmpty) {
+          try requireCheckConstraints(constraints,
+            spark.read.parquet(stage.toString), tablePath,
+            "merged-snapshot")
+          catch { case e: Throwable => deleteRecursively(stage); throw e }
+        }
+      }
       withMetadataLock(root, staleLockMs) {
         // CAS on BOTH clocks: the partition pointers (another batch's
         // rewrite) AND the log tail (a DELETE/RESTORE commits a version
@@ -2260,7 +2599,8 @@ object Sinks {
           // partitionGens markers commit atomically with the version file
           appendDeltaCommit(spark, root, committedGenDirs.result(),
             committedPrefixes.result(), merged.schema.json, "MERGE",
-            pinnedVersion = None, partitionGens = committedGens.result())
+            pinnedVersion = None, partitionGens = committedGens.result(),
+            txn = txn)
           committed = true
         }
       }

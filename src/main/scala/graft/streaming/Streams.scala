@@ -169,15 +169,20 @@ object Streams {
     * upsert is `Sinks.upsertParquet` with the same [[graft.operators
     * .MergeOps.Strategy]] DSL). Batches are pre-deduped inside upsert; a
     * retried batch re-merges idempotently for Replace/Greatest/Least/
-    * coalesce strategies.
+    * coalesce strategies. With `appId` set, each micro-batch commits a
+    * Delta `txn` action keyed (appId, batchId) and a REPLAYED batch is
+    * skipped entirely — exactly-once even for strategies a re-merge
+    * would not leave fixed, and no wasted re-merge on restart.
     */
   def upsertSink(tablePath: String, keys: Seq[String],
                  strategies: Map[String, graft.operators.MergeOps.Strategy] =
-                   Map.empty): (DataFrame, Long) => Unit =
-    (batch, _) =>
+                   Map.empty,
+                 appId: Option[String] = None): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
       if (!batch.isEmpty)
         graft.sources.Sinks.upsertParquet(batch.sparkSession, tablePath,
-          batch, keys, strategies)
+          batch, keys, strategies,
+          txn = appId.map(a => (a, batchId)))
 
   /** End-to-end change-feed pipeline (the streaming form of the
     * reference's order-status cursor loop, extract.py:170-271 +
@@ -196,15 +201,17 @@ object Streams {
     */
   def changeFeedSink(tablePath: String, keys: Seq[String], tsCol: String,
                      strategies: Map[String, graft.operators.MergeOps.Strategy] =
-                       Map.empty): (DataFrame, Long) => Unit =
-    (batch, _) =>
+                       Map.empty,
+                     appId: Option[String] = None): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
       if (!batch.isEmpty) {
         val tieBreak = batch.columns.filterNot(c => keys.contains(c))
           .sorted.map(col).toSeq
         val latest = graft.functions.F.qualifyTopN(batch, keys.map(col),
           col(tsCol).desc +: tieBreak.map(_.desc))
         graft.sources.Sinks.upsertParquet(batch.sparkSession, tablePath,
-          latest, keys, strategies)
+          latest, keys, strategies,
+          txn = appId.map(a => (a, batchId)))
       }
 
   /** Streaming near-dup ADMISSION — the continuously-ingesting deduped

@@ -827,4 +827,149 @@ class DeltaLogSpec extends SparkSpec {
     assert(viaLog == Seq((1L, 9.0), (2L, 5.0)),
       s"one row per key through the log: $viaLog")
   }
+
+  test("txn actions make writers idempotent across replay, checkpoint " +
+    "pruning, and concurrent twins") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    val app = "ingest-app"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 10.0)).toDF("k", "v"), Seq("k"), txn = Some((app, 0L)))
+    assert(Sinks.lastTxnVersion(dir, app).contains(0L))
+    // the txn action sits in the leading block with the protocol shape
+    val v0 = actions(dir, 0L)
+    val tx = v0.find(_.has("txn")).map(_.get("txn"))
+    assert(tx.nonEmpty, "commit must carry the txn action")
+    assert(tx.get.get("appId").asText == app &&
+      tx.get.get("version").asLong == 0L && tx.get.has("lastUpdated"))
+    // REPLAY of batch 0 (different payload — a buggy retry): no-op, no
+    // new version, table unchanged
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 999.0)).toDF("k", "v"), Seq("k"), txn = Some((app, 0L)))
+    assert(Sinks.deltaLogVersions(dir) == Seq(0L))
+    assert(Sinks.readDeltaTableAt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 10.0)))
+    // the NEXT batch commits normally
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, 20.0)).toDF("k", "v"), Seq("k"), txn = Some((app, 1L)))
+    assert(Sinks.lastTxnVersion(dir, app).contains(1L))
+    // a different appId is independent state
+    Sinks.upsertParquet(spark, dir,
+      Seq((3L, 30.0)).toDF("k", "v"), Seq("k"),
+      txn = Some(("other-app", 0L)))
+    assert(Sinks.lastTxnVersion(dir, "other-app").contains(0L))
+    assert(Sinks.lastTxnVersion(dir, app).contains(1L))
+    // checkpoint + prune: the graftTxns snapshot carries the marker past
+    // the txn-bearing JSONs' deletion, so a restarted writer still skips
+    Sinks.checkpointDeltaLog(spark, dir)
+    assert(Sinks.cleanDeltaLog(dir) > 0)
+    assert(Sinks.lastTxnVersion(dir, app).contains(1L),
+      "txn version must survive log pruning via the checkpoint snapshot")
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, 888.0)).toDF("k", "v"), Seq("k"), txn = Some((app, 1L)))
+    assert(Sinks.readDeltaTableAt(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "replayed batch after pruning must not re-merge")
+    // the partitioned writer shares the protocol
+    val pdir = Files.createTempDirectory("dlog").toString + "/p"
+    Sinks.upsertParquetPartitioned(spark, pdir,
+      Seq((1L, "A", 1.0)).toDF("k", "ds", "v"), Seq("k"), "ds",
+      txn = Some((app, 0L)))
+    Sinks.upsertParquetPartitioned(spark, pdir,
+      Seq((1L, "A", 777.0)).toDF("k", "ds", "v"), Seq("k"), "ds",
+      txn = Some((app, 0L)))
+    assert(Sinks.readUpsertPartitionedTable(spark, pdir).collect()
+      .map(_.getDouble(2)).toSeq == Seq(1.0),
+      "partitioned replay must be a no-op")
+  }
+
+  test("the streaming upsert sink with an appId skips a replayed " +
+    "micro-batch entirely") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    val sink = graft.streaming.Streams.upsertSink(dir, Seq("k"),
+      appId = Some("stream-q1"))
+    sink(Seq((1L, 1.0)).toDF("k", "v"), 0L)
+    sink(Seq((2L, 2.0)).toDF("k", "v"), 1L)
+    // batch 1 REPLAYED after a restart, with drifted content — skipped
+    sink(Seq((2L, 666.0)).toDF("k", "v"), 1L)
+    assert(Sinks.readDeltaTableAt(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0)))
+    assert(Sinks.lastTxnVersion(dir, "stream-q1").contains(1L))
+  }
+
+  test("CHECK constraints: existing rows validated at ADD, writers " +
+    "enforce at entry AND on the merged snapshot, drops interlock") {
+    import graft.operators.MergeOps
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 5.0, 10.0)).toDF("k", "lo", "hi"), Seq("k"))
+    Sinks.addDeltaCheckConstraint(spark, dir, "hi_positive", "hi > 0")
+    val vAfterAdd = Sinks.deltaLogVersions(dir).max
+    // a violating batch is refused at ENTRY; no version, no pointer move
+    val e1 = intercept[IllegalStateException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((2L, 1.0, -3.0)).toDF("k", "lo", "hi"), Seq("k"))
+    }
+    assert(e1.getMessage.contains("hi_positive") &&
+      e1.getMessage.contains("source-batch"))
+    assert(Sinks.deltaLogVersions(dir).max == vAfterAdd)
+    assert(Sinks.readDeltaTableAt(spark, dir).count() == 1)
+    // a passing batch commits, and the constraint rides the new metaData
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, 1.0, 30.0)).toDF("k", "lo", "hi"), Seq("k"))
+    // ADD over already-violating EXISTING rows is refused
+    val e2 = intercept[IllegalStateException] {
+      Sinks.addDeltaCheckConstraint(spark, dir, "lo_gt_hi", "lo > hi")
+    }
+    assert(e2.getMessage.contains("existing"))
+    // cross-column strategies can mint rows NEITHER side carried: the
+    // batch passes the entry check (12-8=4 > 3) but Greatest(lo)=8
+    // beside Least(hi)=10 leaves a 2-wide band — only the staged
+    // merged-snapshot check can catch it
+    Sinks.addDeltaCheckConstraint(spark, dir, "wide_band", "hi - lo > 3")
+    val e3 = intercept[IllegalStateException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((1L, 8.0, 12.0)).toDF("k", "lo", "hi"), Seq("k"),
+        strategies = Map("lo" -> MergeOps.Greatest, "hi" -> MergeOps.Least))
+    }
+    assert(e3.getMessage.contains("wide_band") &&
+      e3.getMessage.contains("merged-snapshot"))
+    // no half-committed state: the table still reads
+    assert(Sinks.readDeltaTableAt(spark, dir).count() == 2)
+    // dropping a column a constraint references is refused
+    val e4 = intercept[IllegalArgumentException] {
+      Sinks.dropDeltaColumn(spark, dir, "lo")
+    }
+    assert(e4.getMessage.contains("wide_band"))
+    // constraints survive checkpoint + pruning (configuration snapshot)
+    Sinks.checkpointDeltaLog(spark, dir)
+    Sinks.cleanDeltaLog(dir)
+    val e5 = intercept[IllegalStateException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((3L, 1.0, -1.0)).toDF("k", "lo", "hi"), Seq("k"))
+    }
+    assert(e5.getMessage.contains("hi_positive"),
+      "constraint must survive log pruning")
+    // DROP CONSTRAINT is loud on a typo and effective when real
+    intercept[IllegalArgumentException] {
+      Sinks.dropDeltaCheckConstraint(spark, dir, "no_such")
+    }
+    Sinks.dropDeltaCheckConstraint(spark, dir, "wide_band")
+    Sinks.dropDeltaColumn(spark, dir, "lo") // now legal
+    // the SQL spellings lower onto the same calls
+    val addDf = graft.plans.GraftSql.sql(spark,
+      s"ALTER TABLE '$dir' ADD CONSTRAINT hi_cap CHECK (hi < 1000)")
+    assert(addDf.select("operation").head.getString(0) == "ADD CONSTRAINT")
+    val dropDf = graft.plans.GraftSql.sql(spark,
+      s"ALTER TABLE '$dir' DROP CONSTRAINT hi_cap")
+    assert(dropDf.select("constraint_name").head.getString(0) == "hi_cap")
+    // NULL passes CHECK (SQL semantics): a narrow batch under schema
+    // evolution leaves late-added columns null, which must not violate
+    Sinks.addDeltaCheckConstraint(spark, dir, "hi_floor", "hi > -100")
+    Sinks.upsertParquet(spark, dir,
+      Seq((9L, "tag")).toDF("k", "label"), Seq("k"), evolveSchema = true)
+    assert(Sinks.readDeltaTableAt(spark, dir)
+      .filter(col("k") === 9L).count() == 1)
+  }
 }
