@@ -1787,16 +1787,29 @@ object Sinks {
     * enforcement point in the error (entry batch vs merged snapshot).
     */
   private def requireCheckConstraints(constraints: Map[String, String],
-      df: DataFrame, tablePath: String, phase: String): Unit =
-    constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      val violating = df.filter(!coalesce(expr(sql), lit(true)))
-      // collect-bound: limit(5) violation sample for the error message
-      val sample = violating.limit(5).collect()
-      if (sample.nonEmpty)
+      df: DataFrame, tablePath: String, phase: String): Unit = {
+    if (constraints.isEmpty) return
+    val cs = constraints.toSeq.sortBy(_._1)
+    def violates(sql: String): Column = !coalesce(expr(sql), lit(true))
+    // ONE scan for ALL constraints on the happy path: per-constraint
+    // violation counts as a single aggregate (a per-constraint filter
+    // pass would re-read the snapshot N times per commit)
+    val aggs = cs.map { case (name, sql) =>
+      sum(when(violates(sql), 1L).otherwise(0L)).as(name) }
+    // collect-bound: one aggregate row, one count column per constraint
+    val counts = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cs.zipWithIndex.foreach { case ((name, sql), i) =>
+      // sum over an empty frame is null = zero violations
+      if (!counts.isNullAt(i) && counts.getLong(i) > 0) {
+        // collect-bound: limit(5) violation sample for the error message
+        val sample = df.filter(violates(sql)).limit(5).collect()
         throw new IllegalStateException(
           s"CHECK constraint '$name' (`$sql`) on $tablePath violated by " +
-            s"$phase rows, e.g.:\n  ${sample.mkString("\n  ")}")
+            s"${counts.getLong(i)} $phase row(s), e.g.:\n  " +
+            sample.mkString("\n  "))
+      }
     }
+  }
 
   /** Column names a constraint expression references (top-level name
     * part of every unresolved attribute) — used to scope the fail-fast
