@@ -68,7 +68,11 @@ object Bench {
   private def reBenchLastEvidence(names: Seq[String], sfDir: String,
                                   cpus: String): Map[String, Double] = {
     import scala.sys.process._
-    val dir = "/tmp/graft_prev_bench_worktree"
+    // per-run unique dir: a fixed path shared by overlapping bench
+    // processes lets run B's entry cleanup delete run A's worktree
+    // mid-build (round-11 review find)
+    val dir = s"/tmp/graft_prev_bench_worktree_${
+      java.util.UUID.randomUUID().toString.take(8)}"
     val devNull = ProcessLogger(_ => (), _ => ())
     try {
       val commit = Seq("git", "log", "-n", "1", "--format=%H", "--",
@@ -91,8 +95,13 @@ object Bench {
         "SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
         "SPARK_GRAFT_NO_WORKTREE" -> "1").!(devNull)
       if (rc != 0) return Map.empty
-      val out = java.nio.file.Paths.get(dir, "bench_out.json")
-      if (!java.nio.file.Files.exists(out)) return Map.empty
+      // the child runs under BENCH_ONLY, so it writes the partial file
+      // (older evidence commits' Bench wrote bench_out.json — accept
+      // either, newest-schema first)
+      val out = Seq("bench_out_partial.json", "bench_out.json")
+        .map(java.nio.file.Paths.get(dir, _))
+        .find(java.nio.file.Files.exists(_))
+        .getOrElse(return Map.empty)
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(out))
       val m = node.get("min")
@@ -174,7 +183,12 @@ object Bench {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(p))
         val m = node.get("min")
-        if (m == null) Map.empty
+        // scale guard: a baseline recorded at a DIFFERENT sf dir is not
+        // comparable — comparing sf1 times against sf0.1 mins (or vice
+        // versa) manufactures phantom regressions/speedups. No baseline
+        // beats a cross-scale one.
+        val sameSf = node.has("sf") && node.get("sf").asText() == sfDir
+        if (m == null || !sameSf) Map.empty
         else {
           val b = Map.newBuilder[String, Double]
           m.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
@@ -296,7 +310,14 @@ object Bench {
           Double.box(drift))},""" +
         s""""sf":"$sfDir"}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // a BENCH_ONLY (partial) run must never overwrite bench_out.json:
+    // that file is the committed full-suite regression BASELINE the next
+    // run's confirm pass and the worktree cross-check read — replacing
+    // 243 baselines with a 2-query dev run silently disables regression
+    // detection for everything else (round-11 review find)
+    val outFile =
+      if (only.nonEmpty) "bench_out_partial.json" else "bench_out.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -879,25 +879,6 @@ object Dedup {
             .cast("double"), 4).as("pair_recall"))
   }
 
-  /** [[pairRecall]] with the exact side SAMPLED — the production form of
-    * the tune-then-trust loop. The corpus-quadratic exact generator never
-    * sees the corpus: a deterministic hash-ticket on the doc id (the
-    * [[Sketches.hashSampledQuantiles]] sampling rule — identity-keyed, so
-    * the same docs are sampled on every engine and every run) selects
-    * ≈`targetSample` docs, BOTH generators run on that sample, and
-    * precision/recall are evaluated over the sampled pair universe — an
-    * unbiased estimate of corpus-level pair recall at any corpus size.
-    *
-    * Sizing is AUTOMATIC by default (`sampleBits < 0`): the ticket
-    * modulus is the smallest power of two with `n / 2^bits <=
-    * targetSample` (pure integer derivation — no float-boundary drift
-    * between engines), so the exact side's cost is ~constant as the
-    * corpus grows; pass an explicit `sampleBits` to pin the modulus.
-    * One count() action sizes the ticket; everything else is lazy.
-    *
-    * Output (single row): n_sample, sample_bits, n_exact, n_approx,
-    * n_hit, pair_precision, pair_recall.
-    */
   /** Ticket-modulus BITS for an auto-sized hash sample: the smallest
     * power of two with `n / 2^bits <= targetSample` — pure integer
     * derivation, no float-boundary drift between engines. One count()
@@ -912,6 +893,25 @@ object Dedup {
       if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     }
 
+  /** [[pairRecall]] with the exact side SAMPLED — the production form of
+    * the tune-then-trust loop. The corpus-quadratic exact generator never
+    * sees the corpus: a deterministic hash-ticket on the doc id (the
+    * [[Sketches.hashSampledQuantiles]] sampling rule — identity-keyed, so
+    * the same docs are sampled on every engine and every run) selects
+    * ≈`targetSample` docs, BOTH generators run on that sample, and
+    * precision/recall are evaluated over the sampled pair universe — an
+    * unbiased estimate of corpus-level pair recall at any corpus size.
+    *
+    * Sizing is AUTOMATIC by default (`sampleBits < 0`): the ticket
+    * modulus is the smallest power of two with `n / 2^bits <=
+    * targetSample` ([[sampleTicketBits]]), so the exact side's cost is
+    * ~constant as the corpus grows; pass an explicit `sampleBits` to pin
+    * the modulus. One count() action sizes the ticket; everything else
+    * is lazy.
+    *
+    * Output (single row): n_sample, sample_bits, n_exact, n_approx,
+    * n_hit, pair_precision, pair_recall.
+    */
   def pairRecallSampled(df: DataFrame, idCol: Column, textCol: Column,
                         sampleBits: Int = -1, targetSample: Int = 4096,
                         n: Int = 3, threshold: Double = 0.7,

@@ -116,6 +116,13 @@ object Sinks {
     require(keepGenerations >= 1,
       "keepGenerations must keep at least the generation being written")
     require(maxRetries >= 1, "maxRetries must allow at least one attempt")
+    // an already-committed batch skips EVERYTHING — including the
+    // dropped-column and constraint guards below: the table may have
+    // evolved since the batch landed (a column it carried dropped, a
+    // constraint it violates added), and a replay spuriously failing a
+    // guard would wedge a restarted stream on a batch that is already
+    // in the table (round-11 review find)
+    if (txnAlreadyCommitted(tablePath, txn)) return
     // keys are the merge identity — schema evolution must never null-fill
     // them (a key-less batch would collapse to one garbage row and the
     // real rows would be silently discarded)
@@ -124,26 +131,7 @@ object Sinks {
       s"source batch is missing merge key column(s): " +
         missingKeys.mkString(", "))
     requireNoDroppedColumns(spark, tablePath, source)
-    // an already-committed batch skips EVERYTHING, constraints included —
-    // a replay must not spuriously fail against a constraint added after
-    // the batch landed (the loop-top twin of this check covers retries)
-    if (txn.exists { case (appId, ver) =>
-        lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
-    // CHECK constraints fail-fast entry check on the batch (scoped to
-    // constraints whose columns the batch carries — an evolved table's
-    // narrow batch lacks late-added ones); the authoritative check runs
-    // on the staged merged snapshot below, against constraints re-read
-    // per attempt
-    locally {
-      val constraints = tableConstraints(
-        metaConfiguration(loggedMetaNode(spark, tablePath)))
-      if (constraints.nonEmpty) {
-        val batchCols = source.columns.toSet
-        requireCheckConstraints(
-          constraints.filter(c => constraintRefs(c._2).subsetOf(batchCols)),
-          source, tablePath, "source-batch")
-      }
-    }
+    enforceConstraintsAtEntry(spark, tablePath, source)
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     val pointer = root.resolve("_CURRENT")
@@ -154,15 +142,13 @@ object Sinks {
     var committed = false
     while (!committed) {
       attempt += 1
-      // idempotent-writer short-circuit (the Delta txn protocol): a
-      // batch this appId already committed is skipped BEFORE any Spark
-      // work — this is what makes a replayed streaming micro-batch or a
-      // restarted ingestion job exactly-once. Checked at the top of
-      // EVERY attempt: a retry whose lost race was a concurrent twin
-      // committing this very batch must return, not re-commit it (the
-      // log-tail CAS below forces the loser back through this check).
-      if (txn.exists { case (appId, ver) =>
-          lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
+      // idempotent-writer short-circuit (the Delta txn protocol),
+      // re-checked at the top of EVERY attempt: a retry whose lost race
+      // was a concurrent twin committing this very batch must return,
+      // not re-commit it (the log-tail CAS below forces the loser back
+      // through this check; the in-lock recheck closes the residual
+      // window between here and the snapshot capture)
+      if (txnAlreadyCommitted(tablePath, txn)) return
       val base = readPointer()
       // captured BEFORE the merge base is read: any DELETE/purge/merge
       // commit landing after this point changes the log tail, and the
@@ -226,31 +212,21 @@ object Sinks {
         else merged.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       laid.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      // authoritative CHECK enforcement, on the rows ABOUT TO COMMIT:
-      // merge strategies combine per-column values across source and
-      // target (Greatest(a) beside Least(b) mints rows neither side
-      // carried), so the batch-entry check alone is not sound. One scan
-      // of the just-written generation (local parquet, no recompute),
-      // only when constraints exist; a violation aborts before any
-      // pointer or log mutation. Constraints are RE-READ per attempt: a
-      // concurrent ADD CONSTRAINT advances the log tail, the CAS below
-      // forces this retry, and the retry must enforce the new set.
-      locally {
-        val constraints = tableConstraints(
-          metaConfiguration(loggedMetaNode(spark, tablePath)))
-        if (constraints.nonEmpty) {
-          try requireCheckConstraints(constraints,
-            spark.read.parquet(stage.toString), tablePath,
-            "merged-snapshot")
-          catch { case e: Throwable => deleteRecursively(stage); throw e }
-        }
-      }
+      enforceConstraintsOnStage(spark, tablePath, stage)
+      var twinWon = false
       withMetadataLock(root, staleLockMs) {
         val logUnchanged = baseLogVersion ==
           (if (Files.exists(root.resolve("_delta_log")))
             deltaLogVersions(tablePath).lastOption
           else None)
-        if (readPointer() == base && logUnchanged) {
+        // in-lock txn recheck (TOCTOU, round-11 review find): a twin
+        // that committed this very (appId, version) BETWEEN the loop-top
+        // check and the snapshot capture above passes the CAS (our
+        // snapshots are post-twin), and committing would land the batch
+        // TWICE — with Replace strategies a drifted replay payload would
+        // overwrite the twin's committed rows
+        if (txnAlreadyCommitted(tablePath, txn)) twinWon = true
+        else if (readPointer() == base && logUnchanged) {
           val genDir = root.resolve(s"gen-$nextNum")
           // an existing gen-N+1 while the pointer still names N is an
           // orphan from a committer that died between its move and its
@@ -269,6 +245,7 @@ object Sinks {
           committed = true
         }
       }
+      if (twinWon) { deleteRecursively(stage); return }
       if (!committed) {
         deleteRecursively(stage)
         if (attempt >= maxRetries)
@@ -830,9 +807,12 @@ object Sinks {
       val config = metaConfiguration(meta)
       // a CHECK constraint reading the column would make every future
       // writer's enforcement scan fail to analyze — refuse the drop
-      // while the constraint stands
+      // while the constraint stands (case-insensitive, like Spark's
+      // resolution: `CHECK (HI > 0)` reads column `hi`)
       val refing = tableConstraints(config)
-        .filter(c => constraintRefs(c._2).contains(column)).keys.toSeq.sorted
+        .filter(c => constraintRefs(c._2)
+          .contains(column.toLowerCase(java.util.Locale.ROOT)))
+        .keys.toSeq.sorted
       require(refing.isEmpty,
         s"dropDeltaColumn($tablePath): column '$column' is referenced by " +
           s"CHECK constraint(s) ${refing.mkString(", ")} — DROP them first")
@@ -1822,8 +1802,59 @@ object Sinks {
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(exprSql).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.head
+          // lowercased: Spark RESOLVES case-insensitively, so `HI > 0`
+          // reads column `hi` — a case-sensitive guard would let
+          // dropDeltaColumn drop a column a constraint still reads
+          // (wedging every future write on analysis) and would skip the
+          // entry fail-fast for a differently-cased batch column
+          a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
       }.toSet
+
+  /** True when the table already carries a txn for this appId at or
+    * above this version — the idempotent-writer skip predicate shared by
+    * every writer entry, retry attempt, and commit-lock recheck.
+    */
+  private def txnAlreadyCommitted(tablePath: String,
+      txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (appId, ver) =>
+      lastTxnVersion(tablePath, appId).exists(_ >= ver) }
+
+  /** Fail-fast CHECK enforcement on a source batch at writer entry,
+    * scoped to constraints whose referenced columns the batch carries —
+    * an evolved table's narrow batch lacks late-added columns; the
+    * merged snapshot fills them with nulls, which CHECK passes. The
+    * authoritative check is [[enforceConstraintsOnStage]].
+    */
+  private def enforceConstraintsAtEntry(spark: SparkSession,
+      tablePath: String, source: DataFrame): Unit = {
+    val constraints = tableConstraints(
+      metaConfiguration(loggedMetaNode(spark, tablePath)))
+    if (constraints.isEmpty) return
+    val batchCols = source.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    requireCheckConstraints(
+      constraints.filter(c => constraintRefs(c._2).subsetOf(batchCols)),
+      source, tablePath, "source-batch")
+  }
+
+  /** Authoritative CHECK enforcement on the rows ABOUT TO COMMIT: merge
+    * strategies combine per-column values across source and target
+    * (Greatest(a) beside Least(b) mints rows neither side carried), so
+    * the batch-entry check alone is not sound. One scan of the
+    * just-written staging dir (local parquet, no recompute), only when
+    * constraints exist; the constraint set is RE-READ per call so a
+    * CAS-forced retry sees a concurrent ADD CONSTRAINT. A violation
+    * deletes the stage and rethrows — before any pointer/log mutation.
+    */
+  private def enforceConstraintsOnStage(spark: SparkSession,
+      tablePath: String, stage: java.nio.file.Path): Unit = {
+    val constraints = tableConstraints(
+      metaConfiguration(loggedMetaNode(spark, tablePath)))
+    if (constraints.isEmpty) return
+    try requireCheckConstraints(constraints,
+      spark.read.parquet(stage.toString), tablePath, "merged-snapshot")
+    catch { case e: Throwable => deleteRecursively(stage); throw e }
+  }
 
   /** ADD CONSTRAINT — commit-time CHECK enforcement for the generational
     * MERGE tables (the Delta `delta.constraints.<name>` protocol): every
@@ -1847,7 +1878,10 @@ object Sinks {
     val root = Paths.get(tablePath)
     val vAtRead = logTailVersion(tablePath)
     require(vAtRead >= 0, s"no _delta_log under $tablePath")
-    val meta = loggedMetaNode(spark, tablePath)
+    // ONE state reconstruction serves the config read AND the validation
+    // scan, pinned at vAtRead so the commit-time CAS guards exactly what
+    // was validated
+    val (state, meta) = deltaStateWithMeta(spark, tablePath, vAtRead)
     require(meta.nonEmpty, s"no metaData action under $tablePath")
     val config = metaConfiguration(meta)
     require(!tableConstraints(config).contains(name),
@@ -1855,9 +1889,13 @@ object Sinks {
     // parse early: a malformed expression must fail here, not inside
     // every future writer's entry check
     expr(exprSql)
-    // validate EXISTING rows (distributed; outside the lock)
-    requireCheckConstraints(Map(name -> exprSql),
-      readDeltaTableAt(spark, tablePath), tablePath, "existing")
+    // validate EXISTING rows (distributed; outside the lock). A table
+    // with ZERO live files — a DELETE dropped everything, the natural
+    // 'wipe then constrain before re-ingest' sequence — trivially passes
+    if (state.nonEmpty)
+      requireCheckConstraints(Map(name -> exprSql),
+        DeletionVectors.scanWithDvs(spark, tablePath, state.toSeq,
+          metaSchema(meta)), tablePath, "existing")
     commitConfigChange(spark, root, vAtRead, meta.get, staleLockMs,
       "ADD CONSTRAINT", jmap("name" -> name, "expr" -> exprSql),
       config + (s"delta.constraints.$name" -> exprSql))
@@ -2408,23 +2446,12 @@ object Sinks {
     require(keys.nonEmpty, "keys must be non-empty")
     require(maxRetries >= 1, "maxRetries must allow at least one attempt")
     if (source.isEmpty) return
+    // an already-committed batch skips EVERYTHING, the dropped-column
+    // and constraint guards included (see [[upsertParquet]]'s entry
+    // check for why the order matters)
+    if (txnAlreadyCommitted(tablePath, txn)) return
     requireNoDroppedColumns(spark, tablePath, source)
-    // an already-committed batch skips everything, constraints included
-    // (see [[upsertParquet]]'s twin check)
-    if (txn.exists { case (appId, ver) =>
-        lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
-    // CHECK constraints: fail-fast on the batch, authoritative on the
-    // staged merged snapshot (see [[upsertParquet]]'s twin checks)
-    locally {
-      val constraints = tableConstraints(
-        metaConfiguration(loggedMetaNode(spark, tablePath)))
-      if (constraints.nonEmpty) {
-        val batchCols = source.columns.toSet
-        requireCheckConstraints(
-          constraints.filter(c => constraintRefs(c._2).subsetOf(batchCols)),
-          source, tablePath, "source-batch")
-      }
-    }
+    enforceConstraintsAtEntry(spark, tablePath, source)
     val root = Paths.get(tablePath)
     Files.createDirectories(root)
     // crash recovery: a _stage-* older than 24h is a writer that died
@@ -2475,8 +2502,7 @@ object Sinks {
       // idempotent-writer short-circuit, per attempt (see
       // [[upsertParquet]]'s twin check): a replayed or concurrently-won
       // batch must return, never re-commit
-      if (txn.exists { case (appId, ver) =>
-          lastTxnVersion(tablePath, appId).exists(_ >= ver) }) return
+      if (txnAlreadyCommitted(tablePath, txn)) return
       // pointer snapshot (names the next generation numbers) + log-tail
       // snapshot (the CAS guard)
       val base: Map[String, Option[String]] =
@@ -2555,25 +2581,19 @@ object Sinks {
         java.util.UUID.randomUUID().toString.take(8))
       merged.withColumn("__p", col(partitionCol).cast("string"))
         .write.partitionBy("__p").parquet(stage.toString)
-      // authoritative CHECK enforcement on the rows about to commit (the
-      // extra __p partition column rides along harmlessly — constraints
-      // reference data columns, which the staged files keep); re-read
-      // per attempt so a CAS-forced retry sees a concurrent ADD
-      locally {
-        val constraints = tableConstraints(
-          metaConfiguration(loggedMetaNode(spark, tablePath)))
-        if (constraints.nonEmpty) {
-          try requireCheckConstraints(constraints,
-            spark.read.parquet(stage.toString), tablePath,
-            "merged-snapshot")
-          catch { case e: Throwable => deleteRecursively(stage); throw e }
-        }
-      }
+      // the extra __p partition column rides along harmlessly here —
+      // constraints reference data columns, which the staged files keep
+      enforceConstraintsOnStage(spark, tablePath, stage)
+      var twinWon = false
       withMetadataLock(root, staleLockMs) {
         // CAS on BOTH clocks: the partition pointers (another batch's
         // rewrite) AND the log tail (a DELETE/RESTORE commits a version
-        // without touching any pointer — merging over it would undo it)
-        if (affected.forall(v => currentGen(v) == base(v)) &&
+        // without touching any pointer — merging over it would undo it).
+        // Plus the in-lock txn recheck (see [[upsertParquet]]): a twin
+        // landing this (appId, version) between the loop-top check and
+        // the snapshot capture passes both CAS clocks
+        if (txnAlreadyCommitted(tablePath, txn)) twinWon = true
+        else if (affected.forall(v => currentGen(v) == base(v)) &&
             logTailVersion(tablePath) == baseLogVersion) {
           val committedGenDirs = Seq.newBuilder[java.nio.file.Path]
           val committedPrefixes = Seq.newBuilder[String]
@@ -2618,8 +2638,9 @@ object Sinks {
         }
       }
       // remove the staging skeleton (committed: _SUCCESS + emptied dirs;
-      // lost the race: the whole staged merge)
+      // lost the race: the whole staged merge; twin won: ditto)
       deleteRecursively(stage)
+      if (twinWon) return
       if (!committed && attempt >= maxRetries)
         throw new java.util.ConcurrentModificationException(
           s"upsertParquetPartitioned($tablePath): lost the commit race " +

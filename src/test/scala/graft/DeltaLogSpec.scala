@@ -883,6 +883,81 @@ class DeltaLogSpec extends SparkSpec {
       "partitioned replay must be a no-op")
   }
 
+  test("concurrent twin writers with the same (appId, version) commit " +
+    "exactly once") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((0L, 0.0)).toDF("k", "v"), Seq("k"))
+    val app = "twin-app"
+    // four twins race the SAME batch id with drifted payloads (the
+    // zombie-driver + restarted-driver case): the lock-CAS plus the
+    // in-lock txn recheck must let exactly one land
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try Sinks.upsertParquet(spark, dir,
+          Seq((1L, i.toDouble)).toDF("k", "v"), Seq("k"),
+          txn = Some((app, 7L)), maxRetries = 10)
+        catch { // a loser may exhaust retries under pathological
+                // scheduling — the asserts below still hold
+          case _: java.util.ConcurrentModificationException => () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val txns = Sinks.deltaLogVersions(dir)
+      .flatMap(v => actions(dir, v).filter(_.has("txn")).map(_.get("txn")))
+      .filter(t => t.get("appId").asText == app)
+    assert(txns.map(_.get("version").asLong).toSeq == Seq(7L),
+      s"exactly one commit must carry (twin-app, 7): $txns")
+    val vs = Sinks.readDeltaTableAt(spark, dir)
+      .filter(col("k") === 1L).collect().map(_.getDouble(1)).toSeq
+    assert(vs.length == 1 && (1 to 4).map(_.toDouble).contains(vs.head))
+    assert(Sinks.lastTxnVersion(dir, app).contains(7L))
+  }
+
+  test("a replayed txn batch skips EVERY entry guard: dropped columns " +
+    "and constraints added after the batch landed") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    val app = "replay-app"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "x", 5.0)).toDF("k", "name", "v"), Seq("k"),
+      txn = Some((app, 0L)))
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "x", 0.5)).toDF("k", "name", "v"), Seq("k"),
+      txn = Some((app, 1L)))
+    // the table evolves PAST batch 0: its column dropped, a constraint
+    // IT would violate (but the current rows pass) added
+    Sinks.dropDeltaColumn(spark, dir, "name")
+    Sinks.addDeltaCheckConstraint(spark, dir, "v_cap", "v < 1")
+    // a restarted stream replays batch 0 verbatim (still carrying
+    // 'name', v=5.0 violating v_cap) — it must NO-OP, not wedge the
+    // stream on the dropped-column or constraint guard
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "x", 5.0)).toDF("k", "name", "v"), Seq("k"),
+      txn = Some((app, 0L)))
+    val after = Sinks.readDeltaTableAt(spark, dir)
+    assert(after.columns.toSet == Set("k", "v"))
+    assert(after.collect().map(_.getDouble(1)).toSeq == Seq(0.5),
+      "the replay must not re-merge batch 0's payload")
+    // constraint refs are CASE-INSENSITIVE like Spark's resolution:
+    // `V < 10` reads column v, so dropping v must refuse
+    Sinks.dropDeltaCheckConstraint(spark, dir, "v_cap")
+    Sinks.addDeltaCheckConstraint(spark, dir, "v_cap_uc", "V < 10")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.dropDeltaColumn(spark, dir, "v")
+    }
+    assert(e.getMessage.contains("v_cap_uc"))
+    // ADD CONSTRAINT on a table a DELETE fully emptied (the natural
+    // wipe-then-constrain-then-reingest sequence) trivially validates
+    val dir2 = Files.createTempDirectory("dlog").toString + "/t2"
+    Sinks.upsertParquet(spark, dir2,
+      Seq((1L, -5.0)).toDF("k", "v"), Seq("k"))
+    graft.sources.DeletionVectors.deleteDeltaWhere(spark, dir2,
+      lit(true))
+    Sinks.addDeltaCheckConstraint(spark, dir2, "v_pos", "v > 0")
+    Sinks.upsertParquet(spark, dir2,
+      Seq((2L, 7.0)).toDF("k", "v"), Seq("k"))
+    assert(Sinks.readDeltaTableAt(spark, dir2).count() == 1)
+  }
+
   test("the streaming upsert sink with an appId skips a replayed " +
     "micro-batch entirely") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"

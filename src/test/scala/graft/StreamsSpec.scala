@@ -142,6 +142,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once across a REAL restart: the checkpoint-replayed " +
+    "last batch no-ops through the txn guard") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_rt_cp").toString
+    val mem = MemoryStream[(Long, Double)]
+    def start() = mem.toDF().toDF("k", "v")
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch(Streams.upsertSink(dir, Seq("k"),
+        appId = Some("rt-app")))
+      .outputMode(OutputMode.Append()).start()
+    val q = start()
+    mem.addData((1L, 1.0)); q.processAllAvailable()
+    mem.addData((2L, 2.0)); q.processAllAvailable()
+    q.stop()
+    // crash window: the sink's table commit landed but the CHECKPOINT
+    // commit didn't — exactly what a driver death between foreachBatch
+    // returning and the offset commit leaves behind. Structured
+    // Streaming then REPLAYS batch 1 on restart; without the txn guard
+    // the table would double-merge it.
+    val c1 = java.nio.file.Paths.get(cp, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(c1),
+      s"expected checkpoint commit marker $c1")
+    // the local ChecksumFileSystem keeps a .crc sidecar; leaving it
+    // stale makes the replay's rename fail and read as a concurrent
+    // writer — a real crash would have left NEITHER file
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(cp, "commits", ".1.crc"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(graft.sources.Sinks.lastTxnVersion(dir, "rt-app")
+      .contains(1L))
+    // exactly TWO table commits — the replay added none
+    assert(graft.sources.Sinks.deltaLogVersions(dir) == Seq(0L, 1L))
+    val out = graft.sources.Sinks.readUpsertTable(spark, dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
   test("change-feed pipeline: streamed upserts equal the batch replay") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_feed").toString
