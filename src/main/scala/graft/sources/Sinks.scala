@@ -1067,9 +1067,13 @@ object Sinks {
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     val emptyMap = Map.empty[String, String]
-    val protoRow = Row(Row(1, 2), null, null, null)
+    val protoRow = Row(Row(1, 2), null, null, null, null)
     // configuration persists through the checkpoint (it carries the
     // droppedColumns marker — blanking it here would re-admit a dropped
     // column name as soon as cleanDeltaLog pruned the marker JSONs)
@@ -1077,7 +1081,7 @@ object Sinks {
       Row("parquet", emptyMap), m.get("schemaString").asText(),
       Seq.empty[String], metaConfiguration(Some(m)),
       if (m.has("createdTime")) m.get("createdTime").asLong() else 0L),
-      null, null)
+      null, null, null)
     val addRows = live.toSeq.map { case (p, n) =>
       // a deletion vector is part of the file's logical state — a
       // checkpoint that dropped it would resurrect deleted rows
@@ -1092,9 +1096,19 @@ object Sinks {
         }
       Row(null, null, Row(p, emptyMap, n.get("size").asLong(),
         n.get("modificationTime").asLong(), false,
-        if (n.has("stats")) n.get("stats").asText() else null, dv), null)
+        if (n.has("stats")) n.get("stats").asText() else null, dv), null,
+        null)
     }
-    val rows = (Seq(protoRow, metaRow) ++ addRows)
+    // the idempotent-writer state is part of the checkpoint per the
+    // Delta protocol (one txn row per appId, newest version): an
+    // external protocol reader reconstructing from the checkpoint must
+    // see it, not just graft's own _last_checkpoint snapshot (which is
+    // written from this same map below)
+    val allTxns = allLoggedTxns(Paths.get(tablePath))
+    val txnRows = allTxns.toSeq.sortBy(_._1)
+      .map { case (a, ver) => Row(null, null, null, null,
+        Row(a, ver, null)) }
+    val rows = (Seq(protoRow, metaRow) ++ addRows ++ txnRows)
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
@@ -1145,11 +1159,11 @@ object Sinks {
       // the idempotent-writer twin: every appId's newest txn version
       // (txn actions live in commit JSONs, which cleanDeltaLog prunes —
       // without this snapshot a restarted writer would re-commit a batch
-      // it already wrote)
-      val txns = allLoggedTxns(Paths.get(tablePath))
-      if (txns.nonEmpty) {
+      // it already wrote). Same map the checkpoint's txn rows carry.
+      if (allTxns.nonEmpty) {
         val tx = node.putObject("graftTxns")
-        txns.toSeq.sortBy(_._1).foreach { case (a, ver) => tx.put(a, ver) }
+        allTxns.toSeq.sortBy(_._1).foreach { case (a, ver) =>
+          tx.put(a, ver) }
       }
       val lcTmp = logDir.resolve("_last_checkpoint.tmp")
       Files.writeString(lcTmp, jsonMapper.writeValueAsString(node))

@@ -860,7 +860,19 @@ class DeltaLogSpec extends SparkSpec {
     assert(Sinks.lastTxnVersion(dir, app).contains(1L))
     // checkpoint + prune: the graftTxns snapshot carries the marker past
     // the txn-bearing JSONs' deletion, so a restarted writer still skips
-    Sinks.checkpointDeltaLog(spark, dir)
+    val cpV = Sinks.checkpointDeltaLog(spark, dir)
+    // the checkpoint PARQUET carries the protocol txn rows (one per
+    // appId, newest version) — an EXTERNAL Delta reader reconstructing
+    // from the checkpoint sees the idempotence state too, not just
+    // graft's _last_checkpoint snapshot
+    val cpDf = spark.read.parquet(
+      Paths.get(dir, "_delta_log", f"$cpV%020d.checkpoint.parquet")
+        .toString)
+    val txRows = cpDf.where(col("txn").isNotNull)
+      .select("txn.appId", "txn.version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(txRows == Map(app -> 1L, "other-app" -> 0L),
+      s"checkpoint txn rows: $txRows")
     assert(Sinks.cleanDeltaLog(dir) > 0)
     assert(Sinks.lastTxnVersion(dir, app).contains(1L),
       "txn version must survive log pruning via the checkpoint snapshot")
