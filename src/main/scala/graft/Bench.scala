@@ -74,6 +74,30 @@ object Bench {
     val dir = s"/tmp/graft_prev_bench_worktree_${
       java.util.UUID.randomUUID().toString.take(8)}"
     val devNull = ProcessLogger(_ => (), _ => ())
+    // reclaim siblings a KILLED run left behind (its finally never ran):
+    // age-gated at 1 day so a live concurrent run's tree is never
+    // touched, then `git worktree prune` drops the stale registrations
+    locally {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val tmp = Paths.get("/tmp")
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      if (Files.isDirectory(tmp)) {
+        val ls = Files.list(tmp)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString
+            .startsWith("graft_prev_bench_worktree_"))
+          .filter(p => scala.util.Try(
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+            .getOrElse(false))
+          .foreach { p =>
+            Seq("git", "worktree", "remove", "--force", p.toString).!(devNull)
+            Seq("rm", "-rf", p.toString).!(devNull)
+          }
+        finally ls.close()
+      }
+      Seq("git", "worktree", "prune").!(devNull)
+    }
     try {
       val commit = Seq("git", "log", "-n", "1", "--format=%H", "--",
         "bench_out.json").!!(devNull).trim
@@ -186,8 +210,19 @@ object Bench {
         // scale guard: a baseline recorded at a DIFFERENT sf dir is not
         // comparable — comparing sf1 times against sf0.1 mins (or vice
         // versa) manufactures phantom regressions/speedups. No baseline
-        // beats a cross-scale one.
-        val sameSf = node.has("sf") && node.get("sf").asText() == sfDir
+        // beats a cross-scale one. Paths are normalized (trailing slash,
+        // dot segments) and a rejection is LOUD on stderr — a silently
+        // empty prevMin reads exactly like a baseline-less repo, with
+        // every regression check inert.
+        def norm(s: String): String =
+          scala.util.Try(java.nio.file.Paths.get(s).toAbsolutePath
+            .normalize.toString).getOrElse(s)
+        val sameSf = node.has("sf") &&
+          norm(node.get("sf").asText()) == norm(sfDir)
+        if (node.has("sf") && !sameSf)
+          Console.err.println(s"[graft] bench baseline IGNORED: " +
+            s"recorded at sf=${node.get("sf").asText()}, this run is " +
+            s"sf=$sfDir — regression detection is OFF for this run")
         if (m == null || !sameSf) Map.empty
         else {
           val b = Map.newBuilder[String, Double]

@@ -1102,10 +1102,14 @@ object Sinks {
     // the idempotent-writer state is part of the checkpoint per the
     // Delta protocol (one txn row per appId, newest version): an
     // external protocol reader reconstructing from the checkpoint must
-    // see it, not just graft's own _last_checkpoint snapshot (which is
-    // written from this same map below)
-    val allTxns = allLoggedTxns(Paths.get(tablePath))
-    val txnRows = allTxns.toSeq.sortBy(_._1)
+    // see it, not just graft's own _last_checkpoint snapshot. PINNED at
+    // v like the add/metaData rows — a concurrent commit landing
+    // mid-checkpoint (allowed, see the caller) or a re-checkpoint of an
+    // old version must not leak FUTURE idempotence state into v's
+    // snapshot, or an external reader at v would skip a batch v's data
+    // does not contain (round-11 review find)
+    val txnRows = allLoggedTxns(Paths.get(tablePath), upTo = v)
+      .toSeq.sortBy(_._1)
       .map { case (a, ver) => Row(null, null, null, null,
         Row(a, ver, null)) }
     val rows = (Seq(protoRow, metaRow) ++ addRows ++ txnRows)
@@ -1159,10 +1163,14 @@ object Sinks {
       // the idempotent-writer twin: every appId's newest txn version
       // (txn actions live in commit JSONs, which cleanDeltaLog prunes —
       // without this snapshot a restarted writer would re-commit a batch
-      // it already wrote). Same map the checkpoint's txn rows carry.
-      if (allTxns.nonEmpty) {
+      // it already wrote). UNPINNED, unlike the parquet's txn rows: the
+      // sidecar describes the CURRENT table for the next writer's skip
+      // check, not version v's snapshot. Read BEFORE this write lands
+      // (the walk overlays the PREVIOUS sidecar).
+      val sidecarTxns = allLoggedTxns(Paths.get(tablePath))
+      if (sidecarTxns.nonEmpty) {
         val tx = node.putObject("graftTxns")
-        allTxns.toSeq.sortBy(_._1).foreach { case (a, ver) =>
+        sidecarTxns.toSeq.sortBy(_._1).foreach { case (a, ver) =>
           tx.put(a, ver) }
       }
       val lcTmp = logDir.resolve("_last_checkpoint.tmp")
@@ -2144,18 +2152,31 @@ object Sinks {
     b.result()
   }
 
-  /** EVERY appId's newest committed txn version: the previous
-    * checkpoint's snapshot overlaid by an ascending walk of the retained
-    * log's txn actions. Checkpoint-time only — the per-appId twin of
+  /** EVERY appId's newest committed txn version AT OR BELOW `upTo`: the
+    * previous checkpoint's snapshot (only when that checkpoint itself is
+    * <= `upTo` — a version-pinned re-checkpoint must not inherit future
+    * state) overlaid by an ascending walk of the retained log's txn
+    * actions. Checkpoint-time only — the per-appId twin of
     * [[allLoggedPartitionGens]] (without it, cleanDeltaLog would prune
     * the txn-carrying JSONs and a restarted writer would re-commit a
     * batch it already wrote — duplicate rows for append-shaped merges).
+    * The version pin matters for the checkpoint PARQUET's txn rows: an
+    * external reader reconstructing version v must not see idempotence
+    * state from commits ABOVE v, or it would skip a batch v's data does
+    * not contain.
     */
-  private def allLoggedTxns(
-      root: java.nio.file.Path): Map[String, Long] = {
+  private def allLoggedTxns(root: java.nio.file.Path,
+      upTo: Long = Long.MaxValue): Map[String, Long] = {
+    import java.nio.file.Files
     val out = scala.collection.mutable.Map.empty[String, Long]
-    checkpointTxns(root).foreach { case (a, v) => out(a) = v }
-    deltaLogVersions(root.toString).foreach { v =>
+    val lc = root.resolve("_delta_log").resolve("_last_checkpoint")
+    val prevCpVersion =
+      if (!Files.exists(lc)) -1L
+      else scala.util.Try(jsonMapper.readTree(Files.readString(lc))
+        .get("version").asText().toLong).getOrElse(-1L)
+    if (prevCpVersion <= upTo)
+      checkpointTxns(root).foreach { case (a, v) => out(a) = v }
+    deltaLogVersions(root.toString).filter(_ <= upTo).foreach { v =>
       txnLeading(root, v).foreach { t =>
         scala.util.Try(t.get("version").asLong()).foreach { ver =>
           val a = t.get("appId").asText()
@@ -2459,11 +2480,13 @@ object Sinks {
       "keepGenerations must keep at least the generation being written")
     require(keys.nonEmpty, "keys must be non-empty")
     require(maxRetries >= 1, "maxRetries must allow at least one attempt")
-    if (source.isEmpty) return
-    // an already-committed batch skips EVERYTHING, the dropped-column
-    // and constraint guards included (see [[upsertParquet]]'s entry
-    // check for why the order matters)
+    // an already-committed batch skips EVERYTHING — including the
+    // source.isEmpty action below, which would recompute the whole
+    // batch lineage just to learn the answer the txn marker already
+    // gives for free (see [[upsertParquet]]'s entry check for why it
+    // also precedes the dropped-column/constraint guards)
     if (txnAlreadyCommitted(tablePath, txn)) return
+    if (source.isEmpty) return
     requireNoDroppedColumns(spark, tablePath, source)
     enforceConstraintsAtEntry(spark, tablePath, source)
     val root = Paths.get(tablePath)
