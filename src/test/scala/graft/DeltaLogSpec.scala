@@ -970,6 +970,35 @@ class DeltaLogSpec extends SparkSpec {
     assert(Sinks.readDeltaTableAt(spark, dir2).count() == 1)
   }
 
+  test("CHECK constraints ride the PARTITIONED commit path: enforced " +
+    "per batch, configuration survives partition-scoped metaData") {
+    val dir = Files.createTempDirectory("dlog").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "A", 5.0), (2L, "B", 7.0)).toDF("k", "ds", "v"),
+      Seq("k"), "ds")
+    Sinks.addDeltaCheckConstraint(spark, dir, "v_pos", "v > 0")
+    // a violating partitioned batch is refused; no pointer moved
+    intercept[IllegalStateException] {
+      Sinks.upsertParquetPartitioned(spark, dir,
+        Seq((3L, "A", -1.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    }
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).count() == 2)
+    // a PARTITION-SCOPED commit's metaData must carry the configuration
+    // forward (it unions with the logged schema/config), so the
+    // constraint still fires after a commit that touched only p=B
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((2L, "B", 9.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    intercept[IllegalStateException] {
+      Sinks.upsertParquetPartitioned(spark, dir,
+        Seq((4L, "A", -2.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    }
+    // the merged-snapshot (strategy-minted rows) check is pinned on the
+    // unpartitioned path; both writers share enforceConstraintsOnStage
+    val ok = Sinks.readUpsertPartitionedTable(spark, dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ok.toSeq == Seq((1L, 5.0), (2L, 9.0)))
+  }
+
   test("the streaming upsert sink with an appId skips a replayed " +
     "micro-batch entirely") {
     val dir = Files.createTempDirectory("dlog").toString + "/t"
