@@ -180,8 +180,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
       only.forall(_.exists(p => n == p || n.startsWith(p + "_"))))
+    // adaptive re-rep ceiling (round-11 directive 6): a query whose
+    // same-run spread exceeds its own min (q139: 1.07s min, 4.9s spread
+    // at 5 fixed reps) gets extra reps until the min estimator settles
+    // or the cap is hit — high-spread queries are exactly the ones that
+    // feed every round's phantom-regression pipeline
+    val repCap = math.max(reps, 9)
     val results = names.map { name =>
-      val times = (1 to reps).map(_ => materialize(name)).filter(_ >= 0)
+      var times = (1 to reps).map(_ => materialize(name))
+        .filter(_ >= 0).toVector
+      var repping = true
+      while (repping && times.nonEmpty && times.size < repCap &&
+          times.min > 0 && (times.max - times.min) / times.min > 1.0) {
+        val t = materialize(name)
+        if (t >= 0) times :+= t
+        else repping = false // an erroring rep cannot settle anything
+      }
       spark.catalog.clearCache()
       System.gc() // untimed: drain deferred cleanup before the next query
       val sortedT = times.sorted
@@ -195,7 +209,12 @@ object Bench {
         else (kept(kept.size / 2 - 1) + kept(kept.size / 2)) / 2.0
       val best = if (times.isEmpty) -1.0 else times.min
       val spread = if (times.isEmpty) -1.0 else times.max - times.min
-      (name, med, best, spread)
+      // trimmed spread: max-min of the outlier-trimmed set — the noise
+      // floor of the STABLE core, which the adaptive re-reps actually
+      // tighten (raw max-min can only grow with more reps; one VM stall
+      // would otherwise mark a query noisy forever)
+      val spreadT = if (kept.isEmpty) -1.0 else kept.max - kept.min
+      (name, med, best, spread, spreadT)
     }
     // ---- isolation confirm pass: re-adjudicate apparent regressions ----
     // previous round's committed mins (bench_out.json survives in git);
@@ -217,8 +236,15 @@ object Bench {
         def norm(s: String): String =
           scala.util.Try(java.nio.file.Paths.get(s).toAbsolutePath
             .normalize.toString).getOrElse(s)
-        val sameSf = node.has("sf") &&
+        // a baseline with NO sf field predates the scale guard — accept
+        // it as legacy-compatible rather than dropping it silently: a
+        // silently empty prevMin reads exactly like a baseline-less
+        // repo, with every regression check inert (round-11 ADVICE find)
+        val sameSf = !node.has("sf") ||
           norm(node.get("sf").asText()) == norm(sfDir)
+        if (!node.has("sf"))
+          Console.err.println("[graft] bench baseline carries no sf " +
+            "field (legacy schema) — accepted as same-scale")
         if (node.has("sf") && !sameSf)
           Console.err.println(s"[graft] bench baseline IGNORED: " +
             s"recorded at sf=${node.get("sf").asText()}, this run is " +
@@ -234,7 +260,7 @@ object Bench {
     // suspects: min grew >1.5× AND by >0.3s absolute (sub-second queries
     // jitter past any ratio on a shared VM; a 0.1s -> 0.2s swing is not
     // a regression worth 2 extra reps)
-    val suspects = results.filter { case (name, _, best, _) =>
+    val suspects = results.filter { case (name, _, best, _, _) =>
       prevMin.get(name).exists(p =>
         p > 0 && best > 1.5 * p && best - p > 0.3)
     }
@@ -270,7 +296,7 @@ object Bench {
           math.max(1.0, med)
         }
       }
-    val confirms = suspects.map { case (name, _, best, _) =>
+    val confirms = suspects.map { case (name, _, best, _, _) =>
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(200) // let deferred cleanup land before re-timing
@@ -336,6 +362,7 @@ object Bench {
         s""""min":${obj(results.map(r =>
           r._1 -> confirmedMin.getOrElse(r._1, r._3)))},""" +
         s""""spread":${obj(results.map(r => r._1 -> r._4))},""" +
+        s""""spread_trimmed":${obj(results.map(r => r._1 -> r._5))},""" +
         s""""confirm":${obj(adjudicated.map(c => c._1 -> c._2))},""" +
         s""""confirm_status":${strObj(adjudicated.map(c => c._1 -> c._3))},""" +
         s""""worktree":${obj(worktreeMins.toSeq.sortBy(_._1))},""" +

@@ -1386,6 +1386,17 @@ object SparkEntry {
         col("doc_id"), col("text"), targetSample = 512, n = 3, k = 32,
         threshold = 0.5, fam = Dedup.CrossEngineHash)),
 
+    // ---- q242's gate-scale twin (round-11 judge find: at sf0.01's
+    // ~500 docs targetSample=512 yields ticket modulus m=1, so the
+    // oracle never exercised the sampled path's distinctive logic).
+    // targetSample=128 makes m=4 at gate scale — the m>1 ticket
+    // restriction is oracle-checked end to end, while q242 keeps the
+    // production sizing whose exact-side cost is corpus-independent ----
+    "q244_minhash_estimate_sampled_m4" -> ((s, d) =>
+      Dedup.minHashEstimatePairsSampled(Tables.documents(s, d),
+        col("doc_id"), col("text"), targetSample = 128, n = 3, k = 32,
+        threshold = 0.5, fam = Dedup.CrossEngineHash)),
+
     // ---- crawl-frontier admission, END TO END in one batch plan
     // (round-9 directive 6): sitemap parse -> URL canonicalization ->
     // exact frontier dedup -> domain blocklist -> robots replay ->
@@ -7192,6 +7203,21 @@ object SparkEntry {
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
         |bb AS (SELECT CASE WHEN (n + 511) // 512 <= 1 THEN CAST(0 AS BIGINT)
         |    ELSE CAST(len(bin((n + 511) // 512 - 1)) AS BIGINT) END AS bits
+        |  FROM nn),
+        |mm AS (SELECT CAST(1 AS BIGINT) << bits AS m FROM bb),
+        |sd AS (SELECT d.* FROM documents d CROSS JOIN mm
+        |  WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % m = 0),
+        |res AS (
+        |${q237OracleFrom("sd")}
+        |)
+        |SELECT * FROM res""".stripMargin,
+
+    // q242's gate-scale twin: identical nesting over the sampled CTE,
+    // targetSample 128 so the ticket modulus is > 1 at sf0.01
+    "q244_minhash_estimate_sampled_m4" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |bb AS (SELECT CASE WHEN (n + 127) // 128 <= 1 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(len(bin((n + 127) // 128 - 1)) AS BIGINT) END AS bits
         |  FROM nn),
         |mm AS (SELECT CAST(1 AS BIGINT) << bits AS m FROM bb),
         |sd AS (SELECT d.* FROM documents d CROSS JOIN mm

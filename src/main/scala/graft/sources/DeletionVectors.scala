@@ -386,6 +386,12 @@ object DeletionVectors {
     Sinks.requireNoCrashLagging(root, state,
       fileDvs.flatMap(fd => Sinks.partitionOf(relByAbs(fd.absPath)))
         .distinct.toSeq, "deleteDeltaWhere")
+    // the root-level twin (round-12 fuzz-harness find): unpartitioned
+    // tables have the exact same window — a DELETE acknowledged while
+    // the pointer is ahead of the log is dropped by the healing merge
+    if (fileDvs.exists(fd =>
+        Sinks.partitionOf(relByAbs(fd.absPath)).isEmpty))
+      Sinks.requireRootNotCrashLagging(root, state, "deleteDeltaWhere")
 
     var rowsDeleted = 0L
     var dropped = 0
@@ -454,10 +460,8 @@ object DeletionVectors {
           s"deleteDeltaWhere($tablePath): version advanced " +
             s"$vAtRead -> $vNow during the predicate scan; retry")
       val v = vNow + 1
-      val tmp = logDir.resolve(f"$v%020d.json.tmp")
-      Files.writeString(tmp, body)
-      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      val dst = logDir.resolve(f"$v%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, body)
     }
     DvDelete(rowsDeleted, adds.result().size, dropped)
   }
@@ -550,6 +554,11 @@ object DeletionVectors {
       return Sinks.purgePartitionedDvs(spark, tablePath, vAtRead, state,
         meta)
     val root = Paths.get(tablePath)
+    // root-level crash-window refusal, same rationale as the
+    // partitioned purge's: a purge over the stale logged state would be
+    // silently superseded when the healing merge re-bases on the raw
+    // pointer dir (round-12 fuzz-harness find)
+    Sinks.requireRootNotCrashLagging(root, state, "purgeDeletionVectors")
     val v = vAtRead + 1
     val genDir = root.resolve(f"gen-dv-purge-$v%020d")
     // logged-schema scan: an era-spanning purge rewrite must carry the
@@ -600,10 +609,8 @@ object DeletionVectors {
         throw new java.util.ConcurrentModificationException(
           s"purgeDeletionVectors($tablePath): version advanced " +
             s"$vAtRead -> $vNow during the rewrite; retry")
-      val tmp = logDir.resolve(f"$v%020d.json.tmp")
-      Files.writeString(tmp, body)
-      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      val dst = logDir.resolve(f"$v%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, body)
     }
     withDv.size
   }

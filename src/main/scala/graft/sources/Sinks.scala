@@ -232,11 +232,11 @@ object Sinks {
           // orphan from a committer that died between its move and its
           // pointer swap — unreferenced, safe to replace under the lock
           if (Files.exists(genDir)) deleteRecursively(genDir)
+          // data-layout move, not a commit primitive (see [[LogStore]]):
+          // an object-store port writes the staged files straight to the
+          // final gen-N prefix — visibility swings on the pointer below
           Files.move(stage, genDir, StandardCopyOption.ATOMIC_MOVE)
-          val tmp = root.resolve("_CURRENT.tmp")
-          Files.writeString(tmp, s"gen-$nextNum")
-          Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
+          LogStores.forPath(pointer).put(pointer, s"gen-$nextNum")
           publishManifest(root.resolve("_symlink_format_manifest"), genDir)
           appendDeltaCommit(spark, root, Seq(genDir), Seq(""),
             merged.schema.json, "MERGE", pinnedVersion = Some(nextNum),
@@ -272,16 +272,17 @@ object Sinks {
                                   staleLockMs: Long)(body: => A): A = {
     import java.nio.file.Files
     val lock = root.resolve("_LOCK")
+    val store = LogStores.forPath(lock)
     val deadline = System.currentTimeMillis() + math.max(staleLockMs * 2, 10000L)
     var acquired = false
     while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
+      try { store.createNew(lock); acquired = true }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         val age = try System.currentTimeMillis() -
           Files.getLastModifiedTime(lock).toMillis
         catch { case _: java.io.IOException => 0L } // vanished: retry now
         if (age > staleLockMs) {
-          try Files.deleteIfExists(lock)
+          try store.delete(lock)
           catch { case _: java.io.IOException => () }
         } else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(s"could not acquire $lock " +
@@ -289,7 +290,7 @@ object Sinks {
         else Thread.sleep(25L)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally store.delete(lock)
   }
 
   /** Open-table-format interop for the generational tables (the remaining
@@ -323,12 +324,10 @@ object Sinks {
       finally ls.close()
     }
     Files.createDirectories(manifestDir)
-    val tmp = manifestDir.resolve("manifest.tmp")
-    Files.writeString(tmp,
+    val dst = manifestDir.resolve("manifest")
+    LogStores.forPath(dst).put(dst,
       files.map(f => genDir.resolve(f).toUri.toString)
         .mkString("", "\n", "\n"))
-    Files.move(tmp, manifestDir.resolve("manifest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ---------------------------------------------------------------------
@@ -663,6 +662,13 @@ object Sinks {
     require(target.nonEmpty, s"no live files at version $version")
     require(metaT.nonEmpty, s"no metaData at or below version $version")
     val (live, _) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    // crash-window refusal (round-12 fuzz-harness find): a RESTORE
+    // landing while any pointer is ahead of the logged state would be
+    // acknowledged and then silently destroyed — the healing merge
+    // re-bases on the raw pointer dir and removes the restored files
+    requireRootNotCrashLagging(root, live, "restoreDeltaTable")
+    requireNoCrashLagging(root, live, pointeredPartitions(root),
+      "restoreDeltaTable")
     val mapper = jsonMapper
     // comparison + emission go through ONE canonical shape: state
     // nodes reconstructed from a checkpoint lack partitionValues /
@@ -718,10 +724,8 @@ object Sinks {
             s"$vAtRead -> $vNow during state reconstruction; retry")
       val v = vNow + 1
       val logDir = root.resolve("_delta_log")
-      val tmp = logDir.resolve(f"$v%020d.json.tmp")
-      Files.writeString(tmp, sb.toString)
-      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-        StandardCopyOption.ATOMIC_MOVE)
+      val dst = logDir.resolve(f"$v%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, sb.toString)
       (v, readds.size, removes.size)
     }
   }
@@ -832,10 +836,8 @@ object Sinks {
       md.put("configuration", configJmap(newConfig))
       line(jmap("metaData" -> md))
       val logDir = root.resolve("_delta_log")
-      val tmp = logDir.resolve(f"${vNow + 1}%020d.json.tmp")
-      Files.writeString(tmp, sb.toString)
-      Files.move(tmp, logDir.resolve(f"${vNow + 1}%020d.json"),
-        StandardCopyOption.ATOMIC_MOVE)
+      val dst = logDir.resolve(f"${vNow + 1}%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, sb.toString)
     }
   }
 
@@ -1107,8 +1109,10 @@ object Sinks {
     // mid-checkpoint (allowed, see the caller) or a re-checkpoint of an
     // old version must not leak FUTURE idempotence state into v's
     // snapshot, or an external reader at v would skip a batch v's data
-    // does not contain (round-11 review find)
-    val txnRows = allLoggedTxns(Paths.get(tablePath), upTo = v)
+    // does not contain (round-11 review find). [[pinnedTxns]] bases on
+    // the previous checkpoint PARQUET's (pinned) txn rows, never the
+    // unpinned sidecar (round-11 ADVICE find)
+    val txnRows = pinnedTxns(spark, Paths.get(tablePath), v)
       .toSeq.sortBy(_._1)
       .map { case (a, ver) => Row(null, null, null, null,
         Row(a, ver, null)) }
@@ -1128,8 +1132,10 @@ object Sinks {
             s"produced no parquet part under $tmpDir"))
       } finally ls.close()
     }
-    Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    locally {
+      val dst = logDir.resolve(f"$v%020d.checkpoint.parquet")
+      LogStores.forPath(dst).putFile(part, dst)
+    }
     deleteRecursively(tmpDir)
     // never move the pointer BACKWARDS (re-checkpointing an old version
     // for inspection must not make newer state reconstruction slower)
@@ -1173,10 +1179,7 @@ object Sinks {
         sidecarTxns.toSeq.sortBy(_._1).foreach { case (a, ver) =>
           tx.put(a, ver) }
       }
-      val lcTmp = logDir.resolve("_last_checkpoint.tmp")
-      Files.writeString(lcTmp, jsonMapper.writeValueAsString(node))
-      Files.move(lcTmp, lc,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      LogStores.forPath(lc).put(lc, jsonMapper.writeValueAsString(node))
     }
     v
   }
@@ -1609,10 +1612,13 @@ object Sinks {
       }
       val body = actions.result()
         .map(a => mapper.writeValueAsString(a)).mkString("", "\n", "\n")
-      val tmp = logDir.resolve(f"$v%020d.json.tmp")
-      Files.writeString(tmp, body)
-      Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // put-if-absent, Delta's own LogStore commit contract: version
+      // files are immutable once published, and two writers racing the
+      // same version must produce exactly one winner. Every caller runs
+      // under the table `_LOCK` with a log-tail CAS, so a collision here
+      // is a protocol violation worth failing loudly, never overwriting
+      val dst = logDir.resolve(f"$v%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, body)
     }
 
     val liveNow = scala.collection.mutable.LinkedHashSet[String](live: _*)
@@ -1905,12 +1911,34 @@ object Sinks {
     // was validated
     val (state, meta) = deltaStateWithMeta(spark, tablePath, vAtRead)
     require(meta.nonEmpty, s"no metaData action under $tablePath")
+    // the validation scan below reads the LOGGED state; rows a crashed
+    // writer pointer-committed but never logged would land UNVALIDATED
+    // when the next merge heals them — refuse until the merge runs
+    requireRootNotCrashLagging(root, state, "addDeltaCheckConstraint")
+    requireNoCrashLagging(root, state, pointeredPartitions(root),
+      "addDeltaCheckConstraint")
     val config = metaConfiguration(meta)
     require(!tableConstraints(config).contains(name),
       s"constraint '$name' already exists on $tablePath (DROP it first)")
     // parse early: a malformed expression must fail here, not inside
     // every future writer's entry check
     expr(exprSql)
+    // column references must resolve against the LOGGED schema (minus
+    // dropped columns) at ADD time: on a zero-live-file table the
+    // validation scan below is skipped, so a typo'd reference would land
+    // successfully and then wedge every future write on analysis failure
+    // in enforceConstraintsOnStage — recoverable only via DROP
+    // CONSTRAINT (round-11 ADVICE find)
+    val schemaCols = metaSchema(meta)
+      .map(_.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+      .getOrElse(Set.empty) --
+      droppedColumns(config).map(_.toLowerCase(java.util.Locale.ROOT))
+    val unknownRefs = constraintRefs(exprSql) -- schemaCols
+    require(unknownRefs.isEmpty,
+      s"CHECK constraint '$name' (`$exprSql`) references column(s) " +
+        s"${unknownRefs.toSeq.sorted.mkString(", ")} not in the logged " +
+        s"schema of $tablePath — a constraint on a missing column would " +
+        "wedge every future write on analysis failure")
     // validate EXISTING rows (distributed; outside the lock). A table
     // with ZERO live files — a DELETE dropped everything, the natural
     // 'wipe then constrain before re-ingest' sequence — trivially passes
@@ -1973,10 +2001,8 @@ object Sinks {
       md.put("configuration", configJmap(newConfig))
       line(jmap("metaData" -> md))
       val logDir = root.resolve("_delta_log")
-      val tmp = logDir.resolve(f"${vAtRead + 1}%020d.json.tmp")
-      Files.writeString(tmp, sb.toString)
-      Files.move(tmp, logDir.resolve(f"${vAtRead + 1}%020d.json"),
-        StandardCopyOption.ATOMIC_MOVE)
+      val dst = logDir.resolve(f"${vAtRead + 1}%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, sb.toString)
     }
   }
 
@@ -2126,9 +2152,15 @@ object Sinks {
     deltaLogVersions(tablePath).reverseIterator
       .flatMap(v => txnLeading(root, v))
       .collectFirst {
-        case t if t.get("appId").asText() == appId =>
-          t.get("version").asLong()
+        // null-guarded appId and asText().toLong version: Jackson's
+        // asLong() returns 0 for non-numeric nodes, so a malformed txn
+        // line would read as version 0 — harmless here (0 never beats a
+        // real version) but the discipline is shared with the walk in
+        // [[allLoggedTxns]], where a fabricated 0 WOULD be recorded
+        case t if Option(t.get("appId")).exists(_.asText() == appId) =>
+          scala.util.Try(t.get("version").asText().toLong).toOption
       }
+      .flatten
       .orElse(checkpointTxns(root).get(appId))
   }
 
@@ -2152,40 +2184,106 @@ object Sinks {
     b.result()
   }
 
-  /** EVERY appId's newest committed txn version AT OR BELOW `upTo`: the
-    * previous checkpoint's snapshot (only when that checkpoint itself is
-    * <= `upTo` — a version-pinned re-checkpoint must not inherit future
-    * state) overlaid by an ascending walk of the retained log's txn
-    * actions. Checkpoint-time only — the per-appId twin of
-    * [[allLoggedPartitionGens]] (without it, cleanDeltaLog would prune
-    * the txn-carrying JSONs and a restarted writer would re-commit a
-    * batch it already wrote — duplicate rows for append-shaped merges).
-    * The version pin matters for the checkpoint PARQUET's txn rows: an
-    * external reader reconstructing version v must not see idempotence
-    * state from commits ABOVE v, or it would skip a batch v's data does
-    * not contain.
+  /** Ascending walk of the retained log's txn actions at or below
+    * `upTo`, max-merged into `out`. Garbage discipline matches
+    * [[checkpointTxns]]: Jackson's asLong() returns 0 for non-numeric
+    * nodes instead of throwing, so a malformed txn line would record a
+    * phantom version 0 for its appId — the exact "writer skips a batch
+    * it never wrote" hazard; asText().toLong throws and Try skips the
+    * entry (null appId NPEs inside the same Try and is skipped too).
     */
-  private def allLoggedTxns(root: java.nio.file.Path,
-      upTo: Long = Long.MaxValue): Map[String, Long] = {
-    import java.nio.file.Files
-    val out = scala.collection.mutable.Map.empty[String, Long]
-    val lc = root.resolve("_delta_log").resolve("_last_checkpoint")
-    val prevCpVersion =
-      if (!Files.exists(lc)) -1L
-      else scala.util.Try(jsonMapper.readTree(Files.readString(lc))
-        .get("version").asText().toLong).getOrElse(-1L)
-    if (prevCpVersion <= upTo)
-      checkpointTxns(root).foreach { case (a, v) => out(a) = v }
+  private def txnWalk(root: java.nio.file.Path, upTo: Long,
+      out: scala.collection.mutable.Map[String, Long]): Unit =
     deltaLogVersions(root.toString).filter(_ <= upTo).foreach { v =>
       txnLeading(root, v).foreach { t =>
-        scala.util.Try(t.get("version").asLong()).foreach { ver =>
-          val a = t.get("appId").asText()
+        scala.util.Try((t.get("appId").asText(),
+            t.get("version").asText().toLong)).foreach { case (a, ver) =>
           // max, not last-wins: txn versions are contractually monotonic
           // per appId, and max makes an out-of-order replay harmless
           out(a) = out.get(a).fold(ver)(math.max(_, ver))
         }
       }
     }
+
+  /** EVERY appId's newest committed txn version in the CURRENT table:
+    * the previous checkpoint's sidecar snapshot overlaid by an ascending
+    * walk of the retained log's txn actions. Checkpoint-time only — the
+    * per-appId twin of [[allLoggedPartitionGens]] (without it,
+    * cleanDeltaLog would prune the txn-carrying JSONs and a restarted
+    * writer would re-commit a batch it already wrote — duplicate rows
+    * for append-shaped merges). UNPINNED by design — the sidecar
+    * describes the table for the next writer's skip check; the
+    * checkpoint PARQUET's version-pinned txn rows come from
+    * [[pinnedTxns]] instead.
+    */
+  private def allLoggedTxns(root: java.nio.file.Path): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    checkpointTxns(root).foreach { case (a, v) => out(a) = v }
+    txnWalk(root, Long.MaxValue, out)
+    out.toMap
+  }
+
+  /** EVERY appId's newest committed txn version AT OR BELOW log version
+    * `upTo` — the checkpoint PARQUET's txn rows. The base is the newest
+    * checkpoint PARQUET at or below `upTo` (its txn rows are themselves
+    * version-pinned, so the state they carry is <= that checkpoint's
+    * version by induction), overlaid by the retained JSON walk <= `upTo`.
+    * NOT the `_last_checkpoint` sidecar: the sidecar's `graftTxns` is
+    * deliberately unpinned (it describes the CURRENT table for the next
+    * writer, and commits landing mid-checkpoint may already be folded
+    * in), so overlaying it here could leak idempotence state from
+    * commits ABOVE `upTo` into version `upTo`'s snapshot — an external
+    * reader reconstructing `upTo` would then skip a batch whose data the
+    * snapshot does not contain (round-11 ADVICE find). Legacy
+    * checkpoints written before txn rows existed contribute nothing (no
+    * `txn` column) — their tables predate the txn protocol entirely.
+    */
+  private def pinnedTxns(spark: SparkSession, root: java.nio.file.Path,
+      upTo: Long): Map[String, Long] = {
+    import java.nio.file.Files
+    val logDir = root.resolve("_delta_log")
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val prevCp = deltaLogVersions(root.toString)
+      .filter(v => v <= upTo &&
+        Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
+      .lastOption
+      .orElse {
+        // the cp version itself may have been pruned from the JSON log
+        // (cleanDeltaLog removes JSONs strictly below the LAST
+        // checkpoint, which can include OLDER checkpoints' versions);
+        // the parquet files survive, so list them directly
+        val ls =
+          if (!Files.isDirectory(logDir)) Seq.empty[Long]
+          else {
+            val s = Files.list(logDir)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.map(_.getFileName.toString)
+                .filter(_.endsWith(".checkpoint.parquet"))
+                .flatMap(n => scala.util.Try(
+                  n.stripSuffix(".checkpoint.parquet").toLong).toOption)
+                .toSeq.sorted
+            } finally s.close()
+          }
+        ls.filter(_ <= upTo).lastOption
+      }
+    prevCp.foreach { v =>
+      val f = logDir.resolve(f"$v%020d.checkpoint.parquet")
+      val df = spark.read.parquet(f.toString)
+      if (df.columns.contains("txn")) {
+        // collect-bound: one (appId, version) row per idempotent writer
+        // appId the table has ever seen — bounded by writer count, not
+        // data volume
+        df.where(col("txn").isNotNull)
+          .select(col("txn.appId"), col("txn.version"))
+          .collect()
+          .foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1))
+              out(r.getString(0)) = r.getLong(1)
+          }
+      }
+    }
+    txnWalk(root, upTo, out)
     out.toMap
   }
 
@@ -2224,9 +2322,11 @@ object Sinks {
     * fall back to "pointer generation has a logged live file" and then
     * to the retained-log containment scan — a generation the log EVER
     * mentioned was committed (a partition-wide delete leaves zero live
-    * files but keeps that evidence). Residual: a pre-snapshot checkpoint
-    * taken after a partition-wide delete prunes the evidence too; every
-    * table checkpointed by current code persists the snapshot.
+    * files but keeps that evidence). A pre-snapshot checkpoint taken
+    * after a partition-wide delete prunes the evidence too; every table
+    * checkpointed by current code persists the snapshot, and LEGACY
+    * tables in that layout get a one-time [[migratePartitionGens]]
+    * backfill (round-11 directive 3).
     *
     * `byPart` is the logged live state grouped by partition (only the
     * entries for `parts` are consulted).
@@ -2247,6 +2347,125 @@ object Sinks {
           !generationEverLogged(root, v, g)
       }
     }
+  }
+
+  /** One-time `graftPartGens` BACKFILL for legacy partitioned tables
+    * (round-11 directive 3, closing the documented
+    * [[crashLaggingPartitions]] residual): a table checkpointed by
+    * PRE-snapshot code after a partition-wide delete has neither a
+    * `partitionGens` marker (its commitInfo JSONs were pruned) nor
+    * retained-log evidence for the pointer's generation, so the
+    * crash-window guard misclassifies the partition as crash-lagging
+    * and the next merge would base on the RAW pointer dir — resurrecting
+    * every deleted row. This migration stamps one metadata-only MIGRATE
+    * commit carrying a `partitionGens` marker per pointered partition,
+    * then re-checkpoints so the `graftPartGens` snapshot survives all
+    * future pruning.
+    *
+    * CONTRACT: run on a QUIESCED, CRASH-HEALED table (it is a one-time
+    * admin migration, not a concurrent-writer path). Per partition:
+    *  - pointer generation has logged live files → consistent, stamp it;
+    *  - pointer generation has ZERO logged live files and no newer live
+    *    generation → a committed partition-wide delete under the
+    *    quiesce contract, stamp it (this is the legacy case being
+    *    closed — an actually-crashed writer here is indistinguishable
+    *    once the log evidence is pruned, which is why the contract
+    *    requires healing first: run a merge over the partition if in
+    *    doubt);
+    *  - logged live files exist only at an OLDER generation → positive
+    *    crash evidence, REFUSE loudly and name the partitions (a merge
+    *    heals them; stamping would erase the crashed batch permanently).
+    *
+    * Partitions that already have a marker anywhere (JSON tail or
+    * checkpoint snapshot) are skipped — the migration is idempotent.
+    * Returns the stamped (partition -> generation) map (empty when
+    * nothing needed backfilling; no commit is written then).
+    */
+  def migratePartitionGens(spark: SparkSession, tablePath: String,
+                           staleLockMs: Long = 60000L): Map[String, Long] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    require(Files.exists(root.resolve("_delta_log")),
+      s"migratePartitionGens($tablePath): no _delta_log — nothing to " +
+        "migrate (the guard only consults the log)")
+    val parts: Seq[String] = pointeredPartitions(root)
+    if (parts.isEmpty) return Map.empty
+    val vAtRead = logTailVersion(tablePath)
+    val (state, meta) = deltaStateWithMeta(spark, tablePath, Long.MaxValue)
+    require(meta.nonEmpty,
+      s"migratePartitionGens($tablePath): no metaData action")
+    val markers = lastLoggedPartitionGens(root, parts.toSet)
+    def liveGens(v: String): Set[Long] = state.keysIterator
+      .flatMap { p =>
+        val pre = s"p=$v/gen-"
+        if (!p.startsWith(pre)) None
+        else scala.util.Try(
+          p.stripPrefix(pre).takeWhile(_ != '/').toLong).toOption
+      }.toSet
+    val stamped = Map.newBuilder[String, Long]
+    val crashed = Seq.newBuilder[String]
+    parts.filterNot(markers.contains).foreach { v =>
+      val g = Files.readString(root.resolve(s"p=$v").resolve("_CURRENT"))
+        .trim.stripPrefix("gen-").toLong
+      val lg = liveGens(v)
+      if (lg.contains(g) || lg.isEmpty) stamped += v -> g
+      else crashed += v
+    }
+    val gens = stamped.result()
+    val lagging = crashed.result()
+    require(lagging.isEmpty,
+      s"migratePartitionGens($tablePath): partition(s) " +
+        s"${lagging.map(v => s"p=$v").mkString(", ")} have logged live " +
+        "files only at an OLDER generation than their pointer — a writer " +
+        "crashed between its pointer swap and its log commit; re-run a " +
+        "merge for those partitions first (it heals the window), then " +
+        "migrate")
+    if (gens.isEmpty) return Map.empty
+    val mapper = jsonMapper
+    withMetadataLock(root, staleLockMs) {
+      val vNow = logTailVersion(tablePath)
+      if (vNow != vAtRead)
+        throw new java.util.ConcurrentModificationException(
+          s"migratePartitionGens($tablePath): version advanced " +
+            s"$vAtRead -> $vNow during the state scan — the table is " +
+            "not quiesced; retry")
+      val now = System.currentTimeMillis()
+      val pg = jmap()
+      gens.toSeq.sortBy(_._1).foreach { case (p, g) =>
+        pg.put(p, g.toString) }
+      val sb = new StringBuilder
+      sb.append(mapper.writeValueAsString(jmap("commitInfo" -> jmap(
+        "timestamp" -> now, "operation" -> "MIGRATE PARTITION GENS",
+        "operationParameters" -> jmap("partitionGens" -> pg),
+        "engineInfo" -> "graft")))).append('\n')
+      sb.append(mapper.writeValueAsString(jmap(
+        "metaData" -> canonicalMetaData(meta.get, now)))).append('\n')
+      val dst = root.resolve("_delta_log").resolve(f"${vNow + 1}%020d.json")
+      LogStores.forPath(dst).putIfAbsent(dst, sb.toString)
+    }
+    // persist through all future pruning: the fresh checkpoint's
+    // graftPartGens snapshot folds the marker in
+    checkpointDeltaLog(spark, tablePath)
+    gens
+  }
+
+  /** The partition values under `root` that carry a `_CURRENT` pointer
+    * — the population every crash-window guard and the migration walk.
+    */
+  private[sources] def pointeredPartitions(
+      root: java.nio.file.Path): Seq[String] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(root)) return Seq.empty
+    val ls = Files.list(root)
+    try ls.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("p=") &&
+        Files.exists(p.resolve("_CURRENT")))
+      .map(_.getFileName.toString.stripPrefix("p="))
+      .toSeq.sorted
+    finally ls.close()
   }
 
   /** Loud refusal form of [[crashLaggingPartitions]] for the committers
@@ -2288,13 +2507,51 @@ object Sinks {
     * JSONs; called only for partitions with no marker anywhere (rare).
     */
   private def generationEverLogged(root: java.nio.file.Path,
-                                   part: String, gen: String): Boolean = {
+                                   part: String, gen: String): Boolean =
+    pathPrefixEverLogged(root, s"p=$part/$gen/")
+
+  private def pathPrefixEverLogged(root: java.nio.file.Path,
+                                   prefix: String): Boolean = {
     import java.nio.file.Files
-    val needle = "\"path\":\"p=" + part + "/" + gen + "/"
+    val needle = "\"path\":\"" + prefix
     deltaLogVersions(root.toString).reverseIterator.exists { v =>
       val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
       Files.exists(f) && Files.readString(f).contains(needle)
     }
+  }
+
+  /** ROOT-LEVEL (unpartitioned-table) twin of
+    * [[requireNoCrashLagging]], closing the same silent-undo hole the
+    * partitioned committers already refuse on (round-12 fuzz-harness
+    * find): a DELETE / RESTORE / purge / ADD CONSTRAINT landing while
+    * the table pointer is AHEAD of the logged state would be
+    * acknowledged and then silently destroyed — the healing merge bases
+    * on the RAW pointer dir and its full-prefix removes drop the
+    * interleaved commit's effect. Decision mirrors the partitioned
+    * guard: the newest `generation` marker when one exists anywhere
+    * (commitInfo walk or the checkpoint pointer's `graftLastGen`), then
+    * "pointer generation has a logged live file", then the retained-log
+    * containment scan. The MERGE is the healer.
+    */
+  private[sources] def requireRootNotCrashLagging(
+      root: java.nio.file.Path,
+      state: scala.collection.Map[String,
+        com.fasterxml.jackson.databind.JsonNode],
+      op: String): Unit = {
+    import java.nio.file.Files
+    val ptr = root.resolve("_CURRENT")
+    if (!Files.exists(ptr)) return
+    val gen = Files.readString(ptr).trim
+    val g = gen.stripPrefix("gen-").toLong
+    val lagging = lastLoggedGeneration(root) match {
+      case Some(lg) => lg < g
+      case None => !state.keysIterator.exists(_.startsWith(s"$gen/")) &&
+        !pathPrefixEverLogged(root, s"$gen/")
+    }
+    require(!lagging,
+      s"$op(${root}): the table pointer ($gen) is ahead of the logged " +
+        "state (a merge crashed between its pointer swap and its log " +
+        "commit) — re-run a merge first; it heals the window")
   }
 
   /** The highest GENERATION number the delta log has committed, derived
@@ -2649,11 +2906,10 @@ object Sinks {
               // wedges on FileAlreadyExists forever
               if (Files.exists(genDir)) deleteRecursively(genDir)
               Files.move(staged, genDir, StandardCopyOption.ATOMIC_MOVE)
-              val tmp = dir.resolve("_CURRENT.tmp")
-              Files.writeString(tmp, s"gen-$nextNum")
-              Files.move(tmp, dir.resolve("_CURRENT"),
-                StandardCopyOption.ATOMIC_MOVE,
-                StandardCopyOption.REPLACE_EXISTING)
+              locally {
+                val ptr = dir.resolve("_CURRENT")
+                LogStores.forPath(ptr).put(ptr, s"gen-$nextNum")
+              }
               publishManifest(
                 root.resolve("_symlink_format_manifest").resolve(s"p=$v"),
                 genDir)
@@ -2802,11 +3058,10 @@ object Sinks {
           if (Files.exists(genDir)) deleteRecursively(genDir)
           Files.move(stage.resolve(v), genDir,
             StandardCopyOption.ATOMIC_MOVE)
-          val tmp = dir.resolve("_CURRENT.tmp")
-          Files.writeString(tmp, s"gen-$nextNum")
-          Files.move(tmp, dir.resolve("_CURRENT"),
-            StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
+          locally {
+            val ptr = dir.resolve("_CURRENT")
+            LogStores.forPath(ptr).put(ptr, s"gen-$nextNum")
+          }
           publishManifest(
             root.resolve("_symlink_format_manifest").resolve(s"p=$v"),
             genDir)
@@ -3130,10 +3385,7 @@ object Sinks {
           val newGen = root.resolve(s"gen-$nextNum")
           if (Files.exists(newGen)) deleteRecursively(newGen)
           Files.move(stage, newGen, StandardCopyOption.ATOMIC_MOVE)
-          val tmp = root.resolve("_CURRENT.tmp")
-          Files.writeString(tmp, s"gen-$nextNum")
-          Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
+          LogStores.forPath(pointer).put(pointer, s"gen-$nextNum")
           publishManifest(root.resolve("_symlink_format_manifest"), newGen)
           // same rows, new files: a Delta OPTIMIZE commit (dataChange
           // false — incremental consumers know no rows changed)
