@@ -1,0 +1,405 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import graft.sources.{LogStore, LogStores, LocalFsLogStore, Sinks,
+  DeletionVectors}
+
+/** Differential log-replay fuzzer for the generational-Delta subsystem
+  * (round-11 directive 1 — eleven consecutive rounds of review passes
+  * each found silent-data-loss bugs here; hand-written DeltaLogSpec
+  * cases only cover histories someone imagined).
+  *
+  * Each seeded history drives a random op sequence — merge (with schema
+  * evolution), DELETE WHERE (deletion vectors), RESTORE, checkpoint,
+  * cleanDeltaLog, compact, ADD/DROP CONSTRAINT, DV purge — against a
+  * fresh table, asserting the protocol read (readDeltaTableAt) equals
+  * an INDEPENDENT in-memory model after every op. Crash histories
+  * additionally arm a [[CrashingStore]] that kills the writer at a
+  * random storage-operation boundary — including the exact window the
+  * crash-lagging guards exist for (pointer swapped, log commit never
+  * written) — then continue the history and assert the heal converges.
+  *
+  * Model independence: the model never consults graft's read path. The
+  * only engine observables it reads to adjudicate a CRASHED op's effect
+  * are protocol-level facts read with its own parsing — the `_CURRENT`
+  * pointer bytes, the `_delta_log` version listing, and the
+  * `generation` markers in raw commit JSON (plus `graftLastGen` in
+  * `_last_checkpoint`), mirroring what an external forensic tool could
+  * see after a real crash.
+  *
+  * Post-crash semantics asserted (the round-12 guard contract):
+  *  - a MERGE (or compact) heals — pointer-committed-but-unlogged
+  *    generations get re-logged, then the new batch lands on top;
+  *  - DELETE must refuse or no-op (zero rows) while the table lags;
+  *    RESTORE and ADD CONSTRAINT must refuse; purge must refuse or
+  *    no-op — a SUCCESS with effect while lagging is the silent-undo
+  *    bug class and fails the history.
+  *
+  * Coverage per failure: the seed is printed, so any future bug class
+  * is reproducible by `runHistory(seed, crash)`.
+  */
+class DeltaFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Simulated process death at a storage-operation boundary: passes
+    * through to the local store until `armAt` more operations have run,
+    * then throws on every operation — the op that trips the limit does
+    * NOT execute (died before it), and nothing after it executes either
+    * (the process is gone). `disarm()` models the restarted process.
+    */
+  private final class CrashingStore extends LogStore {
+    @volatile private var remaining: Int = Int.MaxValue
+    @volatile var fired: Boolean = false
+    def arm(afterOps: Int): Unit = { remaining = afterOps; fired = false }
+    def disarm(): Unit = { remaining = Int.MaxValue }
+    private def step(): Unit = this.synchronized {
+      if (remaining <= 0) { fired = true; throw new InjectedCrash }
+      remaining -= 1
+    }
+    def createNew(p: Path): Unit = { step(); LocalFsLogStore.createNew(p) }
+    def put(p: Path, c: String): Unit = { step(); LocalFsLogStore.put(p, c) }
+    def putIfAbsent(p: Path, c: String): Unit = {
+      step(); LocalFsLogStore.putIfAbsent(p, c) }
+    def putFile(s: Path, d: Path): Unit = {
+      step(); LocalFsLogStore.putFile(s, d) }
+    def delete(p: Path): Unit = { step(); LocalFsLogStore.delete(p) }
+  }
+  private final class InjectedCrash extends RuntimeException("injected crash")
+
+  /** The model: logged-state columns and rows keyed by `k`. Merge is
+    * the engine's documented default (SourceFirst): batch columns
+    * overwrite on match, missing columns keep target values, new keys
+    * insert null-filled.
+    */
+  private case class Model(cols: Vector[String],
+                           rows: Map[Long, Map[String, Any]]) {
+    def merge(batchCols: Vector[String],
+              batch: Seq[Map[String, Any]]): Model = {
+      val allCols = cols ++ batchCols.filterNot(cols.contains)
+      val merged = batch.foldLeft(rows) { (acc, r) =>
+        val k = r("k").asInstanceOf[Long]
+        acc + (k -> (acc.getOrElse(k, Map.empty) ++ r))
+      }
+      Model(allCols, merged)
+    }
+    def delete(m: Long, r: Long): Model =
+      copy(rows = rows.filterNot { case (k, _) =>
+        ((k % m) + m) % m == r })
+  }
+  private val emptyModel = Model(Vector("k", "v"), Map.empty)
+
+  /** Independent protocol observables (never graft's read path). */
+  private def pointerGen(dir: String): Option[Long] = {
+    val p = Paths.get(dir, "_CURRENT")
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).trim.stripPrefix("gen-").toLong)
+  }
+  private def logVersions(dir: String): Seq[Long] = {
+    val ld = Paths.get(dir, "_delta_log")
+    if (!Files.isDirectory(ld)) return Seq.empty
+    val ls = Files.list(ld)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.endsWith(".tmp"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .toSeq.sorted
+    } finally ls.close()
+  }
+  private def maxLoggedGen(dir: String): Long = {
+    val ld = Paths.get(dir, "_delta_log")
+    var out = -1L
+    val lc = ld.resolve("_last_checkpoint")
+    if (Files.exists(lc)) {
+      val n = mapper.readTree(Files.readString(lc))
+      if (n.has("graftLastGen")) out = n.get("graftLastGen").asLong()
+    }
+    logVersions(dir).foreach { v =>
+      Files.readString(ld.resolve(f"$v%020d.json")).linesIterator
+        .filter(_.nonEmpty).map(mapper.readTree)
+        .filter(_.has("commitInfo")).map(_.get("commitInfo"))
+        .filter(_.has("operationParameters"))
+        .map(_.get("operationParameters"))
+        .filter(_.has("generation"))
+        .foreach(p => out = math.max(out,
+          p.get("generation").asText().toLong))
+    }
+    out
+  }
+
+  private def assertState(dir: String, model: Model, ctx: String): Unit = {
+    if (logVersions(dir).isEmpty &&
+        !Files.exists(Paths.get(dir, "_delta_log", "_last_checkpoint"))) {
+      assert(model.rows.isEmpty, s"$ctx: model has rows but no log exists")
+      return
+    }
+    if (model.rows.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Sinks.readDeltaTableAt(spark, dir)
+      }
+      assert(e.getMessage.contains("no live files"), s"$ctx: ${e.getMessage}")
+      return
+    }
+    val df = Sinks.readDeltaTableAt(spark, dir)
+    assert(df.columns.toSet == model.cols.toSet,
+      s"$ctx: columns ${df.columns.toSet} != model ${model.cols.toSet}")
+    // collect-bound: fuzz tables hold <= 12 keys by construction
+    val got = df.collect().map { r =>
+      val m = df.columns.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(i)) null else r.get(i)) }.toMap
+      m("k").asInstanceOf[Long] -> m
+    }.toMap
+    val want = model.rows.map { case (k, row) =>
+      k -> model.cols.map(c => c -> row.getOrElse(c, null)).toMap
+    }
+    assert(got == want, s"$ctx:\n  got  $got\n  want $want")
+  }
+
+  /** One seeded history. Returns (crashFired, sawCrashWindow) so the
+    * caller can prove the injection machinery is live — an injector
+    * that never fires would green-wash the whole suite.
+    */
+  private def runHistory(seed: Int, crash: Boolean): (Boolean, Boolean) = {
+    val rnd = new scala.util.Random(seed)
+    val root = Files.createTempDirectory(s"fuzz-$seed")
+    val dir = root.resolve("t").toString
+    val store = new CrashingStore
+    LogStores.register(root, store)
+    try {
+      var model = emptyModel
+      var sawWindow = false
+      // pointer-committed-but-unlogged generations: (gen, full state)
+      var chain = Vector.empty[(Long, Model)]
+      var hasConstraint = false
+      val snapshots = scala.collection.mutable.Map.empty[Long, Model]
+      val nOps = 6 + rnd.nextInt(3)
+      val crashAtOp = if (crash) rnd.nextInt(nOps) else -1
+
+      def drain(): Unit = {
+        val lg = maxLoggedGen(dir)
+        while (chain.nonEmpty && chain.head._1 <= lg) {
+          model = chain.head._2
+          chain = chain.tail
+        }
+      }
+
+      def mergeOp(opIdx: Int, armed: Boolean): Unit = {
+        val keys = rnd.shuffle((0L to 11L).toVector).take(1 + rnd.nextInt(4))
+        val withW = rnd.nextDouble() < 0.25
+        val batchCols =
+          if (withW) Vector("k", "v", "w") else Vector("k", "v")
+        val batch = keys.map { k =>
+          val base = Map[String, Any]("k" -> k, "v" -> s"v$opIdx-$k")
+          if (withW) base + ("w" -> s"w$opIdx-$k") else base
+        }
+        val df =
+          if (withW) batch.map(r => (r("k").asInstanceOf[Long],
+            r("v").asInstanceOf[String], r("w").asInstanceOf[String]))
+            .toDF("k", "v", "w")
+          else batch.map(r => (r("k").asInstanceOf[Long],
+            r("v").asInstanceOf[String])).toDF("k", "v")
+        val ptrBefore = pointerGen(dir)
+        val base = chain.lastOption.map(_._2).getOrElse(model)
+        try {
+          Sinks.upsertParquet(spark, dir, df, Seq("k"),
+            evolveSchema = true, checkpointInterval = 3,
+            staleLockMs = 5000L)
+          // a successful merge logs every pointer-committed generation
+          // below it (the heal loop), then its own
+          model = base.merge(batchCols, batch)
+          chain = Vector.empty
+        } catch {
+          case _: InjectedCrash =>
+            val ptrAfter = pointerGen(dir)
+            if (ptrAfter != ptrBefore)
+              chain = chain :+ (ptrAfter.get -> base.merge(batchCols, batch))
+        }
+      }
+
+      def deleteOp(): Unit = {
+        val m = 2L + rnd.nextInt(3)
+        val r = rnd.nextInt(m.toInt).toLong
+        val vBefore = logVersions(dir).lastOption.getOrElse(-1L)
+        try {
+          val dv = DeletionVectors.deleteDeltaWhere(spark, dir,
+            pmod(col("k"), lit(m)) === r)
+          if (chain.nonEmpty)
+            assert(dv.rowsDeleted == 0L,
+              s"DELETE succeeded with effect (${dv.rowsDeleted} rows) " +
+                "on a crash-lagging table — silent-undo bug")
+          else if (dv.rowsDeleted > 0) model = model.delete(m, r)
+        } catch {
+          case _: InjectedCrash =>
+            if (logVersions(dir).lastOption.getOrElse(-1L) > vBefore)
+              model = model.delete(m, r)
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => () // refusal
+        }
+      }
+
+      def restoreOp(): Unit = {
+        if (snapshots.isEmpty) return
+        val ver = snapshots.keys.toSeq(rnd.nextInt(snapshots.size))
+        val vBefore = logVersions(dir).lastOption.getOrElse(-1L)
+        try {
+          Sinks.restoreDeltaTable(spark, dir, ver, staleLockMs = 5000L)
+          assert(chain.isEmpty,
+            "RESTORE succeeded on a crash-lagging table — silent-undo bug")
+          model = snapshots(ver)
+        } catch {
+          case _: InjectedCrash =>
+            if (logVersions(dir).lastOption.getOrElse(-1L) > vBefore)
+              model = snapshots(ver)
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => () // refusal
+        }
+      }
+
+      def constraintOp(): Unit = {
+        val vBefore = logVersions(dir).lastOption.getOrElse(-1L)
+        try {
+          if (!hasConstraint) {
+            Sinks.addDeltaCheckConstraint(spark, dir, "k_bound",
+              "k >= 0 AND k <= 11", staleLockMs = 5000L)
+            assert(chain.isEmpty,
+              "ADD CONSTRAINT succeeded on a crash-lagging table")
+            hasConstraint = true
+          } else {
+            Sinks.dropDeltaCheckConstraint(spark, dir, "k_bound",
+              staleLockMs = 5000L)
+            hasConstraint = false
+          }
+        } catch {
+          case _: InjectedCrash =>
+            if (logVersions(dir).lastOption.getOrElse(-1L) > vBefore)
+              hasConstraint = !hasConstraint
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => () // refusal
+        }
+      }
+
+      def purgeOp(): Unit = {
+        try {
+          val purged = DeletionVectors.purgeDeletionVectors(spark, dir)
+          if (chain.nonEmpty)
+            assert(purged == 0,
+              "purge succeeded with effect on a crash-lagging table")
+        } catch {
+          case _: InjectedCrash => () // purge never changes logical state
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => () // refusal
+        }
+      }
+
+      def compactOp(): Unit = {
+        val ptrBefore = pointerGen(dir)
+        val base = chain.lastOption.map(_._2).getOrElse(model)
+        try {
+          val (in, out) = Sinks.compactUpsertTable(spark, dir,
+            staleLockMs = 5000L)
+          if (in != out) { // a real compaction commits a pinned OPTIMIZE:
+            model = base   // it heals (logs the chain below it), logical
+            chain = Vector.empty // rows unchanged
+          }
+        } catch {
+          case _: InjectedCrash =>
+            val ptrAfter = pointerGen(dir)
+            if (ptrAfter != ptrBefore)
+              chain = chain :+ (ptrAfter.get -> base)
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => () // refusal
+        }
+      }
+
+      def checkpointOp(): Unit =
+        try Sinks.checkpointDeltaLog(spark, dir)
+        catch { case _: Exception => () }
+
+      def cleanOp(): Unit =
+        try Sinks.cleanDeltaLog(dir)
+        catch { case _: Exception => () }
+
+      (0 until nOps).foreach { opIdx =>
+        val armed = opIdx == crashAtOp
+        if (armed) store.arm(1 + rnd.nextInt(6))
+        val die = rnd.nextInt(100)
+        if (opIdx == 0 || die < 40) mergeOp(opIdx, armed)
+        else if (die < 55) deleteOp()
+        else if (die < 65) restoreOp()
+        else if (die < 73) compactOp()
+        else if (die < 81) checkpointOp()
+        else if (die < 88) cleanOp()
+        else if (die < 94) constraintOp()
+        else purgeOp()
+        if (armed) {
+          store.disarm()
+          // a real crash leaves the _LOCK held; the engine's stale-steal
+          // reclaims it after staleLockMs — fast-forward that here
+          Files.deleteIfExists(Paths.get(dir, "_LOCK"))
+        }
+        drain()
+        if (chain.nonEmpty) sawWindow = true
+        assertState(dir, model, s"seed=$seed op=$opIdx")
+        if (chain.isEmpty)
+          logVersions(dir).lastOption.foreach(v =>
+            snapshots.getOrElseUpdate(v, model))
+      }
+      // converge: one final heal merge if a crash left the table lagging
+      if (chain.nonEmpty) {
+        mergeOp(nOps, armed = false)
+        drain()
+        assert(chain.isEmpty, s"seed=$seed: heal merge did not converge")
+        assertState(dir, model, s"seed=$seed heal")
+      }
+      (store.fired, sawWindow)
+    } finally LogStores.unregister(root)
+  }
+
+  private def runMany(seeds: Range, crash: Boolean): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = seeds.map { s =>
+        scala.concurrent.Future(scala.util.Try(runHistory(s, crash))
+          .toEither.left.map(e => s -> e))
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(25, "min"))
+      val failures = results.collect { case Left((s, e)) => (s, e) }
+      if (failures.nonEmpty)
+        fail(s"${failures.size} histories failed; first: seed=" +
+          s"${failures.head._1}\n${failures.head._2}\n" +
+          failures.head._2.getStackTrace.take(6).mkString("\n"))
+      if (crash) {
+        // the injector must be demonstrably live, and the specific
+        // window the guards exist for (pointer swapped, log commit
+        // missing) must actually occur across the seed population
+        val fired = results.collect { case Right((f, _)) if f => 1 }.size
+        val windows = results.collect { case Right((_, w)) if w => 1 }.size
+        assert(fired >= seeds.size / 4,
+          s"only $fired/${seeds.size} histories fired a crash — injector inert")
+        assert(windows >= 8,
+          s"only $windows histories hit the pointer-ahead-of-log window")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("fuzz: 120 crash-free random histories match the model after every op") {
+    runMany(1 to 120, crash = false)
+  }
+
+  test("fuzz: 80 crash-injected histories refuse-or-heal to the model") {
+    runMany(1001 to 1080, crash = true)
+  }
+}
