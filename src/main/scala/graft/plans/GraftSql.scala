@@ -63,6 +63,9 @@ object GraftSql {
     *     ([[graft.sources.Sinks.addDeltaCheckConstraint]]); DROP
     *     CONSTRAINT <name> removes it
     *     ([[graft.sources.Sinks.dropDeltaCheckConstraint]])
+    *   ALTER TABLE '<path>' RENAME COLUMN <from> TO <to> →
+    *     metadata-only rename via column mapping
+    *     ([[graft.sources.Sinks.renameDeltaColumn]])
     *
     * Each returns a one-row summary frame. Anything else returns None
     * and falls through to the query path — valid Spark SQL never
@@ -83,6 +86,8 @@ object GraftSql {
       """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
     val DropCk =
       """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+    val RenCol =
+      """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
     def restore(path: String, version: Long) = {
       val (nv, added, removed) =
         graft.sources.Sinks.restoreDeltaTable(spark, path, version)
@@ -106,6 +111,10 @@ object GraftSql {
         graft.sources.Sinks.dropDeltaCheckConstraint(spark, path, name)
         Some(Seq((path, "DROP CONSTRAINT", name))
           .toDF("path", "operation", "constraint_name"))
+      case RenCol(path, from, to) =>
+        graft.sources.Sinks.renameDeltaColumn(spark, path, from, to)
+        Some(Seq((path, "RENAME COLUMN", from, to))
+          .toDF("path", "operation", "from_column", "to_column"))
       case Opt(path, target) =>
         val tb = Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024)
         val (before, after) =

@@ -288,12 +288,20 @@ object DeletionVectors {
     }.toMap
     val exB = spark.sparkContext.broadcast(existingDv)
     // logged-schema read: a predicate over a late-added column must see
-    // nulls on pre-evolution files, not depend on footer sampling
-    val out = schema.map(spark.read.schema).getOrElse(spark.read)
+    // nulls on pre-evolution files, not depend on footer sampling. The
+    // scan is physical, the predicate is written against LOGICAL names;
+    // the _metadata pseudo-columns are captured BEFORE the logical
+    // rename (a projection can strip their resolvability)
+    val scan0 = schema.map(s =>
+      spark.read.schema(Sinks.physicalSchema(s))).getOrElse(spark.read)
       .parquet(absPaths: _*)
+      .withColumn("__fp", normalizedFilePath)
+      .withColumn("__ri", col("_metadata.row_index"))
+    val out = schema.filter(s => Sinks.columnMapping(Some(s)).nonEmpty)
+      .map(s => scan0.toDF(s.fieldNames.toIndexedSeq :+ "__fp" :+ "__ri": _*))
+      .getOrElse(scan0)
       .filter(predicate)
-      .select(normalizedFilePath.as("fp"),
-        col("_metadata.row_index").as("ri"))
+      .select(col("__fp").as("fp"), col("__ri").as("ri"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (fp, it) =>
@@ -482,8 +490,11 @@ object DeletionVectors {
     def abs(p: String) = root.resolve(p).toString
     // under schema evolution files span eras; both scans read under the
     // LOGGED schema so the union's sides line up and a partition's
-    // late-added column is nulls, not an AnalysisException
-    def reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    // late-added column is nulls, not an AnalysisException. The scan
+    // spells columns PHYSICALLY (the data-file truth under column
+    // mapping); the exit renames to the logical spelling
+    def reader = schema.map(s =>
+      spark.read.schema(Sinks.physicalSchema(s))).getOrElse(spark.read)
     val (withDv, plain) = addNodes.partition(_._2.has("deletionVector"))
     val plainDf =
       if (plain.isEmpty) None
@@ -505,13 +516,17 @@ object DeletionVectors {
         Some(scan.join(delDf, Seq("__fp", "__ri"), "left_anti")
           .drop("__fp", "__ri"))
       }
-    (plainDf, dvDf) match {
+    val out = (plainDf, dvDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) =>
         throw new IllegalArgumentException("no live files to scan")
     }
+    // physical -> logical (positional: physicalSchema preserves order);
+    // identity when no column was ever renamed
+    schema.filter(s => Sinks.columnMapping(Some(s)).nonEmpty)
+      .map(s => out.toDF(s.fieldNames.toIndexedSeq: _*)).getOrElse(out)
   }
 
   /** [[Sinks.readDeltaTableAt]]'s DV-aware form: the state at `version`
@@ -564,7 +579,9 @@ object DeletionVectors {
     // logged-schema scan: an era-spanning purge rewrite must carry the
     // evolved columns (nulls where the old files lack them), not
     // whichever footer Spark samples
-    scanWithDvs(spark, tablePath, withDv, Sinks.metaSchema(meta))
+    Sinks.toPhysicalFrame(
+        scanWithDvs(spark, tablePath, withDv, Sinks.metaSchema(meta)),
+        Sinks.metaSchema(meta))
       .write.mode("overwrite").parquet(genDir.toString)
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]

@@ -89,6 +89,10 @@ class DeltaFuzzSpec extends SparkSpec {
     def delete(m: Long, r: Long): Model =
       copy(rows = rows.filterNot { case (k, _) =>
         ((k % m) + m) % m == r })
+    def rename(from: String, to: String): Model =
+      Model(cols.map(c => if (c == from) to else c),
+        rows.map { case (k, row) => k -> row.map { case (c, x) =>
+          (if (c == from) to else c) -> x } })
   }
   private val emptyModel = Model(Vector("k", "v"), Map.empty)
 
@@ -190,18 +194,23 @@ class DeltaFuzzSpec extends SparkSpec {
       def mergeOp(opIdx: Int, armed: Boolean): Unit = {
         val keys = rnd.shuffle((0L to 11L).toVector).take(1 + rnd.nextInt(4))
         val withW = rnd.nextDouble() < 0.25
+        // the v column's CURRENT logical name (renameOp toggles it; a
+        // batch through the stale name is refused by the
+        // physical-collision guard, which is its own spec'd behavior)
+        val vName = (chain.lastOption.map(_._2).getOrElse(model).cols
+          .find(c => c == "v" || c == "v2")).getOrElse("v")
         val batchCols =
-          if (withW) Vector("k", "v", "w") else Vector("k", "v")
+          if (withW) Vector("k", vName, "w") else Vector("k", vName)
         val batch = keys.map { k =>
-          val base = Map[String, Any]("k" -> k, "v" -> s"v$opIdx-$k")
+          val base = Map[String, Any]("k" -> k, vName -> s"v$opIdx-$k")
           if (withW) base + ("w" -> s"w$opIdx-$k") else base
         }
         val df =
           if (withW) batch.map(r => (r("k").asInstanceOf[Long],
-            r("v").asInstanceOf[String], r("w").asInstanceOf[String]))
-            .toDF("k", "v", "w")
+            r(vName).asInstanceOf[String], r("w").asInstanceOf[String]))
+            .toDF("k", vName, "w")
           else batch.map(r => (r("k").asInstanceOf[Long],
-            r("v").asInstanceOf[String])).toDF("k", "v")
+            r(vName).asInstanceOf[String])).toDF("k", vName)
         val ptrBefore = pointerGen(dir)
         val base = chain.lastOption.map(_._2).getOrElse(model)
         try {
@@ -320,6 +329,27 @@ class DeltaFuzzSpec extends SparkSpec {
         }
       }
 
+      def renameOp(): Unit = {
+        val cur = model.cols.find(c => c == "v" || c == "v2")
+          .getOrElse("v")
+        val to = if (cur == "v") "v2" else "v"
+        val vBefore = logVersions(dir).lastOption.getOrElse(-1L)
+        try {
+          Sinks.renameDeltaColumn(spark, dir, cur, to,
+            staleLockMs = 5000L)
+          assert(chain.isEmpty,
+            "RENAME succeeded on a crash-lagging table")
+          model = model.rename(cur, to)
+        } catch {
+          case _: InjectedCrash =>
+            if (logVersions(dir).lastOption.getOrElse(-1L) > vBefore)
+              model = model.rename(cur, to)
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => () // refusal
+        }
+      }
+
       def checkpointOp(): Unit =
         try Sinks.checkpointDeltaLog(spark, dir)
         catch { case _: Exception => () }
@@ -337,8 +367,9 @@ class DeltaFuzzSpec extends SparkSpec {
         else if (die < 65) restoreOp()
         else if (die < 73) compactOp()
         else if (die < 81) checkpointOp()
-        else if (die < 88) cleanOp()
-        else if (die < 94) constraintOp()
+        else if (die < 86) cleanOp()
+        else if (die < 91) constraintOp()
+        else if (die < 96) renameOp()
         else purgeOp()
         if (armed) {
           store.disarm()

@@ -625,11 +625,19 @@ class DeltaLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("re-add"),
       s"droppedColumns marker lost through checkpoint pruning: " +
         e2.getMessage)
-    // rename: loud refusal, never a silent reshuffle
-    val r = intercept[UnsupportedOperationException] {
-      Sinks.renameDeltaColumn(spark, dir, "v", "val")
+    // rename is metadata-only via column mapping since round 12
+    // (DeltaMappingSpec owns the semantics); here: it composes with the
+    // droppedColumns marker — the renamed table still refuses the
+    // buried name
+    Sinks.renameDeltaColumn(spark, dir, "v", "val")
+    assert(Sinks.readDeltaTableAt(spark, dir).columns.toSet
+      == Set("k", "val"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((5L, "ghost", 50.0)).toDF("k", "name", "val"), keys = Seq("k"),
+        evolveSchema = true)
     }
-    assert(r.getMessage.contains("column mapping"), r.getMessage)
+    assert(e3.getMessage.contains("re-add"), e3.getMessage)
   }
 
   test("add actions carry footer-derived stats; skipped types are omitted") {

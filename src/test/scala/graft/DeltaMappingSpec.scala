@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Sinks, DeletionVectors}
+
+/** Column mapping (round-11 optional directive 8): metadata-only RENAME
+  * COLUMN that composes with DV DELETEs, RESTORE, time travel, schema
+  * evolution, purge/compact rewrites, stats pruning, constraints, and
+  * the droppedColumns guard. Data files keep the column's birth-name
+  * spelling; the logged schema carries the logical name plus the Delta
+  * protocol's `delta.columnMapping.physicalName` field metadata.
+  */
+class DeltaMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("k").collect().map(_.getLong(0)).toSet
+
+  test("rename round-trips through DV DELETE, merge, purge, compact, RESTORE") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      (1L to 8L).map(k => (k, s"n$k", k * 1.0)).toDF("k", "name", "v"),
+      Seq("k"))
+    DeletionVectors.deleteDeltaWhere(spark, dir, col("k") % 3 === 0L)
+    Sinks.renameDeltaColumn(spark, dir, "name", "title")
+    val afterRename = Sinks.readDeltaTableAt(spark, dir)
+    assert(afterRename.columns.toSeq == Seq("k", "title", "v"))
+    // values survive the rename (they live under the physical name) and
+    // the DELETE still holds
+    assert(afterRename.select("k", "title").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L, 2L, 4L, 5L, 7L, 8L).map(k => (k, s"n$k")))
+    val preMergeVersion = Sinks.deltaLogVersions(dir).max
+    // a merge updating the RENAMED column, through the logical name
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "T2", 2.5), (9L, "T9", 9.0)).toDF("k", "title", "v"),
+      Seq("k"))
+    def titleOf(k: Long): String = Sinks.readDeltaTableAt(spark, dir)
+      .where(col("k") === k).select("title").collect()(0).getString(0)
+    assert(titleOf(2L) == "T2" && titleOf(9L) == "T9" &&
+      titleOf(1L) == "n1")
+    // the data files still spell the column physically
+    val physCols = spark.read.parquet(
+      java.nio.file.Paths.get(dir,
+        Files.readString(java.nio.file.Paths.get(dir, "_CURRENT")).trim)
+        .toString).columns.toSeq
+    assert(physCols.contains("name") && !physCols.contains("title"),
+      s"staged files must keep the physical spelling: $physCols")
+    // purge + compact rewrites keep the mapping coherent
+    DeletionVectors.deleteDeltaWhere(spark, dir, col("k") === 8L)
+    DeletionVectors.purgeDeletionVectors(spark, dir)
+    Sinks.compactUpsertTable(spark, dir)
+    val afterRewrites = Sinks.readDeltaTableAt(spark, dir)
+    assert(afterRewrites.columns.toSeq == Seq("k", "title", "v"))
+    assert(ks(afterRewrites) == Set(1L, 2L, 4L, 5L, 7L, 9L))
+    assert(titleOf(2L) == "T2")
+    // pointer read path agrees (partitioned twin is spec'd below)
+    assert(Sinks.readUpsertTable(spark, dir).columns.toSeq
+      .contains("name"), "raw pointer reads keep the physical contract")
+    // RESTORE to the pre-merge version reverts rows AND keeps mapping
+    Sinks.restoreDeltaTable(spark, dir, preMergeVersion)
+    val restored = Sinks.readDeltaTableAt(spark, dir)
+    assert(restored.columns.toSeq == Seq("k", "title", "v"))
+    assert(ks(restored) == Set(1L, 2L, 4L, 5L, 7L, 8L))
+    // RESTORE further back, to the pre-RENAME schema: name comes back
+    Sinks.restoreDeltaTable(spark, dir, 1L)
+    assert(Sinks.readDeltaTableAt(spark, dir).columns.toSeq ==
+      Seq("k", "name", "v"))
+  }
+
+  test("rename refusals: collisions, constraints, old-name reuse, dropped names") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v"),
+      Seq("k"))
+    intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "name", "V") // case collision
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "ghost", "x") // unknown column
+    }
+    Sinks.addDeltaCheckConstraint(spark, dir, "v_pos", "v > 0")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "v", "value")
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    Sinks.dropDeltaCheckConstraint(spark, dir, "v_pos")
+    Sinks.renameDeltaColumn(spark, dir, "v", "value")
+    // re-using the OLD logical name as a "new" evolved column would
+    // collide with the renamed column's physical name in the files
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((3L, "c", 3.0, 33.0)).toDF("k", "name", "value", "v"),
+        Seq("k"), evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("physical name"), e2.getMessage)
+    // dropping the renamed column buries BOTH spellings
+    Sinks.dropDeltaColumn(spark, dir, "value")
+    val e3 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((3L, "c", 3.0)).toDF("k", "name", "v"),
+        Seq("k"), evolveSchema = true)
+    }
+    assert(e3.getMessage.contains("dropped"), e3.getMessage)
+    // and renaming another column ONTO a dropped name is refused
+    intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "name", "value")
+    }
+  }
+
+  test("partitioned table rename + stats pruning on the logical name") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+        (3L, "2024-01-02", 3.0), (4L, "2024-01-02", 4.0))
+        .toDF("k", "ds", "amount"),
+      Seq("k"), "ds")
+    Sinks.renameDeltaColumn(spark, dir, "amount", "amt")
+    val viaPtr = Sinks.readUpsertPartitionedTable(spark, dir)
+    assert(viaPtr.columns.toSeq == Seq("k", "ds", "amt"))
+    assert(viaPtr.select("k", "amt").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    // merge through the new name into one partition; DELETE by it too
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((2L, "2024-01-01", 20.0)).toDF("k", "ds", "amt"),
+      Seq("k"), "ds")
+    // k=3 deletes via a DV (k=4 keeps the file alive and DV'd)
+    DeletionVectors.deleteDeltaWhere(spark, dir, col("amt") === 3.0)
+    assert(Sinks.readDeltaTableAt(spark, dir).select("k", "amt")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (2L, 20.0), (4L, 4.0)))
+    // external protocol reader agrees through the mapping
+    val ext = ExternalDeltaReader.readRows(spark, dir)._2
+      .map(m => (m("k"), m("amt"))).toSet
+    assert(ext == Set((1L, 1.0), (2L, 20.0), (4L, 4.0)))
+    // file-skipping prunes on the LOGICAL name (stats stay physical)
+    val pruned = Sinks.readDeltaTablePruned(spark, dir, "amt", 15.0, null)
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(2L))
+    val files = Sinks.deltaPrunedFiles(spark, dir, "amt", 15.0, null)
+    assert(files.nonEmpty &&
+      files.size < Sinks.deltaLiveFiles(dir).size,
+      s"stats must actually skip files: kept ${files.size}")
+  }
+
+  test("ALTER TABLE RENAME COLUMN lowers through GraftSql") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    val out = graft.plans.GraftSql.sql(spark,
+      s"ALTER TABLE '$dir' RENAME COLUMN v TO score")
+    assert(out.columns.contains("to_column"))
+    assert(Sinks.readDeltaTableAt(spark, dir).columns.toSeq ==
+      Seq("k", "score"))
+  }
+}

@@ -190,18 +190,26 @@ object ExternalDeltaReader {
   }
 
   /** Materialize the snapshot's rows: every live file read under the
-    * LOGGED schema, deletion-vector row indexes (position within the
-    * file) subtracted. Test-scope: single small files read in one
-    * partition preserve file order, which defines the row index.
+    * LOGGED schema — scanned by each field's PHYSICAL name (the
+    * protocol's `delta.columnMapping.physicalName` field metadata,
+    * identity when absent) and exposed by the logical one — with
+    * deletion-vector row indexes (position within the file) subtracted.
+    * Test-scope: single small files read in one partition preserve file
+    * order, which defines the row index.
     */
   def readRows(spark: SparkSession, tablePath: String,
                version: Long = -1L): (StructType, Seq[Map[String, Any]]) = {
     val snap = snapshot(spark, tablePath, version)
     val cols = snap.schema.fieldNames.toSeq
+    val physKey = "delta.columnMapping.physicalName"
+    val physSchema = StructType(snap.schema.fields.map(f =>
+      if (f.metadata.contains(physKey))
+        f.copy(name = f.metadata.getString(physKey))
+      else f))
     val rows = snap.adds.values.toSeq.flatMap { add =>
       val file = Paths.get(tablePath, add.path).toString
       // collect-bound: conformance reader, per-file test-scale reads
-      val raw = spark.read.schema(snap.schema).parquet(file).collect()
+      val raw = spark.read.schema(physSchema).parquet(file).collect()
       val deleted = add.dvInline
         .map(s => deletedIndexes(s, add.dvSize)).getOrElse(Set.empty)
       raw.zipWithIndex.collect {
