@@ -186,12 +186,20 @@ object Bench {
     // or the cap is hit — high-spread queries are exactly the ones that
     // feed every round's phantom-regression pipeline
     val repCap = math.max(reps, 9)
+    // the settle test runs over the OUTLIER-TRIMMED window (single max
+    // and min dropped): the raw max-min is monotonically non-decreasing
+    // as reps are added, so a raw-spread condition could never become
+    // false and every noisy query would burn straight to the cap
+    def unsettled(ts: Vector[Double]): Boolean = {
+      if (ts.size < 3) return false
+      val kept = ts.sorted.slice(1, ts.size - 1)
+      kept.min > 0 && (kept.max - kept.min) / kept.min > 1.0
+    }
     val results = names.map { name =>
       var times = (1 to reps).map(_ => materialize(name))
         .filter(_ >= 0).toVector
       var repping = true
-      while (repping && times.nonEmpty && times.size < repCap &&
-          times.min > 0 && (times.max - times.min) / times.min > 1.0) {
+      while (repping && times.size < repCap && unsettled(times)) {
         val t = materialize(name)
         if (t >= 0) times :+= t
         else repping = false // an erroring rep cannot settle anything

@@ -62,10 +62,9 @@ trait LogStore {
 
 /** Local-filesystem implementation — the default. `put`/`putFile`
   * publish via tmp + ATOMIC_MOVE (POSIX rename, atomic for readers);
-  * `putIfAbsent` is an existence check + atomic publish, race-free in
-  * this engine because every log-commit write happens under the
-  * table's `_LOCK` (a true object store makes the conditional PUT
-  * itself atomic and drops that reliance).
+  * `putIfAbsent` publishes via a hard link — POSIX link() fails EEXIST
+  * atomically, so even a writer resuming from a stale-lock break can
+  * never overwrite the lock-breaker's committed version.
   */
 object LocalFsLogStore extends LogStore {
   def createNew(path: Path): Unit = Files.createFile(path)
@@ -78,9 +77,17 @@ object LocalFsLogStore extends LogStore {
   }
 
   def putIfAbsent(path: Path, content: String): Unit = {
-    if (Files.exists(path))
-      throw new java.nio.file.FileAlreadyExistsException(path.toString)
-    put(path, content)
+    // hard-link publish: POSIX link() fails EEXIST ATOMICALLY, unlike
+    // rename(), which silently replaces — an exists() pre-check would
+    // leave a window where a writer resuming from a stale-lock break
+    // overwrites the lock-breaker's committed version (round-12 review
+    // find). The tmp name is unique so concurrent callers never collide
+    // on the staging file itself.
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.writeString(tmp, content)
+    try Files.createLink(path, tmp)
+    finally Files.deleteIfExists(tmp)
   }
 
   def putFile(src: Path, dst: Path): Unit =

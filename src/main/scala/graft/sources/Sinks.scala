@@ -953,6 +953,11 @@ object Sinks {
     require(from != to, s"renameDeltaColumn: '$from' -> '$to' is a no-op")
     require(to.nonEmpty && !to.contains(","),
       s"invalid column name '$to'")
+    // engine-reserved spellings: the partitioned sink's `__p` rider and
+    // the DV scan's `__fp`/`__ri` work columns would be replaced or
+    // renamed away mid-commit, wedging every future write
+    require(!to.startsWith("__"),
+      s"renameDeltaColumn: '$to' uses the engine-reserved __ prefix")
     val root = Paths.get(tablePath)
     val vAtRead = logTailVersion(tablePath)
     require(vAtRead >= 0, s"no _delta_log under $tablePath")
@@ -984,12 +989,32 @@ object Sinks {
         s"${stillRead.keys.toSeq.sorted.mkString(", ")} still reference " +
         s"'$from' — their stored SQL would stop analyzing; DROP and " +
         "re-ADD them under the new name")
-    val newField = field.copy(name = to, metadata =
-      new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(field.metadata)
-        .putString(PhysNameKey, physicalName(field)).build())
+    // enabling column mapping is a whole-table protocol event (the
+    // Delta spec's name mode): EVERY field gets a pinned physicalName
+    // and a stable column id, the configuration declares
+    // delta.columnMapping.mode=name (+ maxColumnId), and the table's
+    // protocol is upgraded to (2, 5) — an off-the-shelf reader that
+    // does not implement column mapping must REFUSE the table rather
+    // than silently scan logical names the files do not carry
+    // (round-12 review find: metadata alone, with mode absent, is
+    // ignored by real readers — renamed columns would read as nulls)
+    val IdKey = "delta.columnMapping.id"
+    val maxId = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (f.metadata.contains(IdKey)) f.metadata.getLong(IdKey)
+      else i + 1L
+    }.max
     val newSchema = org.apache.spark.sql.types.StructType(
-      schema.fields.map(f => if (f.name == from) newField else f))
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(PhysNameKey, physicalName(f))
+        if (!f.metadata.contains(IdKey)) b.putLong(IdKey, i + 1L)
+        if (f.name == from) f.copy(name = to, metadata = b.build())
+        else f.copy(metadata = b.build())
+      })
+    val newConfig = config +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> maxId.toString)
     val mapper = jsonMapper
     withMetadataLock(root, staleLockMs) {
       val vNow = logTailVersion(tablePath)
@@ -1005,8 +1030,13 @@ object Sinks {
         "timestamp" -> now, "operation" -> "RENAME COLUMN",
         "operationParameters" -> jmap(
           "from" -> from, "to" -> to), "engineInfo" -> "graft")))
+      // protocol upgrade rides the same commit (later protocol action
+      // wins over version 0's (1, 2) on replay)
+      line(jmap("protocol" -> jmap(
+        "minReaderVersion" -> 2, "minWriterVersion" -> 5)))
       val md = canonicalMetaData(meta.get, now)
       md.put("schemaString", newSchema.json)
+      md.put("configuration", configJmap(newConfig))
       line(jmap("metaData" -> md))
       val dst = root.resolve("_delta_log").resolve(f"${vNow + 1}%020d.json")
       LogStores.forPath(dst).putIfAbsent(dst, sb.toString)
@@ -1225,7 +1255,13 @@ object Sinks {
         StructField("version", LongType),
         StructField("lastUpdated", LongType))))))
     val emptyMap = Map.empty[String, String]
-    val protoRow = Row(Row(1, 2), null, null, null, null)
+    // column-mapped tables were protocol-upgraded by RENAME COLUMN; a
+    // checkpoint that re-declared (1, 2) would let a mapping-unaware
+    // reader scan logical names the files do not carry
+    val protoRow =
+      if (metaConfiguration(Some(m)).get("delta.columnMapping.mode")
+          .contains("name")) Row(Row(2, 5), null, null, null, null)
+      else Row(Row(1, 2), null, null, null, null)
     // configuration persists through the checkpoint (it carries the
     // droppedColumns marker — blanking it here would re-admit a dropped
     // column name as soon as cleanDeltaLog pruned the marker JSONs)
@@ -1596,13 +1632,18 @@ object Sinks {
       case (x: String, y: String) => Some(utf8Compare(x, y))
       case _ => None
     }
-    // footer-derived stats spell columns PHYSICALLY (the protocol rule
-    // under column mapping); translate the logical predicate column once
-    val physCol = metaSchema(
-        deltaStateWithMeta(spark, tablePath, version)._2)
+    // ONE state reconstruction serves both the mapping lookup and the
+    // live-add listing (stats spell columns PHYSICALLY under column
+    // mapping, so the logical predicate column translates once; a
+    // second deltaLiveAdds walk would replay the whole log again —
+    // round-12 review find)
+    val (liveState, metaN) = deltaStateWithMeta(spark, tablePath, version)
+    val physCol = metaSchema(metaN)
       .flatMap(_.fields.find(_.name == colName))
       .map(physicalName).getOrElse(colName)
-    deltaLiveAdds(spark, tablePath, version).filter { case (_, statsOpt) =>
+    liveState.toSeq.map { case (p, n) =>
+      (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
+    }.filter { case (_, statsOpt) =>
       statsOpt.forall { s =>
         val st = mapper.readTree(s)
         val mn = if (st.has("minValues")) asScala(st.get("minValues").get(physCol)) else null
@@ -2198,14 +2239,19 @@ object Sinks {
       tablePath: String, source: DataFrame): Unit = {
     val root = java.nio.file.Paths.get(tablePath)
     if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) return
-    val physToLogical =
-      columnMapping(loggedSchema(spark, tablePath)).map(_.swap)
+    val physToLogical = columnMapping(loggedSchema(spark, tablePath))
+      .map { case (l, p) => p.toLowerCase(java.util.Locale.ROOT) -> l }
     if (physToLogical.isEmpty) return
-    val bad = source.columns.filter(physToLogical.contains)
+    // case-INSENSITIVE like every sibling guard: Spark resolves names
+    // case-insensitively, so a re-cased batch twin aliases the same
+    // physical storage (round-12 review find)
+    val bad = source.columns.filter(c =>
+      physToLogical.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(bad.isEmpty,
       s"source batch column(s) ${bad.mkString(", ")} are RENAMED " +
         s"columns' physical name(s) on $tablePath — write through the " +
-        s"logical name(s): ${bad.map(physToLogical).mkString(", ")}")
+        s"logical name(s): ${bad.map(c => physToLogical(
+          c.toLowerCase(java.util.Locale.ROOT))).mkString(", ")}")
   }
 
   /** Additive-evolution guard for the metaData a commit logs: UNION the
@@ -2215,7 +2261,7 @@ object Sinks {
     * schema-aligned readers would then hide that column's data
     * everywhere (round-10 review find). Type changes stay loud, and so
     * does re-adding a DROPPED column name (old files still physically
-    * carry the dropped values — without column mapping they would
+    * carry the dropped values — under the buried name they would
     * resurface as the new column's data). Returns the effective schema
     * JSON plus the logged configuration the commit must carry forward
     * (dropping it would erase the droppedColumns marker).
@@ -2230,9 +2276,10 @@ object Sinks {
     val readded = next.fieldNames.toSet.intersect(droppedColumns(config))
     require(readded.isEmpty,
       s"cannot re-add dropped column(s) ${readded.mkString(", ")} to " +
-        s"$tablePath: pre-drop files still carry the old physical values," +
-        " which would resurface as the new column's data. Column mapping" +
-        " is not implemented — rewrite the table (CTAS) to reuse the name")
+        s"$tablePath: pre-drop files still carry the old physical " +
+        "values, which would resurface as the new column's data (the " +
+        "marker also buries a renamed column's physical spelling). " +
+        "Rewrite the table (CTAS) to reuse the name")
     metaSchema(metaN) match {
       case None => (schemaJson, config)
       case Some(prev) =>
@@ -2265,9 +2312,27 @@ object Sinks {
         // logged fields are kept VERBATIM: the batch's metadata-less
         // twin of a field would strip the column-mapping physicalName
         // and every later read would scan a name the files don't carry
-        (StructType(prev.fields ++
-          next.fields.filterNot(f => prevNames.contains(f.name))).json,
-          config)
+        val fresh = next.fields.filterNot(f => prevNames.contains(f.name))
+        // a column-mapped table (mode=name) stamps EVERY field with a
+        // physicalName and a stable id — evolved fields included, or an
+        // external reader would reject the schema as partially mapped
+        val mapped = config.get("delta.columnMapping.mode").contains("name")
+        var maxId = config.get("delta.columnMapping.maxColumnId")
+          .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        val freshStamped =
+          if (!mapped) fresh
+          else fresh.map { f =>
+            maxId += 1
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(PhysNameKey, f.name)
+                .putLong("delta.columnMapping.id", maxId).build())
+          }
+        val outConfig =
+          if (!mapped || freshStamped.isEmpty) config
+          else config + ("delta.columnMapping.maxColumnId" -> maxId.toString)
+        (StructType(prev.fields ++ freshStamped).json, outConfig)
     }
   }
 
@@ -2437,6 +2502,11 @@ object Sinks {
     * snapshot does not contain (round-11 ADVICE find). Legacy
     * checkpoints written before txn rows existed contribute nothing (no
     * `txn` column) — their tables predate the txn protocol entirely.
+    * Residual: a checkpoint parquet written by the round-11 code path
+    * (which overlaid the unpinned sidecar) can itself carry leaked
+    * state if a commit landed mid-checkpoint back then; a fresh
+    * tip-version checkpoint launders it, and hitting the window needs
+    * a pinned re-checkpoint of an OLD version on exactly such a table.
     */
   private def pinnedTxns(spark: SparkSession, root: java.nio.file.Path,
       upTo: Long): Map[String, Long] = {

@@ -145,6 +145,57 @@ class DeltaMappingSpec extends SparkSpec {
       s"stats must actually skip files: kept ${files.size}")
   }
 
+  test("mapping is protocol-visible: mode=name, field ids, protocol (2,5)") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 1.0)).toDF("k", "name", "v"), Seq("k"))
+    Sinks.renameDeltaColumn(spark, dir, "name", "title")
+    // a real reader needs the mode DECLARED and the protocol BUMPED —
+    // physicalName metadata alone is ignored by off-the-shelf engines
+    // (round-12 review find)
+    val snap = ExternalDeltaReader.snapshot(spark, dir)
+    assert(snap.config.get("delta.columnMapping.mode").contains("name"))
+    assert(snap.config.get("delta.columnMapping.maxColumnId")
+      .contains("3"))
+    assert(snap.minReader == 2 && snap.minWriter == 5,
+      s"protocol not upgraded: (${snap.minReader}, ${snap.minWriter})")
+    // EVERY field carries a stable id + physicalName (a partially
+    // mapped schema is rejected by external readers)
+    snap.schema.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), f.name)
+      assert(f.metadata.contains("delta.columnMapping.physicalName"),
+        f.name)
+    }
+    // evolution stamps the NEW field too and advances maxColumnId
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "b", 2.0, "z2")).toDF("k", "title", "v", "z"),
+      Seq("k"), evolveSchema = true)
+    val snap2 = ExternalDeltaReader.snapshot(spark, dir)
+    val zField = snap2.schema.fields.find(_.name == "z").get
+    assert(zField.metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(snap2.config.get("delta.columnMapping.maxColumnId")
+      .contains("4"))
+    // the checkpoint re-declares the upgraded protocol, never (1, 2)
+    val cpV = Sinks.checkpointDeltaLog(spark, dir)
+    val proto = spark.read.parquet(java.nio.file.Paths.get(dir,
+        "_delta_log", f"$cpV%020d.checkpoint.parquet").toString)
+      .where(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .collect()(0)
+    assert(proto.getInt(0) == 2 && proto.getInt(1) == 5)
+    // a RE-CASED spelling of the renamed column's physical name is
+    // refused at writer entry, like every sibling guard
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((3L, "x")).toDF("k", "NAME"), Seq("k"), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("physical name"), e.getMessage)
+    // engine-reserved target names are refused
+    intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "v", "__p")
+    }
+  }
+
   test("ALTER TABLE RENAME COLUMN lowers through GraftSql") {
     val dir = Files.createTempDirectory("cmap").toString + "/t"
     Sinks.upsertParquet(spark, dir,

@@ -29,7 +29,8 @@ object ExternalDeltaReader {
   final case class Snapshot(schema: StructType,
                             config: Map[String, String],
                             adds: Map[String, Add],
-                            txns: Map[String, Long])
+                            txns: Map[String, Long],
+                            minReader: Int, minWriter: Int)
 
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -110,6 +111,8 @@ object ExternalDeltaReader {
     val target = if (version < 0) versions.max else version
     var schema: Option[StructType] = None
     var config = Map.empty[String, String]
+    var minReader = 1
+    var minWriter = 2
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Add]
     val txns = scala.collection.mutable.Map.empty[String, Long]
 
@@ -131,6 +134,10 @@ object ExternalDeltaReader {
         def struct(name: String): Option[Row] = {
           val i = r.fieldIndex(name)
           if (r.isNullAt(i)) None else Some(r.getStruct(i))
+        }
+        struct("protocol").foreach { p =>
+          minReader = p.getAs[Int]("minReaderVersion")
+          minWriter = p.getAs[Int]("minWriterVersion")
         }
         struct("metaData").foreach { m =>
           schema = Some(DataType.fromJson(
@@ -156,6 +163,10 @@ object ExternalDeltaReader {
       .foreach { v =>
         Files.readString(logDir.resolve(f"$v%020d.json")).linesIterator
           .filter(_.nonEmpty).map(om.readTree).foreach { n =>
+            if (n.has("protocol")) {
+              minReader = n.get("protocol").get("minReaderVersion").asInt()
+              minWriter = n.get("protocol").get("minWriterVersion").asInt()
+            }
             if (n.has("metaData")) {
               val m = n.get("metaData")
               schema = Some(DataType.fromJson(
@@ -186,7 +197,7 @@ object ExternalDeltaReader {
       }
     Snapshot(schema.getOrElse(
       throw new IllegalStateException("no metaData in log")),
-      config, adds.toMap, txns.toMap)
+      config, adds.toMap, txns.toMap, minReader, minWriter)
   }
 
   /** Materialize the snapshot's rows: every live file read under the
@@ -200,10 +211,20 @@ object ExternalDeltaReader {
   def readRows(spark: SparkSession, tablePath: String,
                version: Long = -1L): (StructType, Seq[Map[String, Any]]) = {
     val snap = snapshot(spark, tablePath, version)
+    // a real reader refuses protocols above its understanding instead
+    // of silently misreading (column mapping rides minReaderVersion 2)
+    require(snap.minReader <= 2,
+      s"unsupported Delta protocol: minReaderVersion ${snap.minReader}")
     val cols = snap.schema.fieldNames.toSeq
     val physKey = "delta.columnMapping.physicalName"
+    // physicalName metadata is honored ONLY under the declared mapping
+    // mode, exactly like off-the-shelf readers — a log that stamped
+    // metadata without declaring mode=name would be misread by them,
+    // and this conformance reader must fail the same way
+    val mapped = snap.config.get("delta.columnMapping.mode")
+      .contains("name")
     val physSchema = StructType(snap.schema.fields.map(f =>
-      if (f.metadata.contains(physKey))
+      if (mapped && f.metadata.contains(physKey))
         f.copy(name = f.metadata.getString(physKey))
       else f))
     val rows = snap.adds.values.toSeq.flatMap { add =>
