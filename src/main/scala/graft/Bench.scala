@@ -192,7 +192,14 @@ object Bench {
     // false and every noisy query would burn straight to the cap
     def unsettled(ts: Vector[Double]): Boolean = {
       if (ts.size < 3) return false
-      val kept = ts.sorted.slice(1, ts.size - 1)
+      // at exactly 3 samples the trimmed window is a single element
+      // (spread 0 — vacuously settled), which would strip the worktree
+      // child's 3-rep runs of any escalation; judge those on the raw
+      // window and only switch to the trimmed one once it has >= 2
+      // elements
+      val kept =
+        if (ts.size == 3) ts.sorted
+        else ts.sorted.slice(1, ts.size - 1)
       kept.min > 0 && (kept.max - kept.min) / kept.min > 1.0
     }
     val results = names.map { name =>

@@ -87,6 +87,15 @@ object LocalFsLogStore extends LogStore {
       java.util.UUID.randomUUID().toString.take(8))
     Files.writeString(tmp, content)
     try Files.createLink(path, tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        // link(2) unavailable (some NFS/FUSE/FAT mounts): fall back to
+        // the check + atomic-move publish — the narrower stale-lock
+        // race is accepted only where the filesystem forces it
+        if (Files.exists(path))
+          throw new java.nio.file.FileAlreadyExistsException(path.toString)
+        Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+    }
     finally Files.deleteIfExists(tmp)
   }
 

@@ -130,6 +130,7 @@ object Sinks {
     require(missingKeys.isEmpty,
       s"source batch is missing merge key column(s): " +
         missingKeys.mkString(", "))
+    requireNoReservedColumns(source, tablePath)
     requireNoDroppedColumns(spark, tablePath, source)
     requireNoPhysicalCollisions(spark, tablePath, source)
     enforceConstraintsAtEntry(spark, tablePath, source)
@@ -999,10 +1000,16 @@ object Sinks {
     // (round-12 review find: metadata alone, with mode absent, is
     // ignored by real readers — renamed columns would read as nulls)
     val IdKey = "delta.columnMapping.id"
-    val maxId = schema.fields.zipWithIndex.map { case (f, i) =>
-      if (f.metadata.contains(IdKey)) f.metadata.getLong(IdKey)
-      else i + 1L
-    }.max
+    // monotone: the spec forbids ever DECREASING maxColumnId or reusing
+    // an id — a dropped column's id must stay retired, so the config's
+    // recorded high-water mark caps from below (round-12 review find)
+    val maxId = math.max(
+      config.get("delta.columnMapping.maxColumnId")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        if (f.metadata.contains(IdKey)) f.metadata.getLong(IdKey)
+        else i + 1L
+      }.max)
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.zipWithIndex.map { case (f, i) =>
         val b = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1192,11 +1199,82 @@ object Sinks {
   }
 
   private[graft] def deltaLiveAdds(spark: SparkSession, tablePath: String,
-      version: Long = Long.MaxValue): Seq[(String, Option[String])] = {
-    deltaStateWithMeta(spark, tablePath, version)._1.toSeq.map {
-      case (p, n) =>
-        (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
+      version: Long = Long.MaxValue): Seq[(String, Option[String])] =
+    liveAddStats(deltaStateWithMeta(spark, tablePath, version)._1)
+
+  /** The ONE (path, stats) extraction every stats consumer shares —
+    * callers holding a reconstructed state avoid a second log replay.
+    */
+  private[sources] def liveAddStats(
+      state: scala.collection.Map[String,
+        com.fasterxml.jackson.databind.JsonNode])
+      : Seq[(String, Option[String])] =
+    state.toSeq.map { case (p, n) =>
+      (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
     }
+
+  /** The table's protocol AT version `upTo`, replay-derived: (1, 2)
+    * base, max-merged with the previous checkpoint parquet's protocol
+    * row and every retained protocol action at or below `upTo`
+    * (protocol versions only ever ratchet up; max-merge is exactly the
+    * replay rule for a monotone upgrade stream).
+    */
+  private def loggedProtocolVersions(spark: SparkSession,
+      root: java.nio.file.Path, upTo: Long): (Int, Int) = {
+    import java.nio.file.Files
+    var r = 1
+    var w = 2
+    val logDir = root.resolve("_delta_log")
+    prevCheckpointVersion(root, upTo).foreach { v =>
+      val cp = spark.read.parquet(
+        logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
+      if (cp.columns.contains("protocol")) {
+        // collect-bound: exactly one protocol row per checkpoint
+        cp.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            col("protocol.minWriterVersion"))
+          .collect().foreach { row =>
+            r = math.max(r, row.getInt(0)); w = math.max(w, row.getInt(1))
+          }
+      }
+    }
+    deltaLogVersions(root.toString).filter(_ <= upTo).foreach { v =>
+      leadingAction(root, v, "protocol").foreach { p =>
+        r = math.max(r, p.get("minReaderVersion").asInt())
+        w = math.max(w, p.get("minWriterVersion").asInt())
+      }
+    }
+    (r, w)
+  }
+
+  /** The newest checkpoint parquet at or below `upTo` — from the
+    * retained JSON versions first, then a direct parquet listing (an
+    * OLD checkpoint's JSON may itself have been pruned by a later one).
+    */
+  private def prevCheckpointVersion(root: java.nio.file.Path,
+      upTo: Long): Option[Long] = {
+    import java.nio.file.Files
+    val logDir = root.resolve("_delta_log")
+    deltaLogVersions(root.toString)
+      .filter(v => v <= upTo &&
+        Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
+      .lastOption
+      .orElse {
+        val ls =
+          if (!Files.isDirectory(logDir)) Seq.empty[Long]
+          else {
+            val l = Files.list(logDir)
+            try {
+              import scala.jdk.CollectionConverters._
+              l.iterator().asScala.map(_.getFileName.toString)
+                .filter(_.endsWith(".checkpoint.parquet"))
+                .flatMap(n => scala.util.Try(
+                  n.stripSuffix(".checkpoint.parquet").toLong).toOption)
+                .toSeq.sorted
+            } finally l.close()
+          }
+        ls.filter(_ <= upTo).lastOption
+      }
   }
 
   /** Write a classic Delta checkpoint for `version` (default: the latest
@@ -1255,13 +1333,15 @@ object Sinks {
         StructField("version", LongType),
         StructField("lastUpdated", LongType))))))
     val emptyMap = Map.empty[String, String]
-    // column-mapped tables were protocol-upgraded by RENAME COLUMN; a
-    // checkpoint that re-declared (1, 2) would let a mapping-unaware
-    // reader scan logical names the files do not carry
-    val protoRow =
-      if (metaConfiguration(Some(m)).get("delta.columnMapping.mode")
-          .contains("name")) Row(Row(2, 5), null, null, null, null)
-      else Row(Row(1, 2), null, null, null, null)
+    // the checkpoint must reproduce the REPLAY-derived protocol, never
+    // re-derive it from table state: a RESTORE to a pre-rename version
+    // reverts the metaData (and its columnMapping mode) but protocol
+    // actions are never reverted — inferring (1, 2) from the config
+    // would DOWNGRADE the protocol through checkpoint + pruning
+    // (round-12 review find)
+    val (protoR, protoW) = loggedProtocolVersions(spark,
+      Paths.get(tablePath), v)
+    val protoRow = Row(Row(protoR, protoW), null, null, null, null)
     // configuration persists through the checkpoint (it carries the
     // droppedColumns marker — blanking it here would re-admit a dropped
     // column name as soon as cleanDeltaLog pruned the marker JSONs)
@@ -1641,9 +1721,7 @@ object Sinks {
     val physCol = metaSchema(metaN)
       .flatMap(_.fields.find(_.name == colName))
       .map(physicalName).getOrElse(colName)
-    liveState.toSeq.map { case (p, n) =>
-      (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
-    }.filter { case (_, statsOpt) =>
+    liveAddStats(liveState).filter { case (_, statsOpt) =>
       statsOpt.forall { s =>
         val st = mapper.readTree(s)
         val mn = if (st.has("minValues")) asScala(st.get("minValues").get(physCol)) else null
@@ -2218,14 +2296,34 @@ object Sinks {
     if (!java.nio.file.Files.exists(root.resolve("_delta_log"))) return
     val dropped =
       droppedColumns(metaConfiguration(loggedMetaNode(spark, tablePath)))
+        .map(_.toLowerCase(java.util.Locale.ROOT))
     if (dropped.isEmpty) return
-    val readded = source.columns.toSet.intersect(dropped)
+    // case-INSENSITIVE like every sibling guard: Spark's default
+    // parquet resolution would fill a re-CASED re-add from the buried
+    // physical values just the same (round-12 review find)
+    val readded = source.columns.toSet.filter(c =>
+      dropped.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(readded.isEmpty,
       s"cannot re-add dropped column(s) ${readded.mkString(", ")} to " +
         s"$tablePath: pre-drop files still carry the old physical " +
         "values, which would resurface as the new column's data (the " +
         "marker also buries a renamed column's physical spelling). " +
         "Rewrite the table (CTAS) to reuse the name")
+  }
+
+  /** Engine-reserved column spellings, refused at every MERGE sink's
+    * entry: the partitioned sink's `__p` rider would silently REPLACE a
+    * user column of that name (and partitionBy would then drop it from
+    * the data files), and the DV scan's `__fp`/`__ri` work columns
+    * would shadow user data on every merge-on-read. One prefix rule
+    * instead of a name list — `__` is the engine's internal namespace.
+    */
+  private def requireNoReservedColumns(source: DataFrame,
+                                       tablePath: String): Unit = {
+    val bad = source.columns.filter(_.startsWith("__"))
+    require(bad.isEmpty,
+      s"source batch column(s) ${bad.mkString(", ")} use the " +
+        s"engine-reserved __ prefix and cannot be stored in $tablePath")
   }
 
   /** Writer-ENTRY twin of [[unionWithLoggedSchema]]'s physical-collision
@@ -2273,7 +2371,10 @@ object Sinks {
     val next = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val metaN = loggedMetaNode(spark, tablePath)
     val config = metaConfiguration(metaN)
-    val readded = next.fieldNames.toSet.intersect(droppedColumns(config))
+    val droppedLc = droppedColumns(config)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val readded = next.fieldNames.toSet.filter(c =>
+      droppedLc.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(readded.isEmpty,
       s"cannot re-add dropped column(s) ${readded.mkString(", ")} to " +
         s"$tablePath: pre-drop files still carry the old physical " +
@@ -2317,8 +2418,15 @@ object Sinks {
         // physicalName and a stable id — evolved fields included, or an
         // external reader would reject the schema as partially mapped
         val mapped = config.get("delta.columnMapping.mode").contains("name")
-        var maxId = config.get("delta.columnMapping.maxColumnId")
-          .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        // floor at the highest EXISTING field id: a missing/garbage
+        // maxColumnId must never cause an id collision
+        var maxId = math.max(
+          config.get("delta.columnMapping.maxColumnId")
+            .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
+          prev.fields.flatMap(f =>
+            if (f.metadata.contains("delta.columnMapping.id"))
+              Some(f.metadata.getLong("delta.columnMapping.id"))
+            else None).foldLeft(0L)(math.max))
         val freshStamped =
           if (!mapped) fresh
           else fresh.map { f =>
@@ -2513,31 +2621,7 @@ object Sinks {
     import java.nio.file.Files
     val logDir = root.resolve("_delta_log")
     val out = scala.collection.mutable.Map.empty[String, Long]
-    val prevCp = deltaLogVersions(root.toString)
-      .filter(v => v <= upTo &&
-        Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
-      .lastOption
-      .orElse {
-        // the cp version itself may have been pruned from the JSON log
-        // (cleanDeltaLog removes JSONs strictly below the LAST
-        // checkpoint, which can include OLDER checkpoints' versions);
-        // the parquet files survive, so list them directly
-        val ls =
-          if (!Files.isDirectory(logDir)) Seq.empty[Long]
-          else {
-            val s = Files.list(logDir)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala.map(_.getFileName.toString)
-                .filter(_.endsWith(".checkpoint.parquet"))
-                .flatMap(n => scala.util.Try(
-                  n.stripSuffix(".checkpoint.parquet").toLong).toOption)
-                .toSeq.sorted
-            } finally s.close()
-          }
-        ls.filter(_ <= upTo).lastOption
-      }
-    prevCp.foreach { v =>
+    prevCheckpointVersion(root, upTo).foreach { v =>
       val f = logDir.resolve(f"$v%020d.checkpoint.parquet")
       val df = spark.read.parquet(f.toString)
       if (df.columns.contains("txn")) {
@@ -3014,6 +3098,7 @@ object Sinks {
     // also precedes the dropped-column/constraint guards)
     if (txnAlreadyCommitted(tablePath, txn)) return
     if (source.isEmpty) return
+    requireNoReservedColumns(source, tablePath)
     requireNoDroppedColumns(spark, tablePath, source)
     requireNoPhysicalCollisions(spark, tablePath, source)
     enforceConstraintsAtEntry(spark, tablePath, source)

@@ -196,6 +196,76 @@ class DeltaMappingSpec extends SparkSpec {
     }
   }
 
+  test("ids never shrink or get reused; protocol survives RESTORE-past-rename") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 1.0)).toDF("k", "name", "v"), Seq("k"))
+    val preRename = Sinks.deltaLogVersions(dir).max
+    Sinks.renameDeltaColumn(spark, dir, "name", "title") // ids 1..3
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "b", 2.0, "z")).toDF("k", "title", "v", "z"),
+      Seq("k"), evolveSchema = true) // z gets id 4
+    Sinks.dropDeltaColumn(spark, dir, "z") // id 4 retired, not freed
+    // a second rename must NOT shrink maxColumnId back to the max
+    // surviving field id (the spec forbids id reuse — round-12 review)
+    Sinks.renameDeltaColumn(spark, dir, "v", "score")
+    val snap = ExternalDeltaReader.snapshot(spark, dir)
+    assert(snap.config.get("delta.columnMapping.maxColumnId")
+      .contains("4"), snap.config)
+    // the NEXT evolved column gets a fresh id, never dropped z's 4
+    Sinks.upsertParquet(spark, dir,
+      Seq((3L, "c", 3.0, "w")).toDF("k", "title", "score", "w"),
+      Seq("k"), evolveSchema = true)
+    val wField = ExternalDeltaReader.snapshot(spark, dir)
+      .schema.fields.find(_.name == "w").get
+    assert(wField.metadata.getLong("delta.columnMapping.id") == 5L)
+    // RESTORE to the pre-rename version reverts metaData (mode absent)
+    // but protocol actions never revert — a checkpoint afterwards must
+    // NOT downgrade the protocol to (1, 2) (round-12 review find)
+    Sinks.restoreDeltaTable(spark, dir, preRename)
+    val snapR = ExternalDeltaReader.snapshot(spark, dir)
+    assert(!snapR.config.contains("delta.columnMapping.mode"))
+    val cpV = Sinks.checkpointDeltaLog(spark, dir)
+    Sinks.cleanDeltaLog(dir)
+    val proto = spark.read.parquet(java.nio.file.Paths.get(dir,
+        "_delta_log", f"$cpV%020d.checkpoint.parquet").toString)
+      .where(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .collect()(0)
+    assert(proto.getInt(0) == 2 && proto.getInt(1) == 5,
+      s"protocol downgraded through checkpoint: $proto")
+    assert(ExternalDeltaReader.snapshot(spark, dir).minReader == 2)
+  }
+
+  test("re-cased dropped names and reserved __ columns are refused at entry") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a", 1.0)).toDF("k", "name", "v"), Seq("k"))
+    Sinks.dropDeltaColumn(spark, dir, "name")
+    // a re-CASED re-add resolves onto the buried physical values under
+    // Spark's case-insensitive resolution — refuse like exact case
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((2L, "x", 2.0)).toDF("k", "NAME", "v"),
+        Seq("k"), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("re-add"), e.getMessage)
+    // the engine-internal __ namespace is refused at every sink entry
+    // (the partitioned rider __p would silently replace such a column)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir,
+        Seq((2L, 2.0, "boom")).toDF("k", "v", "__p"),
+        Seq("k"), evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetPartitioned(spark, dir + "2",
+        Seq((1L, "2024-01-01", "x")).toDF("k", "ds", "__fp"),
+        Seq("k"), "ds")
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+  }
+
   test("ALTER TABLE RENAME COLUMN lowers through GraftSql") {
     val dir = Files.createTempDirectory("cmap").toString + "/t"
     Sinks.upsertParquet(spark, dir,
