@@ -88,10 +88,19 @@ object LocalFsLogStore extends LogStore {
     Files.writeString(tmp, content)
     try Files.createLink(path, tmp)
     catch {
-      case _: UnsupportedOperationException =>
-        // link(2) unavailable (some NFS/FUSE/FAT mounts): fall back to
-        // the check + atomic-move publish — the narrower stale-lock
-        // race is accepted only where the filesystem forces it
+      // FileAlreadyExistsException IS the CAS losing — propagate first
+      // (it extends FileSystemException, which the fallback matches)
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: UnsupportedOperationException
+           | _: java.nio.file.FileSystemException =>
+        // link(2) unavailable: non-default providers throw
+        // UnsupportedOperationException, but the JDK's Unix provider
+        // surfaces EPERM/ENOTSUP from NFS/FUSE/FAT mounts as a plain
+        // FileSystemException (round-12 review find). Fall back to the
+        // check + atomic-move publish — the narrower stale-lock race is
+        // accepted only where the filesystem forces it; a target that
+        // already exists keeps the CAS contract loudly, and any real
+        // I/O failure re-throws from the move itself.
         if (Files.exists(path))
           throw new java.nio.file.FileAlreadyExistsException(path.toString)
         Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)

@@ -1213,21 +1213,44 @@ object Sinks {
       (p, if (n.has("stats")) Some(n.get("stats").asText()) else None)
     }
 
-  /** The table's protocol AT version `upTo`, replay-derived: (1, 2)
-    * base, max-merged with the previous checkpoint parquet's protocol
-    * row and every retained protocol action at or below `upTo`
-    * (protocol versions only ever ratchet up; max-merge is exactly the
-    * replay rule for a monotone upgrade stream).
+  /** Version-pinned base state for a checkpoint at `upTo` — the
+    * per-appId txn versions AND the replay-derived protocol, in ONE
+    * pass: one read of the previous checkpoint parquet (<= `upTo`; its
+    * rows are themselves version-pinned, never the deliberately
+    * unpinned `_last_checkpoint` sidecar — round-11 ADVICE find),
+    * overlaid by ONE leading-lines walk of the retained JSONs <= `upTo`
+    * reading both action kinds. Txns max-merge per appId (monotonic by
+    * contract, so out-of-order replay is harmless, and garbage lines
+    * are skipped by the asText().toLong discipline); protocol versions
+    * max-merge from the (1, 2) base — exactly the replay rule for a
+    * monotone upgrade stream, so a RESTORE that reverts the metaData
+    * can never downgrade the checkpointed protocol. Residual: a
+    * checkpoint parquet written by the round-11 code path (which
+    * overlaid the unpinned sidecar) can itself carry leaked txn state
+    * if a commit landed mid-checkpoint back then; a fresh tip-version
+    * checkpoint launders it.
     */
-  private def loggedProtocolVersions(spark: SparkSession,
-      root: java.nio.file.Path, upTo: Long): (Int, Int) = {
-    import java.nio.file.Files
+  private def pinnedBaseState(spark: SparkSession,
+      root: java.nio.file.Path,
+      upTo: Long): (Map[String, Long], (Int, Int)) = {
+    val logDir = root.resolve("_delta_log")
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     var r = 1
     var w = 2
-    val logDir = root.resolve("_delta_log")
     prevCheckpointVersion(root, upTo).foreach { v =>
       val cp = spark.read.parquet(
         logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
+      if (cp.columns.contains("txn")) {
+        // collect-bound: one (appId, version) row per idempotent writer
+        // appId the table has ever seen — bounded by writer count
+        cp.where(col("txn").isNotNull)
+          .select(col("txn.appId"), col("txn.version"))
+          .collect()
+          .foreach { row =>
+            if (!row.isNullAt(0) && !row.isNullAt(1))
+              txns(row.getString(0)) = row.getLong(1)
+          }
+      }
       if (cp.columns.contains("protocol")) {
         // collect-bound: exactly one protocol row per checkpoint
         cp.where(col("protocol").isNotNull)
@@ -1239,12 +1262,23 @@ object Sinks {
       }
     }
     deltaLogVersions(root.toString).filter(_ <= upTo).foreach { v =>
-      leadingAction(root, v, "protocol").foreach { p =>
-        r = math.max(r, p.get("minReaderVersion").asInt())
-        w = math.max(w, p.get("minWriterVersion").asInt())
+      leadingActions(root, v).foreach { n =>
+        if (n.has("txn")) {
+          val t = n.get("txn")
+          scala.util.Try((t.get("appId").asText(),
+              t.get("version").asText().toLong)).foreach {
+            case (a, ver) =>
+              txns(a) = txns.get(a).fold(ver)(math.max(_, ver))
+          }
+        }
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          r = math.max(r, p.get("minReaderVersion").asInt())
+          w = math.max(w, p.get("minWriterVersion").asInt())
+        }
       }
     }
-    (r, w)
+    (txns.toMap, (r, w))
   }
 
   /** The newest checkpoint parquet at or below `upTo` — from the
@@ -1339,8 +1373,10 @@ object Sinks {
     // actions are never reverted — inferring (1, 2) from the config
     // would DOWNGRADE the protocol through checkpoint + pruning
     // (round-12 review find)
-    val (protoR, protoW) = loggedProtocolVersions(spark,
-      Paths.get(tablePath), v)
+    // ONE pass serves the pinned txn rows AND the replay-derived
+    // protocol (one checkpoint-parquet read, one leading-lines walk)
+    val (pinnedTxnState, (protoR, protoW)) =
+      pinnedBaseState(spark, Paths.get(tablePath), v)
     val protoRow = Row(Row(protoR, protoW), null, null, null, null)
     // configuration persists through the checkpoint (it carries the
     // droppedColumns marker — blanking it here would re-admit a dropped
@@ -1378,7 +1414,7 @@ object Sinks {
     // does not contain (round-11 review find). [[pinnedTxns]] bases on
     // the previous checkpoint PARQUET's (pinned) txn rows, never the
     // unpinned sidecar (round-11 ADVICE find)
-    val txnRows = pinnedTxns(spark, Paths.get(tablePath), v)
+    val txnRows = pinnedTxnState
       .toSeq.sortBy(_._1)
       .map { case (a, ver) => Row(null, null, null, null,
         Row(a, ver, null)) }
@@ -2506,6 +2542,25 @@ object Sinks {
   /** A version's `txn` action from the leading lines (our writer emits
     * it right after commitInfo — see [[appendDeltaCommit]]).
     */
+  /** ALL parsed leading lines of a commit (the <=5-line window every
+    * leading reader shares) — for walks that need more than one action
+    * kind without re-opening the file per key.
+    */
+  private def leadingActions(root: java.nio.file.Path,
+      v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    import java.nio.file.Files
+    val f = root.resolve("_delta_log").resolve(f"$v%020d.json")
+    if (!Files.exists(f)) return Seq.empty
+    val reader = Files.newBufferedReader(f)
+    try {
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .take(5)
+        .flatMap(line =>
+          scala.util.Try(jsonMapper.readTree(line)).toOption)
+        .toSeq
+    } finally reader.close()
+  }
+
   private def txnLeading(root: java.nio.file.Path,
       v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
     leadingAction(root, v, "txn")
@@ -2593,51 +2648,6 @@ object Sinks {
     val out = scala.collection.mutable.Map.empty[String, Long]
     checkpointTxns(root).foreach { case (a, v) => out(a) = v }
     txnWalk(root, Long.MaxValue, out)
-    out.toMap
-  }
-
-  /** EVERY appId's newest committed txn version AT OR BELOW log version
-    * `upTo` — the checkpoint PARQUET's txn rows. The base is the newest
-    * checkpoint PARQUET at or below `upTo` (its txn rows are themselves
-    * version-pinned, so the state they carry is <= that checkpoint's
-    * version by induction), overlaid by the retained JSON walk <= `upTo`.
-    * NOT the `_last_checkpoint` sidecar: the sidecar's `graftTxns` is
-    * deliberately unpinned (it describes the CURRENT table for the next
-    * writer, and commits landing mid-checkpoint may already be folded
-    * in), so overlaying it here could leak idempotence state from
-    * commits ABOVE `upTo` into version `upTo`'s snapshot — an external
-    * reader reconstructing `upTo` would then skip a batch whose data the
-    * snapshot does not contain (round-11 ADVICE find). Legacy
-    * checkpoints written before txn rows existed contribute nothing (no
-    * `txn` column) — their tables predate the txn protocol entirely.
-    * Residual: a checkpoint parquet written by the round-11 code path
-    * (which overlaid the unpinned sidecar) can itself carry leaked
-    * state if a commit landed mid-checkpoint back then; a fresh
-    * tip-version checkpoint launders it, and hitting the window needs
-    * a pinned re-checkpoint of an OLD version on exactly such a table.
-    */
-  private def pinnedTxns(spark: SparkSession, root: java.nio.file.Path,
-      upTo: Long): Map[String, Long] = {
-    import java.nio.file.Files
-    val logDir = root.resolve("_delta_log")
-    val out = scala.collection.mutable.Map.empty[String, Long]
-    prevCheckpointVersion(root, upTo).foreach { v =>
-      val f = logDir.resolve(f"$v%020d.checkpoint.parquet")
-      val df = spark.read.parquet(f.toString)
-      if (df.columns.contains("txn")) {
-        // collect-bound: one (appId, version) row per idempotent writer
-        // appId the table has ever seen — bounded by writer count, not
-        // data volume
-        df.where(col("txn").isNotNull)
-          .select(col("txn.appId"), col("txn.version"))
-          .collect()
-          .foreach { r =>
-            if (!r.isNullAt(0) && !r.isNullAt(1))
-              out(r.getString(0)) = r.getLong(1)
-          }
-      }
-    }
-    txnWalk(root, upTo, out)
     out.toMap
   }
 

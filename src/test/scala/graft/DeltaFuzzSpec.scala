@@ -1,10 +1,10 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.concurrent.atomic.AtomicInteger
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
-import graft.sources.{LogStore, LogStores, LocalFsLogStore, Sinks,
-  DeletionVectors}
+import graft.sources.{LogStores, Sinks, DeletionVectors}
+import FuzzHarness.{CrashingStore, InjectedCrash, logVersions,
+  maxLoggedGen, rootPointerGen => pointerGen}
 
 /** Differential log-replay fuzzer for the generational-Delta subsystem
   * (round-11 directive 1 — eleven consecutive rounds of review passes
@@ -43,33 +43,6 @@ import graft.sources.{LogStore, LogStores, LocalFsLogStore, Sinks,
 class DeltaFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  /** Simulated process death at a storage-operation boundary: passes
-    * through to the local store until `armAt` more operations have run,
-    * then throws on every operation — the op that trips the limit does
-    * NOT execute (died before it), and nothing after it executes either
-    * (the process is gone). `disarm()` models the restarted process.
-    */
-  private final class CrashingStore extends LogStore {
-    @volatile private var remaining: Int = Int.MaxValue
-    @volatile var fired: Boolean = false
-    def arm(afterOps: Int): Unit = { remaining = afterOps; fired = false }
-    def disarm(): Unit = { remaining = Int.MaxValue }
-    private def step(): Unit = this.synchronized {
-      if (remaining <= 0) { fired = true; throw new InjectedCrash }
-      remaining -= 1
-    }
-    def createNew(p: Path): Unit = { step(); LocalFsLogStore.createNew(p) }
-    def put(p: Path, c: String): Unit = { step(); LocalFsLogStore.put(p, c) }
-    def putIfAbsent(p: Path, c: String): Unit = {
-      step(); LocalFsLogStore.putIfAbsent(p, c) }
-    def putFile(s: Path, d: Path): Unit = {
-      step(); LocalFsLogStore.putFile(s, d) }
-    def delete(p: Path): Unit = { step(); LocalFsLogStore.delete(p) }
-  }
-  private final class InjectedCrash extends RuntimeException("injected crash")
-
   /** The model: logged-state columns and rows keyed by `k`. Merge is
     * the engine's documented default (SourceFirst): batch columns
     * overwrite on match, missing columns keep target values, new keys
@@ -95,45 +68,6 @@ class DeltaFuzzSpec extends SparkSpec {
           (if (c == from) to else c) -> x } })
   }
   private val emptyModel = Model(Vector("k", "v"), Map.empty)
-
-  /** Independent protocol observables (never graft's read path). */
-  private def pointerGen(dir: String): Option[Long] = {
-    val p = Paths.get(dir, "_CURRENT")
-    if (!Files.exists(p)) None
-    else Some(Files.readString(p).trim.stripPrefix("gen-").toLong)
-  }
-  private def logVersions(dir: String): Seq[Long] = {
-    val ld = Paths.get(dir, "_delta_log")
-    if (!Files.isDirectory(ld)) return Seq.empty
-    val ls = Files.list(ld)
-    try {
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && !n.endsWith(".tmp"))
-        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-        .toSeq.sorted
-    } finally ls.close()
-  }
-  private def maxLoggedGen(dir: String): Long = {
-    val ld = Paths.get(dir, "_delta_log")
-    var out = -1L
-    val lc = ld.resolve("_last_checkpoint")
-    if (Files.exists(lc)) {
-      val n = mapper.readTree(Files.readString(lc))
-      if (n.has("graftLastGen")) out = n.get("graftLastGen").asLong()
-    }
-    logVersions(dir).foreach { v =>
-      Files.readString(ld.resolve(f"$v%020d.json")).linesIterator
-        .filter(_.nonEmpty).map(mapper.readTree)
-        .filter(_.has("commitInfo")).map(_.get("commitInfo"))
-        .filter(_.has("operationParameters"))
-        .map(_.get("operationParameters"))
-        .filter(_.has("generation"))
-        .foreach(p => out = math.max(out,
-          p.get("generation").asText().toLong))
-    }
-    out
-  }
 
   private def assertState(dir: String, model: Model, ctx: String): Unit = {
     if (logVersions(dir).isEmpty &&
