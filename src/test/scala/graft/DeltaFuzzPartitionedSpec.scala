@@ -90,7 +90,13 @@ class DeltaFuzzPartitionedSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val root = Files.createTempDirectory(s"pfuzz-$seed")
     val dir = root.resolve("t").toString
-    val store = new CrashingStore
+    // every third history composes the crash injection with the
+    // RENAME-FREE object-store primitive set — the invariants must hold
+    // under both storage contracts
+    val store =
+      if (seed % 3 == 0)
+        new CrashingStore(FuzzHarness.ObjectStoreSemantics)
+      else new CrashingStore
     LogStores.register(root, store)
     try {
       var model = emptyModel

@@ -105,7 +105,12 @@ class DeltaFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val root = Files.createTempDirectory(s"fuzz-$seed")
     val dir = root.resolve("t").toString
-    val store = new CrashingStore
+    // every third history runs on the rename-free object-store
+    // primitive set (see DeltaFuzzPartitionedSpec)
+    val store =
+      if (seed % 3 == 0)
+        new CrashingStore(FuzzHarness.ObjectStoreSemantics)
+      else new CrashingStore
     LogStores.register(root, store)
     try {
       var model = emptyModel

@@ -15,12 +15,16 @@ object FuzzHarness {
   final class InjectedCrash extends RuntimeException("injected crash")
 
   /** Simulated process death at a storage-operation boundary: passes
-    * through to the local store until `armAt` more operations have run,
-    * then throws on every operation — the op that trips the limit does
-    * NOT execute (died before it), and nothing after it executes either
+    * through to `delegate` until `armAt` more operations have run, then
+    * throws on every operation — the op that trips the limit does NOT
+    * execute (died before it), and nothing after it executes either
     * (the process is gone). `disarm()` models the restarted process.
+    * The default delegate is the production local store; passing the
+    * rename-free [[ObjectStoreSemantics]] composes crash histories with
+    * the object-store primitive set.
     */
-  final class CrashingStore extends LogStore {
+  final class CrashingStore(delegate: LogStore = LocalFsLogStore)
+      extends LogStore {
     @volatile private var remaining: Int = Int.MaxValue
     @volatile var fired: Boolean = false
     def arm(afterOps: Int): Unit = { remaining = afterOps; fired = false }
@@ -29,13 +33,32 @@ object FuzzHarness {
       if (remaining <= 0) { fired = true; throw new InjectedCrash }
       remaining -= 1
     }
-    def createNew(p: Path): Unit = { step(); LocalFsLogStore.createNew(p) }
-    def put(p: Path, c: String): Unit = { step(); LocalFsLogStore.put(p, c) }
+    def createNew(p: Path): Unit = { step(); delegate.createNew(p) }
+    def put(p: Path, c: String): Unit = { step(); delegate.put(p, c) }
     def putIfAbsent(p: Path, c: String): Unit = {
-      step(); LocalFsLogStore.putIfAbsent(p, c) }
+      step(); delegate.putIfAbsent(p, c) }
     def putFile(s: Path, d: Path): Unit = {
-      step(); LocalFsLogStore.putFile(s, d) }
-    def delete(p: Path): Unit = { step(); LocalFsLogStore.delete(p) }
+      step(); delegate.putFile(s, d) }
+    def delete(p: Path): Unit = { step(); delegate.delete(p) }
+  }
+
+  /** Rename-free store over the local namespace — the S3/GCS primitive
+    * set (whole-object PUT, conditional PUT, DELETE), no Files.move
+    * anywhere. Single-writer test semantics, same as LogStoreSpec's
+    * MockObjectStore; shared here so crash histories can run under it.
+    */
+  object ObjectStoreSemantics extends LogStore {
+    def createNew(p: Path): Unit = Files.createFile(p)
+    def put(p: Path, c: String): Unit = Files.writeString(p, c)
+    def putIfAbsent(p: Path, c: String): Unit = {
+      if (Files.exists(p))
+        throw new java.nio.file.FileAlreadyExistsException(p.toString)
+      Files.writeString(p, c)
+    }
+    def putFile(s: Path, d: Path): Unit =
+      Files.copy(s, d,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def delete(p: Path): Unit = Files.deleteIfExists(p)
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
