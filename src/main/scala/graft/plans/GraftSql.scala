@@ -48,9 +48,11 @@ object GraftSql {
     *     checkpoint + `_last_checkpoint`
     *     ([[graft.sources.Sinks.checkpointDeltaLog]])
     *   VACUUM '<path>' [RETAIN <n> COMMITS]  → drop crashed `_txn-*`
-    *     staging dirs and pre-checkpoint JSON commits
+    *     staging dirs, pre-checkpoint JSON commits, and generation
+    *     directories beyond the retention window
     *     ([[graft.sources.Sinks.cleanStagedUpserts]] +
-    *     [[graft.sources.Sinks.cleanDeltaLog]])
+    *     [[graft.sources.Sinks.cleanDeltaLog]] +
+    *     [[graft.sources.Sinks.vacuumTable]])
     *   DESCRIBE HISTORY '<path>'             → the commit log as a frame
     *     ([[graft.sources.Sinks.deltaHistory]])
     *   RESTORE '<path>' TO VERSION AS OF <v> → undo-by-append: commit
@@ -130,8 +132,14 @@ object GraftSql {
         val staged = graft.sources.Sinks.cleanStagedUpserts(path)
         val logs = graft.sources.Sinks.cleanDeltaLog(path,
           Option(retain).map(_.toInt).getOrElse(0))
-        Some(Seq((path, "VACUUM", staged.toLong, logs.toLong))
-          .toDF("path", "operation", "staged_removed", "commits_removed"))
+        // data-file retention sweep (round-13): ages out generation
+        // dirs beyond the keep window — live-referenced dirs are never
+        // touched, crash-lagging tables refuse (see Sinks.vacuumTable)
+        val gens = graft.sources.Sinks.vacuumTable(spark, path)
+        Some(Seq((path, "VACUUM", staged.toLong, logs.toLong,
+          gens.toLong))
+          .toDF("path", "operation", "staged_removed", "commits_removed",
+            "generations_removed"))
       case _ => None
     }
   }

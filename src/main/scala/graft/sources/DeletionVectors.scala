@@ -469,7 +469,7 @@ object DeletionVectors {
             s"$vAtRead -> $vNow during the predicate scan; retry")
       val v = vNow + 1
       val dst = logDir.resolve(f"$v%020d.json")
-      LogStores.forPath(dst).putIfAbsent(dst, body)
+      Sinks.casPublish(dst, body, s"deleteDeltaWhere($tablePath)")
     }
     DvDelete(rowsDeleted, adds.result().size, dropped)
   }
@@ -627,7 +627,7 @@ object DeletionVectors {
           s"purgeDeletionVectors($tablePath): version advanced " +
             s"$vAtRead -> $vNow during the rewrite; retry")
       val dst = logDir.resolve(f"$v%020d.json")
-      LogStores.forPath(dst).putIfAbsent(dst, body)
+      Sinks.casPublish(dst, body, s"purgeDeletionVectors($tablePath)")
     }
     withDv.size
   }

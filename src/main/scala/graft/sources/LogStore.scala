@@ -4,7 +4,8 @@ import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** The storage contract the generational-Delta COMMIT LAYER assumes —
   * extracted (round-11 directive 4) so the ACID dance ports to an
-  * object store without touching commit logic. Three primitives:
+  * object store without touching commit logic. Five primitives — three
+  * core commit operations:
   *
   *  1. `createNew` — atomic create-if-absent, the `_LOCK` mutex acquire
   *     (object store: conditional PUT / If-None-Match);
@@ -19,6 +20,11 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *
   * `putFile` is `put` for payloads staged as a local file (the
   * checkpoint parquet); `delete` releases locks and drops objects.
+  * `lastModifiedMs` is the one metadata READ the commit layer needs —
+  * the stale-lock age check (object stores expose per-object mtime in
+  * HEAD responses); without it a non-filesystem deployment could never
+  * break a crashed holder's lock and every writer would die on the
+  * acquire deadline instead (round-12 ADVICE find).
   *
   * NOT part of the contract, deliberately: directory rename. The staged
   * `_txn-*` → `gen-N` move in the local engine is a layout convenience,
@@ -58,6 +64,17 @@ trait LogStore {
 
   /** Remove the object if present (lock release, pruning). */
   def delete(path: Path): Unit
+
+  /** The object's last-modified epoch millis — the stale-lock age
+    * check's clock. Throws [[java.io.IOException]] (or a subclass, e.g.
+    * NoSuchFileException) when the object is gone — the caller treats
+    * that as "retry the acquire now". Defaulted to the local-FS
+    * attribute so a store that only overrides the write primitives
+    * keeps working on a local namespace; an object-store implementation
+    * maps this to its HEAD/metadata call.
+    */
+  def lastModifiedMs(path: Path): Long =
+    Files.getLastModifiedTime(path).toMillis
 }
 
 /** Local-filesystem implementation — the default. `put`/`putFile`

@@ -108,6 +108,10 @@ class DeltaFuzzPartitionedSpec extends SparkSpec {
       val snapshots = scala.collection.mutable.Map.empty[Long, Model]
       val nOps = 6 + rnd.nextInt(3)
       val crashAtOp = if (crash) rnd.nextInt(nOps) else -1
+      // one random op per history also gets the CLEAN-ROOM external
+      // reader's conformance check (round-12 directive 1); the end
+      // state always does (below)
+      val externalAtOp = rnd.nextInt(nOps)
 
       def drain(): Unit = {
         val markers = maxPartMarkers(dir)
@@ -278,17 +282,45 @@ class DeltaFuzzPartitionedSpec extends SparkSpec {
         try Sinks.cleanDeltaLog(dir)
         catch { case scala.util.control.NonFatal(_) => () }
 
+      // per-partition retention sweep under crash histories (round-12
+      // residue 4): logical no-op; must refuse while ANY partition lags
+      // (a lagging partition's raw pointer dir is the crashed batch's
+      // only copy). Aggressive keeps stress the live-path rail —
+      // post-RESTORE live files sit in old generations.
+      def vacuumOp(): Unit =
+        try {
+          Sinks.vacuumTable(spark, dir,
+            keepGenerations = 1 + rnd.nextInt(3), staleLockMs = 5000L)
+          // with NO log at all (the very first merge crashed before any
+          // commit) there is no lag for the guard to see — and nothing
+          // to lose: keep >= 1 always preserves every pointer-named
+          // generation, so a pending batch's only copy survives
+          assert(pending.isEmpty ||
+            (logVersions(dir).isEmpty && !Files.exists(
+              Paths.get(dir, "_delta_log", "_last_checkpoint"))),
+            "VACUUM succeeded while a partition lags — silent-undo bug")
+        } catch {
+          case _: InjectedCrash => () // partial sweep: state unchanged
+          case _: IllegalArgumentException |
+               _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => ()
+        }
+
       (0 until nOps).foreach { opIdx =>
         val armed = opIdx == crashAtOp
-        if (armed) store.arm(1 + rnd.nextInt(8))
+        // half the crashes COMPLETE the tripping publish and then die —
+        // the other side of the whole-object old-or-new contract
+        if (armed) store.arm(1 + rnd.nextInt(8),
+          completeTrippingOp = rnd.nextBoolean())
         val die = rnd.nextInt(100)
         if (opIdx == 0 || die < 45) mergeOp(opIdx)
-        else if (die < 62) deleteOp()
-        else if (die < 72) restoreOp()
-        else if (die < 82) checkpointOp()
-        else if (die < 89) cleanOp()
-        else if (die < 95) constraintOp()
-        else purgeOp()
+        else if (die < 60) deleteOp()
+        else if (die < 70) restoreOp()
+        else if (die < 79) checkpointOp()
+        else if (die < 85) cleanOp()
+        else if (die < 91) constraintOp()
+        else if (die < 96) purgeOp()
+        else vacuumOp()
         if (armed) {
           store.disarm()
           Files.deleteIfExists(Paths.get(dir, "_LOCK"))
@@ -296,6 +328,9 @@ class DeltaFuzzPartitionedSpec extends SparkSpec {
         drain()
         if (pending.nonEmpty) sawWindow = true
         assertState(dir, model, s"seed=$seed op=$opIdx")
+        if (opIdx == externalAtOp)
+          FuzzHarness.assertExternalMatches(spark, dir, model.cols,
+            model.rows, s"seed=$seed op=$opIdx")
         if (pending.isEmpty)
           logVersions(dir).lastOption.foreach(v =>
             snapshots.getOrElseUpdate(v, model))
@@ -318,6 +353,10 @@ class DeltaFuzzPartitionedSpec extends SparkSpec {
         drain()
         assertState(dir, model, s"seed=$seed heal")
       }
+      // the settled end state must be readable by the clean-room
+      // protocol reader (round-12 directive 1)
+      FuzzHarness.assertExternalMatches(spark, dir, model.cols,
+        model.rows, s"seed=$seed end")
       (store.fired, sawWindow)
     } finally LogStores.unregister(root)
   }

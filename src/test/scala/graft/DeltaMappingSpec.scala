@@ -55,9 +55,14 @@ class DeltaMappingSpec extends SparkSpec {
     assert(afterRewrites.columns.toSeq == Seq("k", "title", "v"))
     assert(ks(afterRewrites) == Set(1L, 2L, 4L, 5L, 7L, 9L))
     assert(titleOf(2L) == "T2")
-    // pointer read path agrees (partitioned twin is spec'd below)
-    assert(Sinks.readUpsertTable(spark, dir).columns.toSeq
-      .contains("name"), "raw pointer reads keep the physical contract")
+    // pointer read path agrees with its partitioned twin: LOGICAL names
+    // (round-12 ADVICE closed the physical/logical asymmetry between
+    // readUpsertTable and readUpsertPartitionedTable)
+    val viaPointer = Sinks.readUpsertTable(spark, dir)
+    assert(viaPointer.columns.toSeq == Seq("k", "title", "v"),
+      s"pointer reads expose logical names: ${viaPointer.columns.toSeq}")
+    assert(viaPointer.where(col("k") === 2L).select("title")
+      .collect()(0).getString(0) == "T2")
     // RESTORE to the pre-merge version reverts rows AND keeps mapping
     Sinks.restoreDeltaTable(spark, dir, preMergeVersion)
     val restored = Sinks.readDeltaTableAt(spark, dir)
@@ -219,12 +224,41 @@ class DeltaMappingSpec extends SparkSpec {
     val wField = ExternalDeltaReader.snapshot(spark, dir)
       .schema.fields.find(_.name == "w").get
     assert(wField.metadata.getLong("delta.columnMapping.id") == 5L)
-    // RESTORE to the pre-rename version reverts metaData (mode absent)
-    // but protocol actions never revert — a checkpoint afterwards must
-    // NOT downgrade the protocol to (1, 2) (round-12 review find)
+    // RESTORE to the pre-rename version reverts the SCHEMA but carries
+    // column mapping forward (round-12 ADVICE, medium): re-logging the
+    // pre-mapping metaData verbatim would unset mode and drop
+    // maxColumnId, so a later rename would re-mint ids from 0 and a
+    // later evolution could REUSE dropped z's retired id 4 — the spec
+    // forbids id reuse across table history, and upstream delta refuses
+    // RESTOREs that unset name-mode mapping
     Sinks.restoreDeltaTable(spark, dir, preRename)
     val snapR = ExternalDeltaReader.snapshot(spark, dir)
-    assert(!snapR.config.contains("delta.columnMapping.mode"))
+    assert(snapR.config.get("delta.columnMapping.mode").contains("name"),
+      s"mode must survive RESTORE: ${snapR.config}")
+    assert(snapR.config.get("delta.columnMapping.maxColumnId")
+      .contains("5"), s"maxColumnId must stay monotone: ${snapR.config}")
+    // restored fields are FULLY stamped (a partially-mapped schema is
+    // rejected by conformant readers) with ids STABLE across the
+    // boundary: matched by physical name to the pre-restore schema
+    assert(snapR.schema.fieldNames.toSeq == Seq("k", "name", "v"))
+    def idOf(n: String): Long = snapR.schema.fields.find(_.name == n).get
+      .metadata.getLong("delta.columnMapping.id")
+    assert(idOf("k") == 1L && idOf("name") == 2L && idOf("v") == 3L,
+      snapR.schema.json)
+    snapR.schema.fields.foreach(f => assert(
+      f.metadata.contains("delta.columnMapping.physicalName"), f.name))
+    // the external reader materializes the restored rows through the
+    // carried mapping
+    assert(ExternalDeltaReader.readRows(spark, dir)._2
+      .map(m => (m("k"), m("name"))).toSet == Set((1L, "a")))
+    // a rename AFTER the restore mints id 6, never retired z's 4
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "b", 2.0, "q2")).toDF("k", "name", "v", "q"),
+      Seq("k"), evolveSchema = true)
+    val qField = ExternalDeltaReader.snapshot(spark, dir)
+      .schema.fields.find(_.name == "q").get
+    assert(qField.metadata.getLong("delta.columnMapping.id") == 6L,
+      "a retired id must never be reused after RESTORE")
     val cpV = Sinks.checkpointDeltaLog(spark, dir)
     Sinks.cleanDeltaLog(dir)
     val proto = spark.read.parquet(java.nio.file.Paths.get(dir,
@@ -264,6 +298,58 @@ class DeltaMappingSpec extends SparkSpec {
         Seq("k"), "ds")
     }
     assert(e3.getMessage.contains("reserved"), e3.getMessage)
+  }
+
+  test("partition column cannot be renamed or dropped; legacy tables warn") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01-01", 1.0)).toDF("k", "ds", "v"), Seq("k"), "ds")
+    // the committer records its partition column in the configuration
+    // (the log's add actions never declare partition columns) — the
+    // metadata-only ops key their refusal on it
+    val snap = ExternalDeltaReader.snapshot(spark, dir)
+    assert(snap.config.get("graft.partitionColumn").contains("ds"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "ds", "day")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.dropDeltaColumn(spark, dir, "ds")
+    }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    // re-cased spelling refuses too (Spark resolution is case-insensitive)
+    intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "DS", "day")
+    }
+    // non-partition columns stay renameable
+    Sinks.renameDeltaColumn(spark, dir, "v", "amt")
+    assert(Sinks.readUpsertPartitionedTable(spark, dir).columns.toSeq ==
+      Seq("k", "ds", "amt"))
+  }
+
+  test("nested-typed schemas refuse column mapping (top-level-only stamping)") {
+    val dir = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, ("a", 2L), 1.0)).toDF("k", "pair", "v"), Seq("k"))
+    // mode=name over a struct-typed schema would publish partially
+    // mapped metadata (nested fields carry no physicalName/id) that
+    // conformant readers reject — refused up front
+    val e = intercept[IllegalArgumentException] {
+      Sinks.renameDeltaColumn(spark, dir, "v", "score")
+    }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    // and an ALREADY-mapped (flat) table refuses evolving a nested
+    // column onto itself for the same reason
+    val dir2 = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir2,
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    Sinks.renameDeltaColumn(spark, dir2, "v", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.upsertParquet(spark, dir2,
+        Seq((2L, 2.0, ("x", 1L))).toDF("k", "score", "pair"),
+        Seq("k"), evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("nested"), e2.getMessage)
   }
 
   test("ALTER TABLE RENAME COLUMN lowers through GraftSql") {

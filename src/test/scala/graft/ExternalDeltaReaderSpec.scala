@@ -108,7 +108,20 @@ object ExternalDeltaReader {
           .toSeq.sorted
       } finally ls.close()
     }
-    val target = if (version < 0) versions.max else version
+    // a checkpoint-only log (every JSON at or below the checkpoint
+    // pruned, nothing after) is legal: _last_checkpoint names the
+    // snapshot version — the latest must consider both sources
+    val lc = logDir.resolve("_last_checkpoint")
+    val lcVersion: Option[Long] =
+      if (!Files.exists(lc)) None
+      else Some(om.readTree(Files.readString(lc)).get("version").asLong())
+        .filter(v =>
+          Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
+    val target =
+      if (version >= 0) version
+      else (versions ++ lcVersion).maxOption.getOrElse(
+        throw new IllegalStateException(
+          s"no commits and no checkpoint under $tablePath"))
     var schema: Option[StructType] = None
     var config = Map.empty[String, String]
     var minReader = 1
@@ -116,16 +129,7 @@ object ExternalDeltaReader {
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Add]
     val txns = scala.collection.mutable.Map.empty[String, Long]
 
-    val lc = logDir.resolve("_last_checkpoint")
-    val cpVersion: Option[Long] =
-      if (!Files.exists(lc)) None
-      else {
-        val v = om.readTree(Files.readString(lc)).get("version").asLong()
-        if (v <= target &&
-            Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
-          Some(v)
-        else None
-      }
+    val cpVersion: Option[Long] = lcVersion.filter(_ <= target)
     cpVersion.foreach { v =>
       val cp = spark.read.parquet(
         logDir.resolve(f"$v%020d.checkpoint.parquet").toString)

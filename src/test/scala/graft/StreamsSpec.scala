@@ -183,6 +183,66 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1.0), (2L, 2.0)))
   }
 
+  test("rename mid-stream: later batches stage through the mapping, " +
+    "checkpoint-replay across the rename still no-ops") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtm").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_rtm_cp").toString
+    val mem = MemoryStream[(Long, Double)]
+    def start(colName: String) = mem.toDF().toDF("k", colName)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch(Streams.upsertSink(dir, Seq("k"),
+        appId = Some("rtm-app")))
+      .outputMode(OutputMode.Append()).start()
+    val q = start("v")
+    mem.addData((1L, 1.0)); q.processAllAvailable(); q.stop()
+    // metadata-only RENAME between micro-batches (round-12 optional
+    // directive 8: the exactly-once writer composed with column
+    // mapping was unpinned)
+    graft.sources.Sinks.renameDeltaColumn(spark, dir, "v", "score")
+    // the restarted stream emits the NEW logical name; the sink stages
+    // it under the PHYSICAL spelling via toPhysicalFrame
+    val q2 = start("score")
+    mem.addData((2L, 2.0)); q2.processAllAvailable(); q2.stop()
+    val out = graft.sources.Sinks.readDeltaTableAt(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "score"))
+    assert(out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0)))
+    // the staged files keep the birth-name spelling
+    val gen = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_CURRENT")).trim
+    val physCols = spark.read.parquet(
+      java.nio.file.Paths.get(dir, gen).toString).columns.toSeq
+    assert(physCols.contains("v") && !physCols.contains("score"),
+      s"staged files must keep the physical spelling: $physCols")
+    val versionsBefore = graft.sources.Sinks.deltaLogVersions(dir)
+    // crash-replay ACROSS the rename: the checkpoint commit of the
+    // post-rename batch vanishes (driver died between foreachBatch and
+    // the offset commit); the restart replays it and the txn guard
+    // must no-op — even though the table's schema changed since
+    val c1 = java.nio.file.Paths.get(cp, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(c1))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(cp, "commits", ".1.crc"))
+    val q3 = start("score")
+    q3.processAllAvailable(); q3.stop()
+    assert(graft.sources.Sinks.deltaLogVersions(dir) == versionsBefore,
+      "the replayed batch must not re-commit")
+    assert(graft.sources.Sinks.lastTxnVersion(dir, "rtm-app")
+      .contains(1L))
+    // a NEW batch still emitting the STALE name is refused loudly (the
+    // physical-collision guard), never silently mapped onto the buried
+    // physical values
+    val q4 = start("v")
+    mem.addData((3L, 3.0))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    assert(graft.sources.Sinks.deltaLogVersions(dir) == versionsBefore)
+  }
+
   test("change-feed pipeline: streamed upserts equal the batch replay") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_feed").toString
