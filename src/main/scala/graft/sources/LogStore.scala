@@ -75,6 +75,15 @@ trait LogStore {
     */
   def lastModifiedMs(path: Path): Long =
     Files.getLastModifiedTime(path).toMillis
+
+  /** Whole-object content read (GET) — the fence-token check of the
+    * lock holder ([[Sinks.LockHandle]]) reads the `_LOCK` content
+    * through the store, like the staleness clock above: a direct
+    * Files call on a non-filesystem store would throw on every verify
+    * and permanently wedge the fenced commit paths. Throws
+    * [[java.io.IOException]] when the object is gone.
+    */
+  def getString(path: Path): String = Files.readString(path)
 }
 
 /** Local-filesystem implementation — the default. `put`/`putFile`

@@ -49,6 +49,39 @@ class DeltaHardeningSpec extends SparkSpec {
     dir
   }
 
+  test("pointer read of an UNHEALED evolved generation serves the crashed batch's columns") {
+    val root = Files.createTempDirectory("ptrahead")
+    val dir = root.resolve("t").toString
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    val store = new FuzzHarness.CrashingStore()
+    graft.sources.LogStores.register(root, store)
+    try {
+      // die right after the pointer swap, before the log commit: store
+      // ops inside the second upsert are createNew(_LOCK), put(lock
+      // token), put(_CURRENT) — complete the third and crash
+      store.arm(3, completeTrippingOp = true)
+      intercept[FuzzHarness.InjectedCrash] {
+        Sinks.upsertParquet(spark, dir,
+          Seq((2L, 2.0, "late")).toDF("k", "v", "w"), Seq("k"),
+          evolveSchema = true)
+      }
+      store.disarm()
+      Files.deleteIfExists(Paths.get(dir, "_LOCK"))
+      // the window must actually be open (fixture self-check)
+      assert(FuzzHarness.rootPointerGen(dir).contains(1L) &&
+        FuzzHarness.maxLoggedGen(dir) == 0L,
+        "fixture drift: expected pointer gen-1 ahead of logged gen-0")
+      // the pointer read must serve the crashed batch's evolved column
+      // (round-13 review find: forcing the stale LOGGED schema onto the
+      // unhealed generation silently hid it)
+      val out = Sinks.readUpsertTable(spark, dir)
+      assert(out.columns.toSet == Set("k", "v", "w"), out.columns.toSeq)
+      assert(out.where(col("k") === 2L).select("w")
+        .collect()(0).getString(0) == "late")
+    } finally graft.sources.LogStores.unregister(root)
+  }
+
   test("legacy layout WITHOUT migration resurrects the deleted partition (the residual is real)") {
     val dir = buildLegacyLayout()
     // the guard now sees 01-01 as crash-lagging (no marker, no live

@@ -350,6 +350,19 @@ class DeltaMappingSpec extends SparkSpec {
         Seq("k"), evolveSchema = true)
     }
     assert(e2.getMessage.contains("nested"), e2.getMessage)
+    // and RESTORE refuses carrying mode=name onto a nested-typed
+    // restored schema — the third gate (round-13 review find): drop the
+    // struct, rename (mapping on), then restore to the pre-drop version
+    val dir3 = Files.createTempDirectory("cmap").toString + "/t"
+    Sinks.upsertParquet(spark, dir3,
+      Seq((1L, ("a", 2L), 1.0)).toDF("k", "pair", "v"), Seq("k"))
+    val preDrop = Sinks.deltaLogVersions(dir3).max
+    Sinks.dropDeltaColumn(spark, dir3, "pair")
+    Sinks.renameDeltaColumn(spark, dir3, "v", "score")
+    val e3 = intercept[IllegalArgumentException] {
+      Sinks.restoreDeltaTable(spark, dir3, preDrop)
+    }
+    assert(e3.getMessage.contains("nested"), e3.getMessage)
   }
 
   test("ALTER TABLE RENAME COLUMN lowers through GraftSql") {

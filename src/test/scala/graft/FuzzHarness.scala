@@ -62,10 +62,11 @@ object FuzzHarness {
       run(step())(delegate.putIfAbsent(p, c))
     def putFile(s: Path, d: Path): Unit = run(step())(delegate.putFile(s, d))
     def delete(p: Path): Unit = run(step())(delegate.delete(p))
-    // metadata READ: not a crash boundary (the histories inject death
-    // at mutation seams; a read after death is unreachable anyway
-    // because every mutation already throws)
+    // metadata/content READS: not crash boundaries (the histories
+    // inject death at mutation seams; a read after death is unreachable
+    // anyway because every mutation already throws)
     override def lastModifiedMs(p: Path): Long = delegate.lastModifiedMs(p)
+    override def getString(p: Path): String = delegate.getString(p)
   }
 
   /** Rename-free store over the local namespace — the S3/GCS primitive
