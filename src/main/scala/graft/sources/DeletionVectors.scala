@@ -382,9 +382,19 @@ object DeletionVectors {
     val relByAbs = state.keys.map(p =>
       root.resolve(p).toAbsolutePath.toString -> p).toMap
     // matched rows never reach the driver: the vectors are unioned and
-    // roaring-serialized in the executors, one FileDv per touched file
-    val fileDvs = collectFileDvs(spark, root, state,
-      Sinks.metaSchema(meta), predicate)
+    // roaring-serialized in the executors, one FileDv per touched file.
+    // A base file vacuumed mid-scan by a concurrent committer is the
+    // uniform lost-race refusal — the caller re-runs on fresh state
+    val fileDvs =
+      try collectFileDvs(spark, root, state,
+        Sinks.metaSchema(meta), predicate)
+      catch {
+        case e: Exception if Sinks.isVanishedFileError(e) =>
+          throw new java.util.ConcurrentModificationException(
+            s"deleteDeltaWhere($tablePath): a scanned file was vacuumed " +
+              "by a concurrent committer mid-scan; retry against fresh " +
+              "state")
+      }
     if (fileDvs.isEmpty) return DvDelete(0L, 0, 0)
     // crash-window refusal (round-11 review find): a DELETE touching a
     // partition whose pointer is ahead of its logged state would be

@@ -201,7 +201,18 @@ object Sinks {
           }
         case None => source.dropDuplicates(keys)
       }
-      val nextNum = base.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+      // the next generation derives from BOTH clocks (round-13
+      // steal-storm find): a stale holder's late pointer write can
+      // REGRESS the pointer behind the log (a pause between the fence
+      // check and the write — the fence's documented residual), and
+      // deriving from the pointer alone would then RE-USE a logged
+      // generation number, making the orphan-replace below delete
+      // committed data. max(pointer, lastLogged)+1 never collides.
+      val nextNum = math.max(
+        base.map(_.stripPrefix("gen-").toLong).getOrElse(-1L),
+        if (Files.exists(root.resolve("_delta_log")))
+          lastLoggedGeneration(root).getOrElse(-1L)
+        else -1L) + 1
       val stage = root.resolve(
         s"_txn-${System.nanoTime()}-${java.util.UUID.randomUUID().toString.take(8)}")
       // clustered generations: the merge's hash shuffle scatters key
@@ -215,9 +226,29 @@ object Sinks {
         if (clusterBy.isEmpty) merged
         else merged.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
-      toPhysicalFrame(laid, loggedSchema(spark, tablePath))
-        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      enforceConstraintsOnStage(spark, tablePath, stage)
+      // the merge base scans LAZILY here; a concurrent committer's
+      // retention sweep can age the base generation out mid-job —
+      // retryable lost race, never published (round-13 steal-storm find)
+      val stagedOk =
+        try {
+          toPhysicalFrame(laid, loggedSchema(spark, tablePath))
+            .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          enforceConstraintsOnStage(spark, tablePath, stage)
+          true
+        } catch {
+          case e: Exception if isVanishedFileError(e) =>
+            Console.err.println(s"[graft] upsertParquet($tablePath): " +
+              "merge base vacuumed mid-scan by a concurrent committer; " +
+              "retrying against fresh state")
+            false
+        }
+      if (!stagedOk) {
+        deleteRecursively(stage)
+        if (attempt >= maxRetries)
+          throw new java.util.ConcurrentModificationException(
+            s"upsertParquet($tablePath): base files vacuumed mid-scan " +
+              s"$maxRetries times; raise maxRetries or keepGenerations")
+      } else {
       var twinWon = false
       withMetadataLockHandle(root, staleLockMs) { lockH =>
         val logUnchanged = baseLogVersion ==
@@ -295,6 +326,7 @@ object Sinks {
         // mid-write is harmless (its JSON replays on top)
         checkpointDeltaLog(spark, tablePath, nextNum)
       }
+      } // stagedOk
     }
   }
 
@@ -663,6 +695,31 @@ object Sinks {
   private[sources] def logCoversPointerGen(root: java.nio.file.Path,
                                            genNum: Long): Boolean =
     lastLoggedGeneration(root).exists(_ >= genNum)
+
+  /** Whether `t` (or anything in its cause chain) is a
+    * vanished-data-file error — the signature of a merge/compact base
+    * scan racing a concurrent committer's retention sweep: the lazy
+    * scan resolved file names from a state snapshot, the sweep aged
+    * those generations out mid-job (round-13 steal-storm find). For a
+    * COMMITTER this is one more retryable lost race — nothing was
+    * published, the retry re-reads fresh state; an external READER
+    * racing a vacuum sees the same error and re-runs, exactly like any
+    * engine's vacuum-vs-reader contract.
+    */
+  private[sources] def isVanishedFileError(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 12) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("PATH_NOT_FOUND") ||
+          m.contains("FILE_NOT_EXIST") || m.contains("does not exist")))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+      hops += 1
+    }
+    false
+  }
 
   /** Replay the log: the live file set (paths relative to the table root)
     * at `version` (default: latest). Add-then-remove accumulation per the
@@ -3548,6 +3605,13 @@ object Sinks {
       val existing = affected.flatMap(v => base(v).map(g =>
         partDir(v).resolve(g).toString))
       val baseLogVersion = logTailVersion(tablePath)
+      // per-partition generation clock twin of the unpartitioned
+      // committer's max(pointer, logged)+1 rule (round-13 steal-storm
+      // find): a regressed partition pointer must never make this
+      // writer re-use a LOGGED generation number
+      val loggedGens: Map[String, Long] =
+        if (baseLogVersion < 0) Map.empty
+        else lastLoggedPartitionGens(root, affected.toSet)
       // the merge base is the LOGGED state of the affected partitions —
       // DV-aware and under the logged schema. A raw pointer-dir read
       // would resurrect rows a DELETE (deletion-vector commit) marked
@@ -3618,13 +3682,33 @@ object Sinks {
       // (partitionBy drops its column)
       val stage = root.resolve(s"_stage-${System.nanoTime()}-" +
         java.util.UUID.randomUUID().toString.take(8))
-      toPhysicalFrame(
-          merged.withColumn("__p", col(partitionCol).cast("string")),
-          loggedSchema(spark, tablePath))
-        .write.partitionBy("__p").parquet(stage.toString)
-      // the extra __p partition column rides along harmlessly here —
-      // constraints reference data columns, which the staged files keep
-      enforceConstraintsOnStage(spark, tablePath, stage)
+      // lazy base scan vs a concurrent retention sweep: retryable
+      // (see upsertParquet's twin comment)
+      val stagedOk =
+        try {
+          toPhysicalFrame(
+              merged.withColumn("__p", col(partitionCol).cast("string")),
+              loggedSchema(spark, tablePath))
+            .write.partitionBy("__p").parquet(stage.toString)
+          // the extra __p partition column rides along harmlessly here —
+          // constraints reference data columns, which the staged files keep
+          enforceConstraintsOnStage(spark, tablePath, stage)
+          true
+        } catch {
+          case e: Exception if isVanishedFileError(e) =>
+            Console.err.println(
+              s"[graft] upsertParquetPartitioned($tablePath): merge " +
+                "base vacuumed mid-scan; retrying against fresh state")
+            false
+        }
+      if (!stagedOk) {
+        deleteRecursively(stage)
+        if (attempt >= maxRetries)
+          throw new java.util.ConcurrentModificationException(
+            s"upsertParquetPartitioned($tablePath): base files vacuumed " +
+              s"mid-scan $maxRetries times; raise maxRetries or " +
+              "keepGenerations")
+      } else {
       var twinWon = false
       withMetadataLockHandle(root, staleLockMs) { lockH =>
         // CAS on BOTH clocks: the partition pointers (another batch's
@@ -3645,8 +3729,9 @@ object Sinks {
             if (Files.exists(staged)) {
               val dir = partDir(v)
               Files.createDirectories(dir)
-              val nextNum = base(v)
-                .map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+              val nextNum = math.max(
+                base(v).map(_.stripPrefix("gen-").toLong).getOrElse(-1L),
+                loggedGens.getOrElse(v, -1L)) + 1
               val genDir = dir.resolve(s"gen-$nextNum")
               // a gen-N left by a committer that died between its move and
               // its pointer swap is unreferenced (the pointer still names
@@ -3725,6 +3810,7 @@ object Sinks {
         throw new java.util.ConcurrentModificationException(
           s"upsertParquetPartitioned($tablePath): lost the commit race " +
             s"$maxRetries times; raise maxRetries or serialize the writers")
+      } // stagedOk
     }
   }
 
@@ -3803,6 +3889,9 @@ object Sinks {
           "deletion vectors but has no _CURRENT pointer")
       v -> g.get
     }.toMap
+    // max(pointer, logged)+1 generation rule — see the merge committers
+    val purgeLoggedGens: Map[String, Long] =
+      lastLoggedPartitionGens(root, parts.toSet)
     val byPart = state.toSeq.filter(p => partitionOf(p._1).exists(base.contains))
       .groupBy(p => partitionOf(p._1).get)
     // crash-window refusal (this round's own review find): a partition
@@ -3838,7 +3927,9 @@ object Sinks {
         val gens = Map.newBuilder[String, Long]
         parts.foreach { v =>
           val dir = partDir(v)
-          val nextNum = base(v).stripPrefix("gen-").toLong + 1
+          val nextNum = math.max(
+            base(v).stripPrefix("gen-").toLong,
+            purgeLoggedGens.getOrElse(v, -1L)) + 1
           val genDir = dir.resolve(s"gen-$nextNum")
           // an unreferenced gen-N from a dead committer is replaceable
           // under the lock (see upsertParquetPartitioned) — fenced per
@@ -4174,7 +4265,11 @@ object Sinks {
       } finally listing.close()
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (nFiles <= nOut) return (nFiles, nFiles)
-      val nextNum = base.stripPrefix("gen-").toLong + 1
+      val nextNum = math.max(
+        base.stripPrefix("gen-").toLong,
+        if (logTailVersion(tablePath) >= 0)
+          lastLoggedGeneration(root).getOrElse(-1L)
+        else -1L) + 1
       val stage = root.resolve(
         s"_txn-${System.nanoTime()}-${java.util.UUID.randomUUID().toString.take(8)}")
       // compact the LOGGED (merge-on-read) state, never the raw pointer
@@ -4208,9 +4303,22 @@ object Sinks {
         if (!logCoversPointer) fromPhysicalFrame(
           spark.read.parquet(genDir.toString), loggedOpt)
         else readDeltaTableAt(spark, tablePath)
-      toPhysicalFrame(compacted.coalesce(nOut), loggedOpt)
-        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // lazy MOR scan vs a concurrent retention sweep: retryable
+      // (see upsertParquet's twin comment)
+      val stagedOk =
+        try {
+          toPhysicalFrame(compacted.coalesce(nOut), loggedOpt)
+            .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          true
+        } catch {
+          case e: Exception if isVanishedFileError(e) =>
+            Console.err.println(
+              s"[graft] compactUpsertTable($tablePath): base vacuumed " +
+                "mid-scan; retrying against fresh state")
+            false
+        }
       var committed = false
+      if (stagedOk)
       withMetadataLockHandle(root, staleLockMs) { lockH =>
         if (readPointer().contains(base) &&
             logTailVersion(tablePath) == baseLogVersion) {

@@ -38,28 +38,33 @@ class DeltaConcurrencySpec extends SparkSpec {
   /** Per-version forensic facts parsed from the raw log JSON. */
   private case class CommitFacts(version: Long, operation: String,
                                  predicate: Option[String],
-                                 txn: Option[(String, Long)])
+                                 txn: Option[(String, Long)],
+                                 gen: Option[Long])
   private def commitFacts(dir: String): Seq[CommitFacts] =
     Sinks.deltaLogVersions(dir).map { v =>
       val f = Paths.get(dir, "_delta_log", f"$v%020d.json")
       var op = ""
       var pred: Option[String] = None
       var txn: Option[(String, Long)] = None
+      var gen: Option[Long] = None
       Files.readString(f).linesIterator.filter(_.nonEmpty).foreach { l =>
         val n = om.readTree(l)
         if (n.has("commitInfo")) {
           val ci = n.get("commitInfo")
           op = ci.get("operation").asText()
-          if (ci.has("operationParameters") &&
-              ci.get("operationParameters").has("predicate"))
-            pred = Some(
-              ci.get("operationParameters").get("predicate").asText())
+          if (ci.has("operationParameters")) {
+            val ps = ci.get("operationParameters")
+            if (ps.has("predicate"))
+              pred = Some(ps.get("predicate").asText())
+            if (ps.has("generation"))
+              gen = Some(ps.get("generation").asText().toLong)
+          }
         }
         if (n.has("txn"))
           txn = Some(n.get("txn").get("appId").asText() ->
             n.get("txn").get("version").asLong())
       }
-      CommitFacts(v, op, pred, txn)
+      CommitFacts(v, op, pred, txn, gen)
     }
 
   /** Deterministic batch payload for (history, writer, batch index) —
@@ -265,6 +270,218 @@ class DeltaConcurrencySpec extends SparkSpec {
       val failures = results.collect { case Left((s, e)) => (s, e) }
       if (failures.nonEmpty)
         fail(s"${failures.size} histories failed; first: hist=" +
+          s"${failures.head._1}\n${failures.head._2}\n" +
+          failures.head._2.getStackTrace.take(6).mkString("\n"))
+    } finally pool.shutdown()
+  }
+
+  test("partitioned stale-steal: a holder paused mid-pointer-swap loses per-partition, both batches land") {
+    val root = Files.createTempDirectory("psteal")
+    val dir = root.resolve("t").toString
+    Sinks.upsertParquetPartitioned(spark, dir,
+      Seq((0L, "a", "seed"), (10L, "b", "seed")).toDF("k", "ds", "v"),
+      Seq("k"), "ds")
+    // pause the holder inside its FIRST partition pointer publish —
+    // after one partition's gen-dir move, before any other partition
+    // is touched: the worst window for the per-partition heal
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val holderPaused = new java.util.concurrent.CountDownLatch(1)
+    object SlowStore extends LogStore {
+      def createNew(p: Path): Unit = LocalFsLogStore.createNew(p)
+      def put(p: Path, c: String): Unit = {
+        if (p.getFileName.toString == "_CURRENT" &&
+            p.getParent.getFileName.toString.startsWith("p=") &&
+            armed.compareAndSet(true, false)) {
+          holderPaused.countDown()
+          Thread.sleep(5000L)
+        }
+        LocalFsLogStore.put(p, c)
+      }
+      def putIfAbsent(p: Path, c: String): Unit =
+        LocalFsLogStore.putIfAbsent(p, c)
+      def putFile(s: Path, d: Path): Unit = LocalFsLogStore.putFile(s, d)
+      def delete(p: Path): Unit = LocalFsLogStore.delete(p)
+    }
+    LogStores.register(root, SlowStore)
+    try {
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val a = new Thread(() =>
+        try Sinks.upsertParquetPartitioned(spark, dir,
+          Seq((1L, "a", "A"), (11L, "b", "A")).toDF("k", "ds", "v"),
+          Seq("k"), "ds", staleLockMs = 300L, maxRetries = 20,
+          txn = Some(("pwa", 1L)))
+        catch { case t: Throwable => errors.add(t) })
+      val b = new Thread(() =>
+        try {
+          holderPaused.await()
+          Sinks.upsertParquetPartitioned(spark, dir,
+            Seq((2L, "a", "B"), (12L, "b", "B")).toDF("k", "ds", "v"),
+            Seq("k"), "ds", staleLockMs = 300L, maxRetries = 20,
+            txn = Some(("pwb", 1L)))
+        } catch { case t: Throwable => errors.add(t) })
+      a.start(); b.start()
+      a.join(300000L); b.join(300000L)
+      assert(errors.isEmpty, s"writer failure: ${errors.peek()}")
+      val df = Sinks.readDeltaTableAt(spark, dir)
+      // collect-bound: 6-row fixture
+      val got = df.collect().map(r =>
+        r.getLong(df.columns.indexOf("k")) ->
+          r.getString(df.columns.indexOf("v"))).toMap
+      assert(got == Map(0L -> "seed", 10L -> "seed", 1L -> "A",
+        11L -> "A", 2L -> "B", 12L -> "B"), s"lost update: $got")
+      val txns = commitFacts(dir).flatMap(_.txn)
+      assert(txns.distinct.size == txns.size, s"double-apply: $txns")
+      assert(txns.map(_._1).toSet == Set("pwa", "pwb"))
+      // the steal happened: the paused holder retried and landed later
+      val vOf = commitFacts(dir).flatMap(f =>
+        f.txn.map(t => t._1 -> f.version)).toMap
+      assert(vOf("pwa") > vOf("pwb"),
+        s"stale steal did not occur (pwa@${vOf("pwa")}, " +
+          s"pwb@${vOf("pwb")}); raise the sleep")
+      // pointer reads agree after the dust settles
+      assert(Sinks.readUpsertPartitionedTable(spark, dir)
+        .select("k").collect().map(_.getLong(0)).toSet ==
+        Set(0L, 1L, 2L, 10L, 11L, 12L))
+      // and the clean-room reader sees the same state
+      assert(ExternalDeltaReader.readRows(spark, dir)._2
+        .map(m => m("k").asInstanceOf[Long]).toSet ==
+        Set(0L, 1L, 2L, 10L, 11L, 12L))
+    } finally LogStores.unregister(root)
+  }
+
+  test("steal-storm: 20 jittered histories with aggressive stale windows stay linearizable") {
+    // random pauses INSIDE the critical section (before pointer/version
+    // publishes) with staleLockMs shorter than the pause: lock steals
+    // happen ORGANICALLY here, exercising the fence + FAE-retry + heal
+    // machinery under arbitrary interleavings — the deterministic steal
+    // cases above pin one window each, this sweeps the rest. Writers
+    // own DISJOINT key ranges so per-key linearizability is checkable
+    // without modeling cross-writer merge order under heals (heal
+    // commits re-log a crashed generation without its txn, so the
+    // log-replay adjudication of the no-steal histories does not apply).
+    final class JitterStore(seed: Int) extends LogStore {
+      private val rnd = new java.util.Random(seed)
+      private def jitter(): Unit = {
+        val (hit, ms) = this.synchronized(
+          (rnd.nextInt(6) == 0, 150 + rnd.nextInt(150)))
+        if (hit) Thread.sleep(ms.toLong)
+      }
+      def createNew(p: Path): Unit = LocalFsLogStore.createNew(p)
+      def put(p: Path, c: String): Unit = {
+        jitter(); LocalFsLogStore.put(p, c) }
+      def putIfAbsent(p: Path, c: String): Unit = {
+        jitter(); LocalFsLogStore.putIfAbsent(p, c) }
+      def putFile(s: Path, d: Path): Unit = LocalFsLogStore.putFile(s, d)
+      def delete(p: Path): Unit = LocalFsLogStore.delete(p)
+    }
+    def runStorm(seed: Int): Unit = {
+      val root = Files.createTempDirectory(s"storm-$seed")
+      val dir = root.resolve("t").toString
+      LogStores.register(root, new JitterStore(seed))
+      try {
+        val errors =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val writers = 3
+        val batchesPer = 3
+        // writer w owns keys [w*4, w*4+4); batch (w, i) writes a seeded
+        // subset with values "s<seed>-w<w>-b<i>"
+        def batch(w: Int, i: Long): Seq[(Long, String)] = {
+          val r = new scala.util.Random(seed * 911 + w * 31 + i.toInt)
+          r.shuffle((w * 4 until w * 4 + 4).toVector)
+            .take(1 + r.nextInt(3))
+            .map(k => k.toLong -> s"s$seed-w$w-b$i")
+        }
+        val threads = (0 until writers).map { w =>
+          new Thread(() =>
+            try (0L until batchesPer).foreach { i =>
+              Sinks.upsertParquet(spark, dir, batch(w, i).toDF("k", "v"),
+                Seq("k"), maxRetries = 60, staleLockMs = 120L,
+                txn = Some((s"w$w", i)))
+            } catch { case t: Throwable => errors.add(t) })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(600000L))
+        assert(errors.isEmpty,
+          s"storm=$seed writer failure: ${errors.peek()}")
+        // exactly-once per batch, even through steals and heals
+        val txns = commitFacts(dir).flatMap(_.txn)
+        assert(txns.distinct.size == txns.size,
+          s"storm=$seed double-apply: $txns")
+        assert(txns.toSet ==
+          (for (w <- 0 until writers; i <- 0L until batchesPer)
+            yield (s"w$w", i)).toSet,
+          s"storm=$seed lost batches: ${txns.toSet}")
+        // per-key linearizability: every key's final value is its
+        // OWNER's last batch that wrote it (writers are serial, keys
+        // disjoint, so no other order is linearizable)
+        val expected = (for {
+          w <- 0 until writers
+          i <- 0L until batchesPer
+          kv <- batch(w, i)
+        } yield kv).groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+        val df = Sinks.readDeltaTableAt(spark, dir)
+        // collect-bound: <= 12 keys by construction
+        val got = df.collect().map(r =>
+          r.getLong(df.columns.indexOf("k")) ->
+            r.getString(df.columns.indexOf("v"))).toMap
+        if (got != expected) {
+          // per-version forensics: which commit dropped the key. Data
+          // files may be vacuumed, so ALSO track each version's live
+          // add set and the exact per-file k maxima from logged stats
+          // (file max is exact: maxK==11 iff key 11 is present)
+          val live = scala.collection.mutable.LinkedHashMap
+            .empty[String, Long] // path -> maxK
+          val hist = commitFacts(dir).map { f =>
+            val jf = Paths.get(dir, "_delta_log", f"${f.version}%020d.json")
+            Files.readString(jf).linesIterator.filter(_.nonEmpty)
+              .foreach { l =>
+                val n = om.readTree(l)
+                if (n.has("remove"))
+                  live -= n.get("remove").get("path").asText()
+                if (n.has("add")) {
+                  val a = n.get("add")
+                  val mx =
+                    if (!a.has("stats")) -1L
+                    else scala.util.Try(om.readTree(a.get("stats")
+                      .asText()).get("maxValues").get("k").asLong())
+                      .getOrElse(-1L)
+                  live(a.get("path").asText()) = mx
+                }
+              }
+            val maxK = if (live.isEmpty) -1L else live.values.max
+            val rows = scala.util.Try(
+              ExternalDeltaReader.readRows(spark, dir, f.version)._2
+                .map(m => m("k").asInstanceOf[Long].toString + "=" +
+                  m("v").asInstanceOf[String]).sorted.mkString(","))
+              .getOrElse("UNREADABLE")
+            s"v${f.version} op=${f.operation} gen=${f.gen} " +
+              s"txn=${f.txn} maxK=$maxK files=${live.keys.map(
+                _.takeWhile(_ != '/')).toSet.mkString("+")} rows[$rows]"
+          }.mkString("\n  ")
+          fail(s"storm=$seed:\n  got      $got\n  expected " +
+            s"$expected\n  $hist")
+        }
+        assert(ExternalDeltaReader.readRows(spark, dir)._2
+          .map(m => m("k").asInstanceOf[Long] ->
+            m("v").asInstanceOf[String]).toMap == expected,
+          s"storm=$seed external reader disagrees")
+      } finally LogStores.unregister(root)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (1 to 20).map { s =>
+        scala.concurrent.Future(scala.util.Try(runStorm(s))
+          .toEither.left.map(e => s -> e))
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(25, "min"))
+      val failures = results.collect { case Left((s, e)) => (s, e) }
+      if (failures.nonEmpty)
+        fail(s"${failures.size} storms failed; first: storm=" +
           s"${failures.head._1}\n${failures.head._2}\n" +
           failures.head._2.getStackTrace.take(6).mkString("\n"))
     } finally pool.shutdown()
