@@ -45,9 +45,16 @@ import org.apache.spark.sql.SparkSession
   * suspects instead of publishing them.
   *
   * Worktree cross-check (round-10 directive 3): any label still
-  * "regression" after the three filters is re-adjudicated by building
-  * the last evidence commit in a git worktree and re-timing the suspect
-  * on the same box NOW — "worktree_noise" when the committed code
+  * "regression" after the three filters is re-adjudicated. FIRST the
+  * byte-identity fast-path (round-14): src/main + build.sbt identical
+  * to the evidence commit caps the label at "identical_code" —
+  * identical code cannot regress, and the r13 driver artifact shipped
+  * a phantom q243 "regression" for exactly this case. Otherwise the
+  * last evidence commit is built in a git worktree and old-code and
+  * head re-times run INTERLEAVED (A1 B1 A2 B2, pairwise mins, round-14
+  * — the old lone child run minutes after the suspect's reps let
+  * one-sided machine pockets masquerade as code deltas) —
+  * "worktree_noise" when the committed code
   * reproduces the slow time (machine conditions), "regression" with the
   * child's min in the `worktree` JSON field when the committed code is
   * >=1.5× faster (a real code delta), "regression_unverified" when the
@@ -56,17 +63,53 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Re-time `names` under the code of the last commit that shipped
-    * `bench_out.json` (the previous evidence commit — or, on a
-    * post-evidence driver run, the code being driven, which equally
-    * adjudicates machine conditions), built in a detached git worktree
-    * and run on THIS box so the comparison shares the machine's current
-    * load. Returns the child run's per-query mins; empty on any failure
-    * (no git history, build breakage, timeout) — the caller then labels
-    * the suspect "regression_unverified" instead of asserting either way.
+  /** The last commit that shipped `bench_out.json` — the evidence
+    * commit whose code the committed baselines were measured on. Empty
+    * when there is no git history to consult.
+    */
+  private def evidenceCommit(): String = {
+    import scala.sys.process._
+    val devNull = ProcessLogger(_ => (), _ => ())
+    try Seq("git", "log", "-n", "1", "--format=%H", "--",
+      "bench_out.json").!!(devNull).trim
+    catch { case scala.util.control.NonFatal(_) => "" }
+  }
+
+  /** Whether the working tree's src/main + build.sbt are byte-identical
+    * to `commit`'s (round-14 directive 3b — the r13 driver artifact
+    * shipped a "regression" label for q243 whose entire dependency
+    * closure was byte-identical to the evidence commit): identical code
+    * can never be a code regression, so the caller caps any surviving
+    * label at "identical_code" without re-timing anything. Tracked
+    * changes come from `git diff`, untracked new files from
+    * `git status --porcelain`; any git failure reads as "not identical"
+    * (fail open into the worktree re-time).
+    */
+  private def identicalToCommit(commit: String): Boolean = {
+    import scala.sys.process._
+    val devNull = ProcessLogger(_ => (), _ => ())
+    try {
+      commit.nonEmpty &&
+      Seq("git", "diff", "--quiet", commit, "--",
+        "src/main", "build.sbt").!(devNull) == 0 &&
+      Seq("git", "status", "--porcelain", "--",
+        "src/main", "build.sbt").!!(devNull).trim.isEmpty
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Re-time `names` under the evidence commit's code, INTERLEAVED
+    * with head re-times (round-14 directive 3a — the r13 worktree
+    * re-time ran the old build ALONE, minutes after the suspect's
+    * reps, so an asymmetric machine pocket masqueraded as a code
+    * delta): the child (old-code) run and the caller's `betweenRuns`
+    * head re-time alternate back-to-back — A1 B1 A2 B2 — and the
+    * caller compares the pairwise mins, so a slow pocket hits both
+    * sides or neither. Returns (old-code mins, head mins from the
+    * interleaved callbacks); both empty on worktree failure.
     */
   private def reBenchLastEvidence(names: Seq[String], sfDir: String,
-                                  cpus: String): Map[String, Double] = {
+      cpus: String, betweenRuns: () => Map[String, Double])
+      : (Map[String, Double], Map[String, Double]) = {
     import scala.sys.process._
     // per-run unique dir: a fixed path shared by overlapping bench
     // processes lets run B's entry cleanup delete run A's worktree
@@ -98,45 +141,60 @@ object Bench {
       }
       Seq("git", "worktree", "prune").!(devNull)
     }
+    def minMerge(a: Map[String, Double],
+                 b: Map[String, Double]): Map[String, Double] =
+      (a.keySet ++ b.keySet).map { k =>
+        k -> (a.get(k).toSeq ++ b.get(k).toSeq).min
+      }.toMap
     try {
-      val commit = Seq("git", "log", "-n", "1", "--format=%H", "--",
-        "bench_out.json").!!(devNull).trim
-      if (commit.isEmpty) return Map.empty
+      val commit = evidenceCommit()
+      if (commit.isEmpty) return (Map.empty, Map.empty)
       Seq("git", "worktree", "remove", "--force", dir).!(devNull)
       Seq("rm", "-rf", dir).!(devNull)
       if (Seq("git", "worktree", "add", "--detach", dir, commit)
-          .!(devNull) != 0) return Map.empty
+          .!(devNull) != 0) return (Map.empty, Map.empty)
       Console.err.println(s"[graft] bench worktree cross-check: " +
-        s"re-timing ${names.mkString(",")} under $commit")
-      // a fresh sbt compile of the old tree: bounded at 30 min so a
-      // wedged build cannot eat the whole bench run
-      val rc = Process(
-        Seq("timeout", "1800", "sbt", "-batch", "runMain graft.Bench"),
-        new java.io.File(dir),
-        "SPARK_GRAFT_SF_DIR" -> sfDir,
-        "SPARK_GRAFT_CPUS" -> cpus,
-        "SPARK_GRAFT_BENCH_REPS" -> "3",
-        "SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
-        "SPARK_GRAFT_NO_WORKTREE" -> "1").!(devNull)
-      if (rc != 0) return Map.empty
-      // the child runs under BENCH_ONLY, so it writes the partial file
-      // (older evidence commits' Bench wrote bench_out.json — accept
-      // either, newest-schema first)
-      val out = Seq("bench_out_partial.json", "bench_out.json")
-        .map(java.nio.file.Paths.get(dir, _))
-        .find(java.nio.file.Files.exists(_))
-        .getOrElse(return Map.empty)
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(out))
-      val m = node.get("min")
-      if (m == null) Map.empty
-      else {
-        val b = Map.newBuilder[String, Double]
-        m.fields().forEachRemaining(e =>
-          b += e.getKey -> e.getValue.asDouble())
-        b.result()
+        s"re-timing ${names.mkString(",")} under $commit (interleaved)")
+      def childRun(): Map[String, Double] = {
+        // a fresh sbt compile of the old tree: bounded at 30 min so a
+        // wedged build cannot eat the whole bench run (the second
+        // invocation reuses the worktree's compiled classes)
+        val rc = Process(
+          Seq("timeout", "1800", "sbt", "-batch", "runMain graft.Bench"),
+          new java.io.File(dir),
+          "SPARK_GRAFT_SF_DIR" -> sfDir,
+          "SPARK_GRAFT_CPUS" -> cpus,
+          "SPARK_GRAFT_BENCH_REPS" -> "3",
+          "SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
+          "SPARK_GRAFT_NO_WORKTREE" -> "1").!(devNull)
+        if (rc != 0) return Map.empty
+        // the child runs under BENCH_ONLY, so it writes the partial
+        // file (older evidence commits' Bench wrote bench_out.json —
+        // accept either, newest-schema first)
+        val out = Seq("bench_out_partial.json", "bench_out.json")
+          .map(java.nio.file.Paths.get(dir, _))
+          .find(java.nio.file.Files.exists(_))
+          .getOrElse(return Map.empty)
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(out))
+        val m = node.get("min")
+        if (m == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          m.fields().forEachRemaining(e =>
+            b += e.getKey -> e.getValue.asDouble())
+          b.result()
+        }
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      // A1 (old) / B1 (head) / A2 (old) / B2 (head): pocket-cancelling
+      val a1 = childRun()
+      if (a1.isEmpty) return (Map.empty, Map.empty)
+      val b1 = betweenRuns()
+      val a2 = childRun()
+      val b2 = betweenRuns()
+      (minMerge(a1, a2), minMerge(b1, b2))
+    } catch { case scala.util.control.NonFatal(_) =>
+      (Map.empty, Map.empty) }
     finally {
       Seq("git", "worktree", "remove", "--force", dir).!(devNull)
       Seq("rm", "-rf", dir).!(devNull)
@@ -364,27 +422,52 @@ object Bench {
     // disproved — this automates that adjudication. The child build is
     // skipped under SPARK_GRAFT_NO_WORKTREE (set for the child itself).
     val regressionNames = confirms.filter(_._3 == "regression").map(_._1)
-    val worktreeMins: Map[String, Double] =
-      if (regressionNames.isEmpty ||
-          sys.env.contains("SPARK_GRAFT_NO_WORKTREE")) Map.empty
-      else reBenchLastEvidence(regressionNames, sfDir, cpus)
+    // byte-identity fast-path (round-14 directive 3b): when src/main +
+    // build.sbt are byte-identical to the evidence commit, the same
+    // code produced both numbers — no label stronger than noise is ever
+    // warranted, and no re-time is needed. This is the exact r13 q243
+    // case: a post-commit driver run on the evidence checkout itself.
+    val codeIdentical = regressionNames.nonEmpty &&
+      identicalToCommit(evidenceCommit())
+    // the head side of the interleaved A/B re-time: same in-process
+    // timing path as the confirm pass, invoked BETWEEN the two child
+    // (old-code) runs so machine pockets hit both sides or neither
+    def reTimeHead(): Map[String, Double] = regressionNames.flatMap { n =>
+      quiesce()
+      val re = (1 to 2).map(_ => materialize(n)).filter(_ >= 0)
+      if (re.isEmpty) None else Some(n -> re.min)
+    }.toMap
+    val (worktreeMins, headInterleaved) =
+      if (regressionNames.isEmpty || codeIdentical ||
+          sys.env.contains("SPARK_GRAFT_NO_WORKTREE"))
+        (Map.empty[String, Double], Map.empty[String, Double])
+      else reBenchLastEvidence(regressionNames, sfDir, cpus,
+        () => reTimeHead())
     // per-suspect trimmed spread: the same-run noise envelope of the
     // query's own stable core, used below so a worktree delta inside
     // what THIS RUN itself jittered is never published as a regression
     val spreadTOf = results.map(r => r._1 -> r._5).toMap
     val adjudicated = confirms.map { case (name, t, status) =>
       if (status != "regression") (name, t, status)
+      else if (codeIdentical) (name, t, "identical_code")
       else worktreeMins.get(name) match {
         // "regression" survives ONLY when the old code is faster beyond
         // BOTH envelopes: the 1.5x ratio gate and the suspect's own
         // trimmed-spread (round-12 judge directive 3: q152 timed 3.04
         // vs 4.83 on byte-identical code in one driver session — a
-        // delta inside the query's measured jitter proves nothing)
-        case Some(prevNow) if prevNow > 0 &&
-            (t <= 1.5 * prevNow ||
-             t - prevNow <= math.max(0.0, spreadTOf.getOrElse(name, 0.0))) =>
-          (name, t, "worktree_noise")
-        case Some(prevNow) if prevNow > 0 => (name, t, "regression")
+        // delta inside the query's measured jitter proves nothing).
+        // The head side uses the best of the suspect's earlier confirm
+        // AND its interleaved re-times (round-14 directive 3a), so the
+        // compared pair shares the same wall-clock span as the old-code
+        // runs and pockets cancel.
+        case Some(prevNow) if prevNow > 0 =>
+          val headNow = headInterleaved.get(name)
+            .map(math.min(t, _)).getOrElse(t)
+          if (headNow <= 1.5 * prevNow ||
+              headNow - prevNow <=
+                math.max(0.0, spreadTOf.getOrElse(name, 0.0)))
+            (name, headNow, "worktree_noise")
+          else (name, headNow, "regression")
         case _ => (name, t, "regression_unverified")
       }
     }
@@ -393,7 +476,7 @@ object Bench {
     // same artifact's own worktree numbers (round-12 directive 3)
     val worktreeVerdicts = adjudicated
       .filter(c => worktreeMins.contains(c._1) ||
-        c._3 == "regression_unverified")
+        c._3 == "regression_unverified" || c._3 == "identical_code")
       .map(c => c._1 -> c._3)
     val confirmedMin = adjudicated.map(c => c._1 -> c._2).toMap
 

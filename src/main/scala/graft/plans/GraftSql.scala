@@ -130,18 +130,23 @@ object GraftSql {
           .toDF("path", "operation", "version"))
       case Vac(path, retain) =>
         val keepCommits = Option(retain).map(_.toInt)
-        val staged = graft.sources.Sinks.cleanStagedUpserts(path)
-        val logs = graft.sources.Sinks.cleanDeltaLog(path,
-          keepCommits.getOrElse(0))
-        // data-file retention sweep (round-13): ages out generation
-        // dirs beyond the keep window — live-referenced dirs are never
-        // touched, crash-lagging tables refuse (see Sinks.vacuumTable).
+        // data-file retention sweep FIRST (round-14 ADVICE): its
+        // crash-lagging refusal must fire BEFORE any cleanup mutates —
+        // the old order ran the staged-dir and log-commit pruning and
+        // only then surfaced the refusal, leaving a statement that
+        // "failed" yet had already changed state. vacuumTable itself
+        // checks-then-sweeps, so a refusal here leaves the table
+        // untouched. Ages out generation dirs beyond the keep window —
+        // live-referenced dirs are never touched (see Sinks.vacuumTable).
         // RETAIN n COMMITS extends to DATA retention too: time travel
         // to a retained commit must still find its files (round-13
         // review find — a RETAIN 10 run at the default keep=3 would
         // silently break reads of commits 4-9 back)
         val gens = graft.sources.Sinks.vacuumTable(spark, path,
           keepGenerations = math.max(3, keepCommits.getOrElse(0)))
+        val staged = graft.sources.Sinks.cleanStagedUpserts(path)
+        val logs = graft.sources.Sinks.cleanDeltaLog(path,
+          keepCommits.getOrElse(0))
         Some(Seq((path, "VACUUM", staged.toLong, logs.toLong,
           gens.toLong))
           .toDF("path", "operation", "staged_removed", "commits_removed",

@@ -389,7 +389,7 @@ object DeletionVectors {
       try collectFileDvs(spark, root, state,
         Sinks.metaSchema(meta), predicate)
       catch {
-        case e: Exception if Sinks.isVanishedFileError(e) =>
+        case e: Exception if Sinks.isVanishedFileError(e, root) =>
           throw new java.util.ConcurrentModificationException(
             s"deleteDeltaWhere($tablePath): a scanned file was vacuumed " +
               "by a concurrent committer mid-scan; retry against fresh " +

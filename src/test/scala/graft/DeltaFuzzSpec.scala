@@ -352,7 +352,24 @@ class DeltaFuzzSpec extends SparkSpec {
           Files.deleteIfExists(Paths.get(dir, "_LOCK"))
         }
         drain()
-        if (chain.nonEmpty) sawWindow = true
+        if (chain.nonEmpty) {
+          sawWindow = true
+          // heal provenance (round-14 directive 6): every single-writer
+          // crash orphan in the window must be TRUSTED by its _BASE
+          // stamp — its recorded base plus its own heal chain is all
+          // the log contains, so the next merge will ACCEPT it as base.
+          // A distrust here would mean the engine is about to discard a
+          // pointer-visible sole-copy batch; the multi-writer discard
+          // cases are pinned in DeltaConcurrencySpec instead.
+          val tail = logVersions(dir).lastOption.getOrElse(-1L)
+          chain.foreach { case (gen, _) =>
+            assert(graft.sources.Sinks.unloggedGenTrusted(
+              Paths.get(dir), Paths.get(dir, s"gen-$gen"), tail, None),
+              s"seed=$seed op=$opIdx: crash orphan $gen distrusted by " +
+                s"its _BASE stamp at tail $tail — the heal would " +
+                "discard a sole-copy batch")
+          }
+        }
         assertState(dir, model, s"seed=$seed op=$opIdx")
         if (opIdx == externalAtOp)
           FuzzHarness.assertExternalMatches(spark, dir, model.cols,

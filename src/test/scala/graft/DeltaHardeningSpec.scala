@@ -253,4 +253,62 @@ class DeltaHardeningSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not in the logged schema"))
   }
+
+  test("isVanishedFileError: vacuum races qualify, missing tables and unresolved relations do not (r14 ADVICE)") {
+    val root = Files.createTempDirectory("vanished")
+    def fnf = new java.io.FileNotFoundException(
+      root.resolve("gen-0/part-000.parquet").toString)
+    // the real race signatures, table root present
+    assert(Sinks.isVanishedFileError(fnf, root))
+    assert(Sinks.isVanishedFileError(
+      new java.nio.file.NoSuchFileException(root.resolve("x").toString),
+      root))
+    assert(Sinks.isVanishedFileError(new RuntimeException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error"), root))
+    // wrapped causes are walked
+    assert(Sinks.isVanishedFileError(
+      new RuntimeException("job aborted", fnf), root))
+    // PATH_NOT_FOUND counts only for paths under THIS table's root
+    assert(Sinks.isVanishedFileError(new RuntimeException(
+      s"[PATH_NOT_FOUND] Path does not exist: $root/gen-1"), root))
+    assert(!Sinks.isVanishedFileError(new RuntimeException(
+      "[PATH_NOT_FOUND] Path does not exist: /some/typoed/table"), root))
+    // the old substring trap: an unresolved relation is NOT a race
+    assert(!Sinks.isVanishedFileError(new RuntimeException(
+      "[TABLE_OR_VIEW_NOT_FOUND] The table or view does not exist"),
+      root))
+    // nothing qualifies once the table root itself is gone — a race
+    // needs a table to race on
+    val gone = root.resolve("never-created")
+    assert(!Sinks.isVanishedFileError(fnf, gone))
+  }
+
+  test("SQL VACUUM refuses BEFORE mutating on a crash-lagging table (r14 ADVICE)") {
+    val dir = Files.createTempDirectory("vacorder").toString + "/t"
+    Sinks.upsertParquet(spark, dir, Seq((1L, 10.0)).toDF("k", "v"),
+      Seq("k"))
+    val root = Paths.get(dir)
+    // a stale staged dir old enough for cleanStagedUpserts to claim
+    val staged = root.resolve("_txn-stale-junk")
+    Files.createDirectories(staged)
+    Files.setLastModifiedTime(staged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val logCount = Sinks.deltaLogVersions(dir).size
+    // fake the crash window: pointer ahead of the log, no gen dir
+    Files.writeString(root.resolve("_CURRENT"), "gen-5")
+    intercept[IllegalArgumentException] {
+      graft.plans.GraftSql.sql(spark, s"VACUUM '$dir'")
+    }
+    // the refusal fired before ANY cleanup: staged dir and log intact
+    assert(Files.isDirectory(staged),
+      "cleanStagedUpserts ran before the crash-lagging refusal")
+    assert(Sinks.deltaLogVersions(dir).size == logCount,
+      "cleanDeltaLog ran before the crash-lagging refusal")
+    // heal and confirm VACUUM then works end-to-end
+    Files.writeString(root.resolve("_CURRENT"), "gen-0")
+    val row = graft.plans.GraftSql.sql(spark, s"VACUUM '$dir'").head()
+    assert(row.getString(1) == "VACUUM")
+    assert(!Files.isDirectory(staged), "stale staged dir not swept")
+  }
 }
