@@ -22,24 +22,59 @@ object Tables {
   private val spreadNames = Set(
     "lineitem", "orders", "events", "documents", "embeddings")
 
+  /** Primary-key column per spread table: the fan-out repartition hashes
+    * on it instead of going round-robin. Round-robin pays a local sort of
+    * the FULL rows before the exchange (SPARK-23207's determinism sort —
+    * r14 measurement: +0.63s per lineitem materialization at sf0.1,
+    * ~half the spread's cost); a hash on a high-cardinality key column is
+    * deterministic under task retry BY VALUE (guide §2.5: derive
+    * synthetic keys deterministically), needs no sort, and spreads just
+    * as evenly (>= 150k distinct keys vs ~32 partitions).
+    */
+  private val spreadKey = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
   /** A parquet file is split by byte range, but rows land in the split
     * holding their row group — a single-row-group file is ONE task no
     * matter what maxPartitionBytes says, and everything narrow above the
     * scan (projections, filters, explodes) runs on one core. When the
     * planned scan has fewer splits than the session's parallelism, fan
-    * out once with an explicit-width round-robin repartition: a narrow
-    * one-pass shuffle of the raw columns, exempt from AQE coalescing
-    * (REPARTITION_BY_NUM origin). On a production-size table the scan
-    * already has >= parallelism splits and no exchange is inserted.
+    * out once with an explicit-width hash repartition on the table's key
+    * (see [[spreadKey]]): a narrow one-pass shuffle of the raw columns,
+    * exempt from AQE coalescing (REPARTITION_BY_NUM origin). On a
+    * production-size table the scan already has >= parallelism splits
+    * and no exchange is inserted.
     */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def spread(spark: SparkSession, df: DataFrame,
+                     name: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target)
+      df.repartition(target, org.apache.spark.sql.functions.col(
+        spreadKey(name)))
     else df
   }
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Memoized logical table per (session, dir, name) — METADATA only.
+    * Every `apply` used to re-read the parquet footer (schema) and
+    * re-plan the scan (the spread check's `toRdd`); a model-DAG query
+    * references the same tables many times, so driver-side build time
+    * was 15-45% of measured query cost at bench scale (r14 measurement:
+    * q132 spent 1.1s of 2.5s constructing plans). The cached value is a
+    * lazy DataFrame — a view; every action still scans the parquet
+    * files, so results are computed from the inputs on every run (this
+    * is a catalog, not a result cache). Keyed by session identity: the
+    * spread width depends on the session's parallelism.
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name),
+      _ => build(spark, dir, name))
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet has carried different physical types for `ts` across
     // generations of the fixture: TIMESTAMP(NANOS) (which Spark's reader
     // only accepts as raw long via the legacy conf) and TIMESTAMP(MICROS)
@@ -58,7 +93,7 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
-    if (spreadNames(name)) spread(spark, df) else df
+    if (spreadNames(name)) spread(spark, df, name) else df
   }
 
   /** Register every catalog table as a session temp view so the whole

@@ -64,8 +64,11 @@ object F {
     }
     val schema = StructType(cols.zip(rows.head).map { case (n, v) =>
       StructField(n, typ(v), nullable = true) })
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(Row(_: _*)), 1), schema)
+    // local-list form → a LocalRelation the optimizer can constant-fold
+    // and broadcast without ever scheduling an RDD job; the parallelize
+    // form planned a LogicalRDD (one distributed stage per dim build)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.map(Row(_: _*)).asJava, schema)
   }
 
   /** Minimal-partition predicate: coalesce a set of dates into the smallest
