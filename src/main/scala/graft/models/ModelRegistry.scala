@@ -36,9 +36,27 @@ final class ModelContext(spark: SparkSession, registry: ModelRegistry,
                          val params: Params,
                          cache: mutable.Map[String, DataFrame]) {
   def session: SparkSession = spark
-  /** dbt-style ref: resolve a dependency model within this run. */
-  def ref(name: String): DataFrame =
-    cache.getOrElseUpdate(name, registry.build(name, spark, params, cache))
+  /** dbt-style ref: resolve a dependency model within this run.
+    *
+    * A model ref'd by SEVERAL consumers is persisted on its second ref:
+    * the cached DataFrame object is shared, but Catalyst INLINES its
+    * plan into every consumer and column pruning de-canonicalizes the
+    * copies, so ReuseExchange never fires and the shared subtree is
+    * recomputed once per consumer (r14 plan audit: q138 carried 62
+    * inlined scans, zero reused exchanges). Persisting exactly the
+    * multiply-ref'd models is the dbt-view-to-table promotion decided
+    * by observed fan-out; single-consumer models stay lazy views. The
+    * persist is per-run and lazy — every bench/oracle invocation still
+    * computes from the parquet inputs.
+    */
+  def ref(name: String): DataFrame = {
+    val seen = cache.contains(name)
+    val df = cache.getOrElseUpdate(name,
+      registry.build(name, spark, params, cache))
+    if (seen && df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
 }
 
 final case class Model(name: String, deps: Seq[String],

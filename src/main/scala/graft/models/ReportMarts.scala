@@ -567,18 +567,38 @@ object ReportMarts {
   private[models] def cjInvoice(s: SparkSession, sfDir: String,
       start: org.apache.spark.sql.Column,
       end: org.apache.spark.sql.Column): DataFrame =
-    cjPerInvoiceOrder(s, sfDir, start, end)
-      .groupBy(col("invoice_no"))
-      .agg(sum(col("delivery_fee")).as("delivery_fee"),
-        sum(col("box_cost")).as("box_cost"))
+    cjInvoiceGrain(cjPerInvoiceOrder(s, sfDir, start, end))
 
   /** cj__invoice_order: order grain, sentinel rows dropped. */
   private[models] def cjInvoiceOrder(s: SparkSession, sfDir: String,
       start: org.apache.spark.sql.Column,
       end: org.apache.spark.sql.Column): DataFrame =
-    cjPerInvoiceOrder(s, sfDir, start, end)
-      .filter(col("order_id") =!= "none")
+    cjOrderGrain(cjPerInvoiceOrder(s, sfDir, start, end))
+
+  private def cjInvoiceGrain(base: DataFrame): DataFrame =
+    base.groupBy(col("invoice_no"))
+      .agg(sum(col("delivery_fee")).as("delivery_fee"),
+        sum(col("box_cost")).as("box_cost"))
+
+  private def cjOrderGrain(base: DataFrame): DataFrame =
+    base.filter(col("order_id") =!= "none")
       .groupBy(col("order_id"))
       .agg(sum(col("delivery_fee")).as("delivery_fee"),
         sum(col("box_cost")).as("box_cost"))
+
+  /** Both CJ fallback grains over ONE persisted (invoice, order)-grain
+    * base — for the sales marts, which consume the pair in the same
+    * plan: unshared, each grain re-scanned and re-aggregated both
+    * carrier feeds (column pruning de-canonicalizes the copies, so
+    * ReuseExchange never fires — r14 plan audit: the q128/q239 plans
+    * carried the 4-exchange CJ subtree TWICE). The base is the
+    * per-(invoice, order) aggregate — already the compacted grain, so
+    * the persist is bounded by invoice count, not feed rows.
+    */
+  private[models] def cjFallbackPair(s: SparkSession, sfDir: String,
+      start: org.apache.spark.sql.Column,
+      end: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val base = cjPerInvoiceOrder(s, sfDir, start, end).persist()
+    (cjInvoiceGrain(base), cjOrderGrain(base))
+  }
 }

@@ -362,13 +362,15 @@ object SbnSales {
             col("org_price"), col("delivery_group"),
             col("item_delivery_fee"), col("order_date"), col("cost_amount"))
 
-        // step 6: CJ delivery fallback chain (both CJ models, ±7 days)
-        val cjInv = ReportMarts.cjInvoice(s, sfDir,
+        // step 6: CJ delivery fallback chain (both CJ grains, ±7 days)
+        // over ONE persisted (invoice, order) base — see
+        // ReportMarts.cjFallbackPair
+        val (cjInvRaw, cjOrdRaw) = ReportMarts.cjFallbackPair(s, sfDir,
           date_sub(startD, 7), date_add(endD, 7))
+        val cjInv = cjInvRaw
           .select(col("invoice_no"), col("delivery_fee").as("cj_inv_fee"),
             col("box_cost").as("cj_inv_box"))
-        val cjOrd = ReportMarts.cjInvoiceOrder(s, sfDir,
-          date_sub(startD, 7), date_add(endD, 7))
+        val cjOrd = cjOrdRaw
           .select(col("order_id"), col("delivery_fee").as("cj_ord_fee"),
             col("box_cost").as("cj_ord_box"))
         val withCj = allocated5

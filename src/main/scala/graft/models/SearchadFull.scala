@@ -368,10 +368,12 @@ object SearchadFull {
             (datediff(col("exposure_end_date"),
               col("exposure_start_date")) + 1).cast("long")
               .as("date_count"))
-        // `dates` and `attached` both consume this day-exploded frame with
-        // different prunings; the recompute is a cheap bounded explode
-        // over the contract dim — a checkpoint write costs more than the
-        // repeat it would save (measured), so it stays lazy
+        // `dates` and `attached` both consume this day-exploded frame
+        // with different prunings, which de-canonicalizes the copies and
+        // defeats ReuseExchange — persist (memory, lazy) so the contract
+        // scan + explode run once. (An r13 note rejected a reliable
+        // CHECKPOINT here — a disk write — which is indeed slower; the
+        // in-memory persist is the right grain.)
         val expand = base
           .select(col("contract_id"), col("adgroup_id"), col("customer_id"),
             col("ad_cost"), col("exposure_start_date"), col("date_count"),
@@ -381,6 +383,7 @@ object SearchadFull {
             Allocation.divModAllocate(col("ad_cost"), col("date_count"),
               col("date_offset")).as("ad_cost"),
             expr("date_add(exposure_start_date, date_offset)").as("ymd"))
+          .persist()
         val dates = expand.select(col("adgroup_id"), col("ymd")).distinct()
 
         // Step 3: adgroup-level ranged rules from ad-level rules
@@ -426,6 +429,8 @@ object SearchadFull {
           .groupBy(col("adgroup_id"), col("ymd"), col("is_brd"))
           .agg(array_join(array_sort(collect_set(col("bundle_product_id"))),
             ",").as("bundle_product_ids"))
+          // two grain-split consumers below — persist the shared aggregate
+          .persist()
         val dailyPrd = dailyAll.filter(!col("is_brd"))
           .select(col("adgroup_id").as("dp_adgroup_id"),
             col("ymd").as("dp_ymd"),

@@ -289,13 +289,15 @@ object SmtSales {
             col("org_price"), col("delivery_group"),
             col("item_delivery_fee"), col("order_date"), col("cost_amount"))
 
-        // step 4: CJ fallback chain ±7 days + delivery unit
-        val cjInv = ReportMarts.cjInvoice(s, sfDir,
+        // step 4: CJ fallback chain ±7 days + delivery unit — both
+        // grains derived from ONE persisted (invoice, order) base
+        // (ReportMarts.cjFallbackPair), not two full re-aggregations
+        val (cjInvRaw, cjOrdRaw) = ReportMarts.cjFallbackPair(s, sfDir,
           date_sub(startD, 7), date_add(endD, 7))
+        val cjInv = cjInvRaw
           .select(col("invoice_no"), col("delivery_fee").as("cj_inv_fee"),
             col("box_cost").as("cj_inv_box"))
-        val cjOrd = ReportMarts.cjInvoiceOrder(s, sfDir,
-          date_sub(startD, 7), date_add(endD, 7))
+        val cjOrd = cjOrdRaw
           .select(col("order_id").as("__cj_order_id"),
             col("delivery_fee").as("cj_ord_fee"),
             col("box_cost").as("cj_ord_box"))

@@ -772,15 +772,19 @@ object Dedup {
 
     // lineage MUST be cut every round: both stars reference their input
     // several times, so without truncation the logical plan (and any
-    // recomputation) grows exponentially in the round count. Eager
+    // recomputation) grows exponentially in the round count. LAZY
     // localCheckpoint pins the round's edges and flattens the plan to a
-    // scan; on a real cluster swap in reliable checkpointing.
-    var edges = raw.localCheckpoint(true)
+    // scan, and the round's OWN sig() aggregate is the action that
+    // materializes it — the eager form ran a second, separate
+    // materialization job per round for nothing (r14: one job per round
+    // instead of two, across every CC consumer). On a real cluster swap
+    // in reliable checkpointing.
+    var edges = raw.localCheckpoint(false)
     var last = sig(edges)
     var done = last._1 == 0
     var it = 0
     while (!done && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val s = sig(next)
       edges = next
       done = s == last

@@ -41,9 +41,11 @@ object Graphs {
     *
     * Scale notes: each round is one join edges⋈ranks (shuffle on the
     * join key) + one hash aggregation on dst — the canonical
-    * Pregel-free Spark PageRank shape; lineage is cut per round with an
-    * eager localCheckpoint (same discipline as
-    * [[Dedup.connectedComponents]] — on a real cluster swap in reliable
+    * Pregel-free Spark PageRank shape; lineage is cut per round with a
+    * LAZY localCheckpoint (same discipline as
+    * [[Dedup.connectedComponents]]: the round's own one-row dangling
+    * aggregate is the materializing action, so no separate
+    * checkpoint-only job runs — on a real cluster swap in reliable
     * checkpointing). The dangling-mass term is a ONE-ROW aggregate per
     * round (bounded driver traffic, PlanAudit-exempt by size).
     *
@@ -59,19 +61,19 @@ object Graphs {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val nd = nodes.join(
         e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nd.count()
     require(n > 0, "pageRank needs at least one non-self-loop edge")
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)
     var ranks = nd.select(col("id"), lit(scale / n).as("rank"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(nd, "id")
       // one-row aggregate: the dangling mass this round
@@ -88,7 +90,7 @@ object Graphs {
         .select(col("id"),
           expr(s"$base + ($dampNum * (coalesce(csum, CAST(0 AS BIGINT)) " +
             s"+ $dangPer)) DIV $dampDen").as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks.select(col("id"), col("rank").as("rank_fp"))
   }
@@ -126,10 +128,10 @@ object Graphs {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "hits needs at least one non-self-loop edge")
     require(scale >= n, "scale must be >= node count or ranks floor to 0")
@@ -145,10 +147,10 @@ object Graphs {
         .select(col("id"),
           expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) DIV $tot")
             .as(outName))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     var hubs = nodes.select(col("id"), lit(scale / n).as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = hubs.join(e, col("id") === col("src"))
@@ -196,11 +198,11 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
     // symmetrize: neighbor = either endpoint of any incident edge
     val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cnt").desc, col("lbl").asc)
     for (_ <- 1 to iters) {
@@ -216,7 +218,7 @@ object Graphs {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("id"), col("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.select(col("id"), col("lbl").as("community"))
   }

@@ -1268,12 +1268,19 @@ object TextAnalysis {
                     materialize: Boolean = true): DataFrame = {
     val qTerms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term"))
-    val (postings0, dfreq, stats) = bm25BuildIndex(df, idCol, textCol)
+    val (postings0, dfreq0, stats0) = bm25BuildIndex(df, idCol, textCol)
     // the index feeds both scoring passes AND the promotion aggregate —
     // persist it instead of re-tokenizing the corpus per consumer (at
     // data-lake scale prefer materialize=false + the STORED index,
     // bm25WriteIndex / bm25TopKFromStoredIndex)
     val postings = if (materialize) postings0.persist() else postings0
+    // stats and dfreq are consumed by BOTH scoring passes: unpersisted,
+    // each pass re-TOKENIZED the corpus for the one-row stats frame and
+    // re-aggregated the full vocabulary for dfreq (r14 measurement: two
+    // extra corpus scans per run). Both are tiny (1 row; |vocab| rows)
+    // and derive from the same build — persist alongside the postings.
+    val dfreq = if (materialize) dfreq0.persist() else dfreq0
+    val stats = if (materialize) stats0.persist() else stats0
     val fb = bm25TopKFromIndex(postings, dfreq, stats, qTerms, k = fbDocs)
       .select(col("query_id"), col("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
