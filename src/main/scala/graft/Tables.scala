@@ -22,14 +22,20 @@ object Tables {
   private val spreadNames = Set(
     "lineitem", "orders", "events", "documents", "embeddings")
 
-  /** Primary-key column per spread table: the fan-out repartition hashes
-    * on it instead of going round-robin. Round-robin pays a local sort of
-    * the FULL rows before the exchange (SPARK-23207's determinism sort —
-    * r14 measurement: +0.63s per lineitem materialization at sf0.1,
-    * ~half the spread's cost); a hash on a high-cardinality key column is
-    * deterministic under task retry BY VALUE (guide §2.5: derive
-    * synthetic keys deterministically), needs no sort, and spreads just
-    * as evenly (>= 150k distinct keys vs ~32 partitions).
+  /** Key column for the ROW-COUNT-HEAVY spread tables: their fan-out
+    * repartition hashes on it instead of going round-robin. Round-robin
+    * pays a local sort of the FULL rows before the exchange
+    * (SPARK-23207's determinism sort — r14 measurement: +0.63s per
+    * lineitem materialization at sf0.1, ~half the spread's cost); a hash
+    * on a high-cardinality key is deterministic under task retry BY
+    * VALUE (guide §2.5), needs no sort, and spreads evenly when
+    * distinct keys >> partitions (>= 150k vs 32 here).
+    *
+    * documents/embeddings (5k/8k rows, heavy per-row CPU) were A/B'd
+    * keyed vs round-robin — repeated-run mins overlap (q158 reached
+    * 1.86s keyed vs 1.69s RR; q40 1.05 keyed vs 1.33 RR), i.e. the
+    * choice is inside box noise for small tables — so they take the
+    * same keyed form for uniformity and retry-determinism.
     */
   private val spreadKey = Map(
     "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
@@ -51,8 +57,11 @@ object Tables {
                      name: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target, org.apache.spark.sql.functions.col(
-        spreadKey(name)))
+      spreadKey.get(name) match {
+        case Some(k) =>
+          df.repartition(target, org.apache.spark.sql.functions.col(k))
+        case None => df.repartition(target)
+      }
     else df
   }
 
