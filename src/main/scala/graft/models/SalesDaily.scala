@@ -283,9 +283,17 @@ object SalesDaily {
 
         val part = Seq(col("order_id"), col("option_id"))
         val ord = Seq(col("product_id"), col("component"))
-        val multi0 = withExtra.filter(col("bundle_product_count") > 1)
-        val multi = Seq("payment_amount", "supply_amount", "delivery_fee")
-          .foldLeft(multi0) { (df, m) =>
+        // ONE allocation pass over every row — the reference's
+        // single/multi branch split is a plan-level no-op (the q128
+        // collapse, r4-audited there): a 1-row group's weighted share of
+        // its own total IS the row's amount, zero-weight groups included
+        // (the first row absorbs the full total). The split form planned
+        // the whole FULL-OUTER-merge subtree TWICE (r14 plan audit: two
+        // SortMergeJoin FullOuter nodes, 20 inlined scans) because the
+        // two filtered branches de-canonicalize and defeat ReuseExchange.
+        val allocated = Seq("payment_amount", "supply_amount",
+          "delivery_fee")
+          .foldLeft(withExtra.drop("bundle_product_count")) { (df, m) =>
             graft.operators.Allocation.weightedAllocate(df, part, ord,
               col(m), col("cost_amount"), s"__${m}_split", scale = 0)
           }
@@ -296,12 +304,8 @@ object SalesDaily {
             col("supply_cost"),
             col("__delivery_fee_split").cast("long").as("delivery_fee"),
             col("order_date"))
-        val singles = withExtra.filter(col("bundle_product_count") === 1)
-          .select(col("order_id"), col("product_id"), col("order_status"),
-            col("sku_quantity"), col("payment_amount"), col("supply_amount"),
-            col("supply_cost"), col("delivery_fee"), col("order_date"))
 
-        singles.unionByName(multi)
+        allocated
           .groupBy(col("order_date"), col("product_id"), col("order_status"))
           .agg(sum(col("sku_quantity")).as("sku_quantity"),
             sum(col("payment_amount")).as("payment_amount"),
