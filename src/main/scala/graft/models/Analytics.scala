@@ -828,20 +828,21 @@ object Analytics {
           expr("try_cast(regexp_extract(product_id, '([0-9]+)', 1) AS BIGINT)" +
             " % 97 + 3"))
         .withColumn("cost_amount", col("org_price") * col("sku_quantity"))
-        .withColumn("__cnt", count(lit(1)).over(wOrd))
         .withColumn("__total", sum(col("payment_amount")).over(wOrd))
+      // ONE allocation pass over every row — the single/multi split is a
+      // plan-level no-op (a 1-row group's weighted share of its own
+      // total IS the row's amount, zero-weight included), and the split
+      // form planned the whole explode/union subtree twice (the q125
+      // collapse, oracle-verified there and here)
       val alloc = graft.operators.Allocation.weightedAllocate(
-          withCost.filter(col("__cnt") > 1),
+          withCost,
           Seq(col("account_no"), col("order_id")),
           Seq(col("product_id"), col("order_seq"), col("sku_quantity"),
             col("payment_amount")),
           col("__total"), col("cost_amount"), "payment_alloc", scale = 0)
         .select(col("order_id"), col("order_dt"), col("sku_quantity"),
           col("payment_alloc").cast("long").as("pay"))
-      val singles = withCost.filter(col("__cnt") === 1)
-        .select(col("order_id"), col("order_dt"), col("sku_quantity"),
-          col("payment_amount").as("pay"))
-      alloc.unionByName(singles)
+      alloc
         .groupBy(col("order_dt"))
         .agg(count(lit(1)).as("n_rows"),
           count_distinct(col("order_id")).as("n_orders"),
