@@ -304,9 +304,17 @@ object Bench {
     }
     // ---- isolation confirm pass: re-adjudicate apparent regressions ----
     // previous round's committed mins (bench_out.json survives in git);
-    // absent/unparseable file, or a fresh query, simply means no baseline
+    // absent/unparseable file, or a fresh query, simply means no baseline.
+    // A core-count-suffixed artifact for THIS run's cpus is preferred:
+    // comparing an 8-core run against 32-core baselines manufactures
+    // phantom regressions exactly like a cross-sf comparison (round-15
+    // directive 1/2 — the r14 driver's 8-core scaling run both clobbered
+    // the 32-core artifact and would have adjudicated against it).
     val prevMin: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("bench_out.json")
+      val p = Seq(s"bench_out_c$cpus.json", "bench_out.json")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+        .getOrElse(java.nio.file.Paths.get("bench_out.json"))
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -344,7 +352,18 @@ object Bench {
           Console.err.println(s"[graft] bench baseline IGNORED: " +
             s"recorded at sf=${node.get("sf").asText()}, this run is " +
             s"sf=$sfDir — regression detection is OFF for this run")
-        if (m == null || !sameSf) Map.empty
+        // core-count guard, same rationale as the sf guard: a baseline
+        // recorded at a different core count is not comparable (a
+        // legacy baseline with NO cpus field is accepted — it predates
+        // the stamp and only ever risks suspects the confirm pass
+        // already knows how to refute)
+        val sameCpus =
+          !node.has("cpus") || node.get("cpus").asText() == cpus
+        if (!sameCpus)
+          Console.err.println(s"[graft] bench baseline IGNORED: " +
+            s"recorded at cpus=${node.get("cpus").asText()}, this run " +
+            s"is cpus=$cpus — regression detection is OFF for this run")
+        if (m == null || !sameSf || !sameCpus) Map.empty
         else {
           val b = Map.newBuilder[String, Double]
           m.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
@@ -507,17 +526,57 @@ object Bench {
           .filter(bf => names.contains(bf._1)))},""" +
         s""""drift":${String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(drift))},""" +
+        s""""cpus":$cpus,""" +
         s""""sf":"$sfDir"}"""
-    println(json)
     // a BENCH_ONLY (partial) run must never overwrite bench_out.json:
     // that file is the committed full-suite regression BASELINE the next
     // run's confirm pass and the worktree cross-check read — replacing
     // 243 baselines with a 2-query dev run silently disables regression
     // detection for everything else (round-11 review find)
-    val outFile =
-      if (only.nonEmpty) "bench_out_partial.json" else "bench_out.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+    val detailFile =
+      if (only.nonEmpty) "bench_out_partial.json"
+      else s"bench_out_c$cpus.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       (json + "\n").getBytes("UTF-8"))
+    if (only.isEmpty) {
+      // bench_out.json stays the canonical full-suite artifact, but a
+      // run at a DIFFERENT core count must not clobber it: the r14
+      // driver's 8-core scaling run overwrote the 32-core per-query
+      // numbers (round-15 directive 1). A legacy file with no cpus
+      // stamp is overwritable (its provenance is unknowable).
+      val canonical = java.nio.file.Paths.get("bench_out.json")
+      val keepExisting = try {
+        java.nio.file.Files.exists(canonical) && {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(canonical))
+          n.has("cpus") && n.get("cpus").asText() != cpus
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (keepExisting)
+        Console.err.println(s"[graft] bench_out.json left untouched " +
+          s"(recorded at a different core count); this run's detail " +
+          s"is in $detailFile")
+      else
+        java.nio.file.Files.write(canonical,
+          (json + "\n").getBytes("UTF-8"))
+    }
+    // stdout contract (round-15 directive 1): the full per-query JSON
+    // grew to ~27 KB and the round driver keeps only a 2000-char stdout
+    // tail, so every BENCH artifact since r10 carried parsed:null. The
+    // full line still prints first (human/judge-greppable, identical to
+    // the detail file), but the LAST stdout line is a compact (<1 KB)
+    // summary the tail can actually contain and parse; the per-query
+    // sections live in the detail file it points at.
+    println(json)
+    val compact =
+      s"""{"metric":"total","value":${String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(total))},""" +
+        s""""unit":"sec","reps":$reps,"method":"trimmed-median",""" +
+        s""""n_queries":${results.size},""" +
+        s""""drift":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(drift))},""" +
+        s""""cpus":$cpus,"sf":"$sfDir","detail":"$detailFile"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -36,6 +36,12 @@ object Tables {
     * 1.86s keyed vs 1.69s RR; q40 1.05 keyed vs 1.33 RR), i.e. the
     * choice is inside box noise for small tables — so they take the
     * same keyed form for uniformity and retry-determinism.
+    *
+    * INVARIANT: every spread key is its table's primary key and NON-NULL
+    * by fixture construction — hash partitioning sends all null keys to
+    * ONE partition, silently defeating the fan-out this exists for. A
+    * table whose key can be null must not be added here (fall back to
+    * the keyless round-robin branch instead).
     */
   private val spreadKey = Map(
     "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
@@ -75,13 +81,42 @@ object Tables {
     * files, so results are computed from the inputs on every run (this
     * is a catalog, not a result cache). Keyed by session identity: the
     * spread width depends on the session's parallelism.
+    *
+    * INVARIANT (round-15 directive 8): source tables are immutable for
+    * the lifetime of a session — the memoized plan snapshots the file
+    * listing and schema at first `apply`, so a fixture dir rewritten
+    * in-session would be served stale. Every writer in this repo
+    * (Fixtures.buildOnce, test fixtures) writes to a fresh versioned
+    * root, never over a dir a live session has read. Entries are
+    * evicted when their session's SparkContext stops (listener below),
+    * so suite-scoped sessions no longer pin DataFrames for the JVM
+    * lifetime.
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Sessions whose context already carries the eviction listener. */
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def hookEviction(spark: SparkSession): Unit =
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            hooked.remove(spark)
+            val it = memo.keySet.iterator()
+            while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+          }
+        })
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    hookEviction(spark)
     memo.computeIfAbsent((spark, dir, name),
       _ => build(spark, dir, name))
+  }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet has carried different physical types for `ts` across

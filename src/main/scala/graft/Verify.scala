@@ -32,6 +32,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Bench-style quiesce (round-15 directive 3): run-scoped persists
+      // (model-ref promotions, operator shingle caches) are lazy and
+      // released by nothing else in this 244-query loop — without this,
+      // cached blocks accumulate across the whole verify run, bounded
+      // only by LRU eviction (§5 memory pressure).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,9 +32,26 @@ sealed trait Materialization
 case object View extends Materialization
 final case class Incremental(partitionCol: String) extends Materialization
 
+/** Per-run mutable state: the ref() memo map plus every DataFrame this
+  * run persisted (ref promotions AND operator-local persists routed
+  * through [[ModelContext.track]]), so the run's cached blocks can be
+  * released deterministically instead of waiting for a session-wide
+  * cache clear (round-15 directive 3 — in a long multi-query session
+  * run-scoped blocks otherwise accumulate until LRU/quiesce).
+  */
+private[models] final class RunState {
+  val cache: mutable.Map[String, DataFrame] = mutable.Map.empty
+  private val persisted = mutable.ArrayBuffer.empty[DataFrame]
+  def track(df: DataFrame): DataFrame = { persisted += df; df }
+  def release(): Unit = {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
+}
+
 final class ModelContext(spark: SparkSession, registry: ModelRegistry,
                          val params: Params,
-                         cache: mutable.Map[String, DataFrame]) {
+                         state: RunState) {
   def session: SparkSession = spark
   /** dbt-style ref: resolve a dependency model within this run.
     *
@@ -50,13 +67,19 @@ final class ModelContext(spark: SparkSession, registry: ModelRegistry,
     * computes from the parquet inputs.
     */
   def ref(name: String): DataFrame = {
-    val seen = cache.contains(name)
-    val df = cache.getOrElseUpdate(name,
-      registry.build(name, spark, params, cache))
+    val seen = state.cache.contains(name)
+    val df = state.cache.getOrElseUpdate(name,
+      registry.build(name, spark, params, state))
     if (seen && df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
+      state.track(df.persist())
     df
   }
+  /** Register an operator-local run-scoped persist for release with the
+    * rest of the run's cache (call as `ctx.track(frame.persist())` or
+    * `ctx.track(frame).persist()` — tracking is by reference, only the
+    * persist/unpersist pairing matters).
+    */
+  def track(df: DataFrame): DataFrame = state.track(df)
 }
 
 final case class Model(name: String, deps: Seq[String],
@@ -95,28 +118,52 @@ final class ModelRegistry {
   }
 
   private[models] def build(name: String, spark: SparkSession, params: Params,
-                            cache: mutable.Map[String, DataFrame]): DataFrame = {
-    val ctx = new ModelContext(spark, this, params, cache)
+                            state: RunState): DataFrame = {
+    val ctx = new ModelContext(spark, this, params, state)
     apply(name).build(ctx)
   }
 
-  /** Compute a model (and its dep subtree) for the given params. */
+  /** Compute a model (and its dep subtree) for the given params.
+    *
+    * The result is LAZY, and run-scoped persists (ref promotions,
+    * tracked operator persists) must outlive the caller's action — so
+    * this overload cannot release them itself; they are freed by the
+    * caller's quiesce (Bench/Verify clear caches between queries) or
+    * session end. A caller that controls its own action should prefer
+    * [[runReleasable]] and invoke the release handle after it.
+    */
   def run(name: String, spark: SparkSession,
           params: Params = Params()): DataFrame =
-    build(name, spark, params, mutable.Map.empty)
+    build(name, spark, params, new RunState)
+
+  /** [[run]] plus a release handle that unpersists every frame the run
+    * persisted — call it AFTER the action that consumes the DataFrame.
+    */
+  def runReleasable(name: String, spark: SparkSession,
+                    params: Params = Params()): (DataFrame, () => Unit) = {
+    val state = new RunState
+    val df = build(name, spark, params, state)
+    (df, () => state.release())
+  }
 
   /** Materialize a model to a warehouse path according to its policy.
     * Incremental models overwrite exactly the partitions present in the
-    * batch (empty-batch short-circuit included).
+    * batch (empty-batch short-circuit included). Materialization is
+    * EAGER for Incremental models, so the run's persisted frames are
+    * released before returning (round-15 directive 3); a View
+    * registration stays lazy and keeps its run cache alive with the
+    * temp view.
     */
   def materialize(name: String, spark: SparkSession, path: String,
                   params: Params = Params()): Unit = {
-    val df = run(name, spark, params)
+    val (df, release) = runReleasable(name, spark, params)
     apply(name).materialization match {
       case View =>
         df.createOrReplaceTempView(name)
       case Incremental(partitionCol) =>
-        graft.sources.Sinks.overwritePartitions(df, path, Seq(partitionCol))
+        try graft.sources.Sinks.overwritePartitions(df, path,
+          Seq(partitionCol))
+        finally release()
     }
   }
 }

@@ -48,7 +48,8 @@ object ProductMarts {
     * eager disk checkpoint (F.checkpointShared) stays reserved for frames
     * whose recompute could resample a partitioner (F.globalRowNumber).
     */
-  private def persistTopN(df: DataFrame): DataFrame = df.persist()
+  private def persistTopN(ctx: ModelContext, df: DataFrame): DataFrame =
+    ctx.track(df.persist())
 
   /** Reference source('core','item'): the hand-maintained item sheet —
     * multiple rows per product_id (dedup is the point), 1xx/2xx/3xx-prefixed
@@ -179,9 +180,9 @@ object ProductMarts {
     // queries). persist(), not checkpoint: both dedup orders are total,
     // so a dropped-block recompute is value-identical.
     r.register(Model("sbn_option_dedup", Nil, View, ctx =>
-      sbnOption(ctx.session, sfDir).persist()))
+      ctx.track(sbnOption(ctx.session, sfDir).persist())))
     r.register(Model("core_item_dedup", Nil, View, ctx =>
-      coreMaster(ctx.session, sfDir).persist()))
+      ctx.track(coreMaster(ctx.session, sfDir).persist())))
 
     // ---- core brand master (reference: intermediate/core__brand_master
     // .sql:9-20): 2-prefixed items with a real brand, deduped to one row
@@ -451,11 +452,12 @@ object ProductMarts {
         // the sentinel scalar and the spine both consume the FULL product
         // master chain — persist its projection so the upstream model
         // runs once, not twice (same lazy-over-eager reasoning as opt)
-        val prd = ctx.ref("sabangnet_product_master").select(
+        val prd = ctx.track(
+          ctx.ref("sabangnet_product_master").select(
             col("product_id"), col("model_code"), col("model_id"),
             col("product_name"), col("product_keyword"), col("brand_name"),
             col("option_type").as("prd_option_type"), col("sort_key"))
-          .persist()
+          .persist())
         val statusDim = graft.functions.F.inlineDim(s,
           Seq("scode", "slabel"),
           Seq(Seq("SALE", "판매중"), Seq("STOP", "판매중지")))
@@ -506,7 +508,7 @@ object ProductMarts {
       // `rel` below re-derives from this deduped frame, so the lineitem
       // window would run twice — persist to compute it once (lazy; the
       // dedup order is total, recompute is value-identical)
-      val opt = persistTopN(
+      val opt = persistTopN(ctx,
         graft.functions.F.qualifyTopN(
         Tables.lineitem(s, sfDir).select(
           (lit(100000) + pmod(col("l_partkey"), lit(400))).cast("string")

@@ -597,8 +597,11 @@ object ReportMarts {
     */
   private[models] def cjFallbackPair(s: SparkSession, sfDir: String,
       start: org.apache.spark.sql.Column,
-      end: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
-    val base = cjPerInvoiceOrder(s, sfDir, start, end).persist()
+      end: org.apache.spark.sql.Column,
+      track: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
+    // callers inside a model build pass ctx.track so the run releases
+    // this persist with the rest of its cache (round-15 directive 3)
+    val base = track(cjPerInvoiceOrder(s, sfDir, start, end).persist())
     (cjInvoiceGrain(base), cjOrderGrain(base))
   }
 }

@@ -398,7 +398,13 @@ object SalesDaily {
               .as("next_stock_quantity"),
             col("payment_date"),
             lead(col("payment_date"), 1).over(wPrd).as("next_payment_date"))
-        val totalStock = productStock.unionByName(optionStock)
+        // THREE consumers below (the window self-join's cur side, its
+        // prev side, and the final fence join-back) — without a persist
+        // the full upstream (two qualifyTopN windows + two lead windows
+        // + the option/product split join) is recomputed per consumer
+        // (round-15: same multiply-consumed-frame rule as r14's G4;
+        // run-scoped, released via ctx.track)
+        val totalStock = ctx.track(productStock.unionByName(optionStock)
           .filter(col("sales_price") > 0 &&
             col("stock_quantity") >= col("next_stock_quantity") &&
             col("stock_quantity") - col("next_stock_quantity") < 10000 &&
@@ -409,6 +415,7 @@ object SalesDaily {
             ((col("stock_quantity") - col("next_stock_quantity"))
               * col("sales_price")).as("payment_amount"),
             col("payment_date"))
+          .persist())
         // ±window self-join (28 back, 7 forward, same key, not same day)
         val cur = totalStock.alias("cur")
         val prev = totalStock.select(col("product_id"), col("option_id"),

@@ -384,6 +384,7 @@ object SearchadFull {
               col("date_offset")).as("ad_cost"),
             expr("date_add(exposure_start_date, date_offset)").as("ymd"))
           .persist()
+        ctx.track(expand)
         val dates = expand.select(col("adgroup_id"), col("ymd")).distinct()
 
         // Step 3: adgroup-level ranged rules from ad-level rules
@@ -431,6 +432,7 @@ object SearchadFull {
             ",").as("bundle_product_ids"))
           // two grain-split consumers below — persist the shared aggregate
           .persist()
+        ctx.track(dailyAll)
         val dailyPrd = dailyAll.filter(!col("is_brd"))
           .select(col("adgroup_id").as("dp_adgroup_id"),
             col("ymd").as("dp_ymd"),

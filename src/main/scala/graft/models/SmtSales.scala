@@ -293,7 +293,7 @@ object SmtSales {
         // grains derived from ONE persisted (invoice, order) base
         // (ReportMarts.cjFallbackPair), not two full re-aggregations
         val (cjInvRaw, cjOrdRaw) = ReportMarts.cjFallbackPair(s, sfDir,
-          date_sub(startD, 7), date_add(endD, 7))
+          date_sub(startD, 7), date_add(endD, 7), ctx.track)
         val cjInv = cjInvRaw
           .select(col("invoice_no"), col("delivery_fee").as("cj_inv_fee"),
             col("box_cost").as("cj_inv_box"))

@@ -385,10 +385,37 @@ object Dedup {
     val prefix = ex.join(freq, "s")
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <= prefixLen)
-      .select(col("id"), col("s"))
+      .select(col("id"), col("s"), col("sz"), col("pos"))
+    // PPJoin candidate reduction (Xiao et al., WWW'08; round-15
+    // directive 2): two lossless prunes INSIDE the prefix join, before
+    // the distinct shuffle and the array-verify joins.
+    //
+    // Length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= t
+    // forces min >= t*max — a two-int compare per joined row.
+    //
+    // Positional filter: both docs order shingles by the SAME global
+    // (freq, s) key, so for the FIRST shared shingle s* (positions pa,
+    // pb) every other shared shingle sits strictly after it on both
+    // sides: overlap O <= 1 + min(|A|-pa, |B|-pb). J >= t forces
+    // O >= t/(1+t)*(|A|+|B|), so a row whose positional upper bound
+    // misses that lower bound cannot be the s* row of a qualifying
+    // pair; the s* row itself always survives (completeness: O >= t*|A|
+    // puts s* inside both prefixes — the standard prefix-filter
+    // argument — and the bound above holds at s* by construction), so
+    // every qualifying pair still reaches the verify join through at
+    // least its s* row. The 1e-9 slack keeps a double rounding of
+    // t/(1+t)*(sz_a+sz_b) from pruning an exact integer tie; verify
+    // recomputes exact Jaccard, so over-admission is only wasted work.
+    val reqOverlap =
+      lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) -
+        lit(1e-9)
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9) &&
+          (lit(1) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos"))).cast("double") >= reqOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
@@ -580,6 +607,12 @@ object Dedup {
     cand
       .join(shLeft.select(col("id").as(leftId), col("sh").as("sh_a")), leftId)
       .join(shRight.select(col("id").as(rightId), col("sh").as("sh_b")), rightId)
+      // NO length pre-filter here (round-15 measurement): LSH-banded
+      // candidates already share k/bands exact minhash components, which
+      // implies near-compatible set sizes — a measured sf0.1 run kept
+      // 256 of 256 candidates, so the extra per-row predicate was pure
+      // overhead. The PPJoin length/positional prunes live where they
+      // pay: inside the prefix join of jaccardPairsFromShingles.
       .select(col(leftId), col(rightId),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
@@ -779,17 +812,43 @@ object Dedup {
     // materialization job per round for nothing (r14: one job per round
     // instead of two, across every CC consumer). On a real cluster swap
     // in reliable checkpointing.
+    //
+    // Per-round shuffle sizing (round-15 directive 9): every round's
+    // exchanges inherit the session's flat spark.sql.shuffle.partitions,
+    // but edge counts shrink monotonically — at bench scale a late round
+    // shuffles a few thousand 16-byte pairs across 32 partitions of pure
+    // task overhead, and AQE's coalescing declines to shrink below the
+    // default parallelism (parallelismFirst). The driver loop already
+    // KNOWS each round's exact edge count from sig(); size the next
+    // round's exchanges to ~2M pair rows (~32 MB, guide §2.2 "fewer,
+    // larger") per partition, capped at the session's configured value
+    // so a production-sized setting is never exceeded, and restore the
+    // session conf afterwards. Partitioning never affects the result
+    // (min-based stars are deterministic under any row placement).
+    val spark = pairs.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val sessionParts = scala.util.Try(spark.conf.get(confKey).toInt)
+      .getOrElse(-1)
+    val rowsPerPart = 2L << 20
+    def roundParts(edgeCount: Long): Int =
+      math.max(1L, math.min(sessionParts.toLong,
+        (edgeCount + rowsPerPart - 1) / rowsPerPart)).toInt
     var edges = raw.localCheckpoint(false)
     var last = sig(edges)
     var done = last._1 == 0
     var it = 0
-    while (!done && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val s = sig(next)
-      edges = next
-      done = s == last
-      last = s
-      it += 1
+    try {
+      while (!done && it < maxIter) {
+        if (sessionParts > 0) spark.conf.set(confKey, roundParts(last._1))
+        val next = smallStar(largeStar(edges)).localCheckpoint(false)
+        val s = sig(next)
+        edges = next
+        done = s == last
+        last = s
+        it += 1
+      }
+    } finally {
+      if (sessionParts > 0) spark.conf.set(confKey, sessionParts)
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     // converged edges are (member, root); roots label themselves

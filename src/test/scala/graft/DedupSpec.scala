@@ -31,6 +31,37 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("PPJoin length+positional filters are lossless vs brute-force " +
+      "all-pairs Jaccard") {
+    // round-15: the prefix join carries PPJoin candidate prunes; they
+    // must never drop a qualifying pair. Brute-force every doc pair on
+    // the real fixture and compare the FULL output (ids and rounded
+    // jaccard) at a threshold with integer-tie overlap bounds (0.5:
+    // t/(1+t)*(szA+szB) is an exact integer whenever szA+szB % 3 == 0)
+    // and at the production 0.7.
+    val d = Tables.documents(spark, sf001).limit(300)
+    val sh = d.select(col("doc_id").as("id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val brute = sh.alias("a").join(sh.alias("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+    for (t <- Seq(0.5, 0.7)) {
+      val expect = brute.filter(col("j") >= t)
+        .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+          n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == expect,
+        s"t=$t: PPJoin output != brute force (missing ${expect -- got}, " +
+          s"extra ${got -- expect})")
+      assert(expect.nonEmpty, s"t=$t: fixture lost its near-dup pairs")
+    }
+  }
+
   test("minhash LSH recall vs exact ngram Jaccard on real docs") {
     val d = Tables.documents(spark, sf001)
     val exact = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),

@@ -56,6 +56,33 @@ class ModelsSpec extends SparkSpec {
     assert(orders.tail.forall(_.getAs[Any]("mom_pct") != null))
   }
 
+  test("runReleasable/materialize release every run-scoped persist") {
+    // round-15 directive 3: no RDD with storageLevel != NONE may survive
+    // a model run once its release handle fires — ref promotions AND
+    // operator-local persists (ctx.track) are all run-scoped.
+    def persistedRddCount: Int =
+      spark.sparkContext.getPersistentRDDs.count {
+        case (_, rdd) =>
+          rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val base = persistedRddCount
+    val reg = Analytics.registry(sf001)
+    // q112's DAG exercises ref promotions + ProductMarts ctx.track sites
+    val (df, release) = reg.runReleasable("sabangnet_option_master", spark)
+    df.write.format("noop").mode("overwrite").save()
+    release()
+    assert(persistedRddCount <= base,
+      s"run left ${persistedRddCount - base} persisted RDD(s) behind")
+    // materialize (eager Incremental write) must self-release
+    val dir = Files.createTempDirectory("graft_rel").toString
+    reg.materialize("core_sales_daily", spark, dir)
+    assert(persistedRddCount <= base,
+      s"materialize left ${persistedRddCount - base} persisted RDD(s)")
+  }
+
   test("incremental materialization overwrites only batch partitions") {
     val reg = Analytics.registry(sf001)
     val dir = Files.createTempDirectory("graft_mat").toString
