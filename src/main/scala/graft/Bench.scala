@@ -211,6 +211,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only A/B knob: SPARK_GRAFT_SESSION_CONF="k=v;k=v" applies
+    // runtime SQL confs before timing — for measuring candidate session
+    // settings without editing the harness. The driver leaves it unset,
+    // so driver runs stay on the default session and remain comparable
+    // round-over-round.
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()

@@ -269,8 +269,16 @@ object F {
     * graft frame is by construction).
     */
   def checkpointShared(df: DataFrame): DataFrame = {
-    ensureCheckpointDir(df.sparkSession.sparkContext)
-    df.checkpoint()
+    // LOCAL checkpoint (round-15): same plan truncation and the same
+    // safety property as the reliable form — a lost block is an ERROR,
+    // never a silent recompute under a fresh partitioner — without the
+    // disk write + read-back (q112's build time was dominated by these
+    // eager materializations). The block-loss availability trade
+    // (executor loss fails the job instead of recomputing) is the one
+    // the engine's iterative operators already make; a deployment
+    // wanting durability swaps this for df.checkpoint() with a durable
+    // checkpoint dir.
+    df.localCheckpoint(true)
   }
 
   /** W2 at scale — global ROW_NUMBER without the single-partition window:
@@ -295,12 +303,15 @@ object F {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
                       buckets: Int = 32): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    ensureCheckpointDir(sc)
     val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__bucket", spark_partition_id())
     val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)
-    val ranked = ranged.withColumn("__rn", row_number().over(w)).checkpoint()
+    // localCheckpoint(true) keeps the property the scaladoc demands —
+    // both consumers read ONE materialized evaluation, and a lost block
+    // can only fail, never resample the partitioner — without the disk
+    // round-trip (round-15; see checkpointShared)
+    val ranked = ranged.withColumn("__rn", row_number().over(w))
+      .localCheckpoint(true)
     val counts = ranked.groupBy(col("__bucket")).agg(count(lit(1)).as("__cnt"))
     val offsets = counts.alias("a")
       .join(counts.alias("b"), col("b.__bucket") < col("a.__bucket"), "left")

@@ -170,18 +170,26 @@ object SmtOptRelation {
         Seq("group_id", "group_name", "opt_name", "option_id_sbn"),
         (0 until 20).map(n => Seq(s"G${n % 5}", s"그룹$n", s"본품 $n",
           s"${210000 + n}-0001")))
+      // space-normalizations HOISTED out of the OR-join condition
+      // (round-15): inside the BNLJ predicate they re-ran per (row ×
+      // dim-row) — 20 regex evaluations per option row; projected here
+      // they run once per row / once per dim row. replace() is the
+      // literal form of regexp_replace(x, " ", "") — same values, no
+      // regex engine.
       val t2src = without.filter(col("product_type") === 2)
         .select(col("option_id"), col("option_name"),
           regexp_extract(col("product_name"), "^\\[([^\\]]+)\\]", 1)
             .as("grp"),
           trim(regexp_replace(col("product_name"), "^\\[[^\\]]+\\]", ""))
-            .as("base_name"))
-      val t2 = t2src.join(broadcast(addPrd),
+            .as("base_name"),
+          expr("replace(option_name, ' ', '')").as("__opt_norm"))
+      val addPrdNorm = addPrd.withColumn("__dim_norm",
+        expr("concat(replace(group_name, ' ', ''), ':', " +
+          "replace(opt_name, ' ', ''))"))
+      val t2 = t2src.join(broadcast(addPrdNorm),
           (col("grp") === col("group_id") &&
             col("base_name") === col("opt_name")) ||
-            (regexp_replace(col("option_name"), " ", "") ===
-              concat(regexp_replace(col("group_name"), " ", ""), lit(":"),
-                regexp_replace(col("opt_name"), " ", ""))))
+            (col("__opt_norm") === col("__dim_norm")))
         .select(col("option_id").as("option_id_smt"), col("option_id_sbn"))
 
       // auto matches: pull the sabangnet bundle (fallback '<option>:1'),

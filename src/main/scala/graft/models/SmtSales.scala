@@ -170,6 +170,12 @@ object SmtSales {
               (pmod(col("l_partkey") + col("l_orderkey"), lit(5)) + 1)
                 .cast("int")).as("__smt_status_raw"),
             col("order_date"))
+          // TWO consumers (bundled below and the rel bundle derivation) —
+          // without a persist the lineitem⋈orders join + the full
+          // 14-expression staging ladder run twice (round-15: orders
+          // scanned 5x in the q239 plan; run-scoped, ctx.track-released)
+          .persist()
+        ctx.track(ordRaw)
 
         // bundle relation + channel dim (the order-count fixture's)
         val relPid = expr("try_cast(split(option_id, '-')[0] AS BIGINT)")

@@ -840,6 +840,11 @@ object Dedup {
     try {
       while (!done && it < maxIter) {
         if (sessionParts > 0) spark.conf.set(confKey, roundParts(last._1))
+        // (round-15 note: a double-step — two star alternations per
+        // checkpoint — was tried to halve the serial action count and
+        // measured 2x WORSE: each star references its input ~4 times,
+        // so the un-checkpointed inner alternation is recomputed per
+        // reference. One alternation per checkpoint is the optimum.)
         val next = smallStar(largeStar(edges)).localCheckpoint(false)
         val s = sig(next)
         edges = next

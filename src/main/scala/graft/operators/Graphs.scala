@@ -23,6 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Run an eager per-round iteration body with shuffle partitions sized
+    * to the materialized edge count (round-15, same rule as
+    * [[Dedup.connectedComponents]]): ~2M pair rows (~32 MB, guide §2.2)
+    * per partition, capped at the session's configured value — a
+    * production-sized setting is never exceeded, while local tiny-graph
+    * rounds stop paying 32 near-empty tasks per exchange. Restores the
+    * session conf afterwards; only valid for loops whose rounds
+    * MATERIALIZE inside `body` (pageRank/HITS one-row aggregates —
+    * labelPropagation is lazy until the caller's action and must not be
+    * sized here).
+    */
+  private def sizedRounds[T](spark: org.apache.spark.sql.SparkSession,
+                             rows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val sessionParts = scala.util.Try(spark.conf.get(key).toInt)
+      .getOrElse(-1)
+    if (sessionParts <= 0) body
+    else {
+      val per = 2L << 20
+      val parts = math.max(1L, math.min(sessionParts.toLong,
+        (rows + per - 1) / per)).toInt
+      spark.conf.set(key, parts)
+      try body finally spark.conf.set(key, sessionParts)
+    }
+  }
+
   /** Fixed-point PageRank by power iteration.
     *
     * `edges`: (src, dst) long pairs; duplicates and self-loops are
@@ -74,24 +100,31 @@ object Graphs {
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)
     var ranks = nd.select(col("id"), lit(scale / n).as("rank"))
       .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val withDeg = ranks.join(nd, "id")
-      // one-row aggregate: the dangling mass this round
-      val dangling = withDeg.filter(col("deg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-      val dangPer = dangling / n
-      val csum = withDeg.filter(col("deg") > 0)
-        .select(col("id"), expr("rank DIV deg").as("c"))
-        .join(e, col("id") === col("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("c")).as("csum"))
-      ranks = nd.select(col("id"))
-        .join(csum, Seq("id"), "left")
-        .select(col("id"),
-          expr(s"$base + ($dampNum * (coalesce(csum, CAST(0 AS BIGINT)) " +
-            s"+ $dangPer)) DIV $dampDen").as("rank"))
-        .localCheckpoint(false)
+    // sized on the node count already in hand — an extra e.count()
+    // action measurably cost more than the sizing saved on small graphs
+    sizedRounds(edges.sparkSession, n) {
+      for (_ <- 1 to iters) {
+        val withDeg = ranks.join(nd, "id")
+        // one-row aggregate: the dangling mass this round
+        val dangling = withDeg.filter(col("deg") === 0)
+          .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+        val dangPer = dangling / n
+        val csum = withDeg.filter(col("deg") > 0)
+          .select(col("id"), expr("rank DIV deg").as("c"))
+          .join(e, col("id") === col("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("c")).as("csum"))
+        ranks = nd.select(col("id"))
+          .join(csum, Seq("id"), "left")
+          .select(col("id"),
+            expr(s"$base + ($dampNum * (coalesce(csum, CAST(0 AS BIGINT)) " +
+              s"+ $dangPer)) DIV $dampDen").as("rank"))
+          .localCheckpoint(false)
+      }
     }
+    // (the LAST round's lazy checkpoint materializes at the caller's
+    // action, after the conf restore — that one round runs at session
+    // partitions, which is correct at any scale)
     ranks.select(col("id"), col("rank").as("rank_fp"))
   }
 
@@ -152,13 +185,15 @@ object Graphs {
     var hubs = nodes.select(col("id"), lit(scale / n).as("h"))
       .localCheckpoint(false)
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
-      val aRaw = hubs.join(e, col("id") === col("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
-      auths = normalize(aRaw, "a")
-      val hRaw = auths.join(e, col("id") === col("dst"))
-        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
-      hubs = normalize(hRaw, "h")
+    sizedRounds(edges.sparkSession, n) {
+      for (_ <- 1 to iters) {
+        val aRaw = hubs.join(e, col("id") === col("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+        auths = normalize(aRaw, "a")
+        val hRaw = auths.join(e, col("id") === col("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+        hubs = normalize(hRaw, "h")
+      }
     }
     hubs.join(auths, "id")
       .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))

@@ -34,8 +34,6 @@ object Packing {
   def packSequences(df: DataFrame, idCol: Column, textCol: Column,
                     budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val sc = df.sparkSession.sparkContext
-    F.ensureCheckpointDir(sc)
     val toks = df.select(idCol.as("doc_id"),
         TextAnalysis.tokenCountWs(textCol).cast("long").as("__tok"))
       .filter(col("__tok") > 0)
@@ -43,8 +41,11 @@ object Packing {
       .withColumn("__bucket", spark_partition_id())
     val w = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // localCheckpoint(true): one materialized evaluation for both
+    // consumers, lost block = error (never a partitioner resample), no
+    // disk round-trip (round-15; see F.checkpointShared)
     val summed = ranged
-      .withColumn("__cum", sum(col("__tok")).over(w)).checkpoint()
+      .withColumn("__cum", sum(col("__tok")).over(w)).localCheckpoint(true)
     val counts = summed.groupBy(col("__bucket"))
       .agg(sum(col("__tok")).as("__cnt"))
     val offsets = counts.alias("a")

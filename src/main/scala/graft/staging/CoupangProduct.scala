@@ -43,11 +43,17 @@ object CoupangProduct {
     */
   def stageRocketOption(raw: DataFrame, payloadCol: Column,
                         vendorId: String): DataFrame = {
-    val p = from_json(payloadCol, rocketSchema)
+    // single parse into a struct attribute (own projection) — getField
+    // over from_json in one projection lets Catalyst's JSON pruning
+    // rewrite every access into its own single-field parse (r15 q91
+    // finding: 13 parses/row); all fields are consumed here, so parse
+    // once and extract from the attribute
+    val parsed = raw.select(from_json(payloadCol, rocketSchema).as("__p"))
+    val p = col("__p")
     val cc = p.getField("creturnConfigViewDto")
     val ld = p.getField("listingDetails")
     val inv = p.getField("inventoryDetails")
-    raw.select(
+    parsed.select(
       ld.getField("vendorInventoryId").as("vendor_inventory_id"),
       ld.getField("productId").as("product_id"),
       p.getField("vendorItemId").as("option_id"),

@@ -38,9 +38,12 @@ object GoogleAds {
 
   def stageCampaign(raw: DataFrame, payloadCol: Column,
                     customerId: Long): DataFrame = {
-    val p = from_json(payloadCol, campaignSchema)
+    // single parse into a struct attribute — see HcenterCatalog (r15):
+    // per-field JSON pruning otherwise multiplies the parse per row
+    val parsed = raw.select(from_json(payloadCol, campaignSchema).as("__p"))
+    val p = col("__p")
     val c = p.getField("campaign"); val m = p.getField("metrics")
-    raw.select(
+    parsed.select(
         c.getField("id").as("campaign_id"),
         c.getField("name").as("campaign_name"),
         lit(customerId).as("customer_id"),

@@ -30,14 +30,25 @@ object HcenterCatalog {
     StructField("registerDate", StringType)))
 
   def stageBrandCatalog(raw: DataFrame, payloadCol: Column): DataFrame = {
-    val p = from_json(payloadCol, payloadSchema)
+    // Parse ONCE into an intermediate struct column (own projection):
+    // with getField directly over from_json in a single projection,
+    // Catalyst's JSON schema pruning rewrites EVERY field access into
+    // its own single-field from_json — the r15 q91 plan carried 13
+    // separate parses of the same payload per row (non-codegen Project,
+    // ~14 full JSON parses/row). Extracting from a struct ATTRIBUTE in
+    // a separate select leaves nothing for the pruning rule to match,
+    // and CollapseProject keeps the boundary because the parse is an
+    // expensive expression referenced many times. All fields of the
+    // schema are consumed, so pruning had nothing to save anyway.
+    val parsed = raw.select(from_json(payloadCol, payloadSchema).as("__p"))
+    val p = col("__p")
     val cat = p.getField("category")
     def level(n: Int): Seq[Column] = Seq(
       expr(s"try_cast(split_part(__full_id, '>', $n) AS INT)")
         .as(s"category_id$n"),
       nullif(split_part(col("__full_name"), lit(">"), lit(n)), lit(""))
         .as(s"category_name$n"))
-    raw.select(
+    parsed.select(
         p.getField("identifier").as("product_id"),
         p.getField("prodName").as("catalog_name"),
         nullif(p.getField("makerSeq"), lit(0L)).as("maker_id"),

@@ -32,8 +32,10 @@ object HcenterPageview {
 
   def stageByDevice(raw: DataFrame, payloadCol: Column,
                     mallSeq: Long): DataFrame = {
-    val p = from_json(payloadCol, payloadSchema)
-    raw.select(
+    // single parse into a struct attribute — see HcenterCatalog (r15)
+    val parsed = raw.select(from_json(payloadCol, payloadSchema).as("__p"))
+    val p = col("__p")
+    parsed.select(
         lit(mallSeq).as("mall_seq"),
         p.getField("measuredThrough").getField("device").as("__device"),
         p.getField("visit").getField("pageClick").cast("int").as("page_click"),
@@ -49,9 +51,11 @@ object HcenterPageview {
 
   def stageByProduct(raw: DataFrame, payloadCol: Column,
                      mallSeq: Long): DataFrame = {
-    val p = from_json(payloadCol, payloadSchema)
+    // single parse into a struct attribute — see HcenterCatalog (r15)
+    val parsed = raw.select(from_json(payloadCol, payloadSchema).as("__p"))
+    val p = col("__p")
     val url = p.getField("measuredThrough").getField("url")
-    raw.select(
+    parsed.select(
         lit(mallSeq).as("mall_seq"),
         when(url.rlike("^/[^/]+/products/\\d+$"),
             regexp_extract(url, "(\\d+)$", 1).cast("bigint"))

